@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/** Shared plumbing for the doc-local kernel expressions: accepts a string or
+  * binary child (the pages table carries both `text:string` and
+  * `html:binary`), evaluates a pure kernel over the raw bytes, and maps a
+  * malformed document to null instead of failing the task — at 10^12-doc
+  * scale one bad page must not kill a stage; the pipeline derives a `status`
+  * column from the null.
+  *
+  * These are deterministic, null-intolerant unary expressions with
+  * CodegenFallback: the kernels are hundreds of ops per row, so the virtual
+  * call is noise, and keeping them out of codegen keeps the surrounding
+  * stage's generated code small. They still participate fully in
+  * whole-stage-codegen'd plans around them.
+  */
+trait DocKernelExpression extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string or binary input, got ${t.simpleString}")
+  }
+
+  @inline protected final def docBytes(input: Any): Array[Byte] = input match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+  }
+}
+
+/** Document formats understood by the normalization/identity expressions. */
+object DocFormat {
+  val Cnf = "cnf"
+  val Wcnf = "wcnf"
+  val Opb = "opb"
+  val Pqbf = "pqbf"
+  val all: Seq[String] = Seq(Cnf, Wcnf, Opb, Pqbf)
+}
+
+/** NormalizeText — the byte-identical extracted-text contract
+  * (BASELINE.json input_hint). Forms:
+  *  - "hash": the exact byte stream gbdhash consumes
+  *    (/root/reference/src/identify/GBDHash.h:30-50 and format variants)
+  *  - "file": regenerated-header one-clause-per-line form
+  *    (/root/reference/src/transform/cnf2cnf.cc:15-35, CNF only)
+  *  - "sanitize": duplicate-literal/tautology-free file form
+  *    (/root/reference/src/transform/cnf2cnf.cc:43-86, CNF only)
+  */
+case class NormalizeText(child: Expression, format: String, form: String)
+    extends DocKernelExpression {
+  require(DocFormat.all.contains(format), s"unknown format $format")
+  require(Seq("hash", "file", "sanitize").contains(form), s"unknown form $form")
+  require(format == DocFormat.Cnf || form == "hash", s"form $form only supported for cnf")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"normalize_${format}_$form"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val s = form match {
+        case "file" => Dimacs.normalizeCnfFile(buf)
+        case "sanitize" => Dimacs.sanitizeCnfFile(buf)
+        case _ =>
+          val sink = new BufferSink(buf.length + 16)
+          format match {
+            case DocFormat.Cnf => Dimacs.normalizeCnf(buf, sink)
+            case DocFormat.Wcnf => Dimacs.normalizeWcnf(buf, sink)
+            case DocFormat.Opb => Dimacs.normalizeOpb(buf, sink)
+            case DocFormat.Pqbf => Dimacs.normalizePqbf(buf, sink)
+          }
+          sink.result
+      }
+      UTF8String.fromString(s)
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+/** GbdHash — exact-content instance id: md5 of the normalized byte stream,
+  * computed streaming without materializing the normalized text (mirrors
+  * /root/reference/src/identify/GBDHash.h). instance_id = gbd_hash(text).
+  */
+case class GbdHash(child: Expression, format: String) extends DocKernelExpression {
+  require(DocFormat.all.contains(format), s"unknown format $format")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"gbd_hash_$format"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val hex = format match {
+        case DocFormat.Cnf => Dimacs.gbdHashCnf(buf)
+        case DocFormat.Wcnf => Dimacs.gbdHashWcnf(buf)
+        case DocFormat.Opb => Dimacs.gbdHashOpb(buf)
+        case DocFormat.Pqbf => Dimacs.gbdHashPqbf(buf)
+      }
+      UTF8String.fromString(hex)
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GbdHash =
+    copy(child = newChild)
+}
+
+/** IsoHash — isomorphism-invariant instance id (degree-sequence form,
+  * /root/reference/src/identify/ISOHash.h).
+  */
+case class IsoHash(child: Expression, format: String) extends DocKernelExpression {
+  require(format == DocFormat.Cnf || format == DocFormat.Wcnf, s"isohash supports cnf|wcnf, got $format")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"iso_hash_$format"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val hex =
+        if (format == DocFormat.Cnf) Dimacs.isoHashCnf(buf)
+        else Dimacs.isoHashWcnf(buf)
+      UTF8String.fromString(hex)
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IsoHash =
+    copy(child = newChild)
+}
+
+object FeatureSchemas {
+  private def struct(names: Array[String]): StructType =
+    StructType(names.map(n => StructField(n, DoubleType, nullable = false)))
+
+  val cnf: StructType = struct(CnfBase.featureNames)
+  val wcnf: StructType = struct(WcnfBase.featureNames)
+  val opb: StructType = struct(OpbBase.featureNames)
+
+  val sani: StructType = StructType(Seq(
+    StructField("head_vars", DoubleType, nullable = false),
+    StructField("head_clauses", DoubleType, nullable = false),
+    StructField("norm_vars", DoubleType, nullable = false),
+    StructField("norm_clauses", DoubleType, nullable = false),
+    StructField("whitespace_normalised", DoubleType, nullable = false),
+    StructField("has_comment", DoubleType, nullable = false),
+    StructField("sani_vars", DoubleType, nullable = false),
+    StructField("sani_clauses", DoubleType, nullable = false),
+    StructField("has_tautological_clause", DoubleType, nullable = false),
+    StructField("has_duplicate_literals", DoubleType, nullable = false),
+    StructField("has_empty_clause", DoubleType, nullable = false)))
+}
+
+/** One fused pass producing the full base-feature vector as a struct of
+  * doubles in the reference's feature order — the Spark analog of one
+  * gbdc extractor invocation per document (SURVEY.md §2.4 A2-A4).
+  */
+case class ExtractFeatures(child: Expression, format: String) extends DocKernelExpression {
+  require(Seq(DocFormat.Cnf, DocFormat.Wcnf, DocFormat.Opb).contains(format),
+    s"extract_features supports cnf|wcnf|opb, got $format")
+
+  override def dataType: StructType = format match {
+    case DocFormat.Cnf => FeatureSchemas.cnf
+    case DocFormat.Wcnf => FeatureSchemas.wcnf
+    case _ => FeatureSchemas.opb
+  }
+
+  override def prettyName: String = s"${format}_features"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val values = format match {
+        case DocFormat.Cnf => CnfBase.extract(buf)
+        case DocFormat.Wcnf => WcnfBase.extract(buf)
+        case _ => OpbBase.extract(buf)
+      }
+      InternalRow.fromSeq(values)
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractFeatures =
+    copy(child = newChild)
+}
+
+/** Data-quality scan (/root/reference/src/extract/CNFSaniCheck.cc). */
+case class SaniCheckExpr(child: Expression) extends DocKernelExpression {
+  override def dataType: StructType = FeatureSchemas.sani
+  override def prettyName: String = "cnf_sanicheck"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val r = Dimacs.saniCheck(buf, sanitize = true)
+      @inline def b(x: Boolean): Double = if (x) 1.0 else 0.0
+      InternalRow.fromSeq(Seq[Double](
+        r.headVars.toDouble, r.headClauses.toDouble, r.normVars.toDouble, r.normClauses.toDouble,
+        b(r.whitespaceNormalised), b(r.hasComment),
+        r.saniVars.toDouble, r.saniClauses.toDouble,
+        b(r.hasTautologicalClause), b(r.hasDuplicateLiterals), b(r.hasEmptyClause)))
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SaniCheckExpr =
+    copy(child = newChild)
+}
+
+/** Raw clause structure as array<array<int>> for relational exploration
+  * (explode/HOF pipelines); the fused expressions above are the hot path.
+  */
+case class ParseClauses(child: Expression) extends DocKernelExpression {
+  override def dataType: DataType = ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  override def prettyName: String = "cnf_clauses"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val doc = ClauseDoc.parse(buf)
+      val clauses = new Array[AnyRef](doc.nClauses)
+      var c = 0
+      while (c < doc.nClauses) {
+        val s = doc.clauseStart(c)
+        val e = doc.clauseEnd(c)
+        clauses(c) = new GenericArrayData(java.util.Arrays.copyOfRange(doc.lits, s, e))
+        c += 1
+      }
+      new GenericArrayData(clauses)
+    } catch {
+      case _: DocParseException => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ParseClauses =
+    copy(child = newChild)
+}

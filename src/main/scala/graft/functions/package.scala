@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** Column-API facade over the graft Catalyst expressions. Import
+  * `graft.functions._` next to `org.apache.spark.sql.functions._`.
+  */
+package object functions {
+
+  @inline private def col1(f: Expression => Expression)(c: Column): Column =
+    GraftShim.column(f(GraftShim.expression(c)))
+
+  /** Byte-identical normalized text (hash form) — the contract column. */
+  def normalize_cnf(c: Column): Column = col1(NormalizeText(_, DocFormat.Cnf, "hash"))(c)
+  def normalize_wcnf(c: Column): Column = col1(NormalizeText(_, DocFormat.Wcnf, "hash"))(c)
+  def normalize_opb(c: Column): Column = col1(NormalizeText(_, DocFormat.Opb, "hash"))(c)
+  def normalize_pqbf(c: Column): Column = col1(NormalizeText(_, DocFormat.Pqbf, "hash"))(c)
+
+  /** File-form normalization with regenerated header (cnf2cnf Normaliser). */
+  def normalize_cnf_file(c: Column): Column = col1(NormalizeText(_, DocFormat.Cnf, "file"))(c)
+
+  /** Sanitized file form (duplicate literals/tautologies removed). */
+  def sanitize_cnf(c: Column): Column = col1(NormalizeText(_, DocFormat.Cnf, "sanitize"))(c)
+
+  /** Exact-content instance id (md5 of normalized stream, streaming). */
+  def gbd_hash(c: Column): Column = col1(GbdHash(_, DocFormat.Cnf))(c)
+  def gbd_hash_wcnf(c: Column): Column = col1(GbdHash(_, DocFormat.Wcnf))(c)
+  def gbd_hash_opb(c: Column): Column = col1(GbdHash(_, DocFormat.Opb))(c)
+  def gbd_hash_pqbf(c: Column): Column = col1(GbdHash(_, DocFormat.Pqbf))(c)
+
+  /** Isomorphism-invariant instance id (degree-sequence form). */
+  def iso_hash(c: Column): Column = col1(IsoHash(_, DocFormat.Cnf))(c)
+  def iso_hash_wcnf(c: Column): Column = col1(IsoHash(_, DocFormat.Wcnf))(c)
+
+  /** Full base-feature vector as a struct of doubles (one fused pass). */
+  def cnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Cnf))(c)
+  def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
+  def opb_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Opb))(c)
+
+  /** Data-quality scan struct. */
+  def cnf_sanicheck(c: Column): Column = col1(SaniCheckExpr(_))(c)
+
+  /** Raw clause structure (array<array<int>>) for relational exploration. */
+  def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
+}
+
+/** SQL registration via SparkSessionExtensions — enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (works under
+  * spark-submit unchanged) or call `GraftExtensions.register(spark)`.
+  */
+import graft.functions._
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def unary(name: String)(f: Expression => Expression): (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == 1, s"$name expects exactly one argument")
+      f(args.head)
+    }
+
+  private[graft] val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    unary("normalize_cnf")(NormalizeText(_, DocFormat.Cnf, "hash")),
+    unary("normalize_wcnf")(NormalizeText(_, DocFormat.Wcnf, "hash")),
+    unary("normalize_opb")(NormalizeText(_, DocFormat.Opb, "hash")),
+    unary("normalize_pqbf")(NormalizeText(_, DocFormat.Pqbf, "hash")),
+    unary("normalize_cnf_file")(NormalizeText(_, DocFormat.Cnf, "file")),
+    unary("sanitize_cnf")(NormalizeText(_, DocFormat.Cnf, "sanitize")),
+    unary("gbd_hash")(GbdHash(_, DocFormat.Cnf)),
+    unary("gbd_hash_wcnf")(GbdHash(_, DocFormat.Wcnf)),
+    unary("gbd_hash_opb")(GbdHash(_, DocFormat.Opb)),
+    unary("gbd_hash_pqbf")(GbdHash(_, DocFormat.Pqbf)),
+    unary("iso_hash")(IsoHash(_, DocFormat.Cnf)),
+    unary("iso_hash_wcnf")(IsoHash(_, DocFormat.Wcnf)),
+    unary("cnf_features")(ExtractFeatures(_, DocFormat.Cnf)),
+    unary("wcnf_features")(ExtractFeatures(_, DocFormat.Wcnf)),
+    unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),
+    unary("cnf_sanicheck")(SaniCheckExpr(_)),
+    unary("cnf_clauses")(ParseClauses(_)))
+
+  /** Register into an already-running session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      GraftShim.registerFunction(spark,
+        FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+    }
+}
