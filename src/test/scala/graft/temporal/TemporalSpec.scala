@@ -1,0 +1,167 @@
+package graft.temporal
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  /** Deterministic pseudo-random probe/build tables. */
+  private def randomTables(seed: Long, nKeys: Int, nProbe: Int, nBuild: Int): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    val probe = (0 until nProbe).map { i =>
+      (s"k${rnd.nextInt(nKeys)}", ts(rnd.nextInt(100000).toLong), s"p$i")
+    }.toDF("key", "t", "probe_payload")
+    val build = (0 until nBuild).map { i =>
+      (s"k${rnd.nextInt(nKeys)}", ts(rnd.nextInt(100000).toLong), i.toDouble)
+    }.toDF("key", "bts", "value")
+    (probe, build)
+  }
+
+  /** Brute-force oracle computed on the driver. */
+  private def bruteForce(probe: DataFrame, build: DataFrame, strict: Boolean): Map[(String, Timestamp, String), Option[(Timestamp, Double)]] = {
+    val b = build.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    probe.collect().map { r =>
+      val key = r.getString(0); val t = r.getTimestamp(1); val pp = r.getString(2)
+      val cands = b.filter(x => x._1 == key &&
+        (if (strict) x._2.getTime < t.getTime else x._2.getTime <= t.getTime))
+      val best = if (cands.isEmpty) None
+      else {
+        val m = cands.maxBy(x => (x._2.getTime, x._3))
+        Some((m._2, m._3))
+      }
+      (key, t, pp) -> best
+    }.toMap
+  }
+
+  private def checkAgainstBrute(result: DataFrame, oracle: Map[(String, Timestamp, String), Option[(Timestamp, Double)]]): Unit = {
+    val rows = result.collect()
+    assert(rows.length == oracle.size)
+    rows.foreach { r =>
+      val k = (r.getString(r.fieldIndex("key")), r.getTimestamp(r.fieldIndex("t")), r.getString(r.fieldIndex("probe_payload")))
+      val expected = oracle(k)
+      val got =
+        if (r.isNullAt(r.fieldIndex("bts"))) None
+        else Some((r.getTimestamp(r.fieldIndex("bts")), r.getDouble(r.fieldIndex("value"))))
+      // compare picked ts only (payload tie-break at equal ts may differ —
+      // both engine variants and the brute force use max struct ordering)
+      assert(got.map(_._1) == expected.map(_._1), s"row $k: got $got expected $expected")
+      assert(got.map(_._2) == expected.map(_._2), s"row $k: got $got expected $expected")
+      assert(r.getBoolean(r.fieldIndex("_asof_matched")) == expected.nonEmpty)
+    }
+  }
+
+  test("asOfUnion matches brute force (inclusive + strict)") {
+    val (probe, build) = randomTables(1, nKeys = 7, nProbe = 300, nBuild = 200)
+    for (strict <- Seq(false, true)) {
+      val r = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts", strict = strict)
+      checkAgainstBrute(r, bruteForce(probe, build, strict))
+    }
+  }
+
+  test("asOfBucketed matches brute force across bucket widths (inclusive + strict)") {
+    val (probe, build) = randomTables(2, nKeys = 5, nProbe = 250, nBuild = 180)
+    for (strict <- Seq(false, true); bucketSeconds <- Seq(1000L, 10000L, 1000000L)) {
+      val r = AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts", lit(bucketSeconds), strict = strict)
+      checkAgainstBrute(r, bruteForce(probe, build, strict))
+    }
+  }
+
+  test("asOfBucketed == asOfUnion on skewed keys (hot key dominates)") {
+    val rnd = new scala.util.Random(3)
+    val probe = ((0 until 500).map(i => ("hot", ts(rnd.nextInt(50000).toLong), s"p$i")) ++
+      (0 until 50).map(i => (s"cold$i", ts(rnd.nextInt(50000).toLong), s"q$i"))).toDF("key", "t", "probe_payload")
+    val build = ((0 until 400).map(i => ("hot", ts(rnd.nextInt(50000).toLong), i.toDouble)) ++
+      (0 until 30).map(i => (s"cold$i", ts(rnd.nextInt(50000).toLong), -i.toDouble))).toDF("key", "bts", "value")
+    val a = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts")
+      .select("key", "t", "probe_payload", "bts", "value").collect().map(_.toString).sorted
+    val b = AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts", lit(5000))
+      .select("key", "t", "probe_payload", "bts", "value").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("zero temporal leakage: future-dated poison build rows change nothing") {
+    val (probe, build) = randomTables(4, nKeys = 6, nProbe = 200, nBuild = 150)
+    // poison: for every key, value rows dated AFTER every probe ts
+    val poison = (0 until 50).map(i => (s"k${i % 6}", ts(200000L + i), 99999.0)).toDF("key", "bts", "value")
+    val clean = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts")
+    val poisoned = AsOfJoin.asOfUnion(probe, build.unionByName(poison), Seq("key"), "t", "bts")
+    assert(clean.collect().map(_.toString).sorted.sameElements(poisoned.collect().map(_.toString).sorted))
+    val cleanB = AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts", lit(7777))
+    val poisonedB = AsOfJoin.asOfBucketed(probe, build.unionByName(poison), Seq("key"), "t", "bts", lit(7777))
+    assert(cleanB.collect().map(_.toString).sorted.sameElements(poisonedB.collect().map(_.toString).sorted))
+  }
+
+  test("keys missing from build yield null payload and matched=false") {
+    val probe = Seq(("a", ts(10), "p0"), ("zzz", ts(10), "p1")).toDF("key", "t", "probe_payload")
+    val build = Seq(("a", ts(5), 1.0)).toDF("key", "bts", "value")
+    val r = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts").collect()
+    val miss = r.find(_.getString(2) == "p1").get
+    assert(miss.isNullAt(miss.fieldIndex("value")) && !miss.getBoolean(miss.fieldIndex("_asof_matched")))
+  }
+}
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("sessionize splits on gaps > threshold, hand-computed golden") {
+    // gaps: 100 (same), 7201 (new), 50 (same), 7300 (new)
+    val df = Seq(
+      ("u", ts(1000)), ("u", ts(1100)), ("u", ts(8301)), ("u", ts(8351)), ("u", ts(15651)),
+      ("v", ts(500))).toDF("url", "t")
+    val r = Windows.sessionize(df, Seq("url"), "t", gapSeconds = 7200)
+      .orderBy("url", "t").select("url", "session_no").as[(String, Long)].collect()
+    assert(r.toSeq == Seq(("u", 0L), ("u", 0L), ("u", 1L), ("u", 1L), ("u", 2L), ("v", 0L)))
+  }
+
+  test("session boundary at exactly the gap threshold stays in-session") {
+    val df = Seq(("u", ts(0)), ("u", ts(7200))).toDF("url", "t")
+    val r = Windows.sessionize(df, Seq("url"), "t", 7200).select("session_no").as[Long].collect()
+    assert(r.toSeq == Seq(0L, 0L))
+  }
+
+  test("sessionStats rollup") {
+    val df = Seq(("u", ts(0)), ("u", ts(100)), ("u", ts(20000))).toDF("url", "t")
+    val s = Windows.sessionStats(Windows.sessionize(df, Seq("url"), "t", 7200), Seq("url"), "t")
+      .orderBy("session_no").collect()
+    assert(s.length == 2)
+    assert(s(0).getAs[Long]("session_revisits") == 2 && s(0).getAs[Long]("session_duration_s") == 100)
+  }
+
+  test("lag/lead and delta") {
+    val df = Seq(("u", ts(1), 1.0), ("u", ts(2), 3.0), ("u", ts(3), 6.0)).toDF("url", "t", "x")
+    val r = Windows.delta(Windows.lagLead(df, Seq("url"), "t", Seq("x")), Seq("url"), "t", "x")
+      .orderBy("t").select("x_lag1", "x_future_lead1", "x_delta").collect()
+    assert(r(0).isNullAt(0) && r(0).getDouble(1) == 3.0 && r(0).isNullAt(2))
+    assert(r(1).getDouble(0) == 1.0 && r(1).getDouble(1) == 6.0 && r(1).getDouble(2) == 2.0)
+    assert(r(2).getDouble(0) == 3.0 && r(2).isNullAt(1) && r(2).getDouble(2) == 3.0)
+  }
+
+  test("backfill carries last non-null forward, never backward") {
+    val df = Seq(("u", ts(1), Some(5.0)), ("u", ts(2), None), ("u", ts(3), None), ("u", ts(0), None))
+      .toDF("url", "t", "x")
+    val r = Windows.backfill(df, Seq("url"), "t", Seq("x")).orderBy("t").select("x_filled").collect()
+    assert(r(0).isNullAt(0)) // ts 0 before first value: stays null (no future read)
+    assert(r(1).getDouble(0) == 5.0 && r(2).getDouble(0) == 5.0 && r(3).getDouble(0) == 5.0)
+  }
+
+  test("rolling windows trail only (leakage-free)") {
+    val df = Seq(("u", ts(1), 1.0), ("u", ts(2), 2.0), ("u", ts(3), 30.0)).toDF("url", "t", "x")
+    val r = Windows.rollingByRows(df, Seq("url"), "t", "x", 2).orderBy("t")
+      .select("x_roll2_mean").as[Double].collect()
+    assert(r.toSeq == Seq(1.0, 1.5, 16.0))
+  }
+
+  test("latestSnapshot dedups to newest crawl") {
+    val df = Seq(("u", ts(1), "old"), ("u", ts(9), "new"), ("v", ts(2), "only")).toDF("url", "t", "v")
+    val r = Windows.latestSnapshot(df, Seq("url"), "t").orderBy("url").select("v").as[String].collect()
+    assert(r.toSeq == Seq("new", "only"))
+  }
+}
