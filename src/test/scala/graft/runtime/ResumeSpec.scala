@@ -1,0 +1,85 @@
+package graft.runtime
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pages.PageGen
+
+class ResumeSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_resume").toString
+
+  private lazy val pages = PageGen.pages(spark,
+    PageGen.Config(urls = 60, revisitsPerUrl = 4, hotUrls = 2, hotFactor = 6)).toDF()
+
+  test("full run writes every shard with manifest + metrics") {
+    val out = freshDir()
+    val cfg = FeatureJob.Config(outDir = out, shards = 4)
+    val report = FeatureJob.run(spark, pages, cfg)
+    assert(report.processedShards == (0 until 4))
+    assert(report.skippedShards.isEmpty)
+    val fp = FeatureJob.fingerprint(pages)
+    val manifest = Manifest.completed(out, fp)
+    assert(manifest.keySet == (0 until 4).toSet)
+    assert(manifest.values.map(_.rowCount).sum == PageGen.totalRows(PageGen.Config(urls = 60, revisitsPerUrl = 4, hotUrls = 2, hotFactor = 6)))
+    assert(Files.exists(java.nio.file.Paths.get(out, "metrics.json")))
+    // second run is a no-op: everything resumes
+    val report2 = FeatureJob.run(spark, pages, cfg)
+    assert(report2.processedShards.isEmpty && report2.skippedShards == (0 until 4))
+  }
+
+  test("kill-after-k-shards resume yields identical output, each shard once") {
+    val cfgBase = PageGen.Config(urls = 40, revisitsPerUrl = 3, hotUrls = 1, hotFactor = 5)
+    val p = PageGen.pages(spark, cfgBase).toDF()
+
+    // reference: uninterrupted run
+    val outRef = freshDir()
+    FeatureJob.run(spark, p, FeatureJob.Config(outDir = outRef, shards = 4))
+
+    // crashed run: simulate kill by truncating the manifest to 2 shards
+    val outCrash = freshDir()
+    FeatureJob.run(spark, p, FeatureJob.Config(outDir = outCrash, shards = 4))
+    Manifest.truncate(outCrash, keepShards = Set(0, 1))
+    val resumed = FeatureJob.run(spark, p, FeatureJob.Config(outDir = outCrash, shards = 4))
+    assert(resumed.processedShards == Seq(2, 3), s"resume must process only missing shards, got ${resumed.processedShards}")
+    assert(resumed.skippedShards == Seq(0, 1))
+
+    // byte-level equality of the final tables (order-free compare; binary
+    // column hashed — Array[Byte].toString is an identity hash)
+    import org.apache.spark.sql.functions.{col, md5}
+    def canon(path: String) = {
+      val df = spark.read.parquet(path).withColumn("html", md5(col("html"))).drop("shard")
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).sorted
+    }
+    val sa = canon(s"$outRef/data")
+    val sb = canon(s"$outCrash/data")
+    assert(sa.sameElements(sb), "resumed output must equal uninterrupted output")
+
+    // manifests agree on checksums per shard
+    val fp = FeatureJob.fingerprint(p)
+    val ma = Manifest.completed(outRef, fp)
+    val mb = Manifest.completed(outCrash, fp)
+    assert(ma.view.mapValues(e => (e.rowCount, e.checksum)).toMap ==
+      mb.view.mapValues(e => (e.rowCount, e.checksum)).toMap)
+  }
+
+  test("stale manifest (input changed) triggers reprocessing") {
+    val out = freshDir()
+    val p1 = PageGen.pages(spark, PageGen.Config(urls = 10, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2)).toDF()
+    FeatureJob.run(spark, p1, FeatureJob.Config(outDir = out, shards = 2))
+    val p2 = PageGen.pages(spark, PageGen.Config(urls = 12, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2)).toDF()
+    val r = FeatureJob.run(spark, p2, FeatureJob.Config(outDir = out, shards = 2))
+    assert(r.processedShards == Seq(0, 1), "different input fingerprint must not resume")
+  }
+
+  test("pipeline output carries identity, features, status, sessions, deltas") {
+    val out = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
+    val cols = out.columns.toSet
+    for (c <- Seq("url", "warc_ts", "instance_id", "features", "status", "session_no", "session_id",
+      "clauses_prev", "clauses_delta", "variables_delta"))
+      assert(cols.contains(c), s"missing column $c")
+    val statuses = out.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("ok"), s"synthetic corpus must parse clean, got $statuses")
+  }
+}
