@@ -1,0 +1,372 @@
+package graft.core
+
+/** Pure text-analysis kernels for the training-data pipeline operators:
+  * tokenization, quality scoring, n-gram language id, shingling, MinHash,
+  * SimHash, rolling-hash fingerprint. All deterministic, allocation-lean,
+  * engine-agnostic (wrapped by Catalyst expressions in graft.functions).
+  */
+object TextKernels {
+
+  // ---- hashing ----------------------------------------------------------
+
+  /** splitmix64 finalizer — the 64-bit mixer used throughout. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a char range (FNV-1a folded through mix64). */
+  def hashChars(s: CharSequence, from: Int, until: Int, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  // ---- tokenization ------------------------------------------------------
+
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '\''
+
+  /** Whitespace-token count (split on runs of whitespace). */
+  def tokenCountWhitespace(s: String): Long = {
+    var n = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** BPE-ish subword count: word tokens contribute ceil(len/4) (typical
+    * byte-pair merge density for web text), digit runs and punctuation one
+    * each. A deterministic stand-in for a real tokenizer's token count.
+    */
+  def tokenCountBpe(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (isWordChar(c)) {
+        var j = i
+        while (j < s.length && isWordChar(s.charAt(j))) j += 1
+        n += (j - i + 3) / 4
+        i = j
+      } else { n += 1; i += 1 }
+    }
+    n
+  }
+
+  /** Word [from,until) spans, lowercased hashes for shingling. */
+  def wordHashes(s: String, seed: Long): Array[Long] = {
+    val out = new IntArrayListLong
+    var i = 0
+    while (i < s.length) {
+      if (isWordChar(s.charAt(i))) {
+        var j = i
+        var h = 0xcbf29ce484222325L ^ seed
+        while (j < s.length && isWordChar(s.charAt(j))) {
+          h ^= Character.toLowerCase(s.charAt(j)).toLong
+          h *= 0x100000001b3L
+          j += 1
+        }
+        out.add(mix64(h))
+        i = j
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct hashed word n-gram shingles (sorted, for set ops). */
+  def shingles(s: String, n: Int, seed: Long = 0L): Array[Long] = {
+    val words = wordHashes(s, seed)
+    if (words.length < n) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 0x9e3779b97f4a7c15L
+      var k = 0
+      while (k < n) { h = mix64(h ^ words(i + k)); k += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Exact Jaccard over two sorted distinct-hash arrays. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length == 0 && b.length == 0) return 0.0
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { common += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    common.toDouble / (a.length + b.length - common).toDouble
+  }
+
+  /** MinHash signature over word n-gram shingles: k permutations simulated
+    * by k seeded mixes (one pass per shingle, k mins).
+    */
+  def minHashSignature(s: String, numHashes: Int, shingleSize: Int, seed: Long = 0L): Array[Long] = {
+    val sh = shingles(s, shingleSize, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var k = 0
+      while (k < numHashes) {
+        val h = mix64(sh(i) ^ (0xd6e8feb86659fd93L * (k + 1)))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two MinHash signatures. */
+  def minHashEstimate(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (a.length == 0) 0.0 else eq.toDouble / a.length
+  }
+
+  /** 64-bit SimHash over word unigram hashes (weight 1). */
+  def simHash64(s: String, seed: Long = 0L): Long = {
+    val words = wordHashes(s, seed)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = words(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): Rabin-Karp over a
+    * byte window, keep the minimum hash per block of `block` positions, fold
+    * the mins. Robust to small local edits away from the sampled minima.
+    */
+  def rollingFingerprint(s: String, window: Int = 16, block: Int = 64): Long = {
+    if (s.length < window) return mix64(hashChars(s, 0, s.length, 77L))
+    val B = 1000003L
+    var pow = 1L
+    var k = 0
+    while (k < window - 1) { pow *= B; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < window) { h = h * B + s.charAt(i); i += 1 }
+    var blockMin = Long.MaxValue
+    var acc = 0xabcdef0123456789L
+    var pos = 0
+    while (true) {
+      val m = mix64(h)
+      if (m < blockMin) blockMin = m
+      pos += 1
+      if (pos % block == 0) { acc = mix64(acc ^ blockMin); blockMin = Long.MaxValue }
+      if (i >= s.length) {
+        if (blockMin != Long.MaxValue) acc = mix64(acc ^ blockMin)
+        return acc
+      }
+      h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+      i += 1
+    }
+    acc
+  }
+
+  // ---- quality -----------------------------------------------------------
+
+  final case class Quality(
+      nChars: Long, nTokens: Long, meanTokenLen: Double,
+      punctRatio: Double, digitRatio: Double, upperRatio: Double,
+      stopwordRatio: Double, maxLineLen: Long, blankLineRatio: Double,
+      score: Double)
+
+  private val stopwords: Set[Long] = {
+    val words = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+      "are", "from", "but", "not", "have", "had", "his", "her", "they", "we")
+    words.map(w => hashChars(w, 0, w.length, 0L) /* mirrors wordHashes on lowercase */).toSet
+  }
+
+  def quality(s: String): Quality = {
+    val n = s.length
+    var punct = 0L
+    var digit = 0L
+    var upper = 0L
+    var letters = 0L
+    var lineLen = 0L
+    var maxLine = 0L
+    var blankLines = 0L
+    var lines = 1L
+    var lineBlank = true
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\n') {
+        if (lineBlank) blankLines += 1
+        if (lineLen > maxLine) maxLine = lineLen
+        lines += 1; lineLen = 0; lineBlank = true
+      } else {
+        lineLen += 1
+        if (!Character.isWhitespace(c)) lineBlank = false
+      }
+      if (Character.isLetter(c)) { letters += 1; if (Character.isUpperCase(c)) upper += 1 }
+      else if (Character.isDigit(c)) digit += 1
+      else if (!Character.isWhitespace(c)) punct += 1
+      i += 1
+    }
+    if (lineLen > maxLine) maxLine = lineLen
+    if (lineBlank && lineLen == 0 && n > 0 && s.charAt(n - 1) == '\n') () // trailing newline: not an extra blank line
+    val words = wordHashes(s, 0L)
+    val nTok = words.length.toLong
+    var stops = 0L
+    var wi = 0
+    while (wi < words.length) { if (stopwords.contains(words(wi))) stops += 1; wi += 1 }
+    val meanTokLen = if (nTok == 0) 0.0 else letters.toDouble / nTok
+    val punctRatio = if (n == 0) 0.0 else punct.toDouble / n
+    val digitRatio = if (n == 0) 0.0 else digit.toDouble / n
+    val upperRatio = if (letters == 0) 0.0 else upper.toDouble / letters
+    val stopRatio = if (nTok == 0) 0.0 else stops.toDouble / nTok
+    val blankRatio = blankLines.toDouble / lines
+    // heuristic quality in [0,1]: long-enough, word-like, low punct/digit noise
+    val lenScore = math.min(1.0, nTok / 50.0)
+    val noise = math.min(1.0, 2.0 * punctRatio + 2.0 * digitRatio + blankRatio)
+    val wordiness = if (meanTokLen >= 2.5 && meanTokLen <= 9.0) 1.0 else 0.5
+    val score = math.max(0.0, math.min(1.0, 0.5 * lenScore + 0.3 * wordiness + 0.2 * (1.0 - noise)))
+    Quality(n.toLong, nTok, meanTokLen, punctRatio, digitRatio, upperRatio,
+      stopRatio, maxLine, blankRatio, score)
+  }
+
+  // ---- language id -------------------------------------------------------
+
+  /** Tiny per-language character-trigram profiles (most frequent trigrams,
+    * space-padded, public linguistic knowledge). Scoring = fraction of the
+    * document's trigrams present in each profile; best score wins, "und"
+    * when nothing clears the floor.
+    */
+  private val langProfiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
+      " to", "to ", "ed ", " in", "in ", "ion", "on ", "ent", " co", "at ",
+      "er ", "es ", " re", "tio", " a ", "is ", " is", "re ", " be", "or "),
+    "de" -> Set(" de", "der", "er ", "ie ", " di", "die", "und", " un", "nd ", "en ",
+      "ein", " ei", "ich", "ch ", "sch", "che", " da", "das", "ung", "ng ",
+      " ge", "ver", " ve", "ten", "den", "ine", " zu", "zu ", "ens", "ber"),
+    "fr" -> Set(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "et ", " et",
+      "ion", "on ", "e d", " pa", "que", " qu", "ue ", "les", "e l", "re ",
+      "ur ", " un", "un ", "ais", "eur", " co", "ous", "ant", "our", "tio"),
+    "es" -> Set(" de", "de ", " la", "la ", "os ", " el", "el ", "que", " qu", "ue ",
+      "as ", " en", "en ", "ent", "es ", " co", "con", "ion", "ión", " se",
+      "ado", "ar ", " po", "por", " es", "sta", "cio", "nte", "los", " lo"),
+    "it" -> Set(" di", "di ", " de", "del", " la", "la ", "to ", "re ", "ion", "one",
+      " co", "con", "ent", "re ", "che", " ch", "he ", "no ", "are", "ere",
+      "ta ", " in", "in ", "ll ", "lla", "gli", " pe", "per", "er ", "zio"))
+
+  def langId(s: String): (String, Double) = {
+    if (s == null || s.length < 6) return ("und", 0.0)
+    val lower = s.toLowerCase
+    var best = "und"
+    var bestScore = 0.0
+    val n = math.min(lower.length, 4000) // sample prefix; enough signal
+    for ((lang, profile) <- langProfiles) {
+      var hits = 0
+      var total = 0
+      var i = 0
+      while (i + 3 <= n) {
+        val tri = lower.substring(i, i + 3)
+        if (tri.exists(Character.isLetter)) {
+          total += 1
+          if (profile.contains(tri)) hits += 1
+        }
+        i += 1
+      }
+      val score = if (total == 0) 0.0 else hits.toDouble / total
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    if (bestScore < 0.08) ("und", bestScore) else (best, bestScore)
+  }
+
+  // ---- vectors -----------------------------------------------------------
+
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * element order (matches a sequential oracle's summation order).
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign bits against k pseudo-random hyperplanes (deterministic from seed):
+    * the LSH bucket key for cosine similarity.
+    */
+  def hyperplaneSignature(v: Array[Float], bits: Int, seed: Long): Long = {
+    var out = 0L
+    var k = 0
+    while (k < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic pseudo-gaussian component in [-1,1)
+        val h = mix64(seed ^ (k.toLong << 32) ^ i.toLong)
+        dot += v(i).toDouble * ((h >> 11).toDouble / (1L << 52).toDouble)
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+}
+
+/** Minimal growable long array. */
+final class IntArrayListLong(initialCapacity: Int = 16) {
+  private[this] var arr = new Array[Long](initialCapacity)
+  private[this] var n = 0
+  @inline def size: Int = n
+  def add(v: Long): Unit = {
+    if (n == arr.length) {
+      val bigger = new Array[Long](arr.length * 2)
+      System.arraycopy(arr, 0, bigger, 0, n)
+      arr = bigger
+    }
+    arr(n) = v
+    n += 1
+  }
+  def toArray: Array[Long] = java.util.Arrays.copyOf(arr, n)
+}

@@ -45,6 +45,26 @@ package object functions {
 
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
+
+  // ---- text analysis / similarity (training-data pipeline) ----
+
+  def token_count(c: Column): Column = col1(TokenCount(_, "whitespace"))(c)
+  def token_count_bpe(c: Column): Column = col1(TokenCount(_, "bpe"))(c)
+  def text_quality(c: Column): Column = col1(TextQualityExpr(_))(c)
+  def lang_id(c: Column): Column = col1(LangIdExpr(_))(c)
+  def minhash_signature(c: Column, numHashes: Int = 128, shingleSize: Int = 5): Column =
+    col1(MinHashSignature(_, numHashes, shingleSize))(c)
+  def shingles(c: Column, n: Int = 5): Column = col1(ShinglesExpr(_, n))(c)
+  def simhash64(c: Column): Column = col1(SimHash64(_))(c)
+  def rolling_fingerprint(c: Column): Column = col1(RollingFingerprint(_))(c)
+  def jaccard_sorted(a: Column, b: Column): Column =
+    GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
+  def minhash_estimate(a: Column, b: Column): Column =
+    GraftShim.column(MinHashEstimate(GraftShim.expression(a), GraftShim.expression(b)))
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftShim.column(CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
+  def hyperplane_sig(c: Column, bits: Int = 16, seed: Long = 42L): Column =
+    col1(HyperplaneSig(_, bits, seed))(c)
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -85,7 +105,16 @@ object GraftExtensions {
     unary("wcnf_features")(ExtractFeatures(_, DocFormat.Wcnf)),
     unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),
     unary("cnf_sanicheck")(SaniCheckExpr(_)),
-    unary("cnf_clauses")(ParseClauses(_)))
+    unary("cnf_clauses")(ParseClauses(_)),
+    unary("token_count")(TokenCount(_, "whitespace")),
+    unary("token_count_bpe")(TokenCount(_, "bpe")),
+    unary("text_quality")(TextQualityExpr(_)),
+    unary("lang_id")(LangIdExpr(_)),
+    unary("simhash64")(SimHash64(_)),
+    unary("rolling_fingerprint")(RollingFingerprint(_)),
+    "jaccard_sorted" -> { args => require(args.length == 2); JaccardSorted(args(0), args(1)) },
+    "minhash_estimate" -> { args => require(args.length == 2); MinHashEstimate(args(0), args(1)) },
+    "cosine_similarity" -> { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) })
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TextKernels
+
+/** Text-analysis / similarity expressions for the training-data pipeline
+  * (dedup, quality filtering, language id, ANN). Deterministic kernels over
+  * a string child; CodegenFallback like the gbdc expressions.
+  */
+trait StringKernelExpression extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input, got ${t.simpleString}")
+  }
+}
+
+/** Whitespace or BPE-ish token count. */
+case class TokenCount(child: Expression, mode: String) extends StringKernelExpression {
+  require(mode == "whitespace" || mode == "bpe", s"unknown token mode $mode")
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"token_count_$mode"
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (mode == "whitespace") TextKernels.tokenCountWhitespace(s) else TextKernels.tokenCountBpe(s)
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenCount = copy(child = newChild)
+}
+
+object TextQualityExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("mean_token_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("upper_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("max_line_len", LongType, nullable = false),
+    StructField("blank_line_ratio", DoubleType, nullable = false),
+    StructField("quality_score", DoubleType, nullable = false)))
+}
+
+/** Quality-signal struct (length/punct/stopword heuristics + score). */
+case class TextQualityExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: StructType = TextQualityExpr.schema
+  override def prettyName: String = "text_quality"
+  protected override def nullSafeEval(input: Any): Any = {
+    val q = TextKernels.quality(input.asInstanceOf[UTF8String].toString)
+    InternalRow(q.nChars, q.nTokens, q.meanTokenLen, q.punctRatio, q.digitRatio,
+      q.upperRatio, q.stopwordRatio, q.maxLineLen, q.blankLineRatio, q.score)
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextQualityExpr = copy(child = newChild)
+}
+
+/** Character-trigram language id: struct(lang, score). */
+case class LangIdExpr(child: Expression) extends StringKernelExpression {
+  override def dataType: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def prettyName: String = "lang_id"
+  protected override def nullSafeEval(input: Any): Any = {
+    val (lang, score) = TextKernels.langId(input.asInstanceOf[UTF8String].toString)
+    InternalRow(UTF8String.fromString(lang), score)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr = copy(child = newChild)
+}
+
+/** MinHash signature (array<long>) over word n-gram shingles. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.minHashSignature(
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+/** Sorted distinct hashed word n-gram shingles (array<long>). */
+case class ShinglesExpr(child: Expression, shingleSize: Int) extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.shingles(input.asInstanceOf[UTF8String].toString, shingleSize))
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr = copy(child = newChild)
+}
+
+/** 64-bit SimHash over word unigrams. */
+case class SimHash64(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** Rolling-hash document fingerprint. */
+case class RollingFingerprint(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingFingerprint(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
+}
+
+/** Exact Jaccard between two sorted shingle arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSorted(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** Fraction of equal components between two MinHash signatures. */
+case class MinHashEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "minhash_estimate"
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.minHashEstimate(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashEstimate =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two array<float> embeddings (double accumulation in
+  * element order — primitive loop, no HOF boxing).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.cosine(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket key for cosine similarity. */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.hyperplaneSignature(input.asInstanceOf[ArrayData].toFloatArray(), bits, seed)
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig = copy(child = newChild)
+}

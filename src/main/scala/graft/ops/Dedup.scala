@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus deduplication operators for training-data curation. All return
+  * DataFrames (composable); all are shuffle-shaped for scale:
+  *
+  *  - exact:       one hash-groupBy (map-side combine applies)
+  *  - minHashLsh:  banded signatures -> bucket self-join (only rows sharing
+  *                 a (band, bucket) meet) -> signature/Jaccard verify
+  *  - simHash:     4x16-bit chunk banding (pigeonhole: hamming<=3 pairs must
+  *                 share a chunk) -> popcount verify
+  *  - ngramJaccard: inverted shingle index with document-frequency pruning
+  *                 (hot shingles dropped -> bounded pair fanout)
+  *  - embeddingCosine: hyperplane-LSH buckets -> exact cosine verify
+  *
+  * Pair outputs are canonicalized (idA < idB) and distinct. Cluster
+  * assignment (connected components over the dup graph) is iterative
+  * min-label propagation with a bounded round count — the standard
+  * large-graph CC pattern expressed in DataFrames.
+  */
+object Dedup {
+
+  /** Exact dedup on a key (default md5 of the raw text). Returns the input
+    * with `dup_key`, `dup_cluster_size`, `is_canonical` (the min-id row per
+    * key wins — deterministic).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            keyFn: Column => Column = c => md5(c.cast("binary"))): DataFrame = {
+    val keyed = df.withColumn("dup_key", keyFn(col(textCol)))
+    val w = Window.partitionBy(col("dup_key"))
+    keyed
+      .withColumn("dup_cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /** Exact dedup keeping only canonical rows. */
+  def exactDistinct(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol).where(col("is_canonical"))
+      .drop("dup_cluster_size", "is_canonical")
+
+  /** MinHash + LSH near-duplicate PAIRS: (id_a, id_b, est_jaccard) with
+    * est_jaccard >= threshold. numBands divides numHashes; rowsPerBand =
+    * numHashes/numBands controls the S-curve.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, numBands: Int = 32,
+                   threshold: Double = 0.7, shingleSize: Int = 5): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val sigs = df.select(col(idCol).as("_id"),
+      minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+
+    // band key: hash of the band's signature slice
+    val banded = sigs.select(col("_id"), col("_sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("_band", "_bucket")))
+
+    // self-join within (band, bucket); skew-bounded: a bucket only contains
+    // near-identical docs by construction
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    a.join(b, Seq("_band", "_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), minhash_estimate(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxHamming
+    * (maxHamming <= 3 guaranteed complete by 4-chunk pigeonhole).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+    val chunked = sigs.select(col("_id"), col("_sh"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("_sh"), k * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("_chunk", "_ckey")))
+    val a = chunked.select(col("_chunk"), col("_ckey"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = chunked.select(col("_chunk"), col("_ckey"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, Seq("_chunk", "_ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sh_a").bitwiseXOR(col("_sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index. Shingles with
+    * document frequency > maxShingleDf are pruned (stopword shingles would
+    * otherwise create quadratic fanout) — pruning can only LOSE pairs whose
+    * remaining overlap is below threshold anyway when maxShingleDf is set
+    * well above threshold*|docs in a cluster|; the df column reports it.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, threshold: Double = 0.8,
+                        maxShingleDf: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+    val inverted = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_g"))
+    val pruned = inverted
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .where(col("_df") <= maxShingleDf)
+    val pairsCommon = pruned.as("x").join(pruned.as("y"), col("x._g") === col("y._g"))
+      .where(col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._size").as("_sa"), col("y._size").as("_sb"))
+      .agg(count(lit(1)).as("_common"))
+    pairsCommon
+      .select(col("id_a"), col("id_b"),
+        (col("_common").cast("double") /
+          (col("_sa") + col("_sb") - col("_common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets (multi-probe via
+    * `tables` independent hash tables), exact cosine verify.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95, bits: Int = 12,
+                           tables: Int = 4): DataFrame = {
+    val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplane_sig(col(vecCol), bits, 1000L + t)): _*)).as(Seq("_t", "_bucket")))
+    val a = sigs.select(col("_t"), col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = sigs.select(col("_t"), col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_t", "_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine_similarity(col("_va"), col("_vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Connected components over duplicate pairs: iterative min-label
+    * propagation (each node adopts the min label among itself and its
+    * neighbors) until fixpoint or maxIters. Returns (id, cluster_id).
+    * Label count halves-or-better per round on path graphs; typical dup
+    * clusters converge in 2-3 rounds.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id"))
+        .agg(min(col("cluster_id")).as("_nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
+        .where(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
+  *    against the corpus, one pass, per-query top-k via aggregation. The
+  *    corpus is never shuffled; cost is |corpus| x |queries| cosines.
+  *  - [[ivfTopK]] — scale path: IVF coarse quantizer. Centroids are learned
+  *    with a few Lloyd iterations over a deterministic sample, corpus rows
+  *    are assigned to their nearest centroid (one narrow pass, centroids
+  *    broadcast), queries probe the nProbe nearest centroids, candidates
+  *    meet through a (centroid) equi-join — the classic IVF recall/cost
+  *    trade, entirely in DataFrame ops.
+  */
+object Similarity {
+
+  /** Exact top-k: returns (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: String, corpusId: String,
+                     queryVec: String, corpusVec: String,
+                     k: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("_qv"), col("_cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic k-means (few Lloyd rounds on a driver-collected sample;
+    * init = smallest-id sample rows). Returns centroids as Array[Array[Float]]
+    * — small (nCentroids x dim), meant for broadcast.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, sampleSize: Int = 2000, iters: Int = 5): Array[Array[Float]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var centroids = sample.take(nCentroids).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestSim = Double.MinValue
+        var ci = 0
+        while (ci < centroids.length) {
+          val s = graft.core.TextKernels.cosine(v, centroids(ci))
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { ci =>
+        if (counts(ci) == 0) centroids(ci)
+        else {
+          val m = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { m(d) = (sums(ci)(d) / counts(ci)).toFloat; d += 1 }
+          m
+        }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k. Recall < 1 by design; verified against brute force in
+    * tests on recall@k.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, corpusId: String,
+              queryVec: String, corpusVec: String,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(corpus, corpusId, corpusVec, nCentroids)
+    val centDf = broadcast(centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("_cid", "_cvec"))
+
+    // corpus assignment: nearest centroid (rank-1) — narrow after broadcast join
+    val cw = Window.partitionBy(col(corpusId)).orderBy(col("_csim").desc, col("_cid").asc)
+    val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .join(centDf)
+      .withColumn("_csim", cosine_similarity(col("_cv"), col("_cvec")))
+      .withColumn("_r", row_number().over(Window.partitionBy(col("neighbor_id")).orderBy(col("_csim").desc, col("_cid").asc)))
+      .where(col("_r") === 1)
+      .select(col("neighbor_id"), col("_cv"), col("_cid"))
+    val _ = cw
+
+    // query probes: nProbe nearest centroids each
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+      .join(centDf)
+      .withColumn("_csim", cosine_similarity(col("_qv"), col("_cvec")))
+      .withColumn("_r", row_number().over(Window.partitionBy(col("query_id")).orderBy(col("_csim").desc, col("_cid").asc)))
+      .where(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cid"))
+
+    val scored = assigned.join(probes, Seq("_cid"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("_qv"), col("_cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id")) // a pair can meet via several probes
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

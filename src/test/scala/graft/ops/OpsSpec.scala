@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.TextKernels
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mutate(s: String, nEdits: Int, seed: Int): String = {
+    val words = s.split(" ")
+    val rnd = new scala.util.Random(seed)
+    val out = words.clone()
+    var i = 0
+    while (i < nEdits && out.nonEmpty) {
+      out(rnd.nextInt(out.length)) = "zz" + rnd.nextInt(100)
+      i += 1
+    }
+    out.mkString(" ")
+  }
+
+  private val baseDoc = (1 to 120).map(i => s"word$i").mkString(" ")
+
+  private lazy val docs = {
+    // cluster A: 0,1,2 near-identical; cluster B: 10,11 identical; others unique
+    Seq(
+      (0L, baseDoc), (1L, mutate(baseDoc, 2, 7)), (2L, mutate(baseDoc, 3, 8)),
+      (10L, "the quick brown fox jumps over the lazy dog " * 10),
+      (11L, "the quick brown fox jumps over the lazy dog " * 10),
+      (20L, (1 to 100).map(i => s"unrelated$i text$i").mkString(" ")),
+      (21L, (1 to 100).map(i => s"other$i stuff$i").mkString(" "))
+    ).toDF("id", "text")
+  }
+
+  test("exact dedup finds identical pair, canonical = min id") {
+    val r = Dedup.exact(docs, "id", "text").where($"dup_cluster_size" > 1)
+      .select("id", "is_canonical").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(r == Set((10L, true), (11L, false)))
+  }
+
+  test("minhash LSH finds near-duplicate cluster, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "id", "text", numHashes = 128, numBands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 20L || p._2 == 20L || p._1 == 21L || p._2 == 21L))
+  }
+
+  test("minhash estimate approximates exact jaccard") {
+    val a = TextKernels.minHashSignature(baseDoc, 256, 5)
+    val b = TextKernels.minHashSignature(mutate(baseDoc, 2, 7), 256, 5)
+    val est = TextKernels.minHashEstimate(a, b)
+    val exact = TextKernels.jaccardSorted(TextKernels.shingles(baseDoc, 5), TextKernels.shingles(mutate(baseDoc, 2, 7), 5))
+    assert(math.abs(est - exact) < 0.12, s"est=$est exact=$exact")
+  }
+
+  test("simhash pairs: small edits within hamming 3, unrelated docs far") {
+    val pairs = Dedup.simHashPairs(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => Set(20L, 21L).contains(p._1) && Set(20L, 21L).contains(p._2)))
+  }
+
+  test("ngram jaccard pairs exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 5, threshold = 0.5, maxShingleDf = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((10L, 11L)) && pairs((10L, 11L)) == 1.0)
+    val exact01 = TextKernels.jaccardSorted(
+      TextKernels.shingles(baseDoc, 5), TextKernels.shingles(mutate(baseDoc, 2, 7), 5))
+    assert(math.abs(pairs((0L, 1L)) - exact01) < 1e-12)
+  }
+
+  test("clusters: min-label propagation groups transitively") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val r = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) == 0L && r(1L) == 0L && r(2L) == 0L)
+    assert(r(10L) == 10L && r(11L) == 10L)
+  }
+
+  test("embedding cosine pairs via hyperplane LSH") {
+    val base = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(i => math.cos(i * 1.3 + 1).toFloat)
+    val df = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq)).toDF("id", "vec")
+    val pairs = Dedup.embeddingCosinePairs(df, "id", "vec", threshold = 0.99, bits = 8, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      (i, Array.fill(24)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  test("brute force top-k matches driver-side oracle") {
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = vecs.where($"vec_id" < 5)
+    val r = Similarity.bruteForceTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding", k = 3)
+      .collect().groupBy(_.getLong(0))
+    for (q <- 0L until 5L) {
+      val expected = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, TextKernels.cosine(all(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      val got = r(q).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == expected, s"query $q: got $got expected $expected")
+    }
+  }
+
+  test("IVF ANN achieves high recall@10 vs brute force") {
+    val queries = vecs.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding",
+      k = 10, nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@10 = $recall") // 8 centroids, probe 4 = half the space
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import graft.functions._
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("hello   world\nfoo", "", "one").toDF("t")
+      .select(token_count($"t").as("w"), token_count_bpe($"t").as("b")).collect()
+    assert(df(0).getLong(0) == 3L)
+    assert(df(1).getLong(0) == 0L)
+    assert(df(2).getLong(0) == 1L)
+    assert(df(0).getLong(1) == 2 + 2 + 1) // hello=2, world=2, foo=1 subwords
+  }
+
+  test("lang id identifies english vs german text") {
+    val en = "the quick brown fox jumps over the lazy dog and runs into the forest of the north"
+    val de = "der schnelle braune fuchs springt über den faulen hund und die katze in einem wald"
+    val r = Seq(en, de).toDF("t").select(lang_id($"t").getField("lang")).as[String].collect()
+    assert(r(0) == "en", s"got ${r(0)}")
+    assert(r(1) == "de", s"got ${r(1)}")
+  }
+
+  test("quality score: clean prose beats punctuation soup") {
+    val clean = ("this is a perfectly reasonable sentence about the world " * 5).trim
+    val soup = "@@@ ### !!! $$$ %%% 12345 67890 ((( ))) [[[ ]]] ::: ;;;"
+    val r = Seq(clean, soup).toDF("t")
+      .select(text_quality($"t").getField("quality_score")).as[Double].collect()
+    assert(r(0) > r(1), s"clean=${r(0)} soup=${r(1)}")
+    assert(r(0) > 0.6 && r(1) < 0.5)
+  }
+
+  test("rolling fingerprint stable under distant-context, changes on edit") {
+    val doc = ("lorem ipsum dolor sit amet " * 40).trim
+    val f1 = TextKernels.rollingFingerprint(doc)
+    val f2 = TextKernels.rollingFingerprint(doc)
+    assert(f1 == f2)
+    assert(f1 != TextKernels.rollingFingerprint(doc.replace("dolor", "dollar")))
+  }
+
+  test("simhash hamming tracks text similarity") {
+    val a = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 100).map(i => if (i % 25 == 0) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 100).map(i => s"other$i").mkString(" ")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (ha, hb, hf) = (TextKernels.simHash64(a), TextKernels.simHash64(b), TextKernels.simHash64(far))
+    assert(ham(ha, hb) < ham(ha, hf), s"near=${ham(ha, hb)} far=${ham(ha, hf)}")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = {
+    val rnd = new scala.util.Random(5)
+    Seq(
+      Multimodal.MediaRow(1L, "image", Array.fill(512)(rnd.nextInt.toByte)),
+      Multimodal.MediaRow(2L, "audio", Array.fill(1024)(rnd.nextInt.toByte)),
+      Multimodal.MediaRow(3L, "video", Array.fill(2048)(rnd.nextInt.toByte))
+    ).toDS()
+  }
+
+  test("decode stage emits typed metadata per row") {
+    val r = Multimodal.decode(media, batchBytes = 600).collect().sortBy(_.media_id)
+    assert(r.length == 3)
+    assert(r.forall(_.ok))
+    assert(r(0).kind == "image" && r(0).width > 0 && r(0).height > 0 && r(0).duration_ms == 0)
+    assert(r(1).kind == "audio" && r(1).duration_ms > 0)
+    assert(r(2).kind == "video" && r(2).width > 0 && r(2).duration_ms > 0)
+    assert(r.map(_.content_sha).distinct.length == 3)
+  }
+
+  test("decode is deterministic and batch-size independent") {
+    val a = Multimodal.decode(media, batchBytes = 100).collect().sortBy(_.media_id).toSeq
+    val b = Multimodal.decode(media, batchBytes = 1 << 20).collect().sortBy(_.media_id).toSeq
+    assert(a == b)
+  }
+
+  test("feature extraction: fixed dim, video frame-sampled") {
+    val r = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    assert(r.forall(_.feature.length == 16))
+    assert(r(0).frames_sampled == 1) // image
+    assert(r(2).frames_sampled > 1) // video
+  }
+}
