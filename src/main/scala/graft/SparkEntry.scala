@@ -1,13 +1,277 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.temporal.{AsOfJoin, Windows}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-equivalent SQL in `oracleSql` where the
+  * semantics are ANSI-expressible. Numeric outputs avoid cross-engine
+  * float-summation hazards: aggregates go through decimal, per-row double
+  * arithmetic is bit-identical by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the text-curation pipeline over the documents table —
+    * quality + language-id + token stats + exact-dup clustering.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+    Dedup.exact(docs, "doc_id", "text")
+      .withColumn("q", text_quality(col("text")))
+      .select(col("doc_id"), col("lang"), col("dup_key"), col("dup_cluster_size"),
+        col("q.n_tokens").as("n_tokens"), col("q.quality_score").as("quality_score"),
+        lang_id(col("text")).getField("lang").as("lang_detected"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg/join/top-k) ----
+    "q01_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+    }),
+    "q02_join_broadcast" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_acctbal"))
+    }),
+    "q03_topk_latest_order" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice").cast("decimal(18,2)").as("total"))
+    }),
+    "q04_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") && col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+    }),
+
+    // ---- temporal / window family ----
+    "q05_lag_delta" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("value_delta"))
+    }),
+    "q06_backfill" -> ((s, dir) => {
+      val masked = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      Windows.backfill(masked, Seq("user_id"), "ts", Seq("v"))
+        .select(col("event_id"), col("user_id"), col("v_filled"))
+    }),
+    "q07_sessionize" -> ((s, dir) => {
+      Windows.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", gapSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("session_no"))
+    }),
+    "q08_session_stats" -> ((s, dir) => {
+      Windows.sessionStats(
+        Windows.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", gapSeconds = 1800),
+        Seq("user_id"), "ts")
+        .select(col("user_id"), col("session_no"), col("session_revisits"), col("session_duration_s"))
+    }),
+    "q09_asof" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      AsOfJoin.asOfBucketed(clicks, purchases, Seq("user_id"), "ts", "pts", lit(86400))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"), col("pts").as("purchase_ts"))
+    }),
+    "q10_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("decimal(18,6)").as("roll5_sum"),
+          count(lit(1)).over(w).as("roll5_cnt"))
+    }),
+    "q11_latest_dedup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    }),
+
+    // ---- text curation over documents ----
+    "q12_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("dup_key"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
+    }),
+    "q13_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id"), token_count(trim(col("text"))).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+    }),
+    "q14_lang_hist" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+    }),
+    "q15_char_classes" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit_chars"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("lower_chars"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("space_chars"))
+    }),
+
+    // ---- dedup / similarity (non-SQL; driver rows-only check) ----
+    "q16_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      // deterministic near-duplicates derived from the input: first word doubled
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.minHashPairs(docs.unionByName(mutated), "id", "text",
+        numHashes = 64, numBands = 16, threshold = 0.5, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q17_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", col("text"), lit("suffixtoken")).as("text"))
+      Dedup.simHashPairs(docs.unionByName(mutated), "id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q18_knn_bruteforce" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(vecs.where(col("vec_id") < 10), vecs,
+        "vec_id", "vec_id", "embedding", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+    "q19_ann_ivf" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.ivfTopK(vecs.where(col("vec_id") < 10), vecs,
+        "vec_id", "vec_id", "embedding", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    }),
+    "q20_embedding_dedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+      val scaled = vecs.select((col("id") + 100000L).as("id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Dedup.embeddingCosinePairs(vecs.unionByName(scaled), "id", "embedding",
+        threshold = 0.999, bits = 10, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  /** DuckDB oracles. Aggregates go through explicit decimal casts on both
+    * sides so cross-engine float summation cannot drift; orderings carry
+    * unique tie-breaks so row sets are deterministic.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty,
+        |cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS customers,
+        |cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""".stripMargin,
+    "q03_topk_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |cast(o_totalprice AS decimal(18,2)) AS total FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY cast(o_orderdate AS timestamp) DESC, o_orderkey DESC) AS rn FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "q04_filter_pushdown" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+        |AND l_quantity > 25 GROUP BY 1""".stripMargin,
+    "q05_lag_delta" ->
+      """SELECT event_id, user_id,
+        |value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+        |FROM events""".stripMargin,
+    "q06_backfill" ->
+      """SELECT event_id, user_id,
+        |last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events""".stripMargin,
+    "q07_sessionize" ->
+      """SELECT event_id, user_id,
+        |cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS bigint) AS session_no
+        |FROM (
+        |  SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS bigint) > 1800
+        |    THEN 1 ELSE 0 END AS new_session FROM events) t""".stripMargin,
+    "q08_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |  cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS bigint) AS session_no
+        |  FROM (
+        |    SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS bigint) > 1800
+        |      THEN 1 ELSE 0 END AS new_session FROM events) t)
+        |SELECT user_id, session_no, count(*) AS session_revisits,
+        |max(cast(floor(epoch(ts)) AS bigint)) - min(cast(floor(epoch(ts)) AS bigint)) AS session_duration_s
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q09_asof" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.value AS purchase_value, p.ts AS purchase_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        |  SELECT value, ts FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+        |  ORDER BY p.ts DESC, p.value DESC LIMIT 1) p ON true""".stripMargin,
+    "q10_rolling" ->
+      """SELECT event_id, user_id,
+        |cast(sum(cast(value AS decimal(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS decimal(18,6)) AS roll5_sum,
+        |count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_cnt
+        |FROM events""".stripMargin,
+    "q11_latest_dedup" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q12_exact_dedup" ->
+      """SELECT md5(text) AS dup_key, min(doc_id) AS canonical_id, count(*) AS cluster_size
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q13_token_stats" ->
+      """SELECT doc_id, cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS n_tokens,
+        |cast(length(text) AS bigint) AS n_chars_actual
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    "q14_lang_hist" ->
+      "SELECT lang, count(*) AS docs FROM documents GROUP BY 1",
+    "q15_char_classes" ->
+      """SELECT doc_id,
+        |cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS bigint) AS digit_chars,
+        |cast(length(regexp_replace(text, '[^a-z]', '', 'g')) AS bigint) AS lower_chars,
+        |cast(length(regexp_replace(text, '[^ ]', '', 'g')) AS bigint) AS space_chars
+        |FROM documents""".stripMargin,
+    "q18_knn_bruteforce" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        |QUALIFY rank <= 3""".stripMargin)
 }

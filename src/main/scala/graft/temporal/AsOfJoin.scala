@@ -124,30 +124,43 @@ object AsOfJoin {
     val buildTsOut = if (probe.columns.contains(buildTs)) buildTs + suffix else buildTs
     val probeOutCols = keys ++ probe.columns.filterNot(keys.contains)
 
-    def bucketOf(ts: Column): Column = floor(ts.cast("double") / bucket.cast("double")).cast("long")
+    // epoch seconds for timestamp/ntz inputs, identity for numeric ts
+    def bucketOf(ts: Column): Column =
+      floor(ts.cast("timestamp").cast("double") / bucket.cast("double")).cast("long")
 
     // _rid identifies a probe row across the two join branches; mono ids are
     // stable here because both branches share one deterministic lineage.
     val p = probe.withColumn("_pb", bucketOf(col(probeTs)))
       .withColumn("_rid", monotonically_increasing_id())
+    // build side fully renamed to unique temp names: probe and build often
+    // share lineage (self-as-of), and distinct names sidestep Spark's
+    // ambiguous-self-join resolution entirely
+    val bKey: Seq[String] = keys.indices.map(i => s"_bk$i")
     val b = build.withColumn("_bb", bucketOf(col(buildTs)))
+      .select(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"_bk$i") } ++
+          Seq(col(buildTs).as("_bts0"), col("_bb").as("_bb0")) ++
+          payloadCols.map(c => col(c).as(s"_bp_$c")): _*)
 
-    def payloadStructOf(df: DataFrame): Column =
-      struct(df(buildTs).as("_bts") +: payloadCols.map(c => df(c).as(c)): _*)
+    val payloadStruct: Column =
+      struct(col("_bts0").as("_bts") +: payloadCols.map(c => col(s"_bp_$c").as(c)): _*)
 
     // (1) in-bucket candidates: equi-join on (key, bucket), keep the latest
     // build row per probe row. Aggregation by _rid keeps memory bounded.
-    val cmp = if (strict) b(buildTs) < p(probeTs) else b(buildTs) <= p(probeTs)
+    val cmp = if (strict) col("_bts0") < col(probeTs) else col("_bts0") <= col(probeTs)
     val inBucket = p.join(b,
-        keys.map(k => p(k) === b(k)).reduce(_ && _) && p("_pb") === b("_bb") && cmp,
+        keys.zipWithIndex.map { case (k, i) => p(k) === col(s"_bk$i") }.reduce(_ && _) &&
+          p("_pb") === col("_bb0") && cmp,
         "inner")
-      .groupBy(p("_rid").as("_rid"))
-      .agg(max(payloadStructOf(b)).as("_hit"))
+      .groupBy(col("_rid"))
+      .agg(max(payloadStruct).as("_hit"))
 
     // (2) carry table: last build row per (key, bucket) — bounded to ONE row
     // per bucket, the boundedness guarantee for hot keys.
-    val carries = b.groupBy((keys.map(b(_)) :+ b("_bb").as("_cb")): _*)
-      .agg(max(payloadStructOf(b)).as("_carry"))
+    val carries = b.groupBy((bKey.map(col) :+ col("_bb0").as("_cb")): _*)
+      .agg(max(payloadStruct).as("_carry"))
+      .select(keys.zipWithIndex.map { case (k, i) => col(s"_bk$i").as(k) } ++
+        Seq(col("_cb"), col("_carry")): _*)
 
     // (3) forward-fill carries onto the DISTINCT probe buckets per key:
     // cardinality is (keys x buckets), far below row count. A probe bucket x
