@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs every SparkEntry query
+  * on SPARK_GRAFT_SF_DIR plus the feature-extraction pipeline throughput on
+  * a deterministic synthetic pages corpus, printing ONE JSON line.
+  */
 object Bench {
+
+  /** Force full computation without disk I/O. */
+  def exhaust(df: org.apache.spark.sql.DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    0L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JIT/classloading warmup on the smallest SF (excluded from timings)
+    try SparkEntry.queries.values.foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
+    catch { case _: Throwable => () }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // feature-extraction pipeline throughput (pages/sec) on a deterministic
+    // synthetic corpus — the BASELINE.json headline metric
+    val cfg = graft.pages.PageGen.Config(urls = 6000, revisitsPerUrl = 8, hotUrls = 6, hotFactor = 50)
+    val nPages = graft.pages.PageGen.totalRows(cfg)
+    val pages = graft.pages.PageGen.pages(spark, cfg, Some(cpus.toInt * 2)).toDF()
+    // warm
+    exhaust(graft.runtime.FeatureJob.extractStage(pages.limit(2000)))
+    val tf0 = System.nanoTime()
+    exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
+    val featSec = (System.nanoTime() - tf0) / 1e9
+    results("feature_pipeline") = featSec
+    val pagesPerSec = nPages / featSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

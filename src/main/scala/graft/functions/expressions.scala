@@ -145,6 +145,21 @@ case class IsoHash(child: Expression, format: String) extends DocKernelExpressio
     copy(child = newChild)
 }
 
+/** IsoHash2 — Weisfeiler–Leman refinement hash (graft.core.IsoHash2);
+  * invariant under clause/variable permutation and polarity flips.
+  */
+case class IsoHash2Expr(child: Expression) extends DocKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "iso_hash2"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try UTF8String.fromString(IsoHash2.isoHash2(buf))
+    catch { case _: DocParseException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): IsoHash2Expr =
+    copy(child = newChild)
+}
+
 object FeatureSchemas {
   private def struct(names: Array[String]): StructType =
     StructType(names.map(n => StructField(n, DoubleType, nullable = false)))

@@ -35,6 +35,9 @@ package object functions {
   def iso_hash(c: Column): Column = col1(IsoHash(_, DocFormat.Cnf))(c)
   def iso_hash_wcnf(c: Column): Column = col1(IsoHash(_, DocFormat.Wcnf))(c)
 
+  /** Weisfeiler–Leman refinement hash (finer than iso_hash). */
+  def iso_hash2(c: Column): Column = col1(IsoHash2Expr(_))(c)
+
   /** Full base-feature vector as a struct of doubles (one fused pass). */
   def cnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Cnf))(c)
   def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
@@ -101,6 +104,7 @@ object GraftExtensions {
     unary("gbd_hash_pqbf")(GbdHash(_, DocFormat.Pqbf)),
     unary("iso_hash")(IsoHash(_, DocFormat.Cnf)),
     unary("iso_hash_wcnf")(IsoHash(_, DocFormat.Wcnf)),
+    unary("iso_hash2")(IsoHash2Expr(_)),
     unary("cnf_features")(ExtractFeatures(_, DocFormat.Cnf)),
     unary("wcnf_features")(ExtractFeatures(_, DocFormat.Wcnf)),
     unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),

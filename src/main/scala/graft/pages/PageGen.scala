@@ -31,6 +31,8 @@ object PageGen {
       seed: Long = 42L,
       /** sessionization gap threshold the ts gaps straddle */
       sessionGapHours: Int = 6,
+      /** payload weight: multiplies clause count (docScale 8 ~ 2-3 KB docs) */
+      docScale: Int = 1,
       langs: Seq[String] = Seq("en", "en", "en", "de", "fr", "zz"))
 
   /** Total rows for a config (hot urls carry hotFactor x revisits). */
@@ -100,8 +102,8 @@ object PageGen {
       r += 1
     }
     val base = rng(cfg.seed, urlIdx, version, 29)
-    val nVars = 3 + bounded(base, 18)
-    val nClauses = 4 + bounded(mix64(base), 40)
+    val nVars = (3 + bounded(base, 18)) * math.max(1, math.min(cfg.docScale, 4))
+    val nClauses = (4 + bounded(mix64(base), 40)) * math.max(1, cfg.docScale)
     val sb = new java.lang.StringBuilder(nClauses * 12 + 64)
     if (bounded(mix64(base ^ 2), 4) == 0) sb.append("c synthetic page ").append(urlIdx).append(" v").append(version).append('\n')
     sb.append("p cnf ").append(nVars).append(' ').append(nClauses).append('\n')
