@@ -28,9 +28,12 @@ object ScalingBench {
   }
 
   private def runOnce(spark: SparkSession, inputPath: String, partitions: Int): Double = {
+    // no repartition: shuffling the multi-GB payload corpus before extract
+    // would swamp the measurement; parallelism comes from the input's file
+    // splits (written with ample partitions) + maxPartitionBytes
     val pages = spark.read.parquet(inputPath)
     val df = graft.runtime.FeatureJob.pipeline(
-      pages.repartition(partitions),
+      pages,
       graft.runtime.FeatureJob.Config(outDir = "unused"))
     val t0 = System.nanoTime()
     Bench.exhaust(df)

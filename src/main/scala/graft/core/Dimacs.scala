@@ -14,14 +14,37 @@ trait ByteSink {
 }
 
 final class DigestSink extends ByteSink {
-  private val md = MessageDigest.getInstance("MD5")
-  def put(s: String): Unit = md.update(s.getBytes(StandardCharsets.US_ASCII))
+  // MessageDigest.getInstance does a provider lookup per call and
+  // MD5.update(byte) has per-call overhead; at 32 executor threads both
+  // show up. One cached digest per thread + a local 4 KiB staging buffer.
+  private val md = DigestSink.local.get()
+  md.reset()
+  private val buf = new Array[Byte](4096)
+  private var n = 0
+
+  @inline private def flush(): Unit = {
+    if (n > 0) { md.update(buf, 0, n); n = 0 }
+  }
+
+  @inline private def putByte(b: Byte): Unit = {
+    if (n == buf.length) flush()
+    buf(n) = b
+    n += 1
+  }
+
+  def put(s: String): Unit = {
+    var i = 0
+    while (i < s.length) { putByte(s.charAt(i).toByte); i += 1 }
+  }
+
   def putSb(sb: java.lang.StringBuilder): Unit = {
     var i = 0
-    val n = sb.length()
-    while (i < n) { md.update(sb.charAt(i).toByte); i += 1 }
+    val len = sb.length()
+    while (i < len) { putByte(sb.charAt(i).toByte); i += 1 }
   }
+
   def hex: String = {
+    flush()
     val d = md.digest()
     val out = new Array[Char](32)
     val hexd = "0123456789abcdef".toCharArray
@@ -33,6 +56,11 @@ final class DigestSink extends ByteSink {
     }
     new String(out)
   }
+}
+
+object DigestSink {
+  private val local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 final class BufferSink(initial: Int = 1024) extends ByteSink {

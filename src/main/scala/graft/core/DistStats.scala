@@ -98,17 +98,41 @@ object DistStats {
   }
 
   /** Integer-valued distribution entropy with the unsigned-32 truncation
-    * quirk (CaptureDistribution.cc:62-73).
+    * quirk (CaptureDistribution.cc:62-73). Histogram via sort + run-length
+    * instead of a boxed map — the hot path at 32 executor threads.
     */
   private def scaledEntropyLongs(values: Array[Long]): Double = {
-    val occ = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val keys = new Array[Long](values.length)
     var i = 0
     while (i < values.length) {
-      val key = values(i) & 0xffffffffL // C `unsigned` loop variable
-      occ.put(key, occ.getOrDefault(key, 0L) + 1L)
+      keys(i) = values(i) & 0xffffffffL // C `unsigned` loop variable
       i += 1
     }
-    scaledEntropyFromCounts(occ.values, values.length.toLong)
+    java.util.Arrays.sort(keys)
+    // run lengths -> summands, directly
+    var distinct = 0
+    i = 0
+    while (i < keys.length) {
+      var j = i + 1
+      while (j < keys.length && keys(j) == keys(i)) j += 1
+      keys(distinct) = j - i // reuse buffer for counts
+      distinct += 1
+      i = j
+    }
+    val total = values.length.toDouble
+    val summands = new Array[Double](distinct)
+    i = 0
+    while (i < distinct) {
+      val p = keys(i).toDouble / total
+      summands(i) = p * (math.log(p) / math.log(2.0))
+      i += 1
+    }
+    java.util.Arrays.sort(summands)
+    var entropy = 0.0
+    var j = summands.length - 1
+    while (j >= 0) { entropy -= summands(j); j -= 1 }
+    val log2k = math.log(distinct.toDouble) / math.log(2.0)
+    if (log2k == 0.0) 0.0 else entropy / log2k
   }
 
   /** Stats over a double distribution. Consumes (sorts) a copy. */
@@ -126,11 +150,17 @@ object DistStats {
     if (values.length == 0) return Zero
     val sorted = java.util.Arrays.copyOf(values, values.length)
     java.util.Arrays.sort(sorted)
-    val asDoubles = new Array[Double](sorted.length)
+    var mean = 0.0
     var i = 0
-    while (i < sorted.length) { asDoubles(i) = sorted(i).toDouble; i += 1 }
-    val mean = meanOf(asDoubles)
-    Stats(mean, varianceOf(asDoubles, mean), asDoubles(0), asDoubles(asDoubles.length - 1),
+    while (i < sorted.length) { mean += (sorted(i).toDouble - mean) / (i + 1); i += 1 }
+    var vari = 0.0
+    i = 0
+    while (i < sorted.length) {
+      val d = sorted(i).toDouble - mean
+      vari += (d * d - vari) / (i + 1)
+      i += 1
+    }
+    Stats(mean, vari, sorted(0).toDouble, sorted(sorted.length - 1).toDouble,
       scaledEntropyLongs(sorted))
   }
 

@@ -167,6 +167,7 @@ object FeatureSchemas {
   val cnf: StructType = struct(CnfBase.featureNames)
   val wcnf: StructType = struct(WcnfBase.featureNames)
   val opb: StructType = struct(OpbBase.featureNames)
+  val gates: StructType = struct(Gates.featureNames)
 
   val sani: StructType = StructType(Seq(
     StructField("head_vars", DoubleType, nullable = false),
@@ -213,6 +214,19 @@ case class ExtractFeatures(child: Expression, format: String) extends DocKernelE
   }
 
   override protected def withNewChildInternal(newChild: Expression): ExtractFeatures =
+    copy(child = newChild)
+}
+
+/** Gate-structure features (GateAnalyzer; see graft.core.Gates scope note). */
+case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
+  override def dataType: StructType = FeatureSchemas.gates
+  override def prettyName: String = "cnf_gate_features"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try InternalRow.fromSeq(Gates.extract(buf))
+    catch { case _: DocParseException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): GateFeaturesExpr =
     copy(child = newChild)
 }
 

@@ -46,6 +46,9 @@ package object functions {
   /** Data-quality scan struct. */
   def cnf_sanicheck(c: Column): Column = col1(SaniCheckExpr(_))(c)
 
+  /** Gate-structure features (pattern+mono recognition). */
+  def cnf_gate_features(c: Column): Column = col1(GateFeaturesExpr(_))(c)
+
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
 
@@ -109,6 +112,7 @@ object GraftExtensions {
     unary("wcnf_features")(ExtractFeatures(_, DocFormat.Wcnf)),
     unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),
     unary("cnf_sanicheck")(SaniCheckExpr(_)),
+    unary("cnf_gate_features")(GateFeaturesExpr(_)),
     unary("cnf_clauses")(ParseClauses(_)),
     unary("token_count")(TokenCount(_, "whitespace")),
     unary("token_count_bpe")(TokenCount(_, "bpe")),

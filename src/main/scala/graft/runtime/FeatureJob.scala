@@ -36,7 +36,12 @@ object FeatureJob {
       shards: Int = 8,
       sessionGapSeconds: Long = 6 * 3600,
       lagFeatures: Seq[String] = Seq("clauses", "variables"),
-      resume: Boolean = true)
+      resume: Boolean = true,
+      /** carry raw html/text through to the output table (default off: the
+        * feature table needs identity + features, not payload — dragging
+        * multi-KB payloads through the window exchange dominates runtime)
+        */
+      keepPayload: Boolean = false)
 
   final case class RunReport(
       processedShards: Seq[Int],
@@ -58,13 +63,20 @@ object FeatureJob {
           .when(col("features").isNull, "parse_error")
           .otherwise("ok"))
 
-  /** The corpus stage: sessionization + revisit features. One explicit
-    * range repartition on (url, warc_ts) serves every window below it —
-    * check with .explain: a single Exchange above the scan.
+  /** The corpus stage: sessionization + revisit features. One explicit HASH
+    * repartition on url serves every window below it (all window specs are
+    * partitionBy(url) orderBy(warc_ts)), and the sortWithinPartitions
+    * satisfies their sort order — check with .explain: a single Exchange,
+    * a single Sort, shared by the whole window stage. Payload columns are
+    * dropped first unless keepPayload: shuffling multi-KB html/text through
+    * the window exchange would dominate the stage.
     */
   def temporalStage(extracted: DataFrame, cfg: Config): DataFrame = {
-    val partitioned = extracted
-      .repartitionByRange(col("url"), col("warc_ts"))
+    val slim =
+      if (cfg.keepPayload) extracted
+      else extracted.drop("html", "text")
+    val partitioned = slim
+      .repartition(col("url"))
       .sortWithinPartitions(col("url"), col("warc_ts"))
     val sessionized = Windows.sessionize(partitioned, Seq("url"), "warc_ts", cfg.sessionGapSeconds)
     // revisit deltas over selected features; lag carries the previous

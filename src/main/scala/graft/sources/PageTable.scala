@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style pages-table facade (SURVEY.md §7): no Iceberg runtime jar
+  * is available offline, so the engine works against a partitioned+bucketed
+  * Parquet layout that mirrors Iceberg's `days(warc_ts) x bucket(N, url)`
+  * partition transform, with the FeatureJob lineage manifest standing in
+  * for snapshots. Everything layout-specific lives behind this object so a
+  * real Iceberg catalog can be swapped in by reimplementing these four
+  * functions (read/write/prune/fingerprint) against `spark.table`.
+  *
+  * Layout columns:
+  *  - `p_day`  — days since epoch of warc_ts (Iceberg `days(warc_ts)`)
+  *  - `p_bucket` — pmod(xxhash64(url), nBuckets) (Iceberg `bucket(N, url)`)
+  *
+  * Both are derived, so readers prune by path (partition pruning) and
+  * repeated runs get co-located url access — the plain-Parquet stand-in for
+  * storage-partitioned joins.
+  */
+object PageTable {
+
+  val DayCol = "p_day"
+  val BucketCol = "p_bucket"
+
+  def withLayoutColumns(pages: DataFrame, nBuckets: Int): DataFrame =
+    pages
+      .withColumn(DayCol, datediff(col("warc_ts").cast("date"), lit("1970-01-01").cast("date")))
+      .withColumn(BucketCol, pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+
+  /** Write the pages table in the Iceberg-style layout. */
+  def write(pages: DataFrame, path: String, nBuckets: Int = 16,
+            mode: String = "overwrite", compression: String = "zstd"): Unit =
+    withLayoutColumns(pages, nBuckets)
+      .repartition(col(DayCol), col(BucketCol)) // one file per partition dir
+      .write
+      .partitionBy(DayCol, BucketCol)
+      .option("compression", compression)
+      .mode(mode)
+      .parquet(path)
+
+  /** Read the table; layout columns come back as partition columns. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Day-range + url-bucket pruned read: both predicates are on partition
+    * columns, so they prune directories before any file is opened
+    * (verify via .explain: PartitionFilters).
+    */
+  def readPruned(spark: SparkSession, path: String,
+                 dayFrom: Option[Int] = None, dayUntil: Option[Int] = None,
+                 urls: Seq[String] = Nil, nBuckets: Int = 16): DataFrame = {
+    var df = read(spark, path)
+    dayFrom.foreach(d => df = df.where(col(DayCol) >= d))
+    dayUntil.foreach(d => df = df.where(col(DayCol) < d))
+    if (urls.nonEmpty) {
+      val buckets = urls.map(u => bucketOf(u, nBuckets)).distinct
+      df = df.where(col(BucketCol).isin(buckets: _*) && col("url").isin(urls: _*))
+    }
+    df
+  }
+
+  /** Driver-side bucket id of a url — must agree with xxhash64(url) % N. */
+  def bucketOf(url: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(url.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, url.length, 42L)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.runtime.FeatureJob
+
+/** Structured Streaming variants of the batch engine (SURVEY.md §2.10 —
+  * engine extension, not reference-parity surface): the same DataFrame
+  * operators run over an unbounded pages stream, with watermarks supplying
+  * the zero-leakage discipline (late data beyond the watermark is dropped,
+  * the streaming analog of "no feature reads past its as-of ts").
+  *
+  * The per-row feature stage is stateless, so [[extractStream]] is literally
+  * the batch extractStage applied to a streaming DataFrame. Stateful pieces
+  * map to built-ins: tumbling/sliding window aggregation, session_window
+  * sessionization, watermark-scoped dedup.
+  */
+object Streaming {
+
+  /** Stateless per-page identity + features over a stream — identical
+    * semantics to the batch stage (same expressions, same kernels).
+    */
+  def extractStream(pages: DataFrame): DataFrame =
+    FeatureJob.extractStage(pages)
+
+  /** Tumbling-window per-language throughput/quality aggregates. */
+  def windowedStats(pages: DataFrame, watermarkDelay: String = "1 hour",
+                    window: String = "1 hour"): DataFrame =
+    extractStream(pages)
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window), col("lang"))
+      .agg(
+        count(lit(1)).as("pages"),
+        sum(when(col("status") === "ok", 1).otherwise(0)).as("ok_pages"),
+        approx_count_distinct(col("instance_id")).as("distinct_instances"))
+
+  /** Gap-based sessionization on a stream: session_window is the streaming
+    * dual of the batch Windows.sessionize (same gap semantics, state expires
+    * with the watermark).
+    */
+  def sessionized(pages: DataFrame, gap: String = "6 hours",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(session_window(col("warc_ts"), gap), col("url"))
+      .agg(
+        count(lit(1)).as("session_revisits"),
+        min(col("warc_ts")).as("session_start"),
+        max(col("warc_ts")).as("session_end"))
+
+  /** Watermark-scoped exact dedup of revisit snapshots: a (url, content)
+    * pair is emitted once within the watermark horizon.
+    */
+  def dedupedStream(pages: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    extractStream(pages)
+      .where(col("status") === "ok")
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("url", "instance_id")
+}

@@ -45,11 +45,10 @@ class ResumeSpec extends SparkSpec {
     assert(resumed.processedShards == Seq(2, 3), s"resume must process only missing shards, got ${resumed.processedShards}")
     assert(resumed.skippedShards == Seq(0, 1))
 
-    // byte-level equality of the final tables (order-free compare; binary
-    // column hashed — Array[Byte].toString is an identity hash)
-    import org.apache.spark.sql.functions.{col, md5}
+    // byte-level equality of the final tables (order-free compare)
+    import org.apache.spark.sql.functions.col
     def canon(path: String) = {
-      val df = spark.read.parquet(path).withColumn("html", md5(col("html"))).drop("shard")
+      val df = spark.read.parquet(path).drop("shard")
       df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).sorted
     }
     val sa = canon(s"$outRef/data")
@@ -81,5 +80,14 @@ class ResumeSpec extends SparkSpec {
       assert(cols.contains(c), s"missing column $c")
     val statuses = out.select("status").distinct().collect().map(_.getString(0)).toSet
     assert(statuses == Set("ok"), s"synthetic corpus must parse clean, got $statuses")
+  }
+
+  test("temporal stage plan: exactly one exchange + one sort feed all windows") {
+    val plan = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"window stage must reuse ONE exchange, got $exchanges:\n$plan")
+    val sorts = "\\bSort\\b".r.findAllIn(plan).length
+    assert(sorts <= 1, s"window stage must reuse one sort, got $sorts")
   }
 }

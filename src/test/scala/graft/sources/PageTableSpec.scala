@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pages.PageGen
+
+class PageTableSpec extends SparkSpec {
+
+  private lazy val path = {
+    val dir = Files.createTempDirectory("pagetable").toString + "/pages"
+    val pages = PageGen.pages(spark, PageGen.Config(urls = 40, revisitsPerUrl = 4, hotUrls = 2, hotFactor = 4)).toDF()
+    PageTable.write(pages, dir, nBuckets = 8)
+    dir
+  }
+
+  test("round-trip preserves rows; layout columns present") {
+    val df = PageTable.read(spark, path)
+    assert(df.count() == PageGen.totalRows(PageGen.Config(urls = 40, revisitsPerUrl = 4, hotUrls = 2, hotFactor = 4)))
+    assert(df.columns.contains(PageTable.DayCol) && df.columns.contains(PageTable.BucketCol))
+  }
+
+  test("bucket pruning reaches the scan as a partition filter") {
+    val someUrl = PageGen.urlOf(PageGen.Config(urls = 40), 7)
+    val pruned = PageTable.readPruned(spark, path, urls = Seq(someUrl), nBuckets = 8)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(PageTable.BucketCol),
+      s"bucket predicate must prune partitions:\n$plan")
+    // correctness: only that url's rows, all revisits
+    val got = pruned.select("url").distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq(someUrl))
+    assert(pruned.count() == 4)
+  }
+
+  test("driver-side bucketOf agrees with the engine's xxhash64 bucket") {
+    val engine = PageTable.read(spark, path)
+      .select(col("url"), col(PageTable.BucketCol)).distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    engine.foreach { case (url, b) =>
+      assert(PageTable.bucketOf(url, 8) == b, s"bucket mismatch for $url")
+    }
+  }
+
+  test("day-range pruning filters partitions") {
+    val all = PageTable.read(spark, path)
+    val minDay = all.agg(min(col(PageTable.DayCol))).head().getInt(0)
+    val pruned = PageTable.readPruned(spark, path, dayFrom = Some(minDay + 1))
+    assert(pruned.count() < all.count())
+    assert(pruned.agg(min(col(PageTable.DayCol))).head().getInt(0) >= minDay + 1)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.pages.{Page, PageGen}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pagesBatch(n: Int): Seq[Page] = {
+    val cfg = PageGen.Config(urls = 10, revisitsPerUrl = 3, hotUrls = 1, hotFactor = 3)
+    (0L until math.min(n, PageGen.totalRows(cfg)).toLong).map(PageGen.pageOf(cfg, _))
+  }
+
+  test("streaming extract: same features as batch on the same rows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Page]
+    val q = Streaming.extractStream(input.toDF())
+      .select("url", "warc_ts", "instance_id", "status")
+      .writeStream.format("memory").queryName("sx").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pagesBatch(12))
+      q.processAllAvailable()
+      val streamed = spark.table("sx").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2), r.getString(3))).toSet
+      val batch = graft.runtime.FeatureJob.extractStage(pagesBatch(12).toDF())
+        .select("url", "warc_ts", "instance_id", "status").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.forall(_._4 == "ok"))
+    } finally q.stop()
+  }
+
+  test("session_window sessionization emits sessions after watermark passes") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Page]
+    val q = Streaming.sessionized(input.toDF(), gap = "6 hours", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      def page(url: String, ts: Long) = Page(url, new Timestamp(ts), Array.emptyByteArray, "p cnf 1 1\n1 0\n", "en")
+      // two sessions for u (gap > 6h), then a far-future row to advance the watermark
+      input.addData(Seq(
+        page("u", t0), page("u", t0 + 3600 * 1000L),
+        page("u", t0 + 20 * 3600 * 1000L)))
+      q.processAllAvailable()
+      input.addData(Seq(page("zz", t0 + 1000L * 3600 * 1000L)))
+      q.processAllAvailable()
+      val sessions = spark.table("sw").collect()
+        .map(r => (r.getString(r.fieldIndex("url")), r.getLong(r.fieldIndex("session_revisits"))))
+      assert(sessions.count(_._1 == "u") == 2, s"got ${sessions.mkString(",")}")
+      assert(sessions.filter(_._1 == "u").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("watermark dedup: same (url, content) emitted once") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Page]
+    val q = Streaming.dedupedStream(input.toDF(), watermarkDelay = "1 hour")
+      .select("url", "instance_id")
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      def page(url: String, ts: Long, text: String) = Page(url, new Timestamp(ts), Array.emptyByteArray, text, "en")
+      input.addData(Seq(
+        page("u", t0, "p cnf 2 1\n1 2 0\n"),
+        page("u", t0 + 1000, "p cnf 2 1\n1 2 0\n"), // dup content
+        page("u", t0 + 2000, "p cnf 2 1\n-1 2 0\n"), // new content
+        page("v", t0, "p cnf 2 1\n1 2 0\n"))) // same content, other url
+      q.processAllAvailable()
+      val rows = spark.table("sd").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.length == 3, s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+}
