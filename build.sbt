@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pin + pre-touch the heap: without it G1 grows/uncommits under load and
+  // the kernel zeroes fresh pages INSIDE evacuation pauses (observed 10-12s
+  // young pauses at 32 threads -> the scaling-inversion root cause)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))
