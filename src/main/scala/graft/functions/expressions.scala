@@ -230,6 +230,47 @@ case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
     copy(child = newChild)
 }
 
+/** cnf2kis transform: derived k-independent-set document + metadata
+  * (/root/reference/src/transform/cnf2kis.h:17-96).
+  */
+case class KisTransform(child: Expression) extends DocKernelExpression {
+  override def dataType: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("nodes", LongType, nullable = false),
+    StructField("edges", LongType, nullable = false),
+    StructField("k", LongType, nullable = false)))
+  override def prettyName: String = "kis_transform"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val k = Transforms.cnf2kis(buf)
+      InternalRow(UTF8String.fromString(k.text), k.nodes, k.edges, k.k)
+    } catch { case _: DocParseException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): KisTransform =
+    copy(child = newChild)
+}
+
+/** cnf2bip transform: directed bipartite incidence graph document
+  * (/root/reference/src/transform/cnf2bip.cc:10-36).
+  */
+case class BipTransform(child: Expression) extends DocKernelExpression {
+  override def dataType: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("nodes", LongType, nullable = false),
+    StructField("edges", LongType, nullable = false)))
+  override def prettyName: String = "bip_transform"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val b = Transforms.cnf2bip(buf)
+      InternalRow(UTF8String.fromString(b.text), b.nodes, b.edges)
+    } catch { case _: DocParseException => null }
+  }
+  override protected def withNewChildInternal(newChild: Expression): BipTransform =
+    copy(child = newChild)
+}
+
 /** Data-quality scan (/root/reference/src/extract/CNFSaniCheck.cc). */
 case class SaniCheckExpr(child: Expression) extends DocKernelExpression {
   override def dataType: StructType = FeatureSchemas.sani

@@ -49,6 +49,10 @@ package object functions {
   /** Gate-structure features (pattern+mono recognition). */
   def cnf_gate_features(c: Column): Column = col1(GateFeaturesExpr(_))(c)
 
+  /** Derived-instance transforms (struct with text + metadata). */
+  def kis_transform(c: Column): Column = col1(KisTransform(_))(c)
+  def bip_transform(c: Column): Column = col1(BipTransform(_))(c)
+
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
 
@@ -113,6 +117,8 @@ object GraftExtensions {
     unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),
     unary("cnf_sanicheck")(SaniCheckExpr(_)),
     unary("cnf_gate_features")(GateFeaturesExpr(_)),
+    unary("kis_transform")(KisTransform(_)),
+    unary("bip_transform")(BipTransform(_)),
     unary("cnf_clauses")(ParseClauses(_)),
     unary("token_count")(TokenCount(_, "whitespace")),
     unary("token_count_bpe")(TokenCount(_, "bpe")),

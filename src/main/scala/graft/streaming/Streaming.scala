@@ -57,4 +57,42 @@ object Streaming {
       .where(col("status") === "ok")
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("url", "instance_id")
+
+  // ---- custom state via flatMapGroupsWithState ----
+
+  final case class UrlState(lastInstanceId: String, revisits: Long, changes: Long)
+
+  final case class ChangeEvent(url: String, warc_ts: java.sql.Timestamp,
+                               instance_id: String, revisit_no: Long, change_no: Long,
+                               changed: Boolean)
+
+  /** Per-url content-change tracker: custom keyed state
+    * (flatMapGroupsWithState) emitting one event per revisit with running
+    * revisit/change counters — the streaming dual of the batch lag/delta
+    * stage. State survives across micro-batches; timeout-free (bounded by
+    * key cardinality; production would set a TTL timeout).
+    */
+  def contentChanges(pages: DataFrame): org.apache.spark.sql.Dataset[ChangeEvent] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val extracted = extractStream(pages)
+      .where(col("status") === "ok")
+      .select(col("url"), col("warc_ts"), col("instance_id"))
+      .as[(String, java.sql.Timestamp, String)]
+
+    extracted
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (url: String, rows: Iterator[(String, java.sql.Timestamp, String)], state: GroupState[UrlState]) => {
+          var st = state.getOption.getOrElse(UrlState("", 0L, 0L))
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, id) =>
+            val changed = st.lastInstanceId != id
+            st = UrlState(id, st.revisits + 1, st.changes + (if (changed) 1 else 0))
+            ChangeEvent(url, ts, id, st.revisits, st.changes, changed)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -75,4 +75,24 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length == 3, s"got ${rows.mkString(",")}")
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState content tracker counts changes across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Page]
+    val q = Streaming.contentChanges(input.toDF())
+      .writeStream.format("memory").queryName("cc").outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      def page(ts: Long, text: String) = Page("u", new Timestamp(ts), Array.emptyByteArray, text, "en")
+      input.addData(Seq(page(t0, "p cnf 2 1\n1 2 0\n"), page(t0 + 1000, "p cnf 2 1\n1 2 0\n")))
+      q.processAllAvailable()
+      // state must persist into the next micro-batch
+      input.addData(Seq(page(t0 + 2000, "p cnf 2 1\n-1 2 0\n")))
+      q.processAllAvailable()
+      val rows = spark.table("cc").orderBy("warc_ts")
+        .select("revisit_no", "change_no", "changed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(rows == Seq((1L, 1L, true), (2L, 1L, false), (3L, 2L, true)), s"got $rows")
+    } finally q.stop()
+  }
 }
