@@ -37,6 +37,8 @@ object FeatureJob {
       sessionGapSeconds: Long = 6 * 3600,
       lagFeatures: Seq[String] = Seq("clauses", "variables"),
       resume: Boolean = true,
+      /** document grammar: cnf | wcnf | opb (S2 format dispatch) */
+      format: String = "cnf",
       /** carry raw html/text through to the output table (default off: the
         * feature table needs identity + features, not payload — dragging
         * multi-KB payloads through the window exchange dominates runtime)
@@ -54,14 +56,22 @@ object FeatureJob {
     pmod(xxhash64(col("url")), lit(shards)).cast("int")
 
   /** The per-row feature stage — no shuffle, fully parallel. */
-  def extractStage(pages: DataFrame): DataFrame =
+  def extractStage(pages: DataFrame): DataFrame = extractStage(pages, "cnf")
+
+  def extractStage(pages: DataFrame, format: String): DataFrame = {
+    val (hash, features) = format match {
+      case "wcnf" => (gbd_hash_wcnf(col("text")), wcnf_features(col("text")))
+      case "opb" => (gbd_hash_opb(col("text")), opb_features(col("text")))
+      case _ => (gbd_hash(col("text")), cnf_features(col("text")))
+    }
     pages
-      .withColumn("instance_id", gbd_hash(col("text")))
-      .withColumn("features", cnf_features(col("text")))
+      .withColumn("instance_id", hash)
+      .withColumn("features", features)
       .withColumn("status",
         when(col("text").isNull, "null_text")
           .when(col("features").isNull, "parse_error")
           .otherwise("ok"))
+  }
 
   /** The corpus stage: sessionization + revisit features. One explicit HASH
     * repartition on url serves every window below it (all window specs are
@@ -79,9 +89,12 @@ object FeatureJob {
       .repartition(col("url"))
       .sortWithinPartitions(col("url"), col("warc_ts"))
     val sessionized = Windows.sessionize(partitioned, Seq("url"), "warc_ts", cfg.sessionGapSeconds)
-    // revisit deltas over selected features; lag carries the previous
-    // snapshot value (leakage-free: trailing frame)
-    cfg.lagFeatures.foldLeft(sessionized) { (df, f) =>
+    // revisit deltas over selected features (limited to fields the format's
+    // schema actually has); lag carries the previous snapshot value
+    // (leakage-free: trailing frame)
+    val available = extracted.schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    cfg.lagFeatures.filter(available.contains).foldLeft(sessionized) { (df, f) =>
       val c = col(s"features.$f")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("url")).orderBy(col("warc_ts").asc)
@@ -91,7 +104,7 @@ object FeatureJob {
   }
 
   def pipeline(pages: DataFrame, cfg: Config): DataFrame =
-    temporalStage(extractStage(pages), cfg)
+    temporalStage(extractStage(pages, cfg.format), cfg)
 
   /** Unordered content checksum of a shard output (resume equality proof):
     * sum of per-row xxhash64 over the identity columns.
