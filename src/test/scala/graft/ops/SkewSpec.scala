@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = {
+    // one hot key with 10k rows, 50 cold keys
+    ((0 until 10000).map(i => ("hot", i.toLong, i * 1.5)) ++
+      (0 until 50).flatMap(k => (0 until 10).map(i => (s"cold$k", i.toLong, i * 2.0))))
+      .toDF("key", "v", "x")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = skewed.groupBy($"key")
+      .agg(count(lit(1)).as("c"), sum($"x").cast("decimal(20,4)").as("sx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val salted = Skew.saltedAgg(skewed, Seq("key"), 16)(
+      partial = g => g.agg(count(lit(1)).as("c"), sum($"x".cast("decimal(20,4)")).as("sx")),
+      merge = g => g.agg(sum($"c").as("c"), sum($"sx").cast("decimal(20,4)").as("sx")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("salt actually spreads the hot key across buckets") {
+    val buckets = skewed.where($"key" === "hot")
+      .select(Skew.saltCol(16, $"v", $"x").as("s"))
+      .distinct().count()
+    assert(buckets >= 12, s"hot key only hit $buckets of 16 salt buckets")
+  }
+
+  test("keyProfile reports hot keys") {
+    val profile = Skew.keyProfile(skewed, Seq("key"), "v").collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("rows"))).toMap
+    assert(profile("hot") == 10000L && profile("cold0") == 10L)
+  }
+}
