@@ -97,14 +97,23 @@ object AsOfJoin {
           col("_f_" + buildTsOut).isNotNull.as("_asof_matched"): _*)
   }
 
-  /** Scale-path implementation: range-bucketed sort-merge with bounded
-    * carry replication. Semantically identical to [[asOfUnion]] (property
-    * tested); `bucket` is the time-bucket width.
+  /** Scale-path implementation: range-bucketed SORT-based as-of.
+    * Semantically identical to [[asOfUnion]] (property tested); `bucket` is
+    * the time-bucket width in the ts column's native numeric unit (seconds
+    * for timestamps).
     *
-    * Shuffle shape: build side shuffles twice ((key,bucket) join + tiny
-    * carry aggregation), probe side twice ((key,bucket) join + carry join) —
-    * but every shuffle key includes the bucket, so hot urls with 10^6
-    * revisits split across (revisit span / bucket) reducers instead of one.
+    * Shape: the union-tag forward-fill of [[asOfUnion]], but windowed over
+    * (key, time_bucket) instead of (key) — per-reducer work is bounded by
+    * bucket population, so a hot url with 10^6 revisits spreads across
+    * (revisit span / bucket) reducers instead of serializing on one.
+    * Cross-bucket visibility is restored by a carry table holding only the
+    * LAST build row per (key, bucket) (bounded replication), forward-filled
+    * at bucket granularity — orders of magnitude below row count — and
+    * joined back to probe rows whose in-bucket fill came up empty-or-earlier.
+    * Everything is sort/window/aggregate — no pairwise join blowup on dense
+    * buckets (the naive (key,bucket) equi-join is O(P x B) per bucket and
+    * loses to the plain window by an order of magnitude under skew;
+    * measured in BENCH/BASELINE.md).
     */
   def asOfBucketed(
       probe: DataFrame,
@@ -122,78 +131,91 @@ object AsOfJoin {
     val outName: Map[String, String] =
       payloadCols.map(c => c -> (if (probe.columns.contains(c)) c + suffix else c)).toMap
     val buildTsOut = if (probe.columns.contains(buildTs)) buildTs + suffix else buildTs
-    val probeOutCols = keys ++ probe.columns.filterNot(keys.contains)
 
     // epoch seconds for timestamp/ntz inputs, identity for numeric ts
     def bucketOf(ts: Column): Column =
       floor(ts.cast("timestamp").cast("double") / bucket.cast("double")).cast("long")
 
-    // _rid identifies a probe row across the two join branches; mono ids are
-    // stable here because both branches share one deterministic lineage.
-    val p = probe.withColumn("_pb", bucketOf(col(probeTs)))
-      .withColumn("_rid", monotonically_increasing_id())
-    // build side fully renamed to unique temp names: probe and build often
-    // share lineage (self-as-of), and distinct names sidestep Spark's
-    // ambiguous-self-join resolution entirely
-    val bKey: Seq[String] = keys.indices.map(i => s"_bk$i")
-    val b = build.withColumn("_bb", bucketOf(col(buildTs)))
+    // tag ordering decides tie behavior at equal ts (see asOfUnion)
+    val probeTag = if (strict) 0 else 1
+    val buildTag = 1 - probeTag
+
+    val pTagged = probe
+      .withColumn("_ts", col(probeTs))
+      .withColumn("_pb", bucketOf(col(probeTs)))
+      .withColumn("_tag", lit(probeTag))
+      .withColumn(buildTsOut, lit(null).cast(build.schema(buildTs).dataType))
       .select(
-        keys.zipWithIndex.map { case (k, i) => col(k).as(s"_bk$i") } ++
-          Seq(col(buildTs).as("_bts0"), col("_bb").as("_bb0")) ++
-          payloadCols.map(c => col(c).as(s"_bp_$c")): _*)
+        (keys.map(col) :+ $"_ts" :+ $"_pb" :+ $"_tag") ++
+          probe.columns.filterNot(keys.contains).map(col) ++
+          payloadCols.map(c => lit(null).cast(build.schema(c).dataType).as(outName(c))) :+
+          col(buildTsOut): _*)
 
-    val payloadStruct: Column =
-      struct(col("_bts0").as("_bts") +: payloadCols.map(c => col(s"_bp_$c").as(c)): _*)
+    val bTagged = build
+      .withColumn("_ts", col(buildTs))
+      .withColumn("_pb", bucketOf(col(buildTs)))
+      .withColumn("_tag", lit(buildTag))
+      .select(
+        (keys.map(col) :+ $"_ts" :+ $"_pb" :+ $"_tag") ++
+          probe.columns.filterNot(keys.contains).map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++
+          payloadCols.map(c => col(c).as(outName(c))) :+
+          col(buildTs).as(buildTsOut): _*)
 
-    // (1) in-bucket candidates: equi-join on (key, bucket), keep the latest
-    // build row per probe row. Aggregation by _rid keeps memory bounded.
-    val cmp = if (strict) col("_bts0") < col(probeTs) else col("_bts0") <= col(probeTs)
-    val inBucket = p.join(b,
-        keys.zipWithIndex.map { case (k, i) => p(k) === col(s"_bk$i") }.reduce(_ && _) &&
-          p("_pb") === col("_bb0") && cmp,
-        "inner")
-      .groupBy(col("_rid"))
-      .agg(max(payloadStruct).as("_hit"))
+    // (1) in-bucket forward-fill: ONE window over (key, bucket) — the same
+    // deterministic max-payload tie-break as asOfUnion
+    val w = Window
+      .partitionBy((keys.map(col) :+ $"_pb"): _*)
+      .orderBy($"_ts".asc, $"_tag".asc,
+        struct((col(buildTsOut) +: payloadCols.map(c => col(outName(c)))): _*).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = pTagged.unionByName(bTagged)
+      .select(
+        col("*") +:
+          (payloadCols.map(c => last(col(outName(c)), ignoreNulls = true).over(w).as("_f_" + outName(c))) :+
+            last(col(buildTsOut), ignoreNulls = true).over(w).as("_f_" + buildTsOut)): _*)
+    val probes = filled.where($"_tag" === probeTag)
 
     // (2) carry table: last build row per (key, bucket) — bounded to ONE row
-    // per bucket, the boundedness guarantee for hot keys.
-    val carries = b.groupBy((bKey.map(col) :+ col("_bb0").as("_cb")): _*)
-      .agg(max(payloadStruct).as("_carry"))
-      .select(keys.zipWithIndex.map { case (k, i) => col(s"_bk$i").as(k) } ++
-        Seq(col("_cb"), col("_carry")): _*)
+    // per bucket. Keys re-aliased (_ck*) so self-as-of lineage stays
+    // unambiguous.
+    val carryPayload = struct(col(buildTsOut).as("_bts") +: payloadCols.map(c => col(outName(c)).as(c)): _*)
+    val carries = bTagged
+      .groupBy((keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ck$i") } :+ $"_pb".as("_cb")): _*)
+      .agg(max(carryPayload).as("_carry"))
 
-    // (3) forward-fill carries onto the DISTINCT probe buckets per key:
-    // cardinality is (keys x buckets), far below row count. A probe bucket x
-    // must see the latest carry from buckets STRICTLY BEFORE x (bucket x
-    // itself is covered exactly by the in-bucket join, and its carry may be
-    // later than a given probe ts) — hence probe markers sort before the
-    // same bucket's carry and the frame ends one row early.
-    val probeBuckets = p.select((keys.map(col) :+ $"_pb"): _*).distinct()
-      .withColumn("_cb", $"_pb")
+    // (3) forward-fill carries onto DISTINCT probe buckets per key —
+    // cardinality (keys x buckets), far below row count. A probe bucket x
+    // sees the latest carry from buckets STRICTLY BEFORE x (bucket x itself
+    // is covered exactly by the in-bucket fill).
+    val probeBuckets = pTagged
+      .groupBy((keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ck$i") } :+ $"_pb".as("_cb")): _*)
+      .agg(lit(1).as("_isProbe"))
       .withColumn("_carry", lit(null).cast(carries.schema("_carry").dataType))
-      .withColumn("_isProbe", lit(1))
-    val carryTagged = carries.withColumn("_pb", lit(null).cast("long")).withColumn("_isProbe", lit(0))
+    val carryTagged = carries.withColumn("_isProbe", lit(0))
 
     val wCarry = Window
-      .partitionBy(keys.map(col): _*)
+      .partitionBy(keys.indices.map(i => col(s"_ck$i")): _*)
       .orderBy($"_cb".asc, $"_isProbe".desc) // probe marker BEFORE same-bucket carry
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
 
     val carryForProbeBucket = probeBuckets.unionByName(carryTagged)
       .withColumn("_prevCarry", last($"_carry", ignoreNulls = true).over(wCarry))
       .where($"_isProbe" === 1)
-      .select((keys.map(col) :+ $"_pb" :+ $"_prevCarry"): _*)
+      .select((keys.indices.map(i => col(s"_ck$i")) :+ $"_cb" :+ $"_prevCarry"): _*)
 
-    // (4) attach carry to probes, combine with in-bucket hit (in-bucket wins
-    // when present: its ts is >= any earlier-bucket carry by construction).
-    val withCarry = p.join(carryForProbeBucket, keys :+ "_pb", "left")
-    val joined = withCarry.join(inBucket, Seq("_rid"), "left")
-      .withColumn("_best", coalesce($"_hit", $"_prevCarry"))
+    // (4) combine: in-bucket fill wins when present (its ts >= any
+    // earlier-bucket carry by construction). The carry side is tiny and
+    // AQE broadcast-joins it.
+    val joinCond = keys.zipWithIndex.map { case (k, i) => probes(k) === col(s"_ck$i") }
+      .reduce(_ && _) && probes("_pb") === col("_cb")
+    val joined = probes.join(carryForProbeBucket, joinCond, "left")
 
     joined.select(
-      (probeOutCols.map(col) ++
-        payloadCols.map(c => col("_best").getField(c).as(outName(c)))) :+
-        col("_best").getField("_bts").as(buildTsOut) :+
-        col("_best").isNotNull.as("_asof_matched"): _*)
+      (keys.map(col) ++
+        probe.columns.filterNot(keys.contains).map(col) ++
+        payloadCols.map(c => coalesce(col("_f_" + outName(c)), col("_prevCarry").getField(c)).as(outName(c)))) :+
+        coalesce(col("_f_" + buildTsOut), col("_prevCarry").getField("_bts")).as(buildTsOut) :+
+        coalesce(col("_f_" + buildTsOut), col("_prevCarry").getField("_bts")).isNotNull.as("_asof_matched"): _*)
   }
 }
