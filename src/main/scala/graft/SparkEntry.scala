@@ -148,14 +148,12 @@ object SparkEntry {
         concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
       Dedup.minHashPairs(docs.unionByName(mutated), "id", "text",
         numHashes = 64, numBands = 16, threshold = 0.5, shingleSize = 3)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q17_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
       val mutated = docs.select((col("id") + 100000L).as("id"),
         concat_ws(" ", col("text"), lit("suffixtoken")).as("text"))
       Dedup.simHashPairs(docs.unionByName(mutated), "id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q18_knn_bruteforce" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
@@ -175,7 +173,6 @@ object SparkEntry {
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       Dedup.embeddingCosinePairs(vecs.unionByName(scaled), "id", "embedding",
         threshold = 0.999, bits = 10, tables = 4)
-        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
