@@ -217,6 +217,41 @@ case class ExtractFeatures(child: Expression, format: String) extends DocKernelE
     copy(child = newChild)
 }
 
+object CnfExtract {
+  val schema: StructType = StructType(Seq(
+    StructField("instance_id", StringType, nullable = true),
+    StructField("features", FeatureSchemas.cnf, nullable = true),
+    StructField("parse_ok", org.apache.spark.sql.types.BooleanType, nullable = false)))
+}
+
+/** Fused identity + features: one evaluation computes gbd_hash and the full
+  * base-feature vector over the same in-memory buffer (one UTF8String fetch,
+  * two byte-local scans) — the per-row hot path of FeatureJob. Never null:
+  * a malformed doc yields (null, null, parse_ok=false) so the status column
+  * needs no second evaluation.
+  */
+case class CnfExtract(child: Expression) extends DocKernelExpression {
+  override def nullable: Boolean = false
+  override def dataType: StructType = CnfExtract.schema
+  override def prettyName: String = "cnf_extract"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try {
+      val hash = Dimacs.gbdHashCnf(buf)
+      val features = CnfBase.extract(buf)
+      InternalRow(UTF8String.fromString(hash), InternalRow.fromSeq(features), true)
+    } catch {
+      case _: DocParseException => InternalRow(null, null, false)
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) InternalRow(null, null, false) else nullSafeEval(value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CnfExtract =
+    copy(child = newChild)
+}
+
 /** Gate-structure features (GateAnalyzer; see graft.core.Gates scope note). */
 case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
   override def dataType: StructType = FeatureSchemas.gates

@@ -40,6 +40,9 @@ package object functions {
 
   /** Full base-feature vector as a struct of doubles (one fused pass). */
   def cnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Cnf))(c)
+
+  /** Fused identity + features + parse status (FeatureJob hot path). */
+  def cnf_extract(c: Column): Column = col1(CnfExtract(_))(c)
   def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
   def opb_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Opb))(c)
 

@@ -58,19 +58,30 @@ object FeatureJob {
   /** The per-row feature stage — no shuffle, fully parallel. */
   def extractStage(pages: DataFrame): DataFrame = extractStage(pages, "cnf")
 
-  def extractStage(pages: DataFrame, format: String): DataFrame = {
-    val (hash, features) = format match {
-      case "wcnf" => (gbd_hash_wcnf(col("text")), wcnf_features(col("text")))
-      case "opb" => (gbd_hash_opb(col("text")), opb_features(col("text")))
-      case _ => (gbd_hash(col("text")), cnf_features(col("text")))
-    }
-    pages
-      .withColumn("instance_id", hash)
-      .withColumn("features", features)
-      .withColumn("status",
-        when(col("text").isNull, "null_text")
-          .when(col("features").isNull, "parse_error")
-          .otherwise("ok"))
+  def extractStage(pages: DataFrame, format: String): DataFrame = format match {
+    case "cnf" =>
+      // fused hot path: one expression evaluation per row for hash+features
+      pages
+        .withColumn("_x", cnf_extract(col("text")))
+        .withColumn("instance_id", col("_x.instance_id"))
+        .withColumn("features", col("_x.features"))
+        .withColumn("status",
+          when(col("text").isNull, "null_text")
+            .when(!col("_x.parse_ok"), "parse_error")
+            .otherwise("ok"))
+        .drop("_x")
+    case _ =>
+      val (hash, features) = format match {
+        case "wcnf" => (gbd_hash_wcnf(col("text")), wcnf_features(col("text")))
+        case _ => (gbd_hash_opb(col("text")), opb_features(col("text")))
+      }
+      pages
+        .withColumn("instance_id", hash)
+        .withColumn("features", features)
+        .withColumn("status",
+          when(col("text").isNull, "null_text")
+            .when(col("features").isNull, "parse_error")
+            .otherwise("ok"))
   }
 
   /** The corpus stage: sessionization + revisit features. One explicit HASH
