@@ -32,13 +32,19 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (scan/filter/agg/join/top-k) ----
+    // Money outputs are bigint cents (cast(round(x*100) as bigint)) on BOTH
+    // sides: integer sums are cross-engine exact and hash-stable, where
+    // decimal renderings are not (round-1 q01/q02/q03/q10 hash_match
+    // failures were representation-only — VERDICT.md "What's wrong" #1).
+    // Every oracled aggregate also carries a total ORDER BY on its keys.
     "q01_agg_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q02_join_broadcast" -> ((s, dir) => {
       val customer = t(s, dir, "customer")
@@ -49,7 +55,8 @@ object SparkEntry {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_acctbal"))
+          sum(round(col("c_acctbal") * 100).cast("long")).as("sum_acctbal_cents"))
+        .orderBy(col("r_name"), col("n_name"))
     }),
     "q03_topk_latest_order" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -57,7 +64,9 @@ object SparkEntry {
         .orderBy(col("o_orderdate").cast("timestamp").desc, col("o_orderkey").desc)
       t(s, dir, "orders")
         .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice").cast("decimal(18,2)").as("total"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+        .orderBy(col("o_custkey"))
     }),
     "q04_filter_pushdown" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -108,8 +117,9 @@ object SparkEntry {
         .rowsBetween(-4, 0)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          sum(col("value").cast("decimal(18,6)")).over(w).cast("decimal(18,6)").as("roll5_sum"),
+          sum(round(col("value") * 1000000).cast("long")).over(w).as("roll5_sum_micros"),
           count(lit(1)).over(w).as("roll5_cnt"))
+        .orderBy(col("event_id"))
     }),
     "q11_latest_dedup" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -182,20 +192,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty,
-        |cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+        |cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint) AS sum_qty_cents,
+        |cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_price_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS customers,
-        |cast(sum(cast(c_acctbal AS decimal(18,2))) AS decimal(18,2)) AS sum_acctbal
+        |cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint) AS sum_acctbal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""".stripMargin,
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q03_topk_latest_order" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |cast(o_totalprice AS decimal(18,2)) AS total FROM (
+        |cast(round(o_totalprice * 100) AS bigint) AS total_cents FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY cast(o_orderdate AS timestamp) DESC, o_orderkey DESC) AS rn FROM orders) t
-        |WHERE rn = 1""".stripMargin,
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q04_filter_pushdown" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |cast(sum(cast(l_extendedprice AS decimal(18,2))) AS decimal(18,2)) AS sum_price
@@ -241,11 +251,11 @@ object SparkEntry {
         |  ORDER BY p.ts DESC, p.value DESC LIMIT 1) p ON true""".stripMargin,
     "q10_rolling" ->
       """SELECT event_id, user_id,
-        |cast(sum(cast(value AS decimal(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS decimal(18,6)) AS roll5_sum,
+        |cast(sum(cast(round(value * 1000000) AS bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bigint) AS roll5_sum_micros,
         |count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_cnt
-        |FROM events""".stripMargin,
+        |FROM events ORDER BY event_id""".stripMargin,
     "q11_latest_dedup" ->
       """SELECT user_id, event_id, ts, event_type FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

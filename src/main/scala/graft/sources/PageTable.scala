@@ -61,11 +61,15 @@ object PageTable {
     df
   }
 
-  /** Driver-side bucket id of a url — must agree with xxhash64(url) % N. */
+  /** Driver-side bucket id of a url — must agree with xxhash64(url) % N.
+    * Length is the UTF-8 BYTE count (url.length is chars — using it would
+    * hash a truncated prefix for any non-ASCII url and prune wrong buckets).
+    */
   def bucketOf(url: String, nBuckets: Int): Int = {
+    val bytes = url.getBytes("UTF-8")
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(url.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, url.length, 42L)
+      .hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
     val m = h % nBuckets
     (if (m < 0) m + nBuckets else m).toInt
   }

@@ -42,6 +42,23 @@ class PageTableSpec extends SparkSpec {
     }
   }
 
+  test("bucketOf matches xxhash64 for non-ASCII urls (UTF-8 byte length)") {
+    // multi-byte UTF-8: 2-byte (é), 3-byte (CJK), 4-byte (emoji), mixed
+    val urls = Seq(
+      "https://exämple.com/über/straße",
+      "https://例え.テスト/ページ",
+      "https://site.com/路径/文件?q=中文",
+      "https://emoji.dev/🚀/🌍{idx}",
+      "http://Ω.gr/φ/ψ-χ") ++ (0 until 50).map(i => s"https://mixed$i.com/日本語/p$i/é")
+    import spark.implicits._
+    val engine = urls.toDF("url")
+      .select(col("url"), pmod(xxhash64(col("url")), lit(8)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    engine.foreach { case (url, b) =>
+      assert(PageTable.bucketOf(url, 8) == b, s"bucket mismatch for non-ASCII url $url")
+    }
+  }
+
   test("day-range pruning filters partitions") {
     val all = PageTable.read(spark, path)
     val minDay = all.agg(min(col(PageTable.DayCol))).head().getInt(0)
