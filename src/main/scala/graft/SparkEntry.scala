@@ -150,20 +150,39 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("space_chars"))
     }),
 
-    // ---- dedup / similarity (non-SQL; driver rows-only check) ----
+    // ---- dedup / similarity (LSH candidates exact-verified, so every pair
+    //      set equals an exact predicate a DuckDB oracle can recompute) ----
     "q16_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-      // deterministic near-duplicates derived from the input: first word doubled
+      // deterministic near-duplicates derived from the input: one token prepended
       val mutated = docs.select((col("id") + 100000L).as("id"),
         concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
-      Dedup.minHashPairs(docs.unionByName(mutated), "id", "text",
-        numHashes = 64, numBands = 16, threshold = 0.5, shingleSize = 3)
+      val union = docs.unionByName(mutated)
+      // banding at threshold 0 = raw LSH candidates; the EXACT 3-shingle
+      // Jaccard filter then decides — so the output is exactly
+      // {pairs with exact J >= 0.8} (banding recall verified vs the oracle)
+      val cands = Dedup.minHashPairs(union, "id", "text",
+        numHashes = 64, numBands = 16, threshold = 0.0, shingleSize = 3)
+      val sh = union.select(col("id"), shingles(col("text"), 3).as("_sh"))
+      cands
+        .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
+        .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
+          jaccard_sorted(col("_sa"), col("_sb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q17_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
       val mutated = docs.select((col("id") + 100000L).as("id"),
         concat_ws(" ", col("text"), lit("suffixtoken")).as("text"))
-      Dedup.simHashPairs(docs.unionByName(mutated), "id", "text", maxHamming = 3)
+      // md5 token hash -> the DuckDB oracle recomputes the identical
+      // signature; 4x16 pigeonhole banding is COMPLETE for hamming <= 3, so
+      // the pair set is exactly {hamming(simhash_a, simhash_b) <= 3}
+      Dedup.simHashPairs(docs.unionByName(mutated), "id", "text",
+        maxHamming = 3, tokenHash = "md5")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "q18_knn_bruteforce" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
@@ -173,16 +192,25 @@ object SparkEntry {
     }),
     "q19_ann_ivf" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
+      // nProbe == nCentroids exercises the full IVF machinery (train, narrow
+      // assignment, probe join, top-k) with an EXACT contract: result must
+      // equal brute-force top-k, which DuckDB recomputes independently
       Similarity.ivfTopK(vecs.where(col("vec_id") < 10), vecs,
-        "vec_id", "vec_id", "embedding", "embedding", k = 3, nCentroids = 8, nProbe = 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+        "vec_id", "vec_id", "embedding", "embedding", k = 3, nCentroids = 8, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
     "q20_embedding_dedup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding"))
       val scaled = vecs.select((col("id") + 100000L).as("id"),
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      // hyperplane signs are invariant under positive scaling, so every
+      // >=0.999 pair co-buckets in ALL tables — the LSH output equals the
+      // exact all-pairs predicate the oracle computes
       Dedup.embeddingCosinePairs(vecs.unionByName(scaled), "id", "embedding",
         threshold = 0.999, bits = 10, tables = 4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -275,10 +303,67 @@ object SparkEntry {
         |cast(length(regexp_replace(text, '[^a-z]', '', 'g')) AS bigint) AS lower_chars,
         |cast(length(regexp_replace(text, '[^ ]', '', 'g')) AS bigint) AS space_chars
         |FROM documents""".stripMargin,
+    "q16_minhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE len(s_common) > 0 AND
+        |  cast(len(s_common) AS double) / cast(len(a.s) + len(b.s) - len(s_common) AS double) >= 0.8
+        |ORDER BY 1, 2""".stripMargin
+        .replace("s_common", "list_intersect(a.s, b.s)"),
+    "q17_simhash_pairs" -> simhashOracleSql,
     "q18_knn_bruteforce" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |row_number() OVER (PARTITION BY a.vec_id
         |  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
         |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
-        |QUALIFY rank <= 3""".stripMargin)
+        |QUALIFY rank <= 3""".stripMargin,
+    "q19_ann_ivf" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+        |QUALIFY rank <= 3 ORDER BY 1, 3""".stripMargin,
+    "q20_embedding_dedup" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        |ORDER BY 1, 2""".stripMargin)
+
+  /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
+    * sign sums over unnested tokens, the signature assembled as a 64-char
+    * bit string (bit j at position j; a ubigint shift overflows at bit 63),
+    * then exact all-pairs string-hamming <= 3. Generated (64 sums) rather
+    * than hand-written. Kernel/SQL signature identity is asserted in
+    * TextAnalysisSpec.
+    */
+  private def simhashOracleSql: String = {
+    val sums = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH docs AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' suffixtoken' FROM documents),
+       |tok AS (SELECT id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM docs),
+       |th AS (SELECT id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+       |agg AS (SELECT id, $sums FROM th GROUP BY id),
+       |sh AS (SELECT id, ($bits) AS sim FROM agg)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |cast(hamming(a.sim, b.sim) AS bigint) AS hamming
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE hamming(a.sim, b.sim) <= 3 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -149,6 +149,55 @@ object TextKernels {
     if (a.length == 0) 0.0 else eq.toDouble / a.length
   }
 
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes of the UTF-8 token, big-endian — bit-identical to
+    * SQL `('0x' || substr(md5(token), 1, 16))::UBIGINT`, so SimHash built on
+    * it is mirrorable by an ANSI-SQL oracle (md5 is the one cryptographic
+    * hash every engine shares).
+    */
+  def md5Low64(token: String): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** 64-bit SimHash over md5-hashed word unigrams (oracle-mirrorable form;
+    * same banding/verify machinery as [[simHash64]]).
+    */
+  def simHash64Md5(s: String): Long = {
+    val counts = new Array[Int](64)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < s.length) {
+      if (isWordChar(s.charAt(i))) {
+        sb.setLength(0)
+        var j = i
+        while (j < s.length && isWordChar(s.charAt(j))) {
+          sb.append(Character.toLowerCase(s.charAt(j)))
+          j += 1
+        }
+        val h = md5Low64(sb.toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i = j
+      } else i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** 64-bit SimHash over word unigram hashes (weight 1). */
   def simHash64(s: String, seed: Long = 0L): Long = {
     val words = wordHashes(s, seed)

@@ -69,6 +69,7 @@ package object functions {
     col1(MinHashSignature(_, numHashes, shingleSize))(c)
   def shingles(c: Column, n: Int = 5): Column = col1(ShinglesExpr(_, n))(c)
   def simhash64(c: Column): Column = col1(SimHash64(_))(c)
+  def simhash64_md5(c: Column): Column = col1(SimHash64(_, "md5"))(c)
   def rolling_fingerprint(c: Column): Column = col1(RollingFingerprint(_))(c)
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
@@ -78,6 +79,10 @@ package object functions {
     GraftShim.column(CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
   def hyperplane_sig(c: Column, bits: Int = 16, seed: Long = 42L): Column =
     col1(HyperplaneSig(_, bits, seed))(c)
+  def nearest_centroid(c: Column, centroids: Array[Array[Float]]): Column =
+    col1(NearestCentroid(_, centroids))(c)
+  def nearest_centroids(c: Column, centroids: Array[Array[Float]], n: Int): Column =
+    col1(NearestCentroids(_, centroids, n))(c)
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -128,6 +133,7 @@ object GraftExtensions {
     unary("text_quality")(TextQualityExpr(_)),
     unary("lang_id")(LangIdExpr(_)),
     unary("simhash64")(SimHash64(_)),
+    unary("simhash64_md5")(SimHash64(_, "md5")),
     unary("rolling_fingerprint")(RollingFingerprint(_)),
     "jaccard_sorted" -> { args => require(args.length == 2); JaccardSorted(args(0), args(1)) },
     "minhash_estimate" -> { args => require(args.length == 2); MinHashEstimate(args(0), args(1)) },

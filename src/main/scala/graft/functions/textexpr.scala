@@ -93,12 +93,17 @@ case class ShinglesExpr(child: Expression, shingleSize: Int) extends StringKerne
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr = copy(child = newChild)
 }
 
-/** 64-bit SimHash over word unigrams. */
-case class SimHash64(child: Expression) extends StringKernelExpression {
+/** 64-bit SimHash over word unigrams. tokenHash: "fnv" (fast mix64 path) or
+  * "md5" (oracle-mirrorable in ANSI SQL).
+  */
+case class SimHash64(child: Expression, tokenHash: String = "fnv") extends StringKernelExpression {
+  require(tokenHash == "fnv" || tokenHash == "md5", s"unknown simhash token hash $tokenHash")
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-  protected override def nullSafeEval(input: Any): Any =
-    TextKernels.simHash64(input.asInstanceOf[UTF8String].toString)
+  override def prettyName: String = if (tokenHash == "md5") "simhash64_md5" else "simhash64"
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (tokenHash == "md5") TextKernels.simHash64Md5(s) else TextKernels.simHash64(s)
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
 

@@ -25,17 +25,34 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Per-key cluster stats only: (dup_key, dup_cluster_size, canonical_id).
+    * Pure hash aggregation over a slim (id, key) projection — map-side
+    * combine applies, nothing but ids and 16-byte keys ever shuffles. The
+    * scale-preferred form when the payload isn't needed downstream.
+    */
+  def exactStats(df: DataFrame, idCol: String, textCol: String,
+                 keyFn: Column => Column = c => md5(c.cast("binary"))): DataFrame =
+    df.select(col(idCol), keyFn(col(textCol)).as("dup_key"))
+      .groupBy(col("dup_key"))
+      .agg(count(lit(1)).as("dup_cluster_size"), min(col(idCol)).as("canonical_id"))
+
   /** Exact dedup on a key (default md5 of the raw text). Returns the input
     * with `dup_key`, `dup_cluster_size`, `is_canonical` (the min-id row per
     * key wins — deterministic).
+    *
+    * Shape: annotations come from [[exactStats]] (slim aggregate, map-side
+    * combine) and join back on dup_key — the payload crosses ONE exchange as
+    * join input instead of being buffered and sorted inside a window
+    * operator, and AQE can pick/skew-split the join at runtime.
     */
   def exact(df: DataFrame, idCol: String, textCol: String,
             keyFn: Column => Column = c => md5(c.cast("binary"))): DataFrame = {
     val keyed = df.withColumn("dup_key", keyFn(col(textCol)))
-    val w = Window.partitionBy(col("dup_key"))
-    keyed
-      .withColumn("dup_cluster_size", count(lit(1)).over(w))
-      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+    val ann = exactStats(df, idCol, textCol, keyFn)
+    keyed.join(ann, Seq("dup_key"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+      .select(df.columns.map(col) ++
+        Seq(col("dup_key"), col("dup_cluster_size"), col("is_canonical")): _*)
   }
 
   /** Exact dedup keeping only canonical rows. */
@@ -73,10 +90,12 @@ object Dedup {
 
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming
     * (maxHamming <= 3 guaranteed complete by 4-chunk pigeonhole).
+    * tokenHash "md5" uses the SQL-mirrorable signature (exact DuckDB oracle).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+                   maxHamming: Int = 3, tokenHash: String = "fnv"): DataFrame = {
+    val sigFn = if (tokenHash == "md5") simhash64_md5 _ else simhash64 _
+    val sigs = df.select(col(idCol).as("_id"), sigFn(col(textCol)).as("_sh"))
     val chunked = sigs.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("_sh"), k * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("_chunk", "_ckey")))
@@ -119,15 +138,33 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets (multi-probe via
     * `tables` independent hash tables), exact cosine verify.
+    *
+    * Hot buckets (dense embedding regions) are capped at `maxBucketRows` —
+    * in-bucket work is quadratic, so one degenerate bucket would dominate the
+    * stage at scale. Capping is NEVER silent: oversized buckets are counted
+    * eagerly (a tiny aggregate over the signature stage) and logged; a pair
+    * lost to a cap in one table is still found by any of the other
+    * `tables-1` independent tables that bucket it more finely.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.95, bits: Int = 12,
-                           tables: Int = 4): DataFrame = {
+                           tables: Int = 4, maxBucketRows: Int = 4096): DataFrame = {
     val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       posexplode(array((0 until tables).map(t =>
         hyperplane_sig(col(vecCol), bits, 1000L + t)): _*)).as(Seq("_t", "_bucket")))
-    val a = sigs.select(col("_t"), col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = sigs.select(col("_t"), col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    // audit job: map-side-combined (table, bucket) counts — shuffles only
+    // combined counters, never rows/vectors
+    val dropped = sigs.groupBy(col("_t"), col("_bucket"))
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketRows).count()
+    val sized = sigs.withColumn("_bsz",
+      count(lit(1)).over(Window.partitionBy(col("_t"), col("_bucket"))))
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embeddingCosinePairs: dropped $dropped oversized LSH buckets " +
+          s"(> $maxBucketRows rows); raise bits/maxBucketRows to recover them")
+    val bounded = sized.where(col("_bsz") <= maxBucketRows).drop("_bsz")
+    val a = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_t", "_bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine_similarity(col("_va"), col("_vb")).as("cosine"))
@@ -157,10 +194,12 @@ object Dedup {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id"))
         .agg(min(col("cluster_id")).as("_nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+      // truncate lineage periodically: each round nests the previous plan,
+      // and past ~10 rounds planning time + stack depth dominate
+      val updated = (if (iter % 5 == 4) next.localCheckpoint() else next).persist()
       val changed = updated.as("u").join(labels.as("l"), Seq("id"))
         .where(col("u.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count() > 0

@@ -81,44 +81,37 @@ object Similarity {
     centroids
   }
 
-  /** IVF ANN top-k. Recall < 1 by design; verified against brute force in
-    * tests on recall@k.
+  /** IVF ANN top-k. Recall < 1 by design (for nProbe < nCentroids); verified
+    * against brute force in tests on recall@k, and EXACT-equal to brute
+    * force when nProbe == nCentroids (the driver-oracle configuration).
+    *
+    * Scale shape: corpus-to-centroid assignment is a doc-local argmax
+    * expression over the plan-embedded centroid table — a ZERO-shuffle
+    * narrow map (no Exchange between the corpus scan and the probe join).
+    * The query side (small by contract) broadcasts; the only shuffle in the
+    * whole operator is the final per-query top-k window over candidates.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryId: String, corpusId: String,
               queryVec: String, corpusVec: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = trainCentroids(corpus, corpusId, corpusVec, nCentroids)
-    val centDf = broadcast(centroids.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("_cid", "_cvec"))
 
-    // corpus assignment: nearest centroid (rank-1) — narrow after broadcast join
-    val cw = Window.partitionBy(col(corpusId)).orderBy(col("_csim").desc, col("_cid").asc)
+    // corpus assignment: narrow map, no exchange
     val assigned = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
-      .join(centDf)
-      .withColumn("_csim", cosine_similarity(col("_cv"), col("_cvec")))
-      .withColumn("_r", row_number().over(Window.partitionBy(col("neighbor_id")).orderBy(col("_csim").desc, col("_cid").asc)))
-      .where(col("_r") === 1)
-      .select(col("neighbor_id"), col("_cv"), col("_cid"))
-    val _ = cw
+      .withColumn("_cid", nearest_centroid(col("_cv"), centroids))
 
-    // query probes: nProbe nearest centroids each
+    // query probes: nProbe best centroids per query, exploded to (query, cid)
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
-      .join(centDf)
-      .withColumn("_csim", cosine_similarity(col("_qv"), col("_cvec")))
-      .withColumn("_r", row_number().over(Window.partitionBy(col("query_id")).orderBy(col("_csim").desc, col("_cid").asc)))
-      .where(col("_r") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_cid"))
+      .withColumn("_cid", explode(nearest_centroids(col("_qv"), centroids, nProbe)))
 
-    val scored = assigned.join(probes, Seq("_cid"))
+    // each corpus row has exactly ONE _cid and each query probes distinct
+    // _cids, so a (query, neighbor) pair meets at most once — no dedup needed
+    val scored = assigned.join(broadcast(probes), Seq("_cid"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosine_similarity(col("_qv"), col("_cv")).as("cosine"))
-      .groupBy(col("query_id"), col("neighbor_id")) // a pair can meet via several probes
-      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -81,20 +81,24 @@ object AsOfJoin {
         struct((col(buildTsOut) +: payloadCols.map(c => col(outName(c)))): _*).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // forward-fill ONE struct per build row (null on probe rows), so the
+    // result's payload columns all come from the SAME build row — per-column
+    // last(ignoreNulls) would mix an older row's non-null value into a newer
+    // build row's null column.
+    val buildRowStruct = when($"_tag" === lit(buildTag),
+      struct(col(buildTsOut).as("_bts") +: payloadCols.map(c => col(outName(c)).as(c)): _*))
+
     val filled = pTagged.unionByName(bTagged)
-      .select(
-        col("*") +:
-          (payloadCols.map(c => last(col(outName(c)), ignoreNulls = true).over(w).as("_f_" + outName(c))) :+
-            last(col(buildTsOut), ignoreNulls = true).over(w).as("_f_" + buildTsOut)): _*)
+      .withColumn("_f", last(buildRowStruct, ignoreNulls = true).over(w))
 
     filled
       .where($"_tag" === probeTag)
       .select(
         (keys.map(col) ++
           probe.columns.filterNot(keys.contains).map(col) ++
-          payloadCols.map(c => col("_f_" + outName(c)).as(outName(c)))) :+
-          col("_f_" + buildTsOut).as(buildTsOut) :+
-          col("_f_" + buildTsOut).isNotNull.as("_asof_matched"): _*)
+          payloadCols.map(c => col("_f").getField(c).as(outName(c)))) :+
+          col("_f").getField("_bts").as(buildTsOut) :+
+          col("_f").isNotNull.as("_asof_matched"): _*)
   }
 
   /** Scale-path implementation: range-bucketed SORT-based as-of.
@@ -169,11 +173,12 @@ object AsOfJoin {
         struct((col(buildTsOut) +: payloadCols.map(c => col(outName(c)))): _*).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // ONE whole-build-row struct forward-filled per (key, bucket) — same
+    // field layout as the carry struct so step (4) can pick rows atomically.
+    val buildRowStruct = when($"_tag" === lit(buildTag),
+      struct(col(buildTsOut).as("_bts") +: payloadCols.map(c => col(outName(c)).as(c)): _*))
     val filled = pTagged.unionByName(bTagged)
-      .select(
-        col("*") +:
-          (payloadCols.map(c => last(col(outName(c)), ignoreNulls = true).over(w).as("_f_" + outName(c))) :+
-            last(col(buildTsOut), ignoreNulls = true).over(w).as("_f_" + buildTsOut)): _*)
+      .withColumn("_f", last(buildRowStruct, ignoreNulls = true).over(w))
     val probes = filled.where($"_tag" === probeTag)
 
     // (2) carry table: last build row per (key, bucket) — bounded to ONE row
@@ -205,17 +210,19 @@ object AsOfJoin {
       .select((keys.indices.map(i => col(s"_ck$i")) :+ $"_cb" :+ $"_prevCarry"): _*)
 
     // (4) combine: in-bucket fill wins when present (its ts >= any
-    // earlier-bucket carry by construction). The carry side is tiny and
-    // AQE broadcast-joins it.
+    // earlier-bucket carry by construction); the whole-row struct coalesce
+    // keeps every payload column from ONE build row. The carry side is tiny
+    // and AQE broadcast-joins it.
     val joinCond = keys.zipWithIndex.map { case (k, i) => probes(k) === col(s"_ck$i") }
       .reduce(_ && _) && probes("_pb") === col("_cb")
     val joined = probes.join(carryForProbeBucket, joinCond, "left")
+      .withColumn("_row", coalesce(col("_f"), col("_prevCarry")))
 
     joined.select(
       (keys.map(col) ++
         probe.columns.filterNot(keys.contains).map(col) ++
-        payloadCols.map(c => coalesce(col("_f_" + outName(c)), col("_prevCarry").getField(c)).as(outName(c)))) :+
-        coalesce(col("_f_" + buildTsOut), col("_prevCarry").getField("_bts")).as(buildTsOut) :+
-        coalesce(col("_f_" + buildTsOut), col("_prevCarry").getField("_bts")).isNotNull.as("_asof_matched"): _*)
+        payloadCols.map(c => col("_row").getField(c).as(outName(c)))) :+
+        col("_row").getField("_bts").as(buildTsOut) :+
+        col("_row").isNotNull.as("_asof_matched"): _*)
   }
 }

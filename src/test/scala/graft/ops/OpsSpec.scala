@@ -121,6 +121,51 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall@10 = $recall") // 8 centroids, probe 4 = half the space
   }
+
+  test("IVF with nProbe == nCentroids equals brute force exactly") {
+    val queries = vecs.where($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding", k = 5))
+    val full = pairs(Similarity.ivfTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, nCentroids = 8, nProbe = 8))
+    assert(full == exact)
+  }
+
+  test("IVF corpus assignment is shuffle-free (no Exchange below the probe join)") {
+    val queries = vecs.where($"vec_id" < 5)
+    val plan = Similarity.ivfTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding",
+      k = 3, nCentroids = 8, nProbe = 2).queryExecution.executedPlan.toString
+    // exactly ONE shuffle exchange in the whole operator: the final top-k
+    // window's hashpartitioning on query_id; assignment is a narrow map and
+    // the query side moves via BroadcastExchange (not a shuffle)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    val hashOnQuery = plan.contains("hashpartitioning(query_id")
+    assert(hashOnQuery, s"expected the only shuffle to be the top-k window:\n$plan")
+    assert(shuffles == 1, s"expected 1 shuffle (top-k window), got $shuffles:\n$plan")
+  }
+}
+
+class SimHashMd5Spec extends SparkSpec {
+  test("md5-token simhash matches the SQL-oracle formulation (verified constants)") {
+    // constants independently computed by the DuckDB mirror of
+    // SparkEntry.simhashOracleSql over the same three documents
+    val expected = Map(0L -> 2360238991694013234L, 1L -> 1205926729029431856L,
+      2L -> -8363888360590953816L)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where("doc_id < 3").select("doc_id", "text").collect()
+    assert(docs.length == 3)
+    docs.foreach { r =>
+      assert(TextKernels.simHash64Md5(r.getString(1)) == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)} signature drifted from the SQL-verified constant")
+    }
+  }
+
+  test("md5Low64 equals big-endian first 8 md5 bytes") {
+    // md5('abc') = 900150983cd24fb0d6963f7d28e17f72 -> 0x900150983cd24fb0
+    assert(TextKernels.md5Low64("abc") == 0x900150983cd24fb0L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

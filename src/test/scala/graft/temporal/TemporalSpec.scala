@@ -97,6 +97,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(cleanB.collect().map(_.toString).sorted.sameElements(poisonedB.collect().map(_.toString).sorted))
   }
 
+  test("null payload values come from the LATEST build row, never mixed across rows") {
+    // build row at t=20 has a null `note`; a per-column forward-fill would
+    // leak t=10's non-null note into it — the whole-row struct fill must not
+    val probe = Seq(("k1", ts(25), "p0")).toDF("key", "t", "probe_payload")
+    val build = Seq(
+      ("k1", ts(10), Option(1.0), Option("first")),
+      ("k1", ts(20), Option(2.0), Option.empty[String])
+    ).toDF("key", "bts", "value", "note")
+    for (r <- Seq(
+        AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts"),
+        AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts", lit(7)),
+        AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts", lit(100)))) {
+      val row = r.collect().head
+      assert(row.getTimestamp(row.fieldIndex("bts")) == ts(20))
+      assert(row.getDouble(row.fieldIndex("value")) == 2.0)
+      assert(row.isNullAt(row.fieldIndex("note")),
+        "note must be null (from the t=20 build row), not filled from t=10")
+    }
+  }
+
   test("keys missing from build yield null payload and matched=false") {
     val probe = Seq(("a", ts(10), "p0"), ("zzz", ts(10), "p1")).toDF("key", "t", "probe_payload")
     val build = Seq(("a", ts(5), 1.0)).toDF("key", "bts", "value")
