@@ -18,6 +18,54 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic DIMACS document derived from `orders` — the same
+    * construction exists as SQL in [[cnfBaseCte]], so the gbdc kernel surface
+    * (normalize / gbd_hash / features / clause parse / sanicheck, q21-q25)
+    * gets hard DuckDB oracles. Variable ranges are DISJOINT per clause slot
+    * (a<b<c<d) so the document is structurally tautology/duplicate-free and
+    * every expected feature is closed-form in the four ints:
+    *
+    *   c q21
+    *   p cnf 650 3
+    *   a -b 0
+    *   c ±d -a 0     (d positive iff o_orderkey even)
+    *   b 0
+    */
+  private def syntheticCnf(s: SparkSession, dir: String): DataFrame = {
+    val sd = when(col("pos_d"), col("d").cast("string"))
+      .otherwise(concat(lit("-"), col("d")))
+    t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        (col("o_orderkey") % 191 + 2).as("a"),
+        (col("o_custkey") % 189 + 200).as("b"),
+        ((col("o_orderkey") + col("o_custkey")) % 187 + 400).as("c"),
+        (col("o_orderkey") % 41 + 600).as("d"),
+        (col("o_orderkey") % 2 === 0).as("pos_d"))
+      .withColumn("text", concat(
+        lit("c q21\np cnf 650 3\n"),
+        col("a"), lit(" -"), col("b"), lit(" 0\n"),
+        col("c"), lit(" "), sd, lit(" -"), col("a"), lit(" 0\n"),
+        col("b"), lit(" 0\n")))
+  }
+
+  /** SQL twin of [[syntheticCnf]] (DuckDB): base ints + the gbd-hash-form
+    * normalized text ("literals single-spaced, clauses 0-terminated,
+    * comment/header dropped" — GBDHash.h:30-50 grammar).
+    */
+  private val cnfBaseCte: String =
+    """base AS (
+      |  SELECT o_orderkey AS id,
+      |    o_orderkey % 191 + 2 AS a, o_custkey % 189 + 200 AS b,
+      |    (o_orderkey + o_custkey) % 187 + 400 AS c, o_orderkey % 41 + 600 AS d,
+      |    (o_orderkey % 2 = 0) AS pos_d
+      |  FROM orders),
+      |norm AS (
+      |  SELECT id, a, b, c, d, pos_d,
+      |    cast(a AS varchar) || ' -' || cast(b AS varchar) || ' 0 ' ||
+      |    cast(c AS varchar) || ' ' ||
+      |    (CASE WHEN pos_d THEN cast(d AS varchar) ELSE '-' || cast(d AS varchar) END) ||
+      |    ' -' || cast(a AS varchar) || ' 0 ' || cast(b AS varchar) || ' 0' AS norm_text
+      |  FROM base)""".stripMargin
+
   /** Flagship: the text-curation pipeline over the documents table —
     * quality + language-id + token stats + exact-dup clustering.
     */
@@ -211,6 +259,64 @@ object SparkEntry {
         threshold = 0.999, bits = 10, tables = 4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- gbdc kernel surface over the synthetic DIMACS column (q21-q25):
+    //      normalize / gbd_hash / base features / clause parse / sanicheck,
+    //      each with a closed-form DuckDB oracle ----
+    "q21_gbd_hash" -> ((s, dir) => {
+      syntheticCnf(s, dir)
+        .select(col("id"), gbd_hash(col("text")).as("gbd"))
+        .orderBy(col("id"))
+    }),
+    "q22_cnf_features" -> ((s, dir) => {
+      val f = cnf_features(col("text"))
+      syntheticCnf(s, dir).select(col("id"),
+          f.getField("clauses").cast("long").as("clauses"),
+          f.getField("variables").cast("long").as("variables"),
+          f.getField("bytes").cast("long").as("bytes"),
+          f.getField("ccs").cast("long").as("ccs"),
+          f.getField("cls1").cast("long").as("cls1"),
+          f.getField("cls2").cast("long").as("cls2"),
+          f.getField("cls3").cast("long").as("cls3"),
+          f.getField("horn").cast("long").as("horn"),
+          f.getField("invhorn").cast("long").as("invhorn"),
+          f.getField("positive").cast("long").as("positive"),
+          f.getField("negative").cast("long").as("negative"))
+        .orderBy(col("id"))
+    }),
+    "q23_normalize" -> ((s, dir) => {
+      syntheticCnf(s, dir)
+        .select(col("id"), normalize_cnf(col("text")).as("norm_text"))
+        .orderBy(col("id"))
+    }),
+    "q24_clause_parse" -> ((s, dir) => {
+      // ParseClauses through relational HOFs: structure + literal aggregates
+      val parsed = syntheticCnf(s, dir)
+        .withColumn("_cl", cnf_clauses(col("text")))
+      parsed.select(col("id"),
+          size(col("_cl")).cast("long").as("n_clauses"),
+          size(flatten(col("_cl"))).cast("long").as("n_lits"),
+          aggregate(flatten(col("_cl")), lit(0L), (acc, x) => acc + x).as("sum_lits"),
+          aggregate(flatten(col("_cl")), lit(0L),
+            (acc, x) => greatest(acc, abs(x).cast("long"))).as("max_abs_lit"))
+        .orderBy(col("id"))
+    }),
+    "q25_sanicheck" -> ((s, dir) => {
+      val sc = cnf_sanicheck(col("text"))
+      syntheticCnf(s, dir).select(col("id"),
+          sc.getField("head_vars").cast("long").as("head_vars"),
+          sc.getField("head_clauses").cast("long").as("head_clauses"),
+          sc.getField("norm_vars").cast("long").as("norm_vars"),
+          sc.getField("norm_clauses").cast("long").as("norm_clauses"),
+          sc.getField("whitespace_normalised").cast("long").as("whitespace_normalised"),
+          sc.getField("has_comment").cast("long").as("has_comment"),
+          sc.getField("sani_vars").cast("long").as("sani_vars"),
+          sc.getField("sani_clauses").cast("long").as("sani_clauses"),
+          sc.getField("has_tautological_clause").cast("long").as("has_tautological_clause"),
+          sc.getField("has_duplicate_literals").cast("long").as("has_duplicate_literals"),
+          sc.getField("has_empty_clause").cast("long").as("has_empty_clause"))
+        .orderBy(col("id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -338,7 +444,49 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM u a JOIN u b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q21_gbd_hash" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, md5(norm_text) AS gbd FROM norm ORDER BY id""".stripMargin,
+    "q22_cnf_features" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(3 AS bigint) AS clauses,
+         |cast(d AS bigint) AS variables,
+         |cast(6
+         |  + 2*(ceil(log10(a)) + 1)           -- a (clause 1) + -a less sign (cl 2)
+         |  + 1                                -- the '-' of -a
+         |  + 2*(ceil(log10(b)) + 1) + 1       -- -b and b
+         |  + ceil(log10(c)) + 1
+         |  + (CASE WHEN pos_d THEN 0 ELSE 1 END) + ceil(log10(d)) + 1
+         |  AS bigint) AS bytes,
+         |cast(d - 3 AS bigint) AS ccs,  -- unused vars 1..d are singleton components: (d-4) + 1 linked
+
+         |cast(1 AS bigint) AS cls1, cast(1 AS bigint) AS cls2, cast(1 AS bigint) AS cls3,
+         |cast(CASE WHEN pos_d THEN 3 ELSE 2 END AS bigint) AS horn,
+         |cast(CASE WHEN pos_d THEN 2 ELSE 3 END AS bigint) AS invhorn,
+         |cast(1 AS bigint) AS positive, cast(0 AS bigint) AS negative
+         |FROM norm ORDER BY id""".stripMargin,
+    "q23_normalize" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, norm_text FROM norm ORDER BY id""".stripMargin,
+    "q24_clause_parse" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, cast(3 AS bigint) AS n_clauses, cast(6 AS bigint) AS n_lits,
+         |cast(c + (CASE WHEN pos_d THEN d ELSE -d END) AS bigint) AS sum_lits,
+         |cast(d AS bigint) AS max_abs_lit
+         |FROM norm ORDER BY id""".stripMargin,
+    "q25_sanicheck" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(650 AS bigint) AS head_vars, cast(3 AS bigint) AS head_clauses,
+         |cast(d AS bigint) AS norm_vars, cast(3 AS bigint) AS norm_clauses,
+         |cast(1 AS bigint) AS whitespace_normalised, cast(1 AS bigint) AS has_comment,
+         |cast(d AS bigint) AS sani_vars, cast(3 AS bigint) AS sani_clauses,
+         |cast(0 AS bigint) AS has_tautological_clause,
+         |cast(0 AS bigint) AS has_duplicate_literals,
+         |cast(0 AS bigint) AS has_empty_clause
+         |FROM norm ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
