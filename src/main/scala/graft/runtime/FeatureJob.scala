@@ -20,14 +20,16 @@ import graft.temporal.Windows
   *        stage exchange-free: sessionize [W4], lag/delta [W1], backfill [W2]
   *     -> per-shard parquet + atomic lineage manifest + metrics
   *
-  * Scale design: work is split into `shards` by url hash; every shard is an
-  * independent idempotent write (mode=overwrite into its own directory) and
-  * is recorded in the manifest only after the write is durable, so a killed
-  * job resumes by processing exactly the missing shards (ResumeSpec proves
-  * output equality). Hot-url skew inside a shard is handled by AQE; the
-  * shard split itself spreads urls uniformly (xxhash64). On a real Iceberg
-  * layout the shard predicate becomes a storage-partition prune instead of
-  * a scan filter — the facade keeps that swap local to `shardFilter`.
+  * Scale design: work is split into `shards` by url hash; ONE job processes
+  * every missing shard (single input scan, `_shard IN (...)` selection,
+  * dynamic-partition-overwrite write into per-shard directories) with
+  * per-shard rows/checksums observed in-flight, and each shard is recorded
+  * in the manifest only after the write is durable, so a killed job resumes
+  * by processing exactly the missing shards (ResumeSpec proves output
+  * equality). Hot-url skew inside a shard is handled by AQE; the shard
+  * split itself spreads urls uniformly (xxhash64). On a real Iceberg layout
+  * the `_shard` predicate becomes a storage-partition prune (same
+  * pmod(xxhash64(url)) formula as PageTable.BucketCol).
   */
 object FeatureJob {
 
@@ -117,28 +119,48 @@ object FeatureJob {
   def pipeline(pages: DataFrame, cfg: Config): DataFrame =
     temporalStage(extractStage(pages, cfg.format), cfg)
 
-  /** Unordered content checksum of a shard output (resume equality proof):
-    * sum of per-row xxhash64 over the identity columns.
+  /** Per-row content-checksum term (resume equality proof): xxhash64 over
+    * the identity columns, decimal-accumulated (exact under ANSI mode; a
+    * long sum would overflow).
     */
-  private def checksumOf(df: DataFrame): Long =
-    // decimal accumulation: exact under ANSI mode (long sum would overflow)
-    df.select(sum(xxhash64(col("url"), col("warc_ts"), coalesce(col("instance_id"), lit("")))
-        .cast("decimal(20,0)")).as("c"))
-      .head().getAs[Any]("c") match {
-      case null => 0L
-      case x: java.math.BigDecimal => x.longValue()
-      case x: Long => x
-    }
+  private def checksumTerm: org.apache.spark.sql.Column =
+    xxhash64(col("url"), col("warc_ts"), coalesce(col("instance_id"), lit("")))
+      .cast("decimal(20,0)")
 
-  /** Fingerprint of the input relation: schema + row count (cheap; a real
-    * Iceberg table would use its snapshot id here).
+  /** Fingerprint of the input relation from METADATA only — no input scan
+    * (the previous count() was a full corpus pass). File-backed inputs
+    * (parquet/Iceberg-layout) fingerprint on the sorted file listing — stable
+    * across sessions, the plain-Parquet stand-in for an Iceberg snapshot id.
+    * In-memory test relations fall back to the canonicalized-plan hash
+    * (stable per plan within a session).
     */
   def fingerprint(pages: DataFrame): String = {
     val schemaHash = java.lang.Integer.toHexString(pages.schema.simpleString.hashCode)
-    s"$schemaHash-${pages.count()}"
+    val files = pages.inputFiles
+    val source =
+      if (files.nonEmpty)
+        f"f${java.util.Arrays.hashCode(files.sorted.asInstanceOf[Array[AnyRef]])}%08x-${files.length}"
+      else
+        s"p${pages.queryExecution.logical.semanticHash()}"
+    s"$schemaHash-$source"
   }
 
-  /** Run resumably: process every shard missing from the manifest. */
+  /** Run resumably: process every shard missing from the manifest, in ONE
+    * pass over the input. The missing shards are selected with a single
+    * `_shard IN (...)` predicate (on the Iceberg-style PageTable layout this
+    * is a partition prune — `_shard` uses the same pmod(xxhash64(url))
+    * formula as PageTable.BucketCol), the pipeline runs once for all of
+    * them, and a dynamic-partition-overwrite write lands every shard
+    * directory in the same job. Per-shard row counts and content checksums
+    * are observed IN-FLIGHT (Dataset.observe), so nothing is re-read after
+    * the write — the job reads the input exactly once (the round-1 version
+    * scanned it O(shards) times plus a fingerprint count and per-shard
+    * read-backs).
+    *
+    * Durability contract is unchanged: manifest entries commit only after
+    * the write completes, so a crash mid-job reprocesses exactly the
+    * uncommitted shards on resume (idempotent partition overwrite).
+    */
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): RunReport = {
     val t0 = System.currentTimeMillis()
     val listener = new GraftMetricsListener
@@ -147,22 +169,41 @@ object FeatureJob {
       val fp = fingerprint(pages)
       val done = if (cfg.resume) Manifest.completed(cfg.outDir, fp) else Map.empty[Int, Manifest.Entry]
       val todo = (0 until cfg.shards).filterNot(done.contains)
-      var totalRows = 0L
-      val withShard = pages.withColumn("_shard", shardCol(cfg.shards))
 
-      todo.foreach { shard =>
-        val s0 = System.currentTimeMillis()
-        val shardPages = withShard.where(col("_shard") === shard).drop("_shard")
-        val out = pipeline(shardPages, cfg)
-        val path = s"${cfg.outDir}/data/shard=$shard"
-        out.write.mode("overwrite").parquet(path)
-        val written = spark.read.parquet(path)
-        val rows = written.count()
-        val checksum = checksumOf(written)
-        totalRows += rows
-        Manifest.commit(cfg.outDir, Manifest.Entry(
-          shard, rows, checksum, path, fp,
-          System.currentTimeMillis() - s0, System.currentTimeMillis()))
+      var totalRows = 0L
+      if (todo.nonEmpty) {
+        val withShard = pages.withColumn("_shard", shardCol(cfg.shards))
+        val input =
+          if (todo.size == cfg.shards) withShard
+          else withShard.where(col("_shard").isin(todo: _*))
+        val out = pipeline(input, cfg)
+
+        val metricExprs = todo.flatMap(s => Seq(
+          count(when(col("_shard") === s, 1)).as(s"rows_$s"),
+          sum(when(col("_shard") === s, checksumTerm)).as(s"sum_$s")))
+        val obs = org.apache.spark.sql.Observation(s"graft_shards_$t0")
+
+        out.observe(obs, metricExprs.head, metricExprs.tail: _*)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_shard")
+          .parquet(s"${cfg.outDir}/data")
+
+        val metrics = obs.get
+        val wallMs = System.currentTimeMillis() - t0
+        todo.foreach { s =>
+          val rows = metrics(s"rows_$s").asInstanceOf[Long]
+          val checksum = metrics(s"sum_$s") match {
+            case null => 0L
+            case d: java.math.BigDecimal => d.longValue()
+            case l: Long => l
+          }
+          totalRows += rows
+          Manifest.commit(cfg.outDir, Manifest.Entry(
+            s, rows, checksum, s"${cfg.outDir}/data/_shard=$s", fp,
+            wallMs, System.currentTimeMillis()))
+        }
       }
 
       Files.createDirectories(Paths.get(cfg.outDir))

@@ -63,6 +63,22 @@ class ResumeSpec extends SparkSpec {
       mb.view.mapValues(e => (e.rowCount, e.checksum)).toMap)
   }
 
+  test("full run reads the input exactly once (recordsRead == input rows)") {
+    val dir = freshDir()
+    val cfgBase = PageGen.Config(urls = 50, revisitsPerUrl = 3, hotUrls = 1, hotFactor = 4)
+    PageGen.pages(spark, cfgBase).toDF().write.parquet(s"$dir/pages")
+    val input = spark.read.parquet(s"$dir/pages")
+    val out = s"$dir/out"
+    FeatureJob.run(spark, input, FeatureJob.Config(outDir = out, shards = 4))
+    val metrics = new String(Files.readAllBytes(java.nio.file.Paths.get(out, "metrics.json")))
+    val recordsRead = """"recordsRead":(\d+)""".r.findFirstMatchIn(metrics).get.group(1).toLong
+    val n = PageGen.totalRows(cfgBase)
+    assert(recordsRead >= n, s"input must be fully scanned: $recordsRead < $n")
+    assert(recordsRead <= (n * 1.2).toLong,
+      s"recordsRead $recordsRead indicates repeated input scans for $n input rows " +
+        "(round-1 per-shard loop read it O(shards) times)")
+  }
+
   test("stale manifest (input changed) triggers reprocessing") {
     val out = freshDir()
     val p1 = PageGen.pages(spark, PageGen.Config(urls = 10, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2)).toDF()
