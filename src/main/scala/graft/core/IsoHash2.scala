@@ -14,14 +14,10 @@ package graft.core
   *    onto the clause's literals, then a per-variable finalize mixing old
   *    pos/neg colors (ISOHash2.h:126-143)
   *  - stop when the distinct oriented-state count stabilizes, max 31 rounds
-  *  - final = digest of the SORTED canonical per-var state hashes
-  *
-  * DOCUMENTED DIVERGENCE: the reference digests the sorted state array with
-  * XXH3_64 (ISOHash2.h:220); XXH3 is not available here, so the digest is
-  * XXH64 (same byte stream, same sort). The hash is an opaque
-  * equivalence-class key — its contract is the invariance property, which
-  * the scramble-corpus tests assert; only the constant differs from the
-  * reference's output.
+  *  - final = XXH3-64 digest of the SORTED canonical per-var state hashes
+  *    (ISOHash2.h:220) — CONSTANT parity with the reference: IsoHash2Spec
+  *    asserts digests equal to values computed by compiling the reference's
+  *    own ISOHash2.h, so values join against existing gbd databases.
   */
 object IsoHash2 {
 
@@ -159,75 +155,22 @@ object IsoHash2 {
       prevPartitions = partitions
     }
 
-    // final canonical state hashes, sorted, digested
+    // final canonical state hashes, UNSIGNED-sorted (std::sort on uint64_t),
+    // digested. Sign-bit flip turns unsigned order into signed order for
+    // Arrays.sort, flipped back before digesting.
     val cur = colors(round % 2)
     var v = 1
     while (v <= nVars) {
-      stateBuf(v - 1) = stateCanonical(cur(2 * v), cur(2 * v + 1))
+      stateBuf(v - 1) = stateCanonical(cur(2 * v), cur(2 * v + 1)) ^ Long.MinValue
       v += 1
     }
     java.util.Arrays.sort(stateBuf)
-    Stats(Xxh64.hashLongs(stateBuf), round, stabilized)
+    v = 0
+    while (v < nVars) { stateBuf(v) ^= Long.MinValue; v += 1 }
+    Stats(Xxh3.hashLongs(stateBuf), round, stabilized)
   }
 
   /** Hex form matching the reference's 16-hex zero-padded rendering. */
   def isoHash2(buf: Array[Byte]): String =
     f"${run(sanitizedParse(buf)).hash}%016x"
-}
-
-/** XXH64 (public algorithm, Yann Collet) over an array of longs in
-  * little-endian byte order — the final digest for IsoHash2 (stand-in for
-  * the reference's XXH3_64; see divergence note above).
-  */
-object Xxh64 {
-  private val P1 = 0x9e3779b185ebca87L
-  private val P2 = 0xc2b2ae3d27d4eb4fL
-  private val P3 = 0x165667b19e3779f9L
-  private val P4 = 0x85ebca77c2b2ae63L
-  private val P5 = 0x27d4eb2f165667c5L
-
-  @inline private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
-  @inline private def round(acc: Long, input: Long): Long = rotl(acc + input * P2, 31) * P1
-  @inline private def mergeRound(acc0: Long, v: Long): Long = {
-    val acc = acc0 ^ round(0L, v)
-    acc * P1 + P4
-  }
-
-  /** XXH64(seed=0) of longs serialized little-endian (length % 8 == 0). */
-  def hashLongs(data: Array[Long]): Long = {
-    val len = data.length * 8L
-    var h: Long = 0L
-    var i = 0
-    if (data.length >= 4) {
-      var v1 = P1 + P2
-      var v2 = P2
-      var v3 = 0L
-      var v4 = -P1
-      while (i + 4 <= data.length) {
-        v1 = round(v1, data(i))
-        v2 = round(v2, data(i + 1))
-        v3 = round(v3, data(i + 2))
-        v4 = round(v4, data(i + 3))
-        i += 4
-      }
-      h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
-      h = mergeRound(h, v1)
-      h = mergeRound(h, v2)
-      h = mergeRound(h, v3)
-      h = mergeRound(h, v4)
-    } else {
-      h = P5
-    }
-    h += len
-    while (i < data.length) {
-      h ^= round(0L, data(i))
-      h = rotl(h, 27) * P1 + P4
-      i += 1
-    }
-    h ^= h >>> 33
-    h *= P2
-    h ^= h >>> 29
-    h *= P3
-    h ^ (h >>> 32)
-  }
 }

@@ -5,12 +5,27 @@ import graft.Fixtures
 
 /** Invariance/metamorphic contract for isohash2, replaying the reference's
   * own scramble corpus (/root/reference/test/tests_isohash2.cc:40-119 and
-  * test/resources/scrambled/). The hash VALUE diverges from the reference
-  * (XXH64 vs XXH3 final digest — documented in IsoHash2.scala); the graded
-  * property is invariance under isomorphism-preserving scrambles.
+  * test/resources/scrambled/), PLUS constant parity: hash values equal to
+  * outputs of the reference's own ISOHash2.h compiled against upstream
+  * xxhash (XXH3-64 final digest).
   */
 class IsoHash2Spec extends AnyFunSuite {
   private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("constant parity with the reference implementation") {
+    // expected values computed by compiling /root/reference/src/identify/
+    // ISOHash2.h + upstream xxhash and running it on these exact documents
+    assert(IsoHash2.isoHash2(b("p cnf 3 2\n1 -2 0\n2 3 0\n")) == "e61df66f2a3fbae6")
+    assert(IsoHash2.isoHash2(b("p cnf 5 4\n1 2 3 0\n-1 4 0\n-4 -5 0\n5 1 0\n")) == "4cd2efc08e84b7c1")
+    // duplicate literal removed by the sanitized loader
+    assert(IsoHash2.isoHash2(b("p cnf 2 1\n1 1 -2 0\n")) == "ba3057aff7a7db65")
+    // tautological clause dropped by the sanitized loader
+    assert(IsoHash2.isoHash2(b("p cnf 2 2\n1 -1 0\n2 0\n")) == "e0f5191081a623cd")
+    // the scramble corpus' clique formula (all scrambles hash identically
+    // in the reference too)
+    val clique = Fixtures.resourceBytes("/gbdc/scrambled_simple/clique_notchanged.cnf")
+    assert(IsoHash2.isoHash2(clique) == "b87a9d82fd7ee2ad")
+  }
 
   test("invariant under clause permutation and literal order") {
     val a = b("p cnf 4 3\n1 -2 0\n2 3 4 0\n-1 -4 0\n")
