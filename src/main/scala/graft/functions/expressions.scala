@@ -218,35 +218,50 @@ case class ExtractFeatures(child: Expression, format: String) extends DocKernelE
 }
 
 object CnfExtract {
+  /** Default per-document byte budget (the reference's per-call
+    * ResourceLimits contract, /root/reference/src/util/ResourceLimits.h:
+    * time/memory budgets per extraction → structured `timeout|memout`
+    * outcome at Main.cc:177-191. Here the budget is a DETERMINISTIC byte
+    * cap — the kernels are linear in input bytes, so capping bytes caps
+    * both work and memory, and unlike a wall-clock kill the outcome is
+    * identical on every rerun, which the resume checksums require).
+    */
+  val DefaultMaxBytes: Int = 64 << 20
+
   val schema: StructType = StructType(Seq(
     StructField("instance_id", StringType, nullable = true),
     StructField("features", FeatureSchemas.cnf, nullable = true),
-    StructField("parse_ok", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    StructField("parse_ok", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("limited", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 /** Fused identity + features: one evaluation computes gbd_hash and the full
   * base-feature vector over the same in-memory buffer (one UTF8String fetch,
   * two byte-local scans) — the per-row hot path of FeatureJob. Never null:
-  * a malformed doc yields (null, null, parse_ok=false) so the status column
-  * needs no second evaluation.
+  * a malformed doc yields (null, null, parse_ok=false, limited=false) and a
+  * doc over the byte budget yields (null, null, false, limited=true), so
+  * the status column needs no second evaluation and one pathological page
+  * cannot stall a stage at 10^12-doc scale.
   */
-case class CnfExtract(child: Expression) extends DocKernelExpression {
+case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBytes)
+    extends DocKernelExpression {
   override def nullable: Boolean = false
   override def dataType: StructType = CnfExtract.schema
   override def prettyName: String = "cnf_extract"
   protected override def nullSafeEval(input: Any): Any = {
     val buf = docBytes(input)
-    try {
+    if (buf.length > maxBytes) InternalRow(null, null, false, true)
+    else try {
       val hash = Dimacs.gbdHashCnf(buf)
       val features = CnfBase.extract(buf)
-      InternalRow(UTF8String.fromString(hash), InternalRow.fromSeq(features), true)
+      InternalRow(UTF8String.fromString(hash), InternalRow.fromSeq(features), true, false)
     } catch {
-      case _: DocParseException => InternalRow(null, null, false)
+      case _: DocParseException => InternalRow(null, null, false, false)
     }
   }
   override def eval(input: InternalRow): Any = {
     val value = child.eval(input)
-    if (value == null) InternalRow(null, null, false) else nullSafeEval(value)
+    if (value == null) InternalRow(null, null, false, false) else nullSafeEval(value)
   }
   override protected def withNewChildInternal(newChild: Expression): CnfExtract =
     copy(child = newChild)

@@ -41,8 +41,9 @@ package object functions {
   /** Full base-feature vector as a struct of doubles (one fused pass). */
   def cnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Cnf))(c)
 
-  /** Fused identity + features + parse status (FeatureJob hot path). */
+  /** Fused identity + features + parse/limit status (FeatureJob hot path). */
   def cnf_extract(c: Column): Column = col1(CnfExtract(_))(c)
+  def cnf_extract(c: Column, maxBytes: Int): Column = col1(CnfExtract(_, maxBytes))(c)
   def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
   def opb_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Opb))(c)
 

@@ -45,7 +45,12 @@ object FeatureJob {
         * feature table needs identity + features, not payload — dragging
         * multi-KB payloads through the window exchange dominates runtime)
         */
-      keepPayload: Boolean = false)
+      keepPayload: Boolean = false,
+      /** per-document resource envelope (ResourceLimits.h contract): a doc
+        * over this byte budget gets status="limit" instead of stalling a
+        * task — deterministic, so resume checksums are stable
+        */
+      maxDocBytes: Int = graft.functions.CnfExtract.DefaultMaxBytes)
 
   final case class RunReport(
       processedShards: Seq[Int],
@@ -60,15 +65,20 @@ object FeatureJob {
   /** The per-row feature stage — no shuffle, fully parallel. */
   def extractStage(pages: DataFrame): DataFrame = extractStage(pages, "cnf")
 
-  def extractStage(pages: DataFrame, format: String): DataFrame = format match {
+  def extractStage(pages: DataFrame, format: String): DataFrame =
+    extractStage(pages, format, graft.functions.CnfExtract.DefaultMaxBytes)
+
+  def extractStage(pages: DataFrame, format: String, maxDocBytes: Int): DataFrame = format match {
     case "cnf" =>
-      // fused hot path: one expression evaluation per row for hash+features
+      // fused hot path: one expression evaluation per row for hash+features;
+      // over-budget docs come back limited=true without running the kernels
       pages
-        .withColumn("_x", cnf_extract(col("text")))
+        .withColumn("_x", cnf_extract(col("text"), maxDocBytes))
         .withColumn("instance_id", col("_x.instance_id"))
         .withColumn("features", col("_x.features"))
         .withColumn("status",
           when(col("text").isNull, "null_text")
+            .when(col("_x.limited"), "limit")
             .when(!col("_x.parse_ok"), "parse_error")
             .otherwise("ok"))
         .drop("_x")
@@ -77,11 +87,15 @@ object FeatureJob {
         case "wcnf" => (gbd_hash_wcnf(col("text")), wcnf_features(col("text")))
         case _ => (gbd_hash_opb(col("text")), opb_features(col("text")))
       }
+      // byte budget enforced via a lazily-evaluated If: over-budget docs
+      // never reach the kernels (If only evaluates the taken branch)
+      val inBudget = octet_length(col("text")) <= maxDocBytes
       pages
-        .withColumn("instance_id", hash)
-        .withColumn("features", features)
+        .withColumn("instance_id", when(inBudget, hash))
+        .withColumn("features", when(inBudget, features))
         .withColumn("status",
           when(col("text").isNull, "null_text")
+            .when(!inBudget, "limit")
             .when(col("features").isNull, "parse_error")
             .otherwise("ok"))
   }
@@ -117,7 +131,7 @@ object FeatureJob {
   }
 
   def pipeline(pages: DataFrame, cfg: Config): DataFrame =
-    temporalStage(extractStage(pages, cfg.format), cfg)
+    temporalStage(extractStage(pages, cfg.format, cfg.maxDocBytes), cfg)
 
   /** Per-row content-checksum term (resume equality proof): xxhash64 over
     * the identity columns, decimal-accumulated (exact under ANSI mode; a

@@ -98,6 +98,25 @@ class ResumeSpec extends SparkSpec {
     assert(statuses == Set("ok"), s"synthetic corpus must parse clean, got $statuses")
   }
 
+  test("over-budget document gets status=limit (resource envelope), normal docs unaffected") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val big = "c big\np cnf 3 1\n" + ("1 -2 3 0\n" * 500) // ~5 KB, over a 1000-byte budget
+    val pages = Seq(
+      graft.pages.Page("http://ok.example", ts, Array.emptyByteArray, "p cnf 2 1\n1 -2 0\n", "en"),
+      graft.pages.Page("http://big.example", ts, Array.emptyByteArray, big, "en"),
+      graft.pages.Page("http://bad.example", ts, Array.emptyByteArray, "p cnf 1 1\nnot a clause\n", "en"))
+      .toDS().toDF()
+    val out = FeatureJob.pipeline(pages,
+      FeatureJob.Config(outDir = "unused", maxDocBytes = 1000))
+      .select("url", "status", "instance_id").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.isNullAt(2))).toMap
+    assert(out("http://ok.example") == ("ok", false))
+    assert(out("http://big.example") == ("limit", true),
+      "over-budget doc must complete the stage with a structured limit status")
+    assert(out("http://bad.example") == ("parse_error", true))
+  }
+
   test("temporal stage plan: exactly one exchange + one sort feed all windows") {
     val plan = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
       .queryExecution.executedPlan.toString
