@@ -48,6 +48,50 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-stage profile of one timed run: where does wall time go at each
+    * parallelism level (scan/extract vs shuffle/window), and how much of the
+    * task time is GC. Diagnostic for the north-rule scaling investigation.
+    */
+  private final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
+    final case class Row(var name: String = "", var tasks: Int = 0,
+                         var wallMs: Long = 0, var runMs: Long = 0,
+                         var cpuMs: Long = 0, var gcMs: Long = 0,
+                         var inBytes: Long = 0, var shufRead: Long = 0,
+                         var shufWrite: Long = 0)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Row]()
+    private def row(id: Int) = stages.computeIfAbsent(id, _ => Row())
+
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val r = row(te.stageId)
+        r.synchronized {
+          r.tasks += 1
+          r.runMs += m.executorRunTime
+          r.cpuMs += m.executorCpuTime / 1000000
+          r.gcMs += m.jvmGCTime
+          r.inBytes += m.inputMetrics.bytesRead
+          r.shufRead += m.shuffleReadMetrics.totalBytesRead
+          r.shufWrite += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    }
+    override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val r = row(i.stageId)
+      r.name = i.name.takeWhile(_ != '\n').take(60)
+      r.wallMs = (for (s <- i.submissionTime; c <- i.completionTime) yield c - s).getOrElse(-1L)
+    }
+    def report(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rows = stages.asScala.toSeq.sortBy(_._1)
+      println(f"${"stage"}%5s ${"tasks"}%5s ${"wall_s"}%7s ${"run_s"}%8s ${"cpu_s"}%8s ${"gc_s"}%7s ${"in_MB"}%8s ${"sr_MB"}%7s ${"sw_MB"}%7s  name")
+      rows.foreach { case (id, r) =>
+        println(f"$id%5d ${r.tasks}%5d ${r.wallMs / 1e3}%7.1f ${r.runMs / 1e3}%8.1f ${r.cpuMs / 1e3}%8.1f ${r.gcMs / 1e3}%7.1f ${r.inBytes / 1e6}%8.0f ${r.shufRead / 1e6}%7.0f ${r.shufWrite / 1e6}%7.0f  ${r.name}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") =>
       val urls = args(1).toInt
@@ -61,44 +105,92 @@ object ScalingBench {
       println(s"""{"generated":${graft.pages.PageGen.totalRows(cfg)},"path":"$path"}""")
       s.stop()
 
+    case Some("count") =>
+      // row count for a config without generating (corpus-reuse path)
+      val urls = args(1).toInt
+      val cfg = graft.pages.PageGen.Config(urls = urls, revisitsPerUrl = 8,
+        hotUrls = 10, hotFactor = 50)
+      println(s"""{"rows":${graft.pages.PageGen.totalRows(cfg)}}""")
+
     case Some("run") =>
       val cores = args(1).toInt
       val path = args(2)
       val s = session(cores)
       val warm = runOnce(s, path) // JIT + page cache, not reported
+      // task-time accounting alongside the wall time: taskSec is invariant
+      // across host-contention draws (the work is constant), so
+      // taskSec/wall = effective cores separates true scaling loss from
+      // external noise on a shared host
+      val prof = new StageProfiler
+      s.sparkContext.addSparkListener(prof)
       val timed = runOnce(s, path)
+      Thread.sleep(1500) // listener bus drain
+      import scala.jdk.CollectionConverters._
+      val rows = prof.stages.asScala.values
+      val taskSec = rows.map(_.runMs).sum / 1e3
+      val cpuSec = rows.map(_.cpuMs).sum / 1e3
+      val gcSec = rows.map(_.gcMs).sum / 1e3
+      println(f"""{"cores":$cores,"warmupSec":$warm%.2f,"sec":$timed%.2f,""" +
+        f""""taskSec":$taskSec%.1f,"cpuSec":$cpuSec%.1f,"gcSec":$gcSec%.1f,""" +
+        f""""effectiveCores":${taskSec / timed}%.1f}""")
+      s.stop()
+
+    case Some("stats") =>
+      // stats <cores> <path> — warmup run, then a timed run with a per-stage
+      // profile (wall/task/cpu/gc/shuffle per stage) printed to stdout.
+      val cores = args(1).toInt
+      val path = args(2)
+      val s = session(cores)
+      val warm = runOnce(s, path)
+      val prof = new StageProfiler
+      s.sparkContext.addSparkListener(prof)
+      val timed = runOnce(s, path)
+      Thread.sleep(2000) // let the listener bus drain
       println(f"""{"cores":$cores,"warmupSec":$warm%.2f,"sec":$timed%.2f}""")
+      prof.report()
       s.stop()
 
     case Some("report") =>
+      // report <pages> <nSmall> <tSmall1,tSmall2,...> <nBig> <tBig1,tBig2,...>
+      // Times come from an ALTERNATING series (small,big,small,big,...), one
+      // fresh JVM per run; the headline estimator is median-over-all-runs.
       val pages = args(1).toLong
       val nSmall = args(2).toInt
-      val tSmall = args(3).toDouble
+      val tsSmall = args(3).split(',').map(_.toDouble).toSeq
       val nBig = args(4).toInt
-      val tBig = args(5).toDouble
+      val tsBig = args(5).split(',').map(_.toDouble).toSeq
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val tSmall = median(tsSmall)
+      val tBig = median(tsBig)
       val ratio = nBig.toDouble / nSmall
       val efficiency = (tSmall / tBig) / ratio
+      val effBest = (tsSmall.min / tsBig.min) / ratio
       val thrSmall = pages / tSmall
       val thrBig = pages / tBig
       println(f"""{"pages":$pages,"cores_small":$nSmall,"cores_big":$nBig,""" +
-        f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+        f""""sec_small_median":$tSmall%.2f,"sec_big_median":$tBig%.2f,""" +
         f""""pages_per_sec_small":$thrSmall%.1f,"pages_per_sec_big":$thrBig%.1f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}""")
+        f""""scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best":$effBest%.3f}""")
       val md =
         f"""
            |## Scaling run (${java.time.Instant.now} UTC)
            |
            |Same job (full feature pipeline: gbd_hash + cnf_features + hash
            |repartition on url + sessionize + lag/delta), same parquet input
-           |($pages%,d pages, hot-url skew built in), each parallelism level
-           |in its own JVM:
+           |($pages%,d pages, hot-url skew built in). ALTERNATING series, one
+           |fresh JVM per run (warmup + timed inside each JVM); legs sized for
+           |>= 60 s at $nBig cores so per-job fixed overhead amortizes:
            |
-           || cores | wall sec | pages/sec |
-           || --- | --- | --- |
-           || $nSmall | $tSmall%.2f | $thrSmall%.1f |
-           || $nBig | $tBig%.2f | $thrBig%.1f |
+           || cores | wall sec (all runs) | median | pages/sec (median) |
+           || --- | --- | --- | --- |
+           || $nSmall | ${tsSmall.map(t => f"$t%.2f").mkString(", ")} | $tSmall%.2f | $thrSmall%.1f |
+           || $nBig | ${tsBig.map(t => f"$t%.2f").mkString(", ")} | $tBig%.2f | $thrBig%.1f |
            |
-           |Scaling efficiency (T_$nSmall / T_$nBig) / ${ratio.toInt} = **$efficiency%.3f**
+           |Scaling efficiency (T_$nSmall / T_$nBig) / ${ratio.toInt}:
+           |median-over-all-runs = **$efficiency%.3f**, best-vs-best = $effBest%.3f
            |(target >= 0.8, BASELINE.json north_rule).
            |""".stripMargin
       Files.createDirectories(Paths.get("BENCH"))

@@ -21,7 +21,13 @@ import graft.functions._
   */
 object Similarity {
 
-  /** Exact top-k: returns (query_id, neighbor_id, cosine, rank). */
+  /** Exact top-k: returns (query_id, neighbor_id, cosine, rank).
+    *
+    * ORACLE-ONLY at scale: all |Q| x |C| scored pairs cross the top-k
+    * window's exchange, so this is the correctness baseline for tests and
+    * small query sets — [[ivfTopK]] is the scale path (narrow assignment,
+    * candidates bounded by probed buckets).
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: String, corpusId: String,
                      queryVec: String, corpusVec: String,
