@@ -9,12 +9,13 @@ import scala.collection.mutable
   * CNFGateFeatures.cc:13-126). Row-local kernel over the SANITIZED clause
   * form (CNFFormula loader, shared with IsoHash2.sanitizedParse).
   *
-  * Scope note (documented gap, SURVEY.md §2.4 A9): the reference can consult
-  * an IPASIR SAT solver for the `fSemantic` check; no solver is available
-  * here, so semantic classification always yields NONE. The reference's own
-  * golden record has n_generic=0 on its fixture, so golden replay is
-  * unaffected; instances whose gates are only semantically recognizable
-  * will count them under n_none.
+  * The `fSemantic` check (GateAnalyzer.h:227-247) consults an incremental
+  * SAT solver ([[Sat.Ipasir]], one instance per analyzed document as in
+  * GateAnalyzer.h:63-70). The reference call sequence is transliterated
+  * INCLUDING its unterminated post-solve output literal (GateAnalyzer.h:245
+  * adds `o.positive()` with no closing 0), which ORs that literal into the
+  * first clause of the document's next semantic check — behavior parity
+  * over intent (GatesSemanticSpec pins both the verdicts and the leak).
   *
   * Literals are int keys 2*var + sign (sign=1 negative), matching the
   * reference's Lit packing; clauses are sorted by key (CNFFormula loader).
@@ -250,7 +251,36 @@ object Gates {
       }
     }
 
-    // checkAddGate (GateAnalyzer.h:174-200); fSemantic unavailable -> NONE
+    // fSemantic (GateAnalyzer.h:227-247): one solver per document, lazily
+    // created on the first semantic check (ipasir_init in the ctor is free
+    // for docs that never reach this path). Transliteration, including the
+    // UNTERMINATED trailing o.positive() (no ipasir_add(S, 0) at :245).
+    var solver: Sat.Ipasir = null
+    def fSemantic(o: Int): Int = {
+      if (solver == null) solver = new Sat.Ipasir()
+      val oPos = o & ~1 // o.positive()
+      var side = 0
+      while (side < 2) { // { fwd, bwd } = { index[~o], index[o] }
+        val f = if (side == 0) index(neg(o)) else index(o)
+        f.foreach { cl =>
+          var i = doc.clauseStart(cl)
+          while (i < doc.clauseEnd(cl)) {
+            val lit = doc.lits(i)
+            if (varOf(lit) != varOf(o)) solver.add(lit)
+            else solver.add(oPos)
+            i += 1
+          }
+          solver.add(0)
+        }
+        side += 1
+      }
+      solver.assume(oPos | 1) // o.negative()
+      val sat = solver.solve()
+      solver.add(oPos) // reference leaves this clause open — so do we
+      if (!sat) GENERIC else NONE
+    }
+
+    // checkAddGate (GateAnalyzer.h:174-200)
     def checkAddGate(out: Int): Boolean = {
       if (index(neg(out)).nonEmpty && isBlockedSet(out)) {
         var gateType = NONE
@@ -259,6 +289,10 @@ object Gates {
           val inputSize = constrainSameInputVariables(out, index(neg(out)), index(out))
           if (inputSize > 0) gateType = fPattern(out, index(neg(out)), index(out), inputSize)
         }
+        // semantic fallback (GateAnalyzer.h:189-193): only when both sides
+        // have >1 clause (single-clause cases are covered by patterns)
+        if (gateType == NONE && index(neg(out)).length > 1 && index(out).length > 1)
+          gateType = fSemantic(out)
         if (gateType != NONE) {
           addGate(gateType, out, index(neg(out)).toList, index(out).toList,
             getInputLiterals(neg(out), index(neg(out))))

@@ -274,7 +274,12 @@ case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
   protected override def nullSafeEval(input: Any): Any = {
     val buf = docBytes(input)
     try InternalRow.fromSeq(Gates.extract(buf))
-    catch { case _: DocParseException => null }
+    catch {
+      case _: DocParseException => null
+      // resource envelope: a doc whose semantic gate checks blow the solver
+      // budget yields null features instead of stalling the task
+      case _: graft.core.Sat.BudgetExceeded => null
+    }
   }
   override protected def withNewChildInternal(newChild: Expression): GateFeaturesExpr =
     copy(child = newChild)
