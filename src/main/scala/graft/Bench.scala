@@ -23,6 +23,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the sf tables are single parquet files; the 128 MB default split
+      // size would make every scan (and the kernel work fused above it) a
+      // single task on one core — cap split size so small files still fan
+      // out across the 32 cores
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      // AQE coalesces post-shuffle stages by BYTE size, but the kernel
+      // queries (q21-q25) run hundreds of ops per input byte above the
+      // exchange — size-based coalescing would fold their compute onto 1-2
+      // cores. Keep post-shuffle partitions small enough to stay fanned out.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (256L << 10).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -47,8 +58,10 @@ object Bench {
     val cfg = graft.pages.PageGen.Config(urls = 6000, revisitsPerUrl = 8, hotUrls = 6, hotFactor = 50)
     val nPages = graft.pages.PageGen.totalRows(cfg)
     val pages = graft.pages.PageGen.pages(spark, cfg, Some(cpus.toInt * 2)).toDF()
-    // warm
-    exhaust(graft.runtime.FeatureJob.extractStage(pages.limit(2000)))
+    // warm with the FULL pipeline once: the JVM has just run 25 queries and
+    // the first pipeline pass pays their heap/JIT debris (measured 2.4x on
+    // an otherwise 1.7 s job) — the timed pass below reflects steady state
+    exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
     val tf0 = System.nanoTime()
     exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
     val featSec = (System.nanoTime() - tf0) / 1e9

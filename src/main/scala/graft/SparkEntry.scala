@@ -47,6 +47,14 @@ object SparkEntry {
         col("b"), lit(" 0\n")))
   }
 
+  /** [[syntheticCnf]] range-partitioned and sorted on id BEFORE the kernel
+    * projection (see q21's plan note).
+    */
+  private def sortedCnfBase(s: SparkSession, dir: String): DataFrame =
+    syntheticCnf(s, dir)
+      .repartitionByRange(32, col("id"))
+      .sortWithinPartitions(col("id"))
+
   /** SQL twin of [[syntheticCnf]] (DuckDB): base ints + the gbd-hash-form
     * normalized text ("literals single-spaced, clauses 0-terminated,
     * comment/header dropped" — GBDHash.h:30-50 grammar).
@@ -265,13 +273,19 @@ object SparkEntry {
     //      normalize / gbd_hash / base features / clause parse / sanicheck,
     //      each with a closed-form DuckDB oracle ----
     "q21_gbd_hash" -> ((s, dir) => {
-      syntheticCnf(s, dir)
+      // Ordered-output kernel pattern: explicit range repartition + in-
+      // partition sort on the CHEAP base, kernels projected above it. The
+      // sort lives below the kernel so the range sampler never evaluates
+      // it (a plain orderBy above the kernel re-runs it on every sampled
+      // row), and the EXPLICIT partition count keeps AQE from coalescing
+      // the kernel stage by (compressed) byte size — kernel cost is
+      // per-row, which size-based coalescing cannot see.
+      sortedCnfBase(s, dir)
         .select(col("id"), gbd_hash(col("text")).as("gbd"))
-        .orderBy(col("id"))
     }),
     "q22_cnf_features" -> ((s, dir) => {
       val f = cnf_features(col("text"))
-      syntheticCnf(s, dir).select(col("id"),
+      sortedCnfBase(s, dir).select(col("id"),
           f.getField("clauses").cast("long").as("clauses"),
           f.getField("variables").cast("long").as("variables"),
           f.getField("bytes").cast("long").as("bytes"),
@@ -283,16 +297,14 @@ object SparkEntry {
           f.getField("invhorn").cast("long").as("invhorn"),
           f.getField("positive").cast("long").as("positive"),
           f.getField("negative").cast("long").as("negative"))
-        .orderBy(col("id"))
     }),
     "q23_normalize" -> ((s, dir) => {
-      syntheticCnf(s, dir)
+      sortedCnfBase(s, dir)
         .select(col("id"), normalize_cnf(col("text")).as("norm_text"))
-        .orderBy(col("id"))
     }),
     "q24_clause_parse" -> ((s, dir) => {
       // ParseClauses through relational HOFs: structure + literal aggregates
-      val parsed = syntheticCnf(s, dir)
+      val parsed = sortedCnfBase(s, dir)
         .withColumn("_cl", cnf_clauses(col("text")))
       parsed.select(col("id"),
           size(col("_cl")).cast("long").as("n_clauses"),
@@ -300,11 +312,10 @@ object SparkEntry {
           aggregate(flatten(col("_cl")), lit(0L), (acc, x) => acc + x).as("sum_lits"),
           aggregate(flatten(col("_cl")), lit(0L),
             (acc, x) => greatest(acc, abs(x).cast("long"))).as("max_abs_lit"))
-        .orderBy(col("id"))
     }),
     "q25_sanicheck" -> ((s, dir) => {
       val sc = cnf_sanicheck(col("text"))
-      syntheticCnf(s, dir).select(col("id"),
+      sortedCnfBase(s, dir).select(col("id"),
           sc.getField("head_vars").cast("long").as("head_vars"),
           sc.getField("head_clauses").cast("long").as("head_clauses"),
           sc.getField("norm_vars").cast("long").as("norm_vars"),
@@ -316,7 +327,6 @@ object SparkEntry {
           sc.getField("has_tautological_clause").cast("long").as("has_tautological_clause"),
           sc.getField("has_duplicate_literals").cast("long").as("has_duplicate_literals"),
           sc.getField("has_empty_clause").cast("long").as("has_empty_clause"))
-        .orderBy(col("id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
