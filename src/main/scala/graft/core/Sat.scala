@@ -213,8 +213,14 @@ object Sat {
 
     private var assumption = 0
 
-    /** ipasir_assume: one assumption, consumed by the next solve. */
-    def assume(lit: Int): Unit = assumption = lit
+    /** ipasir_assume: one assumption, consumed by the next solve. The
+      * assumed variable may be one no clause mentions — still a legal
+      * ipasir call — so it must size the var tables like add() does.
+      */
+    def assume(lit: Int): Unit = {
+      growVars(lit >> 1)
+      assumption = lit
+    }
 
     /** ipasir_solve: true = SAT (10), false = UNSAT (20). Restarts the
       * assignment from scratch each call (small instances; correctness over

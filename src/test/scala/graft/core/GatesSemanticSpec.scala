@@ -129,3 +129,44 @@ class GatesSemanticSpec extends AnyFunSuite {
       assert(graft.Fixtures.fequal(produced(k), expected), s"$k: ${produced(k)} vs $expected")
   }
 }
+
+/** Randomized cross-check of [[Sat.Ipasir]] against brute-force truth-table
+  * enumeration, including incremental adds and assumptions between solves.
+  */
+class SatPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def bruteForce(nVars: Int, clauses: Seq[Seq[Int]], assumption: Int): Boolean = {
+    // lits in Gates packing (2v + sign); var 1..nVars
+    (0 until (1 << nVars)).exists { m =>
+      def isTrue(l: Int) = {
+        val v = (m >> ((l >> 1) - 1) & 1) == 1
+        if ((l & 1) == 0) v else !v
+      }
+      (assumption == 0 || isTrue(assumption)) && clauses.forall(_.exists(isTrue))
+    }
+  }
+
+  test("solver agrees with truth-table enumeration over random incremental CNFs") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (round <- 1 to 300) {
+      val nVars = 2 + rnd.nextInt(9) // 2..10
+      val s = new Sat.Ipasir()
+      val clauses = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+      // 2-4 incremental batches, solve after each
+      for (_ <- 1 to (1 + rnd.nextInt(3))) {
+        for (_ <- 1 to (1 + rnd.nextInt(8))) {
+          val len = 1 + rnd.nextInt(4)
+          val cl = Seq.fill(len)(2 * (1 + rnd.nextInt(nVars)) + rnd.nextInt(2))
+          clauses += cl
+          cl.foreach(s.add)
+          s.add(0)
+        }
+        val assumption = if (rnd.nextBoolean()) 2 * (1 + rnd.nextInt(nVars)) + rnd.nextInt(2) else 0
+        if (assumption != 0) s.assume(assumption)
+        val expected = bruteForce(nVars, clauses.toSeq, assumption)
+        assert(s.solve() == expected,
+          s"round $round nVars=$nVars assumption=$assumption clauses=${clauses.toList}")
+      }
+    }
+  }
+}
