@@ -327,6 +327,29 @@ object SparkEntry {
           sc.getField("has_tautological_clause").cast("long").as("has_tautological_clause"),
           sc.getField("has_duplicate_literals").cast("long").as("has_duplicate_literals"),
           sc.getField("has_empty_clause").cast("long").as("has_empty_clause"))
+    }),
+    "q26_gate_features" -> ((s, dir) => {
+      // Gate recognition over the synthetic doc. Its gate structure is
+      // CLOSED-FORM (derived by hand from GateAnalyzer semantics, not from
+      // engine output): unit (b) roots a MONO gate for b (fwd = clause 1,
+      // input a), whose frontier then gates a MONO a (clause 1 is already
+      // consumed, so a's blocked-set check is vacuous; fwd = clause 2),
+      // leaving c/d ungated. So per row: 2 gates (both MONO), 1 root,
+      // levels b=1, a=2, and n_vars = max var = d. The oracle hard-codes
+      // exactly these derived integers.
+      val g = cnf_gate_features(col("text"))
+      sortedCnfBase(s, dir).select(col("id"),
+          g.getField("n_vars").cast("long").as("n_vars"),
+          g.getField("n_gates").cast("long").as("n_gates"),
+          g.getField("n_roots").cast("long").as("n_roots"),
+          g.getField("n_none").cast("long").as("n_none"),
+          g.getField("n_generic").cast("long").as("n_generic"),
+          g.getField("n_mono").cast("long").as("n_mono"),
+          g.getField("n_and").cast("long").as("n_and"),
+          g.getField("n_or").cast("long").as("n_or"),
+          g.getField("levels_max").cast("long").as("levels_max"),
+          g.getField("levels_mono_min").cast("long").as("levels_mono_min"),
+          g.getField("levels_mono_max").cast("long").as("levels_mono_max"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -496,7 +519,20 @@ object SparkEntry {
          |cast(0 AS bigint) AS has_tautological_clause,
          |cast(0 AS bigint) AS has_duplicate_literals,
          |cast(0 AS bigint) AS has_empty_clause
-         |FROM norm ORDER BY id""".stripMargin)
+         |FROM norm ORDER BY id""".stripMargin,
+    "q26_gate_features" ->
+      // hand-derived gate structure of the synthetic doc (see the query's
+      // comment): 2 MONO gates (b at level 1, a at level 2), 1 root,
+      // n_vars = max var = d, everything else ungated
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(d AS bigint) AS n_vars, cast(2 AS bigint) AS n_gates,
+         |cast(1 AS bigint) AS n_roots, cast(d - 2 AS bigint) AS n_none,
+         |cast(0 AS bigint) AS n_generic, cast(2 AS bigint) AS n_mono,
+         |cast(0 AS bigint) AS n_and, cast(0 AS bigint) AS n_or,
+         |cast(2 AS bigint) AS levels_max, cast(1 AS bigint) AS levels_mono_min,
+         |cast(2 AS bigint) AS levels_mono_max
+         |FROM base ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
