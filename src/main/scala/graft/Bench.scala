@@ -58,13 +58,18 @@ object Bench {
     val cfg = graft.pages.PageGen.Config(urls = 6000, revisitsPerUrl = 8, hotUrls = 6, hotFactor = 50)
     val nPages = graft.pages.PageGen.totalRows(cfg)
     val pages = graft.pages.PageGen.pages(spark, cfg, Some(cpus.toInt * 2)).toDF()
-    // warm with the FULL pipeline once: the JVM has just run 25 queries and
-    // the first pipeline pass pays their heap/JIT debris (measured 2.4x on
-    // an otherwise 1.7 s job) — the timed pass below reflects steady state
-    exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
-    val tf0 = System.nanoTime()
-    exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
-    val featSec = (System.nanoTime() - tf0) / 1e9
+    // warm with the FULL pipeline once (the first pass after 25 queries
+    // pays their heap/JIT debris, measured 2.4x on an otherwise 1.7 s job),
+    // then report the MEDIAN of three timed passes — the host shows
+    // episodic 2x contention noise and the headline metric should not be
+    // hostage to a single draw
+    def pipeOnce(): Double = {
+      val t0 = System.nanoTime()
+      exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    pipeOnce() // warm
+    val featSec = Seq(pipeOnce(), pipeOnce(), pipeOnce()).sorted.apply(1)
     results("feature_pipeline") = featSec
     val pagesPerSec = nPages / featSec
 
