@@ -170,3 +170,31 @@ class SatPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Crash/termination fuzz over the full gate analysis (recognition + BFS +
+  * semantic solver) on random documents — the production path must never
+  * throw (beyond the structured parse/budget outcomes) or hang.
+  */
+class GatesFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("gate extraction terminates on 400 random documents") {
+    val rnd = new scala.util.Random(0xFAB)
+    for (round <- 1 to 400) {
+      val nVars = 1 + rnd.nextInt(30)
+      val nClauses = 1 + rnd.nextInt(60)
+      val body = (1 to nClauses).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        Seq.fill(len)((if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(nVars)))
+          .mkString(" ") + " 0"
+      }.mkString("\n")
+      val doc = s"p cnf $nVars $nClauses\n$body\n".getBytes("UTF-8")
+      try {
+        val out = Gates.extract(doc)
+        assert(out.length == Gates.featureNames.length)
+        assert(out.forall(v => !v.isNaN || true)) // values exist; NaN allowed by stats edge cases
+      } catch {
+        case _: DocParseException => () // structured outcome, fine
+        case _: Sat.BudgetExceeded => () // structured outcome, fine
+      }
+    }
+  }
+}
