@@ -216,9 +216,15 @@ object SparkEntry {
       val union = docs.unionByName(mutated)
       // banding at threshold 0 = raw LSH candidates; the EXACT 3-shingle
       // Jaccard filter then decides — so the output is exactly
-      // {pairs with exact J >= 0.8} (banding recall verified vs the oracle)
+      // {pairs with exact J >= 0.8} provided banding recall is ~1 at the
+      // threshold. 32 bands x 2 rows: a pair at exactly J=0.8 misses all
+      // bands with P = (1-0.8^2)^32 ~ 6e-15, so equality with the exact
+      // oracle cannot hinge on a marginal pair's luck (16x4 banding left
+      // that at ~2e-4). NOTE: engine tokenization (Unicode letter/digit)
+      // and the oracle's [a-z0-9_']+ regex agree because the driver corpus
+      // is ASCII by construction — both q16/q17 oracles assume that.
       val cands = Dedup.minHashPairs(union, "id", "text",
-        numHashes = 64, numBands = 16, threshold = 0.0, shingleSize = 3)
+        numHashes = 64, numBands = 32, threshold = 0.0, shingleSize = 3)
       val sh = union.select(col("id"), shingles(col("text"), 3).as("_sh"))
       cands
         .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))

@@ -49,7 +49,11 @@ object Dedup {
             keyFn: Column => Column = c => md5(c.cast("binary"))): DataFrame = {
     val keyed = df.withColumn("dup_key", keyFn(col(textCol)))
     val ann = exactStats(df, idCol, textCol, keyFn)
-    keyed.join(ann, Seq("dup_key"))
+      .withColumnRenamed("dup_key", "_ann_key")
+    // null-SAFE join key: rows with a null dedup key (null text) must form
+    // their own cluster like any other, not silently vanish through an
+    // inner equi-join where null never equals null
+    keyed.join(ann, keyed("dup_key") <=> ann("_ann_key"))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
       .select(df.columns.map(col) ++
         Seq(col("dup_key"), col("dup_cluster_size"), col("is_canonical")): _*)
@@ -152,17 +156,21 @@ object Dedup {
     val sigs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       posexplode(array((0 until tables).map(t =>
         hyperplane_sig(col(vecCol), bits, 1000L + t)): _*)).as(Seq("_t", "_bucket")))
-    // audit job: map-side-combined (table, bucket) counts — shuffles only
-    // combined counters, never rows/vectors
-    val dropped = sigs.groupBy(col("_t"), col("_bucket"))
-      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketRows).count()
-    val sized = sigs.withColumn("_bsz",
-      count(lit(1)).over(Window.partitionBy(col("_t"), col("_bucket"))))
+    // oversized-bucket audit: ONE map-side-combined aggregate over (table,
+    // bucket) — shuffles combined counters, never rows/vectors — reused
+    // both for the log and to bound the join via a broadcast anti-join
+    // (the previous shape paid an extra full signature pass for the count
+    // plus a Window that dragged every vector through an exchange)
+    val oversized = sigs.groupBy(col("_t"), col("_bucket"))
+      .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketRows)
+      .select(col("_t"), col("_bucket"))
+      .persist()
+    val dropped = oversized.count()
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"embeddingCosinePairs: dropped $dropped oversized LSH buckets " +
           s"(> $maxBucketRows rows); raise bits/maxBucketRows to recover them")
-    val bounded = sized.where(col("_bsz") <= maxBucketRows).drop("_bsz")
+    val bounded = sigs.join(broadcast(oversized), Seq("_t", "_bucket"), "left_anti")
     val a = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_t", "_bucket"))

@@ -186,6 +186,21 @@ object FeatureJob {
 
       var totalRows = 0L
       if (todo.nonEmpty) {
+        // Dynamic partition overwrite only replaces partitions PRESENT in
+        // the written data: a todo shard that yields zero rows this run
+        // would otherwise keep stale files from a previous fingerprint
+        // while the manifest records rows=0. Todo shards are by definition
+        // uncommitted for this fingerprint, so clearing their directories
+        // up front is safe (a crash before commit reprocesses them anyway).
+        todo.foreach { sh =>
+          val dir = Paths.get(s"${cfg.outDir}/data/_shard=$sh")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        }
         val withShard = pages.withColumn("_shard", shardCol(cfg.shards))
         val input =
           if (todo.size == cfg.shards) withShard

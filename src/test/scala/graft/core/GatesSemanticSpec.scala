@@ -188,9 +188,16 @@ class GatesFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       }.mkString("\n")
       val doc = s"p cnf $nVars $nClauses\n$body\n".getBytes("UTF-8")
       try {
-        val out = Gates.extract(doc)
-        assert(out.length == Gates.featureNames.length)
-        assert(out.forall(v => !v.isNaN || true)) // values exist; NaN allowed by stats edge cases
+        val out = Gates.featureNames.zip(Gates.extract(doc)).toMap
+        assert(out.size == Gates.featureNames.length)
+        // structural invariants: every var has exactly one gate type, and
+        // n_gates counts exactly the non-NONE ones
+        val typeCounts = Seq("n_none", "n_generic", "n_mono", "n_and", "n_or",
+          "n_triv", "n_equiv", "n_full").map(out)
+        assert(typeCounts.sum == out("n_vars"), s"type counts must partition vars: $out")
+        assert(out("n_gates") == out("n_vars") - out("n_none"), s"n_gates mismatch: $out")
+        // n_roots can legitimately be 0: a doc whose every clause is a
+        // sanitizer-dropped tautology indexes nothing
       } catch {
         case _: DocParseException => () // structured outcome, fine
         case _: Sat.BudgetExceeded => () // structured outcome, fine
