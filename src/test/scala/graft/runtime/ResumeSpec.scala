@@ -88,6 +88,26 @@ class ResumeSpec extends SparkSpec {
     assert(r.processedShards == Seq(0, 1), "different input fingerprint must not resume")
   }
 
+  test("empty todo shard truncates its stale directory (dynamic overwrite gap)") {
+    // Run 1 populates both shard dirs. Run 2 has a DIFFERENT fingerprint
+    // (all shards todo) but its input only reaches shard 0 — dynamic
+    // partition overwrite alone would leave run 1's _shard=1 files on disk
+    // while the manifest said rows=0; the pre-delete must clear them.
+    val out = freshDir()
+    val p1 = PageGen.pages(spark, PageGen.Config(urls = 20, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2)).toDF()
+    FeatureJob.run(spark, p1, FeatureJob.Config(outDir = out, shards = 2))
+    val p2full = PageGen.pages(spark, PageGen.Config(urls = 21, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2)).toDF()
+    val p2 = p2full.where(FeatureJob.shardCol(2) === 0)
+    val r = FeatureJob.run(spark, p2, FeatureJob.Config(outDir = out, shards = 2))
+    assert(r.processedShards == Seq(0, 1))
+    val written = spark.read.parquet(s"$out/data")
+    val expected = FeatureJob.pipeline(
+      p2.withColumn("_shard", FeatureJob.shardCol(2)),
+      FeatureJob.Config(outDir = "unused"))
+    assert(written.count() == expected.count(), "stale rows from run 1 must not survive")
+    assert(written.where(org.apache.spark.sql.functions.col("_shard") === 1).count() == 0)
+  }
+
   test("pipeline output carries identity, features, status, sessions, deltas") {
     val out = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
     val cols = out.columns.toSet
