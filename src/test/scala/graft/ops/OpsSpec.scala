@@ -38,6 +38,18 @@ class DedupSpec extends SparkSpec {
     assert(r == Set((10L, true), (11L, false)))
   }
 
+  test("exact dedup keeps null-text rows as their own cluster") {
+    val withNulls = docs.unionByName(
+      Seq((90L, null.asInstanceOf[String]), (91L, null.asInstanceOf[String]))
+        .toDF("id", "text"))
+    val out = Dedup.exact(withNulls, "id", "text")
+    assert(out.count() == withNulls.count(), "no row may vanish through the key join")
+    val nulls = out.where($"text".isNull)
+      .select("id", "dup_cluster_size", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(nulls == Set((90L, 2L, true), (91L, 2L, false)))
+  }
+
   test("minhash LSH finds near-duplicate cluster, not unrelated docs") {
     val pairs = Dedup.minHashPairs(docs, "id", "text", numHashes = 128, numBands = 32, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
