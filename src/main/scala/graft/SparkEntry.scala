@@ -356,6 +356,17 @@ object SparkEntry {
           g.getField("levels_max").cast("long").as("levels_max"),
           g.getField("levels_mono_min").cast("long").as("levels_mono_min"),
           g.getField("levels_mono_max").cast("long").as("levels_mono_max"))
+    }),
+    "q27_iso_hash" -> ((s, dir) => {
+      // Degree-sequence isomorphism hash (ISOHash.h:41-75). The synthetic
+      // doc's degree multiset is CLOSED-FORM and polarity-canonical: a and
+      // b see one positive and one negative occurrence each -> (1,1); c is
+      // (0,1); d is (0,1) after the pos>=neg swap WHATEVER pos_d is; all
+      // other vars have zero degree and are gap-dropped. Sorted lex and
+      // serialized "%u %u " that is the byte string "0 1 0 1 1 1 1 1 ",
+      // so the oracle recomputes md5 of that literal itself.
+      sortedCnfBase(s, dir)
+        .select(col("id"), iso_hash(col("text")).as("iso"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -538,6 +549,13 @@ object SparkEntry {
          |cast(0 AS bigint) AS n_and, cast(0 AS bigint) AS n_or,
          |cast(2 AS bigint) AS levels_max, cast(1 AS bigint) AS levels_mono_min,
          |cast(2 AS bigint) AS levels_mono_max
+         |FROM base ORDER BY id""".stripMargin,
+    "q27_iso_hash" ->
+      // hand-derived degree sequence (see the query comment): the oracle
+      // recomputes the hash from the serialized degree bytes, which are
+      // constant for every row of this corpus by construction
+      s"""WITH $cnfBaseCte
+         |SELECT id, md5('0 1 0 1 1 1 1 1 ') AS iso
          |FROM base ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
