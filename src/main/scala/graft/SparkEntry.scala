@@ -367,6 +367,18 @@ object SparkEntry {
       // so the oracle recomputes md5 of that literal itself.
       sortedCnfBase(s, dir)
         .select(col("id"), iso_hash(col("text")).as("iso"))
+    }),
+    "q28_cnf2kis" -> ((s, dir) => {
+      // Derived-instance transform (cnf2kis.h:27-44). Closed-form on the
+      // synthetic doc, derived from the REFERENCE semantics by hand:
+      // nodes = sum of clause sizes = 2+3+1 = 6; edges = (in-clause
+      // cliques 1+3+0) + (opposite-literal products: a 1x1, b 1x1) = 6,
+      // doubled for reflexivity = 12; k = nClauses = 3.
+      val kk = kis_transform(col("text"))
+      sortedCnfBase(s, dir).select(col("id"),
+          kk.getField("nodes").cast("long").as("kis_nodes"),
+          kk.getField("edges").cast("long").as("kis_edges"),
+          kk.getField("k").cast("long").as("kis_k"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -556,6 +568,11 @@ object SparkEntry {
       // constant for every row of this corpus by construction
       s"""WITH $cnfBaseCte
          |SELECT id, md5('0 1 0 1 1 1 1 1 ') AS iso
+         |FROM base ORDER BY id""".stripMargin,
+    "q28_cnf2kis" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, cast(6 AS bigint) AS kis_nodes,
+         |cast(12 AS bigint) AS kis_edges, cast(3 AS bigint) AS kis_k
          |FROM base ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
