@@ -379,6 +379,25 @@ object SparkEntry {
           kk.getField("nodes").cast("long").as("kis_nodes"),
           kk.getField("edges").cast("long").as("kis_edges"),
           kk.getField("k").cast("long").as("kis_k"))
+    }),
+    "q29_sanitize" -> ((s, dir) => {
+      // Sanitizing transform (cnf2cnf.cc:43-86): the input doc gains a
+      // duplicate-literal clause "b b 0" (dedups to "b 0") and a
+      // tautological clause "a -a 0" (dropped), so the sanitized text is
+      // closed-form: reheadered to (max var = d, 4 clauses), literals in
+      // first-occurrence order.
+      val doc5 = concat(
+        lit("c q29\np cnf 650 5\n"),
+        col("a"), lit(" -"), col("b"), lit(" 0\n"),
+        col("c"), lit(" "),
+        when(col("pos_d"), col("d").cast("string"))
+          .otherwise(concat(lit("-"), col("d"))),
+        lit(" -"), col("a"), lit(" 0\n"),
+        col("b"), lit(" 0\n"),
+        col("b"), lit(" "), col("b"), lit(" 0\n"),
+        col("a"), lit(" -"), col("a"), lit(" 0\n"))
+      sortedCnfBase(s, dir)
+        .select(col("id"), sanitize_cnf(doc5).as("sani"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -573,6 +592,17 @@ object SparkEntry {
       s"""WITH $cnfBaseCte
          |SELECT id, cast(6 AS bigint) AS kis_nodes,
          |cast(12 AS bigint) AS kis_edges, cast(3 AS bigint) AS kis_k
+         |FROM base ORDER BY id""".stripMargin,
+    "q29_sanitize" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |'p cnf ' || cast(d AS varchar) || ' 4' || chr(10) ||
+         |cast(a AS varchar) || ' -' || cast(b AS varchar) || ' 0' || chr(10) ||
+         |cast(c AS varchar) || ' ' ||
+         |(CASE WHEN pos_d THEN cast(d AS varchar) ELSE '-' || cast(d AS varchar) END) ||
+         |' -' || cast(a AS varchar) || ' 0' || chr(10) ||
+         |cast(b AS varchar) || ' 0' || chr(10) ||
+         |cast(b AS varchar) || ' 0' || chr(10) AS sani
          |FROM base ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
