@@ -44,14 +44,25 @@ object Bench {
     catch { case _: Throwable => () }
 
     // noop-write exhaust (NOT .count()): count lets Catalyst prune projected
-    // columns, eliding the very expression work a projection query times
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // columns, eliding the very expression work a projection query times.
+    //
+    // Per-query timing is the MEDIAN of three ALTERNATING reps: this host
+    // shows episodic multi-second contention windows (BENCH_r02 recorded
+    // 18.7 s for a query that re-measures at 0.45 s on a quiet draw), and a
+    // single-shot artifact of record is hostage to one bad window. Round-
+    // robin reps (q01..qNN, q01..qNN, ...) decorrelate a contention window
+    // from any single query; the median then discards it entirely.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val reps = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to 3; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      reps(name) = ((System.nanoTime() - t0) / 1e9) :: reps(name)
     }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { name => results(name) = reps(name).sorted.apply(1) }
 
     // feature-extraction pipeline throughput (pages/sec) on a deterministic
     // synthetic corpus — the BASELINE.json headline metric

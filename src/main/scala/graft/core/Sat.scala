@@ -213,11 +213,17 @@ object Sat {
 
     private var assumption = 0
 
-    /** ipasir_assume: one assumption, consumed by the next solve. The
+    /** ipasir_assume, restricted to a SINGLE assumption per solve (the only
+      * shape Gates.fSemantic uses). Real ipasir ACCUMULATES assumptions; a
+      * second assume before solve here would silently drop the first and
+      * return a wrong verdict, so it is rejected loudly instead. The
       * assumed variable may be one no clause mentions — still a legal
       * ipasir call — so it must size the var tables like add() does.
       */
     def assume(lit: Int): Unit = {
+      require(assumption == 0 || assumption == lit,
+        "Sat.Solver supports one assumption per solve(); " +
+          s"assume($lit) would drop pending assumption $assumption")
       growVars(lit >> 1)
       assumption = lit
     }

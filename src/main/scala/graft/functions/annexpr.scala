@@ -43,6 +43,17 @@ trait CentroidExpression extends UnaryExpression with CodegenFallback {
         if (!taken(j) && sims(j) > bestSim) { bestSim = sims(j); best = j }
         j += 1
       }
+      if (best < 0) {
+        // all remaining sims are NaN (e.g. a NaN component in the input
+        // embedding): fall back to the smallest untaken id so one bad
+        // vector degrades to an arbitrary-but-deterministic assignment
+        // instead of crashing the stage
+        var j2 = 0
+        while (best < 0 && j2 < ids.length) {
+          if (!taken(j2)) best = j2
+          j2 += 1
+        }
+      }
       taken(best) = true
       out(k) = best
       k += 1

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -125,9 +124,16 @@ object Dedup {
     val sh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val inverted = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_g"))
-    val pruned = inverted
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("_g"))))
-      .where(col("_df") <= maxShingleDf)
+    // document frequency via groupBy (map-side combine: a hot shingle's
+    // postings collapse to one counter per map task BEFORE the exchange),
+    // then an anti-join drops postings of over-df shingles. The previous
+    // Window.partitionBy(_g) formulation shuffled and sorted every posting
+    // of exactly the shingles being pruned — at web scale the stopword
+    // shingles ARE the shuffle — and ran twice (once per self-join side).
+    val hot = inverted.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_df")).where(col("_df") > maxShingleDf)
+      .select(col("_g"))
+    val pruned = inverted.join(broadcast(hot), Seq("_g"), "left_anti")
     val pairsCommon = pruned.as("x").join(pruned.as("y"), col("x._g") === col("y._g"))
       .where(col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"),
@@ -161,16 +167,25 @@ object Dedup {
     // both for the log and to bound the join via a broadcast anti-join
     // (the previous shape paid an extra full signature pass for the count
     // plus a Window that dragged every vector through an exchange)
-    val oversized = sigs.groupBy(col("_t"), col("_bucket"))
+    val ovAgg = sigs.groupBy(col("_t"), col("_bucket"))
       .agg(count(lit(1)).as("_bsz")).where(col("_bsz") > maxBucketRows)
       .select(col("_t"), col("_bucket"))
-      .persist()
-    val dropped = oversized.count()
-    if (dropped > 0)
+    // the oversized set is driver-bounded (<= rows/maxBucketRows * tables
+    // keys, two scalars each) and feeds a broadcast anyway — collecting it
+    // once replaces the previous persist() that was never unpersisted and
+    // accumulated cached partitions across calls for the session lifetime
+    val ovRows = ovAgg.collect()
+    if (ovRows.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"embeddingCosinePairs: dropped $dropped oversized LSH buckets " +
+        s"embeddingCosinePairs: dropped ${ovRows.length} oversized LSH buckets " +
           s"(> $maxBucketRows rows); raise bits/maxBucketRows to recover them")
-    val bounded = sigs.join(broadcast(oversized), Seq("_t", "_bucket"), "left_anti")
+    val bounded =
+      if (ovRows.isEmpty) sigs
+      else {
+        val ovLocal = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(ovRows: _*), ovAgg.schema)
+        sigs.join(broadcast(ovLocal), Seq("_t", "_bucket"), "left_anti")
+      }
     val a = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = bounded.select(col("_t"), col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_t", "_bucket"))

@@ -43,14 +43,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic k-means (few Lloyd rounds on a driver-collected sample;
-    * init = smallest-id sample rows). Returns centroids as Array[Array[Float]]
-    * — small (nCentroids x dim), meant for broadcast.
+  /** Deterministic k-means (few Lloyd rounds on a driver-collected sample).
+    * The sample is the `sampleSize` smallest rows by xxhash64(id) — a
+    * deterministic pseudorandom draw over the WHOLE corpus. Smallest-id
+    * sampling (the previous form) is biased at real scale: consecutive ids
+    * are one crawl epoch/domain, so centroids would model a corner of the
+    * embedding space. Hash order decorrelates from id order, reproduces
+    * bit-identically across runs, and still costs one narrow pass (top-K
+    * per partition + driver merge, no full sort exchange). Returns
+    * centroids as Array[Array[Float]] — small (nCentroids x dim), meant
+    * for broadcast.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int, sampleSize: Int = 2000, iters: Int = 5): Array[Array[Float]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
       .collect()
       .map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty corpus")

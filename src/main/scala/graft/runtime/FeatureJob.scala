@@ -143,19 +143,35 @@ object FeatureJob {
 
   /** Fingerprint of the input relation from METADATA only — no input scan
     * (the previous count() was a full corpus pass). File-backed inputs
-    * (parquet/Iceberg-layout) fingerprint on the sorted file listing — stable
-    * across sessions, the plain-Parquet stand-in for an Iceberg snapshot id.
-    * In-memory test relations fall back to the canonicalized-plan hash
-    * (stable per plan within a session).
+    * (parquet/Iceberg-layout) fingerprint on the sorted (path, length,
+    * modificationTime) listing, read from the relation's ALREADY-CACHED file
+    * index (no extra filesystem calls) — the plain-Parquet stand-in for an
+    * Iceberg snapshot id. Folding size+mtime means rewriting a same-named
+    * file with different content invalidates completed shards (a path-only
+    * fingerprint would resume over stale outputs). In-memory test relations
+    * fall back to the canonicalized-plan hash (stable per plan within a
+    * session).
     */
   def fingerprint(pages: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val schemaHash = java.lang.Integer.toHexString(pages.schema.simpleString.hashCode)
-    val files = pages.inputFiles
+    val fileEntries: Array[AnyRef] = pages.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect {
+      case fs: HadoopFsRelation =>
+        fs.location.listFiles(Nil, Nil).flatMap(_.files)
+          .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}": AnyRef)
+    }.flatten.sortBy(_.toString).toArray
     val source =
-      if (files.nonEmpty)
-        f"f${java.util.Arrays.hashCode(files.sorted.asInstanceOf[Array[AnyRef]])}%08x-${files.length}"
-      else
-        s"p${pages.queryExecution.logical.semanticHash()}"
+      if (fileEntries.nonEmpty)
+        f"f${java.util.Arrays.hashCode(fileEntries)}%08x-${fileEntries.length}"
+      else {
+        // non-HadoopFs file sources (if any) still contribute their paths
+        val files = pages.inputFiles
+        if (files.nonEmpty)
+          f"f${java.util.Arrays.hashCode(files.sorted.asInstanceOf[Array[AnyRef]])}%08x-${files.length}"
+        else s"p${pages.queryExecution.logical.semanticHash()}"
+      }
     s"$schemaHash-$source"
   }
 
@@ -202,36 +218,43 @@ object FeatureJob {
           }
         }
         val withShard = pages.withColumn("_shard", shardCol(cfg.shards))
-        val input =
-          if (todo.size == cfg.shards) withShard
-          else withShard.where(col("_shard").isin(todo: _*))
-        val out = pipeline(input, cfg)
+        // the in-flight observe() costs 2 conditional aggregates PER TODO
+        // SHARD on every row; past ~64 shards that per-row cost rivals the
+        // scan itself, so very wide todo sets run as several single-pass
+        // batches (each batch still reads only its own `_shard IN` slice,
+        // and the manifest commits per batch — resume granularity improves)
+        todo.grouped(64).foreach { batch =>
+          val input =
+            if (batch.size == cfg.shards) withShard
+            else withShard.where(col("_shard").isin(batch: _*))
+          val out = pipeline(input, cfg)
 
-        val metricExprs = todo.flatMap(s => Seq(
-          count(when(col("_shard") === s, 1)).as(s"rows_$s"),
-          sum(when(col("_shard") === s, checksumTerm)).as(s"sum_$s")))
-        val obs = org.apache.spark.sql.Observation(s"graft_shards_$t0")
+          val metricExprs = batch.flatMap(s => Seq(
+            count(when(col("_shard") === s, 1)).as(s"rows_$s"),
+            sum(when(col("_shard") === s, checksumTerm)).as(s"sum_$s")))
+          val obs = org.apache.spark.sql.Observation(s"graft_shards_${t0}_${batch.head}")
 
-        out.observe(obs, metricExprs.head, metricExprs.tail: _*)
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_shard")
-          .parquet(s"${cfg.outDir}/data")
+          out.observe(obs, metricExprs.head, metricExprs.tail: _*)
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_shard")
+            .parquet(s"${cfg.outDir}/data")
 
-        val metrics = obs.get
-        val wallMs = System.currentTimeMillis() - t0
-        todo.foreach { s =>
-          val rows = metrics(s"rows_$s").asInstanceOf[Long]
-          val checksum = metrics(s"sum_$s") match {
-            case null => 0L
-            case d: java.math.BigDecimal => d.longValue()
-            case l: Long => l
+          val metrics = obs.get
+          val jobWallMs = System.currentTimeMillis() - t0
+          batch.foreach { s =>
+            val rows = metrics(s"rows_$s").asInstanceOf[Long]
+            val checksum = metrics(s"sum_$s") match {
+              case null => 0L
+              case d: java.math.BigDecimal => d.longValue()
+              case l: Long => l
+            }
+            totalRows += rows
+            Manifest.commit(cfg.outDir, Manifest.Entry(
+              s, rows, checksum, s"${cfg.outDir}/data/_shard=$s", fp,
+              jobWallMs, System.currentTimeMillis()))
           }
-          totalRows += rows
-          Manifest.commit(cfg.outDir, Manifest.Entry(
-            s, rows, checksum, s"${cfg.outDir}/data/_shard=$s", fp,
-            wallMs, System.currentTimeMillis()))
         }
       }
 

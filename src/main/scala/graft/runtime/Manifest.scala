@@ -22,7 +22,11 @@ object Manifest {
       checksum: Long,
       outputPath: String,
       inputFingerprint: String,
-      wallMs: Long,
+      /** Wall time of the JOB that produced this shard, not per-shard time:
+        * the single-pass runner lands all missing shards in one write, so
+        * every entry from the same run records the same value.
+        */
+      jobWallMs: Long,
       completedAtMs: Long)
 
   private def dir(outDir: String): Path = Paths.get(outDir, "_manifest")
@@ -33,10 +37,10 @@ object Manifest {
   def toJson(e: Entry): String =
     s"""{"shard":${e.shard},"rowCount":${e.rowCount},"checksum":${e.checksum},""" +
       s""""outputPath":"${e.outputPath}","inputFingerprint":"${e.inputFingerprint}",""" +
-      s""""wallMs":${e.wallMs},"completedAtMs":${e.completedAtMs}}"""
+      s""""jobWallMs":${e.jobWallMs},"completedAtMs":${e.completedAtMs}}"""
 
   private val Pattern =
-    """\{"shard":(\d+),"rowCount":(\d+),"checksum":(-?\d+),"outputPath":"([^"]*)","inputFingerprint":"([^"]*)","wallMs":(\d+),"completedAtMs":(\d+)\}""".r
+    """\{"shard":(\d+),"rowCount":(\d+),"checksum":(-?\d+),"outputPath":"([^"]*)","inputFingerprint":"([^"]*)","jobWallMs":(\d+),"completedAtMs":(\d+)\}""".r
 
   def fromJson(s: String): Option[Entry] = s.trim match {
     case Pattern(sh, rc, ck, op, fp, wm, ca) =>
