@@ -55,6 +55,44 @@ object SparkEntry {
       .repartitionByRange(32, col("id"))
       .sortWithinPartitions(col("id"))
 
+  /** Deterministic WCNF document on the same base ints: one hard clause
+    * (a v -b) and one weight-d soft clause (c). Even rows use the NEW
+    * format (`h` prefix, no p-line), odd rows the OLD format
+    * (`p wcnf v c top` with weight >= top meaning hard) — so the
+    * old-top->h conversion (GBDHash.h:147-207) is driver-exercised, and
+    * both formats parse to the same logical instance while their HASH
+    * streams differ by exactly the reference's notfirst-after-h quirk
+    * (no separator after an `h` clause; see Dimacs.normalizeWcnf).
+    */
+  private def sortedWcnfBase(s: SparkSession, dir: String): DataFrame =
+    syntheticCnf(s, dir)
+      .withColumn("text",
+        when(col("pos_d"), concat(
+          lit("c q30\nh "), col("a"), lit(" -"), col("b"), lit(" 0\n"),
+          col("d"), lit(" "), col("c"), lit(" 0\n")))
+        .otherwise(concat(
+          lit("c q30\np wcnf 650 2 "), col("d") + 1, lit("\n"),
+          col("d") + 1, lit(" "), col("a"), lit(" -"), col("b"), lit(" 0\n"),
+          col("d"), lit(" "), col("c"), lit(" 0\n"))))
+      .repartitionByRange(32, col("id"))
+      .sortWithinPartitions(col("id"))
+
+  /** Deterministic OPB document: a `min:` objective with coefficients
+    * (2, a) and four constraints hitting each classification branch of
+    * OPBBaseFeatures.cc:73-131 — one clause, one >= cardinality, one
+    * general >= pseudo-Boolean (coefficient a), one = cardinality.
+    */
+  private def sortedOpbBase(s: SparkSession, dir: String): DataFrame =
+    syntheticCnf(s, dir)
+      .withColumn("text", concat(
+        lit("* q32\nmin: +2 x1 +"), col("a"), lit(" x2 ;\n"),
+        lit("+1 x1 +1 x2 +1 x3 >= 1 ;\n"),
+        lit("+1 x1 +1 x2 >= 2 ;\n"),
+        lit("+"), col("a"), lit(" x1 +1 x3 >= "), col("a"), lit(" ;\n"),
+        lit("+1 x2 +1 x3 = 1 ;\n")))
+      .repartitionByRange(32, col("id"))
+      .sortWithinPartitions(col("id"))
+
   /** SQL twin of [[syntheticCnf]] (DuckDB): base ints + the gbd-hash-form
     * normalized text ("literals single-spaced, clauses 0-terminated,
     * comment/header dropped" — GBDHash.h:30-50 grammar).
@@ -398,6 +436,150 @@ object SparkEntry {
         col("a"), lit(" -"), col("a"), lit(" 0\n"))
       sortedCnfBase(s, dir)
         .select(col("id"), sanitize_cnf(doc5).as("sani"))
+    }),
+
+    // ---- WCNF / OPB kernel families (round-3 driver visibility for
+    //      S2 format dispatch, N3/N4 hashes, A5/A6 features) ----
+    "q30_wcnf_hash" -> ((s, dir) => {
+      // hash streams (closed-form, Dimacs.normalizeWcnf semantics):
+      //   new format: "h {a} -{b} 0{d} {c} 0"   (no notfirst after h)
+      //   old format: "h {a} -{b} 0 {d} {c} 0"  (weighted branch sets it)
+      sortedWcnfBase(s, dir)
+        .select(col("id"), gbd_hash_wcnf(col("text")).as("wcnf_hash"))
+    }),
+    "q31_wcnf_features" -> ((s, dir) => {
+      // closed form: hard {a,-b} + soft(w=d) {c}; nVars = c (variables are
+      // counted across hard AND soft clauses); cdegree runs over BOTH
+      // clauses (sizes [2,1] -> mean 1.5) which pins the reference quirk
+      // that soft clause sizes enter h_vcg_cdegree (WCNFBaseFeatures.cc:
+      // 214-229) — a hard-only cdegree would read mean 2.0
+      val f = wcnf_features(col("text"))
+      sortedWcnfBase(s, dir).select(col("id"),
+        f.getField("h_clauses").cast("long").as("h_clauses"),
+        f.getField("variables").cast("long").as("variables"),
+        f.getField("h_cls1").cast("long").as("h_cls1"),
+        f.getField("h_cls2").cast("long").as("h_cls2"),
+        f.getField("h_horn").cast("long").as("h_horn"),
+        f.getField("h_invhorn").cast("long").as("h_invhorn"),
+        f.getField("h_positive").cast("long").as("h_positive"),
+        f.getField("h_negative").cast("long").as("h_negative"),
+        f.getField("s_clauses").cast("long").as("s_clauses"),
+        f.getField("s_weight_sum").cast("long").as("s_weight_sum"),
+        f.getField("s_cls1").cast("long").as("s_cls1"),
+        f.getField("s_weight_mean").as("s_weight_mean"),
+        f.getField("s_weight_variance").as("s_weight_variance"),
+        f.getField("s_weight_min").as("s_weight_min"),
+        f.getField("s_weight_max").as("s_weight_max"),
+        f.getField("s_weight_entropy").as("s_weight_entropy"),
+        f.getField("h_vcg_cdegree_mean").as("h_vcg_cdegree_mean"),
+        f.getField("h_vcg_cdegree_variance").as("h_vcg_cdegree_variance"),
+        f.getField("h_vcg_cdegree_min").as("h_vcg_cdegree_min"),
+        f.getField("h_vcg_cdegree_max").as("h_vcg_cdegree_max"),
+        f.getField("h_vcg_cdegree_entropy").as("h_vcg_cdegree_entropy"))
+    }),
+    "q32_opb_features" -> ((s, dir) => {
+      // constraint classification closed-form (one per branch); variables =
+      // max var index + 1 = 4 (the reference's Var(var+1) quirk); objective
+      // coefficient stats over {2, a} are exact dyadic doubles, and the
+      // a == 2 case exerces the trunc-key presence quirk of the double
+      // entropy histogram (CaptureDistribution.cc:48-60)
+      val f = opb_features(col("text"))
+      sortedOpbBase(s, dir).select(col("id"),
+        f.getField("constraints").cast("long").as("constraints"),
+        f.getField("variables").cast("long").as("variables"),
+        f.getField("pbs_ge").cast("long").as("pbs_ge"),
+        f.getField("pbs_eq").cast("long").as("pbs_eq"),
+        f.getField("cards_ge").cast("long").as("cards_ge"),
+        f.getField("cards_eq").cast("long").as("cards_eq"),
+        f.getField("clauses").cast("long").as("clauses"),
+        f.getField("assignments").cast("long").as("assignments"),
+        f.getField("trivially_unsat").cast("long").as("trivially_unsat"),
+        f.getField("obj_terms").cast("long").as("obj_terms"),
+        f.getField("obj_max_val").as("obj_max_val"),
+        f.getField("obj_min_val").as("obj_min_val"),
+        f.getField("obj_coeffs_mean").as("obj_coeffs_mean"),
+        f.getField("obj_coeffs_variance").as("obj_coeffs_variance"),
+        f.getField("obj_coeffs_min").as("obj_coeffs_min"),
+        f.getField("obj_coeffs_max").as("obj_coeffs_max"),
+        f.getField("obj_coeffs_entropy").as("obj_coeffs_entropy"))
+    }),
+    "q33_opb_hash" -> ((s, dir) => {
+      // normalized stream (Dimacs.normalizeOpb): statements concatenated
+      // with no separator, objective tokens space-PREFIXED, constraint
+      // tokens space-SUFFIXED — closed form in the oracle
+      sortedOpbBase(s, dir)
+        .select(col("id"), gbd_hash_opb(col("text")).as("opb_hash"))
+    }),
+
+    // ---- distribution statistics (A1) driver-visible: a doc whose
+    //      clause-size and clause-balance distributions are non-degenerate
+    //      with exact-dyadic stats and exactly-1.0 two-category entropy ----
+    "q34_dist_stats" -> ((s, dir) => {
+      // doc: unit clause {b} + (even rows) {a,-b} | (odd rows) {a,-b,c}.
+      // vcg_cdegree = sizes [1,s]: incremental mean 1+(s-1)/2, variance
+      // ((s-1)/2)^2 (both dyadic-exact under the reference's sorted fold,
+      // CaptureDistribution.cc:76-90); two equal-count categories make the
+      // scaled entropy EXACTLY (0.5+0.5)/log2(2) = 1.0 in ieee754.
+      // balancecls = [0, 1] | [0, 0.5] likewise; its 0.5-value row also
+      // walks the double-histogram presence quirk ((int64)0.5 == key 0).
+      val doc = concat(
+        lit("c q34\np cnf 650 2\n"),
+        col("b"), lit(" 0\n"),
+        col("a"), lit(" -"), col("b"),
+        when(col("pos_d"), lit("")).otherwise(concat(lit(" "), col("c"))),
+        lit(" 0\n"))
+      val f = cnf_features(doc)
+      sortedCnfBase(s, dir).select(col("id"),
+        f.getField("clauses").cast("long").as("clauses"),
+        f.getField("variables").cast("long").as("variables"),
+        f.getField("vcg_cdegree_mean").as("vcg_cdegree_mean"),
+        f.getField("vcg_cdegree_variance").as("vcg_cdegree_variance"),
+        f.getField("vcg_cdegree_min").as("vcg_cdegree_min"),
+        f.getField("vcg_cdegree_max").as("vcg_cdegree_max"),
+        f.getField("vcg_cdegree_entropy").as("vcg_cdegree_entropy"),
+        f.getField("balancecls_mean").as("balancecls_mean"),
+        f.getField("balancecls_variance").as("balancecls_variance"),
+        f.getField("balancecls_min").as("balancecls_min"),
+        f.getField("balancecls_max").as("balancecls_max"),
+        f.getField("balancecls_entropy").as("balancecls_entropy"))
+    }),
+
+    // ---- iso_hash2 (N9) driver-visible: fixed 4-var docs whose WL+XXH3
+    //      digests were derived INDEPENDENTLY by compiling the reference's
+    //      own ISOHash2.h (tools/isohash2_oracle.md) and are hard-coded in
+    //      the oracle, the q27 pattern ----
+    "q35_iso_hash2" -> ((s, dir) => {
+      val doc = when(col("pos_d"),
+          lit("p cnf 4 3\n1 -2 0\n3 4 -1 0\n2 0\n"))
+        .otherwise(lit("p cnf 4 4\n1 -2 0\n3 4 -1 0\n2 0\n4 0\n"))
+      sortedCnfBase(s, dir)
+        .select(col("id"), iso_hash2(doc).as("iso2"))
+    }),
+
+    // ---- cnf2bip derived-instance transform (q28's sibling) ----
+    "q36_cnf2bip" -> ((s, dir) => {
+      // closed form on the synthetic doc (cnf2bip.cc:10-36 over the
+      // SANITIZED clause form): nodes = nVars + nClauses = d + 3, edges =
+      // total literals = 6; edge direction by literal sign, clause nodes
+      // numbered d+1..d+3, literals in per-clause (var, sign) sorted order
+      val bb = bip_transform(col("text"))
+      sortedCnfBase(s, dir).select(col("id"),
+        bb.getField("nodes").cast("long").as("bip_nodes"),
+        bb.getField("edges").cast("long").as("bip_edges"),
+        bb.getField("text").as("bip_text"))
+    }),
+
+    // ---- exact n-gram Jaccard pairs via the inverted shingle index
+    //      (df-pruning disabled by a high cap -> output equals the exact
+    //      Jaccard predicate the oracle recomputes) ----
+    "q37_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.ngramJaccardPairs(docs.unionByName(mutated), "id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = 1000000)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -603,7 +785,130 @@ object SparkEntry {
          |' -' || cast(a AS varchar) || ' 0' || chr(10) ||
          |cast(b AS varchar) || ' 0' || chr(10) ||
          |cast(b AS varchar) || ' 0' || chr(10) AS sani
-         |FROM base ORDER BY id""".stripMargin)
+         |FROM base ORDER BY id""".stripMargin,
+    "q30_wcnf_hash" ->
+      // closed-form normalizeWcnf streams: the new format has NO separator
+      // after the `h` clause (the reference's notfirst quirk), the old
+      // format (weight top+0/top-1) rewrites to `h` WITH the separator
+      s"""WITH $cnfBaseCte
+         |SELECT id, md5(CASE WHEN pos_d
+         |  THEN 'h ' || cast(a AS varchar) || ' -' || cast(b AS varchar) || ' 0'
+         |    || cast(d AS varchar) || ' ' || cast(c AS varchar) || ' 0'
+         |  ELSE 'h ' || cast(a AS varchar) || ' -' || cast(b AS varchar) || ' 0 '
+         |    || cast(d AS varchar) || ' ' || cast(c AS varchar) || ' 0'
+         |END) AS wcnf_hash
+         |FROM base ORDER BY id""".stripMargin,
+    "q31_wcnf_features" ->
+      // hand-derived: hard {a,-b} (cls2, horn+invhorn), soft(w=d) {c}
+      // (cls1); nVars = c; soft-weight stats over the singleton {d};
+      // cdegree over sizes [1,2]: incremental mean 1.5, variance 0.25,
+      // two equal-count categories -> scaled entropy exactly 1.0
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(1 AS bigint) AS h_clauses, cast(c AS bigint) AS variables,
+         |cast(0 AS bigint) AS h_cls1, cast(1 AS bigint) AS h_cls2,
+         |cast(1 AS bigint) AS h_horn, cast(1 AS bigint) AS h_invhorn,
+         |cast(0 AS bigint) AS h_positive, cast(0 AS bigint) AS h_negative,
+         |cast(1 AS bigint) AS s_clauses, cast(d AS bigint) AS s_weight_sum,
+         |cast(1 AS bigint) AS s_cls1,
+         |cast(d AS double) AS s_weight_mean, cast(0 AS double) AS s_weight_variance,
+         |cast(d AS double) AS s_weight_min, cast(d AS double) AS s_weight_max,
+         |cast(0 AS double) AS s_weight_entropy,
+         |cast(1.5 AS double) AS h_vcg_cdegree_mean,
+         |cast(0.25 AS double) AS h_vcg_cdegree_variance,
+         |cast(1 AS double) AS h_vcg_cdegree_min,
+         |cast(2 AS double) AS h_vcg_cdegree_max,
+         |cast(1 AS double) AS h_vcg_cdegree_entropy
+         |FROM base ORDER BY id""".stripMargin,
+    "q32_opb_features" ->
+      // one constraint per classification branch; variables = max var
+      // index + 1 = 4 (Var(var+1) quirk); objective stats over {2, a}
+      // are exact dyadic (incremental fold over the sorted pair)
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(4 AS bigint) AS constraints, cast(4 AS bigint) AS variables,
+         |cast(1 AS bigint) AS pbs_ge, cast(0 AS bigint) AS pbs_eq,
+         |cast(1 AS bigint) AS cards_ge, cast(1 AS bigint) AS cards_eq,
+         |cast(1 AS bigint) AS clauses, cast(0 AS bigint) AS assignments,
+         |cast(0 AS bigint) AS trivially_unsat,
+         |cast(2 AS bigint) AS obj_terms,
+         |cast(2 + a AS double) AS obj_max_val, cast(0 AS double) AS obj_min_val,
+         |2 + (a - 2) / 2.0 AS obj_coeffs_mean,
+         |((a - 2) * (a - 2)) / 4.0 AS obj_coeffs_variance,
+         |cast(2 AS double) AS obj_coeffs_min, cast(a AS double) AS obj_coeffs_max,
+         |cast(CASE WHEN a = 2 THEN 0 ELSE 1 END AS double) AS obj_coeffs_entropy
+         |FROM base ORDER BY id""".stripMargin,
+    "q33_opb_hash" ->
+      // closed-form normalizeOpb stream: statements concatenated with no
+      // separator; objective tokens space-prefixed, constraint tokens
+      // space-suffixed, relation verbatim, bound as ' <bound>;'
+      s"""WITH $cnfBaseCte
+         |SELECT id, md5('min: 2 x1 ' || cast(a AS varchar) ||
+         |  ' x2;1 x1 1 x2 1 x3 >= 1;1 x1 1 x2 >= 2;' || cast(a AS varchar) ||
+         |  ' x1 1 x3 >= ' || cast(a AS varchar) || ';1 x2 1 x3 = 1;') AS opb_hash
+         |FROM base ORDER BY id""".stripMargin,
+    "q34_dist_stats" ->
+      // hand-derived from the reference fold (CaptureDistribution.cc:76-90)
+      // over sizes [1,s] and balances [0,x]: mean 1+(s-1)/2 and x/2,
+      // variance ((s-1)/2)^2 and (x/2)^2 (second fold step adds zero),
+      // min/max = ends, entropy exactly 1.0 (two equal-count categories)
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(2 AS bigint) AS clauses,
+         |cast(CASE WHEN pos_d THEN b ELSE c END AS bigint) AS variables,
+         |CASE WHEN pos_d THEN 1.5 ELSE 2.0 END AS vcg_cdegree_mean,
+         |CASE WHEN pos_d THEN 0.25 ELSE 1.0 END AS vcg_cdegree_variance,
+         |cast(1 AS double) AS vcg_cdegree_min,
+         |CASE WHEN pos_d THEN 2.0 ELSE 3.0 END AS vcg_cdegree_max,
+         |cast(1 AS double) AS vcg_cdegree_entropy,
+         |CASE WHEN pos_d THEN 0.5 ELSE 0.25 END AS balancecls_mean,
+         |CASE WHEN pos_d THEN 0.25 ELSE 0.0625 END AS balancecls_variance,
+         |cast(0 AS double) AS balancecls_min,
+         |CASE WHEN pos_d THEN 1.0 ELSE 0.5 END AS balancecls_max,
+         |cast(1 AS double) AS balancecls_entropy
+         |FROM base ORDER BY id""".stripMargin,
+    "q35_iso_hash2" ->
+      // constants derived INDEPENDENTLY of the engine by compiling the
+      // reference's own ISOHash2.h against these exact documents
+      // (tools/isohash2_oracle.md records the harness and outputs)
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |CASE WHEN pos_d THEN '68a00fa8125d23fc' ELSE 'ad8107aa2190eaa3' END AS iso2
+         |FROM base ORDER BY id""".stripMargin,
+    "q36_cnf2bip" ->
+      // closed-form bipartite incidence doc: clause nodes d+1..d+3, one
+      // edge per literal in per-clause (var, sign) sorted order, direction
+      // clause->var for positive literals, var->clause for negative
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |cast(d + 3 AS bigint) AS bip_nodes, cast(6 AS bigint) AS bip_edges,
+         |'c directed bipartite graph representation from cnf' || chr(10) ||
+         |'p edge ' || cast(d + 3 AS varchar) || ' 6' || chr(10) ||
+         |'e ' || cast(d + 1 AS varchar) || ' ' || cast(a AS varchar) || chr(10) ||
+         |'e ' || cast(b AS varchar) || ' ' || cast(d + 1 AS varchar) || chr(10) ||
+         |'e ' || cast(a AS varchar) || ' ' || cast(d + 2 AS varchar) || chr(10) ||
+         |'e ' || cast(d + 2 AS varchar) || ' ' || cast(c AS varchar) || chr(10) ||
+         |(CASE WHEN pos_d
+         |  THEN 'e ' || cast(d + 2 AS varchar) || ' ' || cast(d AS varchar)
+         |  ELSE 'e ' || cast(d AS varchar) || ' ' || cast(d + 2 AS varchar) END) || chr(10) ||
+         |'e ' || cast(d + 3 AS varchar) || ' ' || cast(b AS varchar) || chr(10) AS bip_text
+         |FROM base ORDER BY id""".stripMargin,
+    "q37_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  cast(len(s_common) AS double) /
+        |  cast(len(a.s) + len(b.s) - len(s_common) AS double) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE len(s_common) > 0 AND
+        |  cast(len(s_common) AS double) / cast(len(a.s) + len(b.s) - len(s_common) AS double) >= 0.8
+        |ORDER BY 1, 2""".stripMargin
+        .replace("s_common", "list_intersect(a.s, b.s)"))
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -81,6 +81,16 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 1L)) - exact01) < 1e-12)
   }
 
+  test("ngram jaccard df-pruning is window-free (map-side-combined groupBy)") {
+    val plan = Dedup.ngramJaccardPairs(docs, "id", "text", n = 5, threshold = 0.5, maxShingleDf = 1000)
+      .queryExecution.executedPlan.toString
+    // document frequency must come from an aggregate (partial/final, so hot
+    // shingles collapse in the combiner) — the old Window.partitionBy(_g)
+    // dragged every posting of every pruned shingle through an exchange+sort
+    assert(!plan.contains("Window"), s"df-pruning must not use a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"df must be a combinable aggregate:\n$plan")
+  }
+
   test("clusters: min-label propagation groups transitively") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -143,6 +153,41 @@ class SimilaritySpec extends SparkSpec {
     val full = pairs(Similarity.ivfTopK(queries, vecs, "vec_id", "vec_id", "embedding", "embedding",
       k = 5, nCentroids = 8, nProbe = 8))
     assert(full == exact)
+  }
+
+  test("centroid sample is unbiased under id-correlated (crawl-epoch) clusters") {
+    // three well-separated clusters laid out CONSECUTIVELY by id — the
+    // layout of a real corpus where consecutive ids are one crawl epoch or
+    // domain. The old smallest-id sample saw only cluster 0 and trained
+    // every centroid inside it; the hash-ordered sample draws from all
+    // three. The biased behavior is reproduced exactly by training on the
+    // smallest-id slice (a 60-row corpus hash-samples to itself).
+    val rnd = new scala.util.Random(7)
+    val centers = Array(
+      Array.tabulate(16)(i => if (i < 5) 1f else 0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1f else 0f),
+      Array.tabulate(16)(i => if (i >= 10) 1f else 0f))
+    val rows = (0L until 300L).map { i =>
+      (i, centers((i / 100L).toInt).map(_ + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").cache()
+    def coverage(cents: Array[Array[Float]]): Int =
+      centers.count(c => cents.exists(k => TextKernels.cosine(k, c) > 0.9))
+    val unbiased = Similarity.trainCentroids(df, "vec_id", "embedding", nCentroids = 6, sampleSize = 60)
+    val biased = Similarity.trainCentroids(
+      df.orderBy("vec_id").limit(60), "vec_id", "embedding", nCentroids = 6, sampleSize = 60)
+    assert(coverage(biased) == 1, "smallest-id sample models exactly one epoch")
+    assert(coverage(unbiased) == 3, "hash sample must cover all three clusters")
+    // and end-to-end: IVF with 1 probe on far-end queries still finds its
+    // cluster because some centroid lives there
+    val queries = df.where($"vec_id" >= 250)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, df, "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, nCentroids = 6, nProbe = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 with nProbe=1 on the last epoch = $recall")
   }
 
   test("IVF corpus assignment is shuffle-free (no Exchange below the probe join)") {
