@@ -580,6 +580,31 @@ object SparkEntry {
         n = 3, threshold = 0.8, maxShingleDf = 1000000)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- the remaining hash kernels (N8 wcnf iso-hash, N5 pqbf hash) ----
+    "q38_wcnf_iso_hash" -> ((s, dir) => {
+      // closed-form degree multisets (ISOHash.h:79-163) for hard {a,-b} +
+      // soft(w=d) {c}: hard canonical degrees (0,1)x2; combined degrees add
+      // the soft occurrence WEIGHTED by the reference's ++deg += weight
+      // quirk -> c gets (0, d+1); stream "0 1 0 1 softs 0 1 0 1 0 {d+1} "
+      sortedWcnfBase(s, dir)
+        .select(col("id"), iso_hash_wcnf(col("text")).as("wcnf_iso"))
+    }),
+    "q39_pqbf_hash" -> ((s, dir) => {
+      // QDIMACS doc = the q21 CNF matrix under an e/a quantifier prefix;
+      // the hash stream (GBDHash.h:53-80) is the CNF stream with "e "/"a "
+      // line markers kept — closed form in the oracle
+      val sd = when(col("pos_d"), col("d").cast("string"))
+        .otherwise(concat(lit("-"), col("d")))
+      val doc = concat(
+        lit("c q39\np cnf 650 3\ne "), col("a"), lit(" "), col("b"), lit(" 0\na "),
+        col("c"), lit(" "), col("d"), lit(" 0\n"),
+        col("a"), lit(" -"), col("b"), lit(" 0\n"),
+        col("c"), lit(" "), sd, lit(" -"), col("a"), lit(" 0\n"),
+        col("b"), lit(" 0\n"))
+      sortedCnfBase(s, dir)
+        .select(col("id"), gbd_hash_pqbf(doc).as("pqbf_hash"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -908,7 +933,21 @@ object SparkEntry {
         |WHERE len(s_common) > 0 AND
         |  cast(len(s_common) AS double) / cast(len(a.s) + len(b.s) - len(s_common) AS double) >= 0.8
         |ORDER BY 1, 2""".stripMargin
-        .replace("s_common", "list_intersect(a.s, b.s)"))
+        .replace("s_common", "list_intersect(a.s, b.s)"),
+    "q38_wcnf_iso_hash" ->
+      // hand-derived degree stream (see the query comment): both hash and
+      // combined multisets are closed-form, soft occurrence weighted d+1
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |md5('0 1 0 1 softs 0 1 0 1 0 ' || cast(d + 1 AS varchar) || ' ') AS wcnf_iso
+         |FROM base ORDER BY id""".stripMargin,
+    "q39_pqbf_hash" ->
+      // the CNF hash stream with quantifier-prefix markers kept
+      s"""WITH $cnfBaseCte
+         |SELECT id,
+         |md5('e ' || cast(a AS varchar) || ' ' || cast(b AS varchar) || ' 0 a ' ||
+         |  cast(c AS varchar) || ' ' || cast(d AS varchar) || ' 0 ' || norm_text) AS pqbf_hash
+         |FROM norm ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
