@@ -605,6 +605,73 @@ object SparkEntry {
         col("b"), lit(" 0\n"))
       sortedCnfBase(s, dir)
         .select(col("id"), gbd_hash_pqbf(doc).as("pqbf_hash"))
+    }),
+
+    // ---- A4 graph-degree distributions + J1 clause-degree join,
+    //      driver-visible: a fixed-shape doc whose sorted degree arrays are
+    //      [0 x (b-1), 1, 2] (vdegree, hornvars), [0 x (b-1), 2, 3] (vg)
+    //      and [2, 3] (cg = the within-doc occurrence-count join). The
+    //      oracle REPLICATES the reference's incremental fold step by step
+    //      (zeros keep m=0 and v=mean^2, then two more fold steps) —
+    //      bit-identical double arithmetic, not a rounded approximation ----
+    "q40_degree_stats" -> ((s, dir) => {
+      val doc = concat(
+        lit("c q40\np cnf 650 2\n"),
+        col("b"), lit(" 0\n"),
+        col("a"), lit(" -"), col("b"), lit(" 0\n"))
+      val f = cnf_features(doc)
+      sortedCnfBase(s, dir).select(col("id"),
+        f.getField("ccs").cast("long").as("ccs"),
+        f.getField("hornvars_mean").as("hornvars_mean"),
+        f.getField("hornvars_variance").as("hornvars_variance"),
+        f.getField("hornvars_min").as("hornvars_min"),
+        f.getField("hornvars_max").as("hornvars_max"),
+        f.getField("hornvars_entropy").as("hornvars_entropy"),
+        f.getField("vcg_vdegree_mean").as("vcg_vdegree_mean"),
+        f.getField("vcg_vdegree_variance").as("vcg_vdegree_variance"),
+        f.getField("vcg_vdegree_min").as("vcg_vdegree_min"),
+        f.getField("vcg_vdegree_max").as("vcg_vdegree_max"),
+        f.getField("vcg_vdegree_entropy").as("vcg_vdegree_entropy"),
+        f.getField("vg_degree_mean").as("vg_degree_mean"),
+        f.getField("vg_degree_variance").as("vg_degree_variance"),
+        f.getField("vg_degree_min").as("vg_degree_min"),
+        f.getField("vg_degree_max").as("vg_degree_max"),
+        f.getField("vg_degree_entropy").as("vg_degree_entropy"),
+        f.getField("cg_degree_mean").as("cg_degree_mean"),
+        f.getField("cg_degree_variance").as("cg_degree_variance"),
+        f.getField("cg_degree_min").as("cg_degree_min"),
+        f.getField("cg_degree_max").as("cg_degree_max"),
+        f.getField("cg_degree_entropy").as("cg_degree_entropy"))
+    }),
+
+    // ---- §2.10 streaming driver-visible: the events table REPLAYED
+    //      through a real Structured Streaming query (MemoryStream ->
+    //      session_window -> memory sink) in four micro-batches, so session
+    //      state must merge across batches. Complete mode needs no
+    //      watermark and the finite replay emits exactly the final session
+    //      set. session_window SPLITS at gap >= 1800s (strict; the oracle
+    //      mirrors that in exact integer microseconds). ----
+    "q41_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val rows = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      val mem = MemoryStream[(Long, java.sql.Timestamp)](
+        org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp)], s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val sess = graft.streaming.Streaming.sessions(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts", "1800 seconds",
+        watermarkDelay = None)
+      val sink = "q41_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("session_revisits"))
+        .orderBy(col("user_id"), col("session_start"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -947,7 +1014,59 @@ object SparkEntry {
          |SELECT id,
          |md5('e ' || cast(a AS varchar) || ' ' || cast(b AS varchar) || ' 0 a ' ||
          |  cast(c AS varchar) || ' ' || cast(d AS varchar) || ' 0 ' || norm_text) AS pqbf_hash
-         |FROM norm ORDER BY id""".stripMargin)
+         |FROM norm ORDER BY id""".stripMargin,
+    "q40_degree_stats" ->
+      // exact replication of CaptureDistribution's incremental fold over the
+      // sorted degree arrays (zeros first: mean stays 0, variance snaps to
+      // mean^2 at the first element and stays; then two fold steps each) —
+      // every subexpression parenthesized to the reference's op order. The
+      // entropy terms mirror p * (ln(p)/ln(2)) and the reverse-sorted
+      // accumulation ((0 - s_zero) - s_one) - s_one over counts [b-1, 1, 1].
+      s"""WITH $cnfBaseCte,
+         |m AS (
+         |  SELECT id, b,
+         |    (1.0/b) + (2 - (1.0/b))/(b+1) AS vd_mean,
+         |    (2.0/b) + (3 - (2.0/b))/(b+1) AS vg_mean,
+         |    (cast(b-1 AS double)/(b+1)) * (ln(cast(b-1 AS double)/(b+1))/ln(2)) AS s_zero,
+         |    (1.0/(b+1)) * (ln(1.0/(b+1))/ln(2)) AS s_one
+         |  FROM base),
+         |v2 AS (
+         |  SELECT *,
+         |    (vd_mean*vd_mean) + ((1-vd_mean)*(1-vd_mean) - (vd_mean*vd_mean))/b AS vd_v2,
+         |    (vg_mean*vg_mean) + ((2-vg_mean)*(2-vg_mean) - (vg_mean*vg_mean))/b AS vg_v2,
+         |    (((0 - s_zero) - s_one) - s_one) / (ln(3)/ln(2)) AS deg_entropy
+         |  FROM m)
+         |SELECT id,
+         |cast(b - 1 AS bigint) AS ccs,
+         |vd_mean AS hornvars_mean,
+         |vd_v2 + ((2-vd_mean)*(2-vd_mean) - vd_v2)/(b+1) AS hornvars_variance,
+         |cast(0 AS double) AS hornvars_min, cast(2 AS double) AS hornvars_max,
+         |deg_entropy AS hornvars_entropy,
+         |vd_mean AS vcg_vdegree_mean,
+         |vd_v2 + ((2-vd_mean)*(2-vd_mean) - vd_v2)/(b+1) AS vcg_vdegree_variance,
+         |cast(0 AS double) AS vcg_vdegree_min, cast(2 AS double) AS vcg_vdegree_max,
+         |deg_entropy AS vcg_vdegree_entropy,
+         |vg_mean AS vg_degree_mean,
+         |vg_v2 + ((3-vg_mean)*(3-vg_mean) - vg_v2)/(b+1) AS vg_degree_variance,
+         |cast(0 AS double) AS vg_degree_min, cast(3 AS double) AS vg_degree_max,
+         |deg_entropy AS vg_degree_entropy,
+         |cast(2.5 AS double) AS cg_degree_mean, cast(0.25 AS double) AS cg_degree_variance,
+         |cast(2 AS double) AS cg_degree_min, cast(3 AS double) AS cg_degree_max,
+         |cast(1 AS double) AS cg_degree_entropy
+         |FROM v2 ORDER BY id""".stripMargin,
+    "q41_stream_sessions" ->
+      // exact integer-microsecond mirror of session_window's merge rule
+      // (split iff ts - prev_ts >= gap); session_start/end = min/max ts
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, ts, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |  THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS session_revisits
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

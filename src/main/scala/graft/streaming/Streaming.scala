@@ -35,19 +35,28 @@ object Streaming {
         sum(when(col("status") === "ok", 1).otherwise(0)).as("ok_pages"),
         approx_count_distinct(col("instance_id")).as("distinct_instances"))
 
-  /** Gap-based sessionization on a stream: session_window is the streaming
-    * dual of the batch Windows.sessionize (same gap semantics, state expires
-    * with the watermark).
+  /** Generic gap-session aggregation over any (key, ts) stream — the
+    * streaming dual of the batch Windows.sessionize. session_window merges
+    * events whose [ts, ts+gap) windows overlap, so a session SPLITS exactly
+    * when next_ts - prev_ts >= gap (strict — the batch sessionize splits at
+    * > gap; the boundary case differs by design of the built-in and is
+    * pinned by the q41 oracle). Watermark optional: pass None for
+    * complete-mode consumers (finite replays, tests, the driver oracle).
     */
-  def sessionized(pages: DataFrame, gap: String = "6 hours",
-                  watermarkDelay: String = "1 hour"): DataFrame =
-    pages
-      .withWatermark("warc_ts", watermarkDelay)
-      .groupBy(session_window(col("warc_ts"), gap), col("url"))
+  def sessions(events: DataFrame, keyCol: String, tsCol: String, gap: String,
+               watermarkDelay: Option[String] = Some("1 hour")): DataFrame = {
+    val in = watermarkDelay.fold(events)(d => events.withWatermark(tsCol, d))
+    in.groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(
         count(lit(1)).as("session_revisits"),
-        min(col("warc_ts")).as("session_start"),
-        max(col("warc_ts")).as("session_end"))
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
+  /** Gap-based sessionization of the pages stream. */
+  def sessionized(pages: DataFrame, gap: String = "6 hours",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    sessions(pages, "url", "warc_ts", gap, Some(watermarkDelay))
 
   /** Watermark-scoped exact dedup of revisit snapshots: a (url, content)
     * pair is emitted once within the watermark horizon.
