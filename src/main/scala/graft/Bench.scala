@@ -54,11 +54,17 @@ object Bench {
     // from any single query; the median then discards it entirely.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val reps = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    // a failing query must be VISIBLE in the artifact: its wall time is the
+    // time-to-throw (misleadingly fast), so failures are reported alongside
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to 3; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable => errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
       reps(name) = ((System.nanoTime() - t0) / 1e9) :: reps(name)
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -86,7 +92,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString(""","errors":{""", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
