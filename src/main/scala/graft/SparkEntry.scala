@@ -672,6 +672,47 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("session_revisits"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- training-corpus curation beyond dedup: decontamination, PII
+    //      scrubbing, repetition-based quality signals ----
+    "q42_decontaminate" -> ((s, dir) => {
+      // benchmark = every doc_id % 100 < 3 doc, one token prepended (an
+      // eval item pasted into a web page); containment of the BENCHMARK's
+      // 3-shingle set in each corpus doc, exact pairs >= 0.5
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = corpus.where(col("doc_id") % 100 < 3)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.contaminationPairs(corpus, bench, "doc_id", "text", "bench_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy(col("corpus_id"), col("benchmark_id"))
+    }),
+    "q43_pii_scrub" -> ((s, dir) => {
+      // deterministic PII injected per row (the synthetic corpus itself is
+      // clean), then the codegen'd regexp scrub: counts BEFORE redaction +
+      // md5 of the scrubbed text (slim, hash-stable output)
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com at 10.1."),
+          (col("doc_id") % 200).cast("string"), lit(".7 card 4111222233334444 ok")).as("text"))
+      graft.ops.Curation.scrubPii(withPii, "text")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_card").cast("long").as("n_card"),
+          md5(col("text_scrubbed").cast("binary")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "q44_repetition_stats" -> ((s, dir) => {
+      // three-line doc (text, text again, its first 20 chars) exercises the
+      // duplicate-line path; word stats run over the real per-doc text
+      val doc = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), col("text"), substring(col("text"), 1, 20)).as("text"))
+      graft.ops.Curation.repetitionStats(doc, "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("dup_word_frac"), col("mean_word_len"), col("n_lines"), col("dup_line_frac"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -1066,7 +1107,57 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS session_revisits
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q42_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id AS cid, text FROM documents),
+        |bench AS (SELECT doc_id AS bid, 'prefixtoken ' || text AS text
+        |          FROM documents WHERE doc_id % 100 < 3),
+        |cw AS (SELECT cid, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM corpus),
+        |bw AS (SELECT bid, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM bench),
+        |cs AS (SELECT cid, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM cw WHERE len(w) >= 3),
+        |bs AS (SELECT bid, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM bw WHERE len(w) >= 3)
+        |SELECT cid AS corpus_id, bid AS benchmark_id,
+        |  cast(len(list_intersect(cs.s, bs.s)) AS double) / cast(len(bs.s) AS double) AS containment
+        |FROM cs, bs
+        |WHERE len(bs.s) > 0 AND
+        |  cast(len(list_intersect(cs.s, bs.s)) AS double) / cast(len(bs.s) AS double) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q43_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || cast(doc_id AS varchar) || '@example.com at 10.1.' ||
+        |  cast(doc_id % 200 AS varchar) || '.7 card 4111222233334444 ok' AS tx
+        |  FROM documents)
+        |SELECT doc_id,
+        |cast(len(regexp_extract_all(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_email,
+        |cast(len(regexp_extract_all(tx, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS bigint) AS n_ip,
+        |cast(len(regexp_extract_all(tx, '\b\d{16}\b')) AS bigint) AS n_card,
+        |md5(regexp_replace(regexp_replace(regexp_replace(tx,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{16}\b', '<CARD>', 'g')) AS scrubbed_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q44_repetition_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || chr(10) || text || chr(10) || substr(text, 1, 20) AS tx FROM documents),
+        |w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(tx, '\s+'), x -> x <> '') AS ws,
+        |  list_filter(string_split(tx, chr(10)), x -> x <> '') AS ls FROM t)
+        |SELECT doc_id,
+        |cast(len(ws) AS bigint) AS n_words,
+        |cast(len(list_distinct(ws)) AS bigint) AS n_distinct_words,
+        |CASE WHEN len(ws) > 0
+        |  THEN 1.0 - cast(len(list_distinct(ws)) AS double) / cast(len(ws) AS double)
+        |  ELSE 0.0 END AS dup_word_frac,
+        |CASE WHEN len(ws) > 0
+        |  THEN cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(len(ws) AS double)
+        |  ELSE 0.0 END AS mean_word_len,
+        |cast(len(ls) AS bigint) AS n_lines,
+        |CASE WHEN len(ls) > 0
+        |  THEN 1.0 - cast(len(list_distinct(ls)) AS double) / cast(len(ls) AS double)
+        |  ELSE 0.0 END AS dup_line_frac
+        |FROM w ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -195,6 +195,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark-contamination pairs: (corpus_id, benchmark_id, containment)
+    * where containment = |shingles(doc) ∩ shingles(bench)| / |shingles(bench)|
+    * >= threshold — the test-set-overlap check a training corpus runs before
+    * release (n-gram containment of the EVALUATION doc, so a long web page
+    * that embeds a whole benchmark item is caught even though its Jaccard
+    * is tiny).
+    *
+    * Scale shape: the benchmark side is small by contract (an eval set), so
+    * its exploded postings BROADCAST; the corpus is never shuffled — only
+    * matched postings (rare) reach the pair aggregation, which map-side
+    * combines. Both shingle sets are distinct, so each common shingle
+    * contributes exactly one matched row and count(*) = |intersection|.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val c = corpus.select(col(idCol).as("_cid"), explode(shingles(col(textCol), n)).as("_g"))
+    val b = benchmark
+      .select(col(benchIdCol).as("_bid"), shingles(col(benchTextCol), n).as("_bsh"))
+      .where(size(col("_bsh")) > 0)
+      .select(col("_bid"), size(col("_bsh")).as("_bsize"), explode(col("_bsh")).as("_g"))
+    c.join(broadcast(b), Seq("_g"))
+      .groupBy(col("_cid"), col("_bid"), col("_bsize"))
+      .agg(count(lit(1)).as("_common"))
+      .select(col("_cid").as("corpus_id"), col("_bid").as("benchmark_id"),
+        (col("_common").cast("double") / col("_bsize").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Corpus minus contaminated docs (any benchmark containment >= threshold). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    benchIdCol: String, benchTextCol: String,
+                    n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val bad = contaminationPairs(corpus, benchmark, idCol, textCol,
+      benchIdCol, benchTextCol, n, threshold)
+      .select(col("corpus_id")).distinct()
+    corpus.join(broadcast(bad), corpus(idCol) === bad("corpus_id"), "left_anti")
+  }
+
   /** Connected components over duplicate pairs: iterative min-label
     * propagation (each node adopts the min label among itself and its
     * neighbors) until fixpoint or maxIters. Returns (id, cluster_id).

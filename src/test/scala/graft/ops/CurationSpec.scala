@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii redacts email/ip/card and counts each kind") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and 192.168.0.1 plus 4111222233334444 done"),
+      (2L, "nothing sensitive here 1.2 or 12345"),
+      (3L, "two mails a@b.io c@d.co and ip 10.0.0.255")
+    ).toDF("id", "text")
+    val r = Curation.scrubPii(df, "text").orderBy("id")
+      .select("n_email", "n_ip", "n_card", "text_scrubbed")
+      .collect()
+    assert(r(0).getInt(0) == 1 && r(0).getInt(1) == 1 && r(0).getInt(2) == 1)
+    assert(r(0).getString(3) == "mail <EMAIL> and <IP> plus <CARD> done")
+    assert(r(1).getInt(0) == 0 && r(1).getInt(1) == 0 && r(1).getInt(2) == 0)
+    assert(r(1).getString(3) == "nothing sensitive here 1.2 or 12345")
+    assert(r(2).getInt(0) == 2 && r(2).getInt(1) == 1)
+    assert(r(2).getString(3) == "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
+
+  test("repetitionStats: duplicate words/lines and exact means") {
+    val df = Seq(
+      (1L, "aa bb aa\naa bb aa\ncc"),
+      (2L, ""),
+      (3L, "x yy zzz")
+    ).toDF("id", "text")
+    val r = Curation.repetitionStats(df, "text").orderBy("id")
+      .select("n_words", "n_distinct_words", "dup_word_frac", "mean_word_len",
+        "n_lines", "dup_line_frac")
+      .collect()
+    // doc 1: words = [aa,bb,aa,aa,bb,aa,cc] -> 7 words, 3 distinct
+    assert(r(0).getLong(0) == 7L && r(0).getLong(1) == 3L)
+    assert(r(0).getDouble(2) == 1.0 - 3.0 / 7.0)
+    assert(r(0).getDouble(3) == 2.0) // every word is 2 chars -> 14/7
+    assert(r(0).getLong(4) == 3L && r(0).getDouble(5) == 1.0 - 2.0 / 3.0)
+    // doc 2: empty -> zero guards
+    assert(r(1).getLong(0) == 0L && r(1).getDouble(2) == 0.0 && r(1).getLong(4) == 0L)
+    // doc 3: all distinct, mean word len (1+2+3)/3 = 2.0
+    assert(r(2).getLong(0) == 3L && r(2).getLong(1) == 3L)
+    assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
+  }
+
+  test("decontaminate drops docs containing a benchmark item, keeps the rest") {
+    val bench = Seq((100L, "the secret benchmark question about turtles and rockets ok")).toDF("bid", "text")
+    val corpus = Seq(
+      (1L, "a web page that quotes the secret benchmark question about turtles and rockets ok verbatim"),
+      (2L, "a page about unrelated turtles in the sea"),
+      (3L, "rockets are fast and loud machines people like")
+    ).toDF("id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, bench, "id", "text", "bid", "text",
+      n = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 100L)
+    assert(pairs(0).getDouble(2) >= 0.5)
+    val kept = Dedup.decontaminate(corpus, bench, "id", "text", "bid", "text",
+      n = 3, threshold = 0.5).select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+}
