@@ -713,6 +713,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
           col("dup_word_frac"), col("mean_word_len"), col("n_lines"), col("dup_line_frac"))
         .orderBy(col("doc_id"))
+    }),
+    "q45_stratified_sample" -> ((s, dir) => {
+      // deterministic language rebalancing: keep 50% of 'en', 25% of the
+      // rest, decided by each row's md5 rank — integer thresholds
+      // 2147483648 / 1073741824 hard-coded identically in the oracle
+      graft.ops.Curation.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q46_pack_sequences" -> ((s, dir) => {
+      // per-shard prefix-sum packing into 4096-token bins; shard is a
+      // deterministic mod so the oracle can reproduce it (the engine's
+      // production path shards by FeatureJob.shardCol)
+      val docs = t(s, dir, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          token_count(trim(col("text"))).as("n_tokens"))
+      graft.ops.Curation.packSequences(docs, "shard", "doc_id", "n_tokens", 4096L)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("pack_tokens_before"), col("pack_bin"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -1157,7 +1178,22 @@ object SparkEntry {
         |CASE WHEN len(ls) > 0
         |  THEN 1.0 - cast(len(list_distinct(ls)) AS double) / cast(len(ls) AS double)
         |  ELSE 0.0 END AS dup_line_frac
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::UBIGINT <
+        |  CASE WHEN lang = 'en' THEN 2147483648 ELSE 1073741824 END
+        |ORDER BY doc_id""".stripMargin,
+    "q46_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS n_tokens
+        |  FROM documents WHERE length(text) > 0),
+        |p AS (SELECT *, cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS pack_tokens_before
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, pack_tokens_before,
+        |  pack_tokens_before // 4096 AS pack_bin
+        |FROM p ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

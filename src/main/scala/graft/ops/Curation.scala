@@ -42,6 +42,53 @@ object Curation {
       .withColumn("text_scrubbed", scrubText(t))
   }
 
+  /** Deterministic per-stratum downsampling (language/domain rebalancing —
+    * the "temperature" resampling step of corpus assembly). Each row's keep
+    * decision is a pure function of its id: the first 8 md5 hex digits as a
+    * uniform 32-bit rank, kept iff rank < floor(rate * 2^32). Thresholds
+    * are computed here as INTEGERS so an external oracle can hard-code the
+    * same literals (no float-cast rounding ambiguity), and re-runs /
+    * resumes keep exactly the same rows — no RNG state anywhere.
+    *
+    * Scale shape: a narrow filter over the scan (md5 of the id only — the
+    * payload is untouched), no shuffle, no sampleBy() RNG nondeterminism.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val rank = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    def threshold(rate: Double): Long = (rate * 4294967296L.toDouble).toLong
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (k, rate)) =>
+      when(col(strataCol) === k, lit(threshold(rate))).otherwise(acc)
+    }
+    df.where(rank < thr)
+  }
+
+  /** Greedy sequence packing for training batches: rows are packed in
+    * `orderCol` order within each shard, and a row goes to bin
+    * floor(tokens_before / budget) — the prefix-sum chunking used to cut a
+    * corpus into ~budget-token pack groups (long docs straddle a boundary;
+    * the downstream packer splits them). Output adds `pack_tokens_before`
+    * and `pack_bin`.
+    *
+    * Scale shape: packing is PER SHARD (one window partition each), so the
+    * sort parallelism is the shard count — never a global orderBy. Shard
+    * however the corpus is already laid out (e.g. FeatureJob.shardCol).
+    */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokenCol: String, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+    val before = coalesce(
+      sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.withColumn("pack_tokens_before", before.cast("long"))
+      // `div`: exact integer division (the `/` operator is double division
+      // in both Spark and DuckDB — exactness beats one less cast)
+      .withColumn("pack_bin", expr(s"pack_tokens_before div $budgetTokens"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Repetition/shape signals over one document (Gopher-rule family):
     *
     *  - n_words, n_distinct_words, dup_word_frac = 1 - distinct/words

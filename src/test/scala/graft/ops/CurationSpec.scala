@@ -45,6 +45,29 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("stratifiedSample: deterministic, rate-proportional, payload-independent") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 0.5), defaultRate = 0.1)
+    val again = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 0.5), defaultRate = 0.1)
+    val k1 = kept.select("id").as[Long].collect().sorted.toSeq
+    assert(k1 == again.select("id").as[Long].collect().sorted.toSeq, "must be deterministic")
+    val byLang = kept.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; md5 rank is uniform so expect ~1000 en, ~200 de
+    assert(math.abs(byLang("en") - 1000L) < 100, s"en kept ${byLang("en")}")
+    assert(math.abs(byLang("de") - 200L) < 60, s"de kept ${byLang("de")}")
+  }
+
+  test("packSequences: per-shard prefix sums and bin boundaries") {
+    val df = Seq(
+      (0L, 0L, 3000L), (1L, 0L, 3000L), (2L, 0L, 3000L), // shard 0: 0,3000,6000 before
+      (3L, 1L, 5000L), (4L, 1L, 100L)                    // shard 1: 0,5000 before
+    ).toDF("id", "shard", "toks")
+    val r = Curation.packSequences(df, "shard", "id", "toks", 4096L)
+      .orderBy("id").select("pack_tokens_before", "pack_bin").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 3000L, 6000L, 0L, 5000L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L, 0L, 1L))
+  }
+
   test("decontaminate drops docs containing a benchmark item, keeps the rest") {
     val bench = Seq((100L, "the secret benchmark question about turtles and rockets ok")).toDF("bid", "text")
     val corpus = Seq(
