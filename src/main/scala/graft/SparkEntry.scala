@@ -734,6 +734,44 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("pack_tokens_before"), col("pack_bin"))
         .orderBy(col("doc_id"))
+    }),
+    "q47_multimodal_decode" -> ((s, dir) => {
+      // the multimodal decode stage (typed Dataset -> bounded-byte
+      // mapPartitions batches) driven end-to-end; the oracle checks the
+      // REAL machinery outputs (byte length + SHA-256 content address) —
+      // the stub codec's pseudo-metadata fields are deliberately excluded
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.decode(media, batchBytes = 1L << 20).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"), col("content_sha"),
+          col("ok").cast("long").as("ok"))
+        .orderBy(col("media_id"))
+    }),
+    "q48_dup_clusters" -> ((s, dir) => {
+      // connected components over the EXACT near-dup pair set of q16 —
+      // min-label propagation whose fixpoint (min id per component) the
+      // oracle recomputes independently via a recursive-CTE transitive
+      // closure
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      val union = docs.unionByName(mutated)
+      val cands = Dedup.minHashPairs(union, "id", "text",
+        numHashes = 64, numBands = 32, threshold = 0.0, shingleSize = 3)
+      val sh = union.select(col("id"), shingles(col("text"), 3).as("_sh"))
+      val pairs = cands
+        .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
+        .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
+          jaccard_sorted(col("_sa"), col("_sb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(pairs)
+        .orderBy(col("id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -1193,7 +1231,35 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, shard, n_tokens, pack_tokens_before,
         |  pack_tokens_before // 4096 AS pack_bin
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q47_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |cast(length(text) AS bigint) AS byte_len,
+        |substr(sha256(text), 1, 16) AS content_sha,
+        |cast(1 AS bigint) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q48_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0 AND
+        |    cast(len(list_intersect(a.s, b.s)) AS double) /
+        |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
