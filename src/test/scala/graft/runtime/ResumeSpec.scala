@@ -88,6 +88,27 @@ class ResumeSpec extends SparkSpec {
     assert(r.processedShards == Seq(0, 1), "different input fingerprint must not resume")
   }
 
+  test("rewritten same-path parquet input invalidates the resume fingerprint") {
+    // the fingerprint folds (path, length, mtime) from the file index: a
+    // same-named parquet rewritten with different content must NOT resume
+    // over stale outputs (a path-only fingerprint would)
+    val dir = freshDir()
+    def writeGen(urls: Int): Unit =
+      PageGen.pages(spark, PageGen.Config(urls = urls, revisitsPerUrl = 2, hotUrls = 1, hotFactor = 2))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/pages")
+    writeGen(10)
+    val fp1 = FeatureJob.fingerprint(spark.read.parquet(s"$dir/pages"))
+    val out = s"$dir/out"
+    FeatureJob.run(spark, spark.read.parquet(s"$dir/pages"),
+      FeatureJob.Config(outDir = out, shards = 2))
+    writeGen(14) // same directory, different content (and file length)
+    val reread = spark.read.parquet(s"$dir/pages")
+    val fp2 = FeatureJob.fingerprint(reread)
+    assert(fp1 != fp2, "rewritten content must change the fingerprint")
+    val r = FeatureJob.run(spark, reread, FeatureJob.Config(outDir = out, shards = 2))
+    assert(r.processedShards == Seq(0, 1), "stale manifest must not be resumed from")
+  }
+
   test("empty todo shard truncates its stale directory (dynamic overwrite gap)") {
     // Run 1 populates both shard dirs. Run 2 has a DIFFERENT fingerprint
     // (all shards todo) but its input only reaches shard 0 — dynamic
