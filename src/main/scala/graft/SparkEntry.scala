@@ -772,6 +772,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.clusters(pairs)
         .orderBy(col("id"))
+    }),
+    "q49_passages" -> ((s, dir) => {
+      // RAG/embedding chunking: 128-word passages at stride 64 (start
+      // offsets 0, 64, 128, ... while < word count; short tail kept)
+      graft.ops.Curation.passages(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", windowWords = 128, strideWords = 64)
+        .orderBy(col("doc_id"), col("passage_no"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -1259,7 +1267,16 @@ object SparkEntry {
         |  SELECT DISTINCT a, a FROM edges
         |  UNION
         |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
-        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q49_passages" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, ws,
+        |  unnest(range(0, ((len(ws) - 1) // 64) * 64 + 1, 64)) AS st
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, cast(st // 64 AS bigint) AS passage_no,
+        |  array_to_string(list_slice(ws, st + 1, st + 128), ' ') AS passage
+        |FROM e ORDER BY doc_id, passage_no""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

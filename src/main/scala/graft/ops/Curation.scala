@@ -89,6 +89,33 @@ object Curation {
 
   private val Window = org.apache.spark.sql.expressions.Window
 
+  /** Overlapping passage windows for embedding/RAG chunking: words split on
+    * whitespace, passages of `windowWords` starting at every `strideWords`
+    * offset (start positions 0, stride, 2*stride, ... while < word count;
+    * the tail passage may be short). One output row per passage:
+    * (input columns minus text) + passage_no + passage. Pure array
+    * HOFs + posexplode — a narrow per-row flatMap, no shuffle, and the
+    * passage count per doc is ceil(words/stride), so output size is
+    * corpus-bounded (no quadratic blowup).
+    */
+  def passages(df: DataFrame, idCol: String, textCol: String,
+               windowWords: Int = 128, strideWords: Int = 64): DataFrame = {
+    require(strideWords > 0 && windowWords >= strideWords,
+      "need windowWords >= strideWords > 0")
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val nw = size(words).cast("long")
+    // floor((nw-1)/stride)*stride in exact integer arithmetic (`/` on
+    // longs is double division in Spark SQL)
+    val lastStart = (nw - 1) - pmod(nw - 1, lit(strideWords.toLong))
+    val starts = when(nw > 0,
+      sequence(lit(0L), lastStart, lit(strideWords.toLong))).otherwise(array())
+    df.withColumn("_w", words)
+      .withColumn("_starts", starts)
+      .select(col(idCol), col("_w"), posexplode(col("_starts")).as(Seq("passage_no", "_s")))
+      .select(col(idCol), col("passage_no").cast("long").as("passage_no"),
+        array_join(slice(col("_w"), (col("_s") + 1).cast("int"), lit(windowWords)), " ").as("passage"))
+  }
+
   /** Repetition/shape signals over one document (Gopher-rule family):
     *
     *  - n_words, n_distinct_words, dup_word_frac = 1 - distinct/words

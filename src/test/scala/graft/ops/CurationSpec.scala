@@ -68,6 +68,21 @@ class CurationSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(0L, 0L, 1L, 0L, 1L))
   }
 
+  test("passages: overlapping windows, short tail, empty doc dropped") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "")).toDF("id", "text")
+    val r = Curation.passages(df, "id", "text", windowWords = 4, strideWords = 3)
+      .orderBy("id", "passage_no").collect()
+    // starts 0,3,6,9 over 10 words -> 4 passages, last is the 1-word tail
+    assert(r.map(_.getLong(0)).forall(_ == 1L), "empty doc yields no passages")
+    assert(r.length == 4)
+    assert(r(0).getString(2) == "w1 w2 w3 w4")
+    assert(r(1).getString(2) == "w4 w5 w6 w7")
+    assert(r(2).getString(2) == "w7 w8 w9 w10")
+    assert(r(3).getString(2) == "w10")
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("decontaminate drops docs containing a benchmark item, keeps the rest") {
     val bench = Seq((100L, "the secret benchmark question about turtles and rockets ok")).toDF("bid", "text")
     val corpus = Seq(
