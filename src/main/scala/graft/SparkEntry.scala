@@ -39,7 +39,9 @@ object SparkEntry {
         (col("o_custkey") % 189 + 200).as("b"),
         ((col("o_orderkey") + col("o_custkey")) % 187 + 400).as("c"),
         (col("o_orderkey") % 41 + 600).as("d"),
-        (col("o_orderkey") % 2 === 0).as("pos_d"))
+        (col("o_orderkey") % 2 === 0).as("pos_d"),
+        col("o_custkey").as("cust"),
+        col("o_orderdate").as("odate"))
       .withColumn("text", concat(
         lit("c q21\np cnf 650 3\n"),
         col("a"), lit(" -"), col("b"), lit(" 0\n"),
@@ -102,10 +104,11 @@ object SparkEntry {
       |  SELECT o_orderkey AS id,
       |    o_orderkey % 191 + 2 AS a, o_custkey % 189 + 200 AS b,
       |    (o_orderkey + o_custkey) % 187 + 400 AS c, o_orderkey % 41 + 600 AS d,
-      |    (o_orderkey % 2 = 0) AS pos_d
+      |    (o_orderkey % 2 = 0) AS pos_d,
+      |    o_custkey AS cust, o_orderdate AS odate
       |  FROM orders),
       |norm AS (
-      |  SELECT id, a, b, c, d, pos_d,
+      |  SELECT id, a, b, c, d, pos_d, cust, odate,
       |    cast(a AS varchar) || ' -' || cast(b AS varchar) || ' 0 ' ||
       |    cast(c AS varchar) || ' ' ||
       |    (CASE WHEN pos_d THEN cast(d AS varchar) ELSE '-' || cast(d AS varchar) END) ||
@@ -780,6 +783,33 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", windowWords = 128, strideWords = 64)
         .orderBy(col("doc_id"), col("passage_no"))
+    }),
+
+    // ---- §2.9 END-TO-END: the actual FeatureJob.pipeline (fused
+    //      identity+features extract -> ONE url repartition + sort ->
+    //      sessionize + lag deltas) driver-oracled over a synthetic pages
+    //      table built from orders: url = customer, warc_ts = orderdate +
+    //      orderkey MICROseconds (unique, order-preserving, same second),
+    //      text = the q21 CNF doc. Every output field is closed-form:
+    //      instance_id = md5(norm stream), clauses = 3, sessions split on
+    //      the 6h gap = date changes, lag(clauses) is 3.0 except each
+    //      url's first row (unique ts -> deterministic). ----
+    "q50_feature_pipeline" -> ((s, dir) => {
+      val pages = syntheticCnf(s, dir).select(
+        col("id"),
+        concat(lit("cust-"), col("cust")).as("url"),
+        timestamp_micros(
+          col("odate").cast("timestamp").cast("long") * 1000000L + col("id")).as("warc_ts"),
+        col("text"))
+      val out = graft.runtime.FeatureJob.pipeline(pages,
+        graft.runtime.FeatureJob.Config(outDir = "unused", lagFeatures = Seq("clauses")))
+      out.select(col("id"), col("url"), col("warc_ts"),
+          col("instance_id"), col("status"),
+          col("features.clauses").cast("long").as("clauses"),
+          col("session_no").cast("long").as("session_no"),
+          col("session_id"),
+          col("clauses_prev"), col("clauses_delta"))
+        .orderBy(col("id"))
     }))
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
@@ -1276,7 +1306,33 @@ object SparkEntry {
         |  FROM w WHERE len(ws) > 0)
         |SELECT doc_id, cast(st // 64 AS bigint) AS passage_no,
         |  array_to_string(list_slice(ws, st + 1, st + 128), ' ') AS passage
-        |FROM e ORDER BY doc_id, passage_no""".stripMargin)
+        |FROM e ORDER BY doc_id, passage_no""".stripMargin,
+    "q50_feature_pipeline" ->
+      // the whole pipeline's output recomputed independently: hash from the
+      // norm stream, sessions by the floor-second 6h-gap rule, lag(clauses)
+      // null exactly on each url's first revisit (timestamps unique by
+      // construction: +orderkey MICROseconds keeps date order and the
+      // floor second)
+      s"""WITH $cnfBaseCte,
+         |pg AS (SELECT id, cust,
+         |  epoch_us(cast(odate AS timestamp)) + id AS us, norm_text FROM norm),
+         |sess AS (SELECT *,
+         |  CASE WHEN lag(us) OVER w IS NULL
+         |    OR (us // 1000000) - (lag(us) OVER w // 1000000) > 21600
+         |  THEN 1 ELSE 0 END AS ns,
+         |  row_number() OVER w AS rn
+         |  FROM pg WINDOW w AS (PARTITION BY cust ORDER BY us)),
+         |g AS (SELECT *, cast(sum(ns) OVER (PARTITION BY cust ORDER BY us
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS bigint) AS session_no
+         |  FROM sess)
+         |SELECT id, 'cust-' || cast(cust AS varchar) AS url,
+         |make_timestamp(us) AS warc_ts,
+         |md5(norm_text) AS instance_id, 'ok' AS status,
+         |cast(3 AS bigint) AS clauses, session_no,
+         |'cust-' || cast(cust AS varchar) || '#' || cast(session_no AS varchar) AS session_id,
+         |CASE WHEN rn = 1 THEN NULL ELSE cast(3 AS double) END AS clauses_prev,
+         |CASE WHEN rn = 1 THEN NULL ELSE cast(0 AS double) END AS clauses_delta
+         |FROM g ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
