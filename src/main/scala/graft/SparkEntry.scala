@@ -795,7 +795,10 @@ object SparkEntry {
     //      the 6h gap = date changes, lag(clauses) is 3.0 except each
     //      url's first row (unique ts -> deterministic). ----
     "q50_feature_pipeline" -> ((s, dir) => {
-      val pages = syntheticCnf(s, dir).select(
+      // repartition BELOW the kernel (q21's pattern): the sf tables are
+      // single-row-group parquet files, so without an exchange the whole
+      // extract stage would fuse into ONE scan task (measured 12 s -> ~2 s)
+      val pages = syntheticCnf(s, dir).repartition(32, col("id")).select(
         col("id"),
         concat(lit("cust-"), col("cust")).as("url"),
         timestamp_micros(
