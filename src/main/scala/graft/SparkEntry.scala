@@ -813,7 +813,44 @@ object SparkEntry {
           col("session_id"),
           col("clauses_prev"), col("clauses_delta"))
         .orderBy(col("id"))
+    }),
+
+    // ---- §2.11 through the REAL SQL surface: functions resolved by the
+    //      FunctionRegistry (GraftExtensions), parsed from SQL text — not
+    //      the Column facade the other kernel queries use ----
+    "q51_sql_registration" -> ((s, dir) => {
+      graft.GraftExtensions.register(s) // idempotent (registry replace)
+      sortedCnfBase(s, dir).createOrReplaceTempView("q51_docs")
+      s.sql("""SELECT id, gbd_hash(text) AS gbd, iso_hash(text) AS iso,
+               normalize_cnf(text) AS norm FROM q51_docs""")
+    }),
+
+    // ---- S3/S5 driven end-to-end: the Iceberg-style
+    //      days(warc_ts) x bucket(url) layout written once per session
+    //      (write-once/query-many table semantics), then a day+bucket
+    //      PRUNED read — both predicates land on partition columns ----
+    "q52_pagetable_prune" -> ((s, dir) => {
+      val path = q52Path.synchronized {
+        q52Path.getOrElseUpdate(dir, {
+          val p = java.nio.file.Files.createTempDirectory("graft_q52").toString
+          val pages = syntheticCnf(s, dir).select(
+            concat(lit("cust-"), col("cust")).as("url"),
+            // month-truncated ts keeps the day-partition count ~80 instead
+            // of ~2400 (the sf corpus spans 7 years of order dates)
+            date_trunc("month", col("odate").cast("timestamp")).as("warc_ts"),
+            col("id"), col("a"))
+          graft.sources.PageTable.write(pages, p, nBuckets = 4)
+          p
+        })
+      }
+      graft.sources.PageTable.readPruned(s, path,
+          dayFrom = Some(9500), urls = Seq("cust-1", "cust-7"), nBuckets = 4)
+        .select(col("id"), col("url"), col("warc_ts"), col("a"))
+        .orderBy(col("id"))
     }))
+
+  /** q52's layout directory per sf dir — written once per JVM. */
+  private val q52Path = scala.collection.mutable.Map[String, String]()
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
     * sides so cross-engine float summation cannot drift; orderings carry
@@ -1335,7 +1372,20 @@ object SparkEntry {
          |'cust-' || cast(cust AS varchar) || '#' || cast(session_no AS varchar) AS session_id,
          |CASE WHEN rn = 1 THEN NULL ELSE cast(3 AS double) END AS clauses_prev,
          |CASE WHEN rn = 1 THEN NULL ELSE cast(0 AS double) END AS clauses_delta
-         |FROM g ORDER BY id""".stripMargin)
+         |FROM g ORDER BY id""".stripMargin,
+    "q51_sql_registration" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, md5(norm_text) AS gbd, md5('0 1 0 1 1 1 1 1 ') AS iso,
+         |norm_text AS norm FROM norm ORDER BY id""".stripMargin,
+    "q52_pagetable_prune" ->
+      s"""WITH $cnfBaseCte
+         |SELECT id, 'cust-' || cast(cust AS varchar) AS url,
+         |cast(date_trunc('month', cast(odate AS timestamp)) AS timestamp) AS warc_ts, a
+         |FROM base
+         |WHERE cust IN (1, 7)
+         |  AND datediff('day', DATE '1970-01-01',
+         |        cast(date_trunc('month', cast(odate AS timestamp)) AS date)) >= 9500
+         |ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
