@@ -847,6 +847,19 @@ object SparkEntry {
           dayFrom = Some(9500), urls = Seq("cust-1", "cust-7"), nBuckets = 4)
         .select(col("id"), col("url"), col("warc_ts"), col("a"))
         .orderBy(col("id"))
+    }),
+
+    // ---- §4.3 skew tooling: the two-phase SALTED aggregation must equal
+    //      the plain group-by the oracle computes — salting correctness is
+    //      value-checked, not just shape-checked ----
+    "q53_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(
+        t(s, dir, "events").select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), salt = 16)(
+        partial = g => g.agg(count(lit(1)).as("_c"), sum(col("cents")).as("_s")),
+        merge = g => g.agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("sum_cents")))
+        .orderBy(col("user_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1385,7 +1398,11 @@ object SparkEntry {
          |WHERE cust IN (1, 7)
          |  AND datediff('day', DATE '1970-01-01',
          |        cast(date_trunc('month', cast(odate AS timestamp)) AS date)) >= 9500
-         |ORDER BY id""".stripMargin)
+         |ORDER BY id""".stripMargin,
+    "q53_salted_agg" ->
+      """SELECT user_id, count(*) AS cnt,
+        |cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
