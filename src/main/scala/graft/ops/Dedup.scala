@@ -130,10 +130,15 @@ object Dedup {
     // Window.partitionBy(_g) formulation shuffled and sorted every posting
     // of exactly the shingles being pruned — at web scale the stopword
     // shingles ARE the shuffle — and ran twice (once per self-join side).
+    // no broadcast HINT on the hot set: it is usually tiny (Zipf head) and
+    // AQE will broadcast it then, but its worst-case size is
+    // postings/maxShingleDf — corpus-scaled — and a forced broadcast of
+    // that would OOM the driver where a shuffled anti-join degrades
+    // gracefully
     val hot = inverted.groupBy(col("_g"))
       .agg(count(lit(1)).as("_df")).where(col("_df") > maxShingleDf)
       .select(col("_g"))
-    val pruned = inverted.join(broadcast(hot), Seq("_g"), "left_anti")
+    val pruned = inverted.join(hot, Seq("_g"), "left_anti")
     val pairsCommon = pruned.as("x").join(pruned.as("y"), col("x._g") === col("y._g"))
       .where(col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"),
@@ -230,10 +235,12 @@ object Dedup {
                     idCol: String, textCol: String,
                     benchIdCol: String, benchTextCol: String,
                     n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    // no broadcast hint: the contaminated-id set is corpus-bounded in the
+    // worst case (AQE broadcasts it when it is small, the usual case)
     val bad = contaminationPairs(corpus, benchmark, idCol, textCol,
       benchIdCol, benchTextCol, n, threshold)
       .select(col("corpus_id")).distinct()
-    corpus.join(broadcast(bad), corpus(idCol) === bad("corpus_id"), "left_anti")
+    corpus.join(bad, corpus(idCol) === bad("corpus_id"), "left_anti")
   }
 
   /** Connected components over duplicate pairs: iterative min-label
