@@ -657,6 +657,9 @@ object SparkEntry {
     "q41_stream_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
+      // the collect() is the REPLAY HARNESS (it builds the MemoryStream
+      // feed), not part of the operator — Streaming.sessions consumes any
+      // unbounded source; a production job points readStream at the corpus
       val rows = t(s, dir, "events")
         .select(col("user_id"), col("ts").cast("timestamp"))
         .collect()
