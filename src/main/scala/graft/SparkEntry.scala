@@ -7,11 +7,23 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — one `queries` entry per implemented operator family
-  * (SURVEY.md §2), with DuckDB-equivalent SQL in `oracleSql` where the
-  * semantics are ANSI-expressible. Numeric outputs avoid cross-engine
-  * float-summation hazards: aggregates go through decimal, per-row double
-  * arithmetic is bit-identical by construction.
+/** Driver contract — 53 queries spanning every implemented operator family
+  * (SURVEY.md §2) plus the training-data curation surface, EACH with an
+  * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
+  * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
+  * ANN, q21-q29 the gbdc CNF kernel surface, q30-q33 WCNF/OPB families,
+  * q34/q40 distribution+degree statistics, q35 iso_hash2, q36 cnf2bip,
+  * q37 exact ngram pairs, q38/q39 wcnf-iso/pqbf hashes, q41 Structured
+  * Streaming sessions, q42-q49 corpus curation (decontaminate, PII,
+  * repetition, sampling, packing, multimodal decode, CC clusters,
+  * passages), q50 the END-TO-END FeatureJob pipeline, q51 the SQL-registry
+  * path, q52 the pruned PageTable layout, q53 salted aggregation.
+  *
+  * Oracle discipline: numeric outputs avoid cross-engine float-summation
+  * hazards (integer cents / exact-dyadic folds / bit-identical per-row
+  * double expressions); kernel-family oracles hard-code constants derived
+  * BY HAND (or by compiling the reference's own header — q35) from the
+  * reference semantics, never from engine output.
   */
 object SparkEntry {
 
