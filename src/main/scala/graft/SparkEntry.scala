@@ -875,6 +875,19 @@ object SparkEntry {
         partial = g => g.agg(count(lit(1)).as("_c"), sum(col("cents")).as("_s")),
         merge = g => g.agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("sum_cents")))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- the BPE-ish token estimator (subword budget: ceil(len/4) per
+    //      word-char run + 1 per other non-whitespace char) — the oracle
+    //      recomputes the identical arithmetic; the [A-Za-z0-9_'] word
+    //      class equals the kernel's Unicode one on this ASCII corpus
+    //      (same assumption q16/q17 document) ----
+    "q54_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          token_count(trim(col("text"))).as("n_ws"),
+          token_count_bpe(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1417,7 +1430,17 @@ object SparkEntry {
     "q53_salted_agg" ->
       """SELECT user_id, count(*) AS cnt,
         |cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS sum_cents
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_bpe_tokens" ->
+      """SELECT doc_id,
+        |cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(string_split_regex(trim(text), '\s+')) END AS bigint) AS n_ws,
+        |cast(
+        |  coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9_'']+'), w -> (length(w) + 3) // 4)), 0)
+        |  + length(regexp_replace(text, '[A-Za-z0-9_'']|\s', '', 'g'))
+        |AS bigint) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

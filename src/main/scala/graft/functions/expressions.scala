@@ -207,7 +207,9 @@ case class ExtractFeatures(child: Expression, format: String) extends DocKernelE
         case DocFormat.Wcnf => WcnfBase.extract(buf)
         case _ => OpbBase.extract(buf)
       }
-      InternalRow.fromSeq(values)
+      // non-copying wrap: fromSeq(array) would defensively copy the 58-79
+      // element feature vector ONCE PER ROW through the implicit conversion
+      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
     } catch {
       case _: DocParseException => null
     }
@@ -254,7 +256,9 @@ case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBy
     else try {
       val hash = Dimacs.gbdHashCnf(buf)
       val features = CnfBase.extract(buf)
-      InternalRow(UTF8String.fromString(hash), InternalRow.fromSeq(features), true, false)
+      InternalRow(UTF8String.fromString(hash),
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(features)),
+        true, false)
     } catch {
       case _: DocParseException => InternalRow(null, null, false, false)
     }
@@ -273,7 +277,8 @@ case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
   override def prettyName: String = "cnf_gate_features"
   protected override def nullSafeEval(input: Any): Any = {
     val buf = docBytes(input)
-    try InternalRow.fromSeq(Gates.extract(buf))
+    try InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(Gates.extract(buf)))
     catch {
       case _: DocParseException => null
       // resource envelope: a doc whose semantic gate checks blow the solver
