@@ -86,7 +86,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     pipeOnce() // warm
-    val featSec = Seq(pipeOnce(), pipeOnce(), pipeOnce()).sorted.apply(1)
+    // median of FIVE for the headline metric: a sustained contention
+    // stretch can cover three consecutive reps (observed), five raises the
+    // odds at least three land quiet for a few extra seconds of runtime
+    val featSec = Seq.fill(5)(pipeOnce()).sorted.apply(2)
     results("feature_pipeline") = featSec
     val pagesPerSec = nPages / featSec
 
