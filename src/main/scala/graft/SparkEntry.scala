@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 53 queries spanning every implemented operator family
+/** Driver contract — 58 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -17,7 +17,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * Streaming sessions, q42-q49 corpus curation (decontaminate, PII,
   * repetition, sampling, packing, multimodal decode, CC clusters,
   * passages), q50 the END-TO-END FeatureJob pipeline, q51 the SQL-registry
-  * path, q52 the pruned PageTable layout, q53 salted aggregation.
+  * path, q52 the pruned PageTable layout, q53 salted aggregation, q54 the
+  * BPE-ish token estimator, q55/q56/q57 the reference's own golden fixtures
+  * (xz-compressed payloads decompressed in-plan, constants hard-coded from
+  * the reference tree), q58 real-codec multimodal decode (PNG/WAV).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -686,7 +689,15 @@ object SparkEntry {
       val query = sess.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
-      s.table(sink)
+      // materialize the (session-count-sized) sink into a local DataFrame and
+      // DROP the catalog entry: each invocation would otherwise leak a
+      // driver-memory table holding the full result for the session lifetime
+      // (bench runs this query 3 timed reps + warmup)
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("session_revisits"))
         .orderBy(col("user_id"), col("session_start"))

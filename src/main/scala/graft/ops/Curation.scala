@@ -74,11 +74,17 @@ object Curation {
     * Scale shape: packing is PER SHARD (one window partition each), so the
     * sort parallelism is the shard count — never a global orderBy. Shard
     * however the corpus is already laid out (e.g. FeatureJob.shardCol).
+    *
+    * Determinism contract: `orderCol` must be UNIQUE within a shard, or a
+    * deterministic tie-break must be supplied via `tieBreak` — tied rows can
+    * otherwise swap between runs and move pack_tokens_before/pack_bin,
+    * breaking the module's resume/checksum guarantees.
     */
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
-                    tokenCol: String, budgetTokens: Long): DataFrame = {
+                    tokenCol: String, budgetTokens: Long,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .partitionBy(col(shardCol)).orderBy(col(orderCol) +: tieBreak.map(col): _*)
     val before = coalesce(
       sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     df.withColumn("pack_tokens_before", before.cast("long"))
@@ -109,11 +115,16 @@ object Curation {
     val lastStart = (nw - 1) - pmod(nw - 1, lit(strideWords.toLong))
     val starts = when(nw > 0,
       sequence(lit(0L), lastStart, lit(strideWords.toLong))).otherwise(array())
+    // carry EVERY input column except the (usually large) text through to
+    // the passage rows — a chunker that silently drops lang/url metadata
+    // forces an extra join downstream
+    val carried = df.columns.filter(_ != textCol).map(col)
     df.withColumn("_w", words)
       .withColumn("_starts", starts)
-      .select(col(idCol), col("_w"), posexplode(col("_starts")).as(Seq("passage_no", "_s")))
-      .select(col(idCol), col("passage_no").cast("long").as("passage_no"),
-        array_join(slice(col("_w"), (col("_s") + 1).cast("int"), lit(windowWords)), " ").as("passage"))
+      .select(carried :+ col("_w") :+
+        posexplode(col("_starts")).as(Seq("passage_no", "_s")): _*)
+      .select(carried :+ col("passage_no").cast("long").as("passage_no") :+
+        array_join(slice(col("_w"), (col("_s") + 1).cast("int"), lit(windowWords)), " ").as("passage"): _*)
   }
 
   /** Repetition/shape signals over one document (Gopher-rule family):

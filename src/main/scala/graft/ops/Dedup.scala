@@ -244,14 +244,24 @@ object Dedup {
   }
 
   /** Connected components over duplicate pairs: iterative min-label
-    * propagation (each node adopts the min label among itself and its
-    * neighbors) until fixpoint or maxIters. Returns (id, cluster_id).
-    * Label count halves-or-better per round on path graphs; typical dup
-    * clusters converge in 2-3 rounds.
+    * propagation PLUS pointer jumping, until fixpoint or maxIters. Returns
+    * (id, cluster_id).
+    *
+    * Each round a node adopts min(self, min over neighbors, label-of-label):
+    * the neighbor step is classic min-label propagation; the label-of-label
+    * hop is pointer jumping (labels always form a forest rooted at component
+    * minima, so following one parent pointer per round halves the remaining
+    * path length — the same doubling that makes large-star/small-star
+    * converge in O(log diameter) instead of O(diameter) on chain-shaped dup
+    * graphs; ClustersSpec proves a 64-node path converges in <= 7 rounds).
+    *
+    * Cost shape per round: two label-sized joins + ONE Spark job — the
+    * convergence flag rides the same aggregate action that materializes the
+    * round's persist (the previous formulation ran an extra join +
+    * limit(1).count() job per round just to test convergence).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIters: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct()
@@ -259,23 +269,33 @@ object Dedup {
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
+    var persisted: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id"))
         .agg(min(col("cluster_id")).as("_nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("_old"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("_c1"))
+      // pointer jumping: look up the (previous round's) label OF my new
+      // label — labels are node ids, so every _c1 has an entry in `labels`
+      val next = stepped.join(
+          labels.select(col("id").as("_pid"), col("cluster_id").as("_c2")),
+          col("_c1") === col("_pid"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_c1"), coalesce(col("_c2"), col("_c1"))).as("cluster_id"))
       // truncate lineage periodically: each round nests the previous plan,
       // and past ~10 rounds planning time + stack depth dominate
       val updated = (if (iter % 5 == 4) next.localCheckpoint() else next).persist()
-      val changed = updated.as("u").join(labels.as("l"), Seq("id"))
-        .where(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = updated
+      // ONE action: materializes the persist AND returns the changed count
+      val changedRow = updated
+        .agg(sum(when(col("cluster_id") =!= col("_old"), 1L).otherwise(0L))).head()
+      val changed = !changedRow.isNullAt(0) && changedRow.getLong(0) > 0
+      if (persisted != null) persisted.unpersist()
+      persisted = updated
+      labels = updated.select(col("id"), col("cluster_id"))
       converged = !changed
       iter += 1
     }

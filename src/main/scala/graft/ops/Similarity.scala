@@ -56,6 +56,20 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nCentroids: Int, sampleSize: Int = 2000, iters: Int = 5): Array[Array[Float]] = {
+    // a fixed-size driver sample under-determines the codebook once the
+    // cluster count approaches the sample size (at ~8 samples per centroid
+    // Lloyd's means are noise, and whole clusters can be absent from the
+    // sample); switch to the distributed trainer, which sees the WHOLE
+    // corpus each iteration
+    if (nCentroids.toLong * 8 > sampleSize)
+      trainCentroidsDistributed(corpus, idCol, vecCol, nCentroids, iters)
+    else
+      trainCentroidsSampled(corpus, idCol, vecCol, nCentroids, sampleSize, iters)
+  }
+
+  /** The driver-sample Lloyd path (fast, fine while nCentroids << sampleSize). */
+  private[ops] def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                                         nCentroids: Int, sampleSize: Int, iters: Int): Array[Array[Float]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
       .collect()
@@ -89,6 +103,73 @@ object Similarity {
           m
         }
       }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Distributed mini-batch-free Lloyd: ONE treeAggregate pass over the whole
+    * corpus per iteration (centroids broadcast; per-partition partial sums
+    * combine in a tree, so driver traffic is O(nCentroids x dim x
+    * log(partitions)), never O(rows)). Removes the sampled path's ceiling:
+    * at 100 TB with hundreds of centroids a fixed driver sample both misses
+    * whole clusters and trains each mean on a handful of points
+    * (SimilaritySpec quantifies the under-fit at nCentroids=256).
+    * Deterministic: hash-ordered init, fixed partition tree.
+    */
+  def trainCentroidsDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+                                nCentroids: Int, iters: Int = 5): Array[Array[Float]] = {
+    val sc = corpus.sparkSession.sparkContext
+    // init: the nCentroids hash-smallest rows — the same deterministic
+    // decorrelated draw the sampled path uses, just exactly codebook-sized
+    var centroids = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty, "empty corpus")
+    val dim = centroids.head.length
+    val k = centroids.length
+    val vecs = corpus.select(col(vecCol)).rdd.map(_.getSeq[Float](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = sc.broadcast(centroids)
+      val zero = (Array.fill(k)(new Array[Double](dim)), new Array[Long](k))
+      val (sums, counts) = vecs.treeAggregate(zero)(
+        seqOp = { case ((s, c), v) =>
+          val cs = bc.value
+          var best = 0
+          var bestSim = Double.MinValue
+          var ci = 0
+          while (ci < cs.length) {
+            val sim = graft.core.TextKernels.cosine(v, cs(ci))
+            if (sim > bestSim) { bestSim = sim; best = ci }
+            ci += 1
+          }
+          c(best) += 1
+          var d = 0
+          while (d < dim) { s(best)(d) += v(d); d += 1 }
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var ci = 0
+          while (ci < k) {
+            c1(ci) += c2(ci)
+            var d = 0
+            while (d < dim) { s1(ci)(d) += s2(ci)(d); d += 1 }
+            ci += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      centroids = Array.tabulate(k) { ci =>
+        if (counts(ci) == 0) centroids(ci)
+        else {
+          val m = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { m(d) = (sums(ci)(d) / counts(ci)).toFloat; d += 1 }
+          m
+        }
+      }
       it += 1
     }
     centroids

@@ -39,13 +39,20 @@ object Manifest {
       s""""outputPath":"${e.outputPath}","inputFingerprint":"${e.inputFingerprint}",""" +
       s""""jobWallMs":${e.jobWallMs},"completedAtMs":${e.completedAtMs}}"""
 
+  // accepts both the current `jobWallMs` key and the pre-rename `wallMs`
+  // wire format: entries written by an older build must stay resumable —
+  // silently failing to parse them would recompute every completed shard
+  // on upgrade without telling the operator
   private val Pattern =
-    """\{"shard":(\d+),"rowCount":(\d+),"checksum":(-?\d+),"outputPath":"([^"]*)","inputFingerprint":"([^"]*)","jobWallMs":(\d+),"completedAtMs":(\d+)\}""".r
+    """\{"shard":(\d+),"rowCount":(\d+),"checksum":(-?\d+),"outputPath":"([^"]*)","inputFingerprint":"([^"]*)","(?:jobWallMs|wallMs)":(\d+),"completedAtMs":(\d+)\}""".r
 
   def fromJson(s: String): Option[Entry] = s.trim match {
     case Pattern(sh, rc, ck, op, fp, wm, ca) =>
       Some(Entry(sh.toInt, rc.toLong, ck.toLong, op, fp, wm.toLong, ca.toLong))
-    case _ => None
+    case _ =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"manifest entry failed to parse (will be recomputed): ${s.take(120)}")
+      None
   }
 
   /** Atomically record a completed shard. */

@@ -98,6 +98,18 @@ class DedupSpec extends SparkSpec {
     assert(r(10L) == 10L && r(11L) == 10L)
   }
 
+  test("clusters: 64-node path converges within 7 rounds (pointer jumping)") {
+    // plain min-label propagation needs O(diameter) = 63 rounds on a path;
+    // the pointer-jumping hop reaches distance 2^k - 1 after k rounds, so
+    // 64 nodes collapse to label 0 in 6 rounds (+1 to observe the fixpoint)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.clusters(pairs, maxIters = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(r.length == 64)
+    assert(r.forall(_._2 == 0L),
+      s"path must collapse to one cluster in <= 7 rounds, got ${r.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("embedding cosine pairs via hyperplane LSH") {
     val base = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
@@ -188,6 +200,38 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall@5 with nProbe=1 on the last epoch = $recall")
+  }
+
+  test("distributed Lloyd lifts the fixed-sample ceiling at nCentroids=256") {
+    // 256 true clusters x 80 members with real intra-cluster spread: a
+    // 2000-row driver sample trains each centroid on ~7.8 points, so its
+    // means carry residual noise ~ spread/sqrt(7.8); the distributed
+    // trainer aggregates all 80 members per cluster each iteration and its
+    // codebook sits measurably closer to the true centers
+    val rnd = new scala.util.Random(3)
+    val dim = 32
+    val centers = Array.fill(256)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0L until 20480L).map { i =>
+      val c = centers((i % 256).toInt)
+      (i, c.map(_ + 0.7f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(8).cache()
+    try {
+      def fidelity(cents: Array[Array[Float]]): Double =
+        centers.map(c => cents.map(k => TextKernels.cosine(c, k)).max).sum / centers.length
+      val sampled = Similarity.trainCentroidsSampled(df, "vec_id", "embedding",
+        nCentroids = 256, sampleSize = 2000, iters = 3)
+      val dist = Similarity.trainCentroidsDistributed(df, "vec_id", "embedding",
+        nCentroids = 256, iters = 3)
+      val (fs, fd) = (fidelity(sampled), fidelity(dist))
+      assert(fd > fs + 0.01, s"distributed=$fd must beat sampled=$fs visibly")
+      // the public API must dispatch to the distributed path at this scale
+      // (256 centroids x 8 > 2000-row sample support)
+      val auto = Similarity.trainCentroids(df, "vec_id", "embedding",
+        nCentroids = 256, sampleSize = 2000, iters = 3)
+      assert(auto.map(_.toSeq) === dist.map(_.toSeq),
+        "trainCentroids must auto-dispatch to the distributed trainer")
+    } finally df.unpersist()
   }
 
   test("IVF corpus assignment is shuffle-free (no Exchange below the probe join)") {

@@ -158,6 +158,16 @@ class ResumeSpec extends SparkSpec {
     assert(out("http://bad.example") == ("parse_error", true))
   }
 
+  test("manifest parses the legacy wallMs wire format (no silent recompute on upgrade)") {
+    val legacy = """{"shard":3,"rowCount":42,"checksum":-7,"outputPath":"/x/_shard=3",""" +
+      """"inputFingerprint":"abc-f1","wallMs":1234,"completedAtMs":99}"""
+    val e = Manifest.fromJson(legacy)
+    assert(e.contains(Manifest.Entry(3, 42L, -7L, "/x/_shard=3", "abc-f1", 1234L, 99L)))
+    // round trip of the CURRENT format still parses
+    val cur = Manifest.Entry(1, 2L, 3L, "/y", "fp", 4L, 5L)
+    assert(Manifest.fromJson(Manifest.toJson(cur)).contains(cur))
+  }
+
   test("temporal stage plan: exactly one exchange + one sort feed all windows") {
     val plan = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
       .queryExecution.executedPlan.toString
