@@ -899,6 +899,80 @@ object SparkEntry {
           token_count(trim(col("text"))).as("n_ws"),
           token_count_bpe(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the reference's OWN regression contract, driver-visible: golden
+    //      fixtures enter the plan as xz-COMPRESSED bytes (exactly as the
+    //      reference ships them), are decompressed in-plan (S1 ingestion,
+    //      StreamBuffer.h:106-124 analog), and every oracle constant comes
+    //      from the REFERENCE TREE — md5 filename prefixes (q55) and
+    //      expected_records/*.txt values (q56/q57) — never from the engine.
+    "q55_golden_hashes" -> ((s, dir) => {
+      import s.implicits._
+      val G = graft.sources.GoldenFixtures
+      G.hashNamed.map(n => (n.substring(0, 32), G.bytes(n)))
+        .toDF("file_hash", "payload")
+        .select(col("file_hash"),
+          gbd_hash(decompress_auto(col("payload"))).as("gbd"))
+        .orderBy(col("file_hash"))
+    }),
+    "q56_golden_cnf" -> ((s, dir) => {
+      // cnf_test.cnf.xz through decompress → base features + gate features;
+      // the integer-valued fields of expected_records/cnf_base.txt:1-18 and
+      // cnf_gates.txt:1-6 (exactly representable in doubles → exact longs)
+      import s.implicits._
+      val G = graft.sources.GoldenFixtures
+      Seq((G.CnfTest, G.bytes(G.CnfTest)))
+        .toDF("file", "payload")
+        .select(col("file"), decompress_xz(col("payload")).as("doc"))
+        .select(col("file"), cnf_features(col("doc")).as("f"),
+          cnf_gate_features(col("doc")).as("g"))
+        .select(col("file"),
+          col("f.clauses").cast("long").as("clauses"),
+          col("f.variables").cast("long").as("variables"),
+          col("f.bytes").cast("long").as("bytes"),
+          col("f.ccs").cast("long").as("ccs"),
+          col("f.cls1").cast("long").as("cls1"),
+          col("f.cls2").cast("long").as("cls2"),
+          col("f.cls3").cast("long").as("cls3"),
+          col("f.cls8").cast("long").as("cls8"),
+          col("f.cls10p").cast("long").as("cls10p"),
+          col("f.horn").cast("long").as("horn"),
+          col("f.invhorn").cast("long").as("invhorn"),
+          col("f.positive").cast("long").as("positive"),
+          col("f.negative").cast("long").as("negative"),
+          col("g.n_vars").cast("long").as("n_vars"),
+          col("g.n_gates").cast("long").as("n_gates"),
+          col("g.n_roots").cast("long").as("n_roots"),
+          col("g.n_none").cast("long").as("n_none"),
+          col("g.n_mono").cast("long").as("n_mono"))
+    }),
+    "q57_golden_wcnf_opb" -> ((s, dir) => {
+      // wcnf_test + opb_test in long (file, feature, value) form so both
+      // format families share one schema; counts and min/max fields only
+      // (selections of exact inputs — exact longs on both sides)
+      import s.implicits._
+      val G = graft.sources.GoldenFixtures
+      def unpivot(f: org.apache.spark.sql.Column, names: Seq[String]) =
+        explode(array(names.map(n =>
+          struct(lit(n).as("feature"), f.getField(n).cast("long").as("value"))): _*))
+      val wNames = Seq("h_clauses", "variables", "h_cls1", "h_cls2", "h_cls3", "h_cls4",
+        "h_horn", "h_invhorn", "h_positive", "h_negative",
+        "s_clauses", "s_weight_sum", "s_cls1", "s_weight_min", "s_weight_max",
+        "h_vcg_cdegree_min", "h_vcg_cdegree_max", "h_vcg_vdegree_min", "h_vcg_vdegree_max",
+        "h_vg_degree_min", "h_vg_degree_max", "h_cg_degree_min", "h_cg_degree_max")
+      val oNames = Seq("constraints", "variables", "pbs_ge", "pbs_eq", "cards_ge", "cards_eq",
+        "clauses", "assignments", "trivially_unsat", "obj_terms", "obj_max_val", "obj_min_val",
+        "obj_coeffs_min", "obj_coeffs_max")
+      val w = Seq((G.WcnfTest, G.bytes(G.WcnfTest))).toDF("file", "payload")
+        .select(col("file"), wcnf_features(decompress_auto(col("payload"))).as("f"))
+        .select(col("file"), unpivot(col("f"), wNames).as("fv"))
+      val o = Seq((G.OpbTest, G.bytes(G.OpbTest))).toDF("file", "payload")
+        .select(col("file"), opb_features(decompress_auto(col("payload"))).as("f"))
+        .select(col("file"), unpivot(col("f"), oNames).as("fv"))
+      w.unionByName(o)
+        .select(col("file"), col("fv.feature").as("feature"), col("fv.value").as("value"))
+        .orderBy(col("file"), col("feature"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1451,7 +1525,71 @@ object SparkEntry {
         |    regexp_extract_all(text, '[A-Za-z0-9_'']+'), w -> (length(w) + 3) // 4)), 0)
         |  + length(regexp_replace(text, '[A-Za-z0-9_'']|\s', '', 'g'))
         |AS bigint) AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q55-q57: constants from the REFERENCE TREE (never engine output) —
+    // q55 the 32-hex gbd-hash filename prefixes of
+    // test/resources/test_files/<md5>-<name>.cnf.xz; q56/q57 the
+    // integer-valued rows of test/resources/expected_records/{cnf_base,
+    // cnf_gates,wcnf_base,opb_base}.txt (the reference's own regression
+    // values for the same fixtures, tests_feature_extraction.cc:37-66)
+    "q55_golden_hashes" ->
+      """SELECT * FROM (VALUES
+        |  ('0297c2a35f116ffd5382aea5b421e6df', '0297c2a35f116ffd5382aea5b421e6df'),
+        |  ('246afd75cb97a21144f368c00252a656', '246afd75cb97a21144f368c00252a656'),
+        |  ('328da7966b09b2f6e99c93c4e877fbff', '328da7966b09b2f6e99c93c4e877fbff'))
+        |AS t(file_hash, gbd) ORDER BY file_hash""".stripMargin,
+    "q56_golden_cnf" ->
+      """SELECT 'cnf_test.cnf.xz' AS file,
+        |CAST(6663 AS BIGINT) AS clauses, CAST(270 AS BIGINT) AS variables,
+        |CAST(92378 AS BIGINT) AS bytes, CAST(1 AS BIGINT) AS ccs,
+        |CAST(0 AS BIGINT) AS cls1, CAST(1362 AS BIGINT) AS cls2,
+        |CAST(5280 AS BIGINT) AS cls3, CAST(12 AS BIGINT) AS cls8,
+        |CAST(9 AS BIGINT) AS cls10p, CAST(21 AS BIGINT) AS horn,
+        |CAST(6642 AS BIGINT) AS invhorn, CAST(21 AS BIGINT) AS positive,
+        |CAST(1890 AS BIGINT) AS negative, CAST(270 AS BIGINT) AS n_vars,
+        |CAST(78 AS BIGINT) AS n_gates, CAST(847 AS BIGINT) AS n_roots,
+        |CAST(192 AS BIGINT) AS n_none, CAST(78 AS BIGINT) AS n_mono""".stripMargin,
+    "q57_golden_wcnf_opb" ->
+      """SELECT t.file, t.feature, CAST(t.value AS BIGINT) AS value FROM (VALUES
+        |  ('opb_test.opb.xz', 'assignments', 0),
+        |  ('opb_test.opb.xz', 'cards_eq', 0),
+        |  ('opb_test.opb.xz', 'cards_ge', 0),
+        |  ('opb_test.opb.xz', 'clauses', 1581),
+        |  ('opb_test.opb.xz', 'constraints', 1581),
+        |  ('opb_test.opb.xz', 'obj_coeffs_max', 1),
+        |  ('opb_test.opb.xz', 'obj_coeffs_min', 1),
+        |  ('opb_test.opb.xz', 'obj_max_val', 634),
+        |  ('opb_test.opb.xz', 'obj_min_val', 0),
+        |  ('opb_test.opb.xz', 'obj_terms', 634),
+        |  ('opb_test.opb.xz', 'pbs_eq', 0),
+        |  ('opb_test.opb.xz', 'pbs_ge', 0),
+        |  ('opb_test.opb.xz', 'trivially_unsat', 0),
+        |  ('opb_test.opb.xz', 'variables', 635),
+        |  ('wcnf_test.wcnf.xz', 'h_cg_degree_max', 72),
+        |  ('wcnf_test.wcnf.xz', 'h_cg_degree_min', 3),
+        |  ('wcnf_test.wcnf.xz', 'h_clauses', 2874),
+        |  ('wcnf_test.wcnf.xz', 'h_cls1', 92),
+        |  ('wcnf_test.wcnf.xz', 'h_cls2', 468),
+        |  ('wcnf_test.wcnf.xz', 'h_cls3', 2252),
+        |  ('wcnf_test.wcnf.xz', 'h_cls4', 62),
+        |  ('wcnf_test.wcnf.xz', 'h_horn', 1640),
+        |  ('wcnf_test.wcnf.xz', 'h_invhorn', 1506),
+        |  ('wcnf_test.wcnf.xz', 'h_negative', 426),
+        |  ('wcnf_test.wcnf.xz', 'h_positive', 114),
+        |  ('wcnf_test.wcnf.xz', 'h_vcg_cdegree_max', 4),
+        |  ('wcnf_test.wcnf.xz', 'h_vcg_cdegree_min', 1),
+        |  ('wcnf_test.wcnf.xz', 'h_vcg_vdegree_max', 18),
+        |  ('wcnf_test.wcnf.xz', 'h_vcg_vdegree_min', 0),
+        |  ('wcnf_test.wcnf.xz', 'h_vg_degree_max', 57),
+        |  ('wcnf_test.wcnf.xz', 'h_vg_degree_min', 0),
+        |  ('wcnf_test.wcnf.xz', 's_clauses', 240),
+        |  ('wcnf_test.wcnf.xz', 's_cls1', 240),
+        |  ('wcnf_test.wcnf.xz', 's_weight_max', 1),
+        |  ('wcnf_test.wcnf.xz', 's_weight_min', 1),
+        |  ('wcnf_test.wcnf.xz', 's_weight_sum', 240),
+        |  ('wcnf_test.wcnf.xz', 'variables', 1124))
+        |AS t(file, feature, value) ORDER BY t.file, t.feature""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -331,6 +331,28 @@ case class BipTransform(child: Expression) extends DocKernelExpression {
     copy(child = newChild)
 }
 
+/** Decompress a compressed payload column (xz/gzip/bzip2/zstd, or
+  * magic-byte auto-detection — the Spark analog of the reference's
+  * libarchive filter-all ingestion, /root/reference/src/util/StreamBuffer.h:
+  * 106-124; see graft.core.Compression). Fuses below the hash/feature
+  * kernels: `gbd_hash(decompress_auto(payload))` evaluates both in one
+  * narrow projection over the scan, so compressed corpora never
+  * materialize a decompressed intermediate column. Corrupt streams and
+  * budget violations null the row (status channel), never the task.
+  */
+case class Decompress(child: Expression, codec: String = Compression.Auto,
+                      maxBytes: Int = Compression.DefaultMaxBytes)
+    extends DocKernelExpression {
+  require(Compression.codecs.contains(codec), s"unknown codec $codec")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"decompress_$codec"
+  protected override def nullSafeEval(input: Any): Any =
+    try Compression.decompress(docBytes(input), codec, maxBytes)
+    catch { case _: DocParseException => null }
+  override protected def withNewChildInternal(newChild: Expression): Decompress =
+    copy(child = newChild)
+}
+
 /** Data-quality scan (/root/reference/src/extract/CNFSaniCheck.cc). */
 case class SaniCheckExpr(child: Expression) extends DocKernelExpression {
   override def dataType: StructType = FeatureSchemas.sani

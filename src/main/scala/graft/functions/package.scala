@@ -60,6 +60,13 @@ package object functions {
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
 
+  /** Compressed-payload ingestion (S1): decompress below the kernels. */
+  def decompress_auto(c: Column): Column = col1(Decompress(_))(c)
+  def decompress_xz(c: Column): Column = col1(Decompress(_, graft.core.Compression.Xz))(c)
+  def decompress_gzip(c: Column): Column = col1(Decompress(_, graft.core.Compression.Gzip))(c)
+  def decompress_bzip2(c: Column): Column = col1(Decompress(_, graft.core.Compression.Bzip2))(c)
+  def decompress_zstd(c: Column): Column = col1(Decompress(_, graft.core.Compression.Zstd))(c)
+
   // ---- text analysis / similarity (training-data pipeline) ----
 
   def token_count(c: Column): Column = col1(TokenCount(_, "whitespace"))(c)
@@ -129,6 +136,11 @@ object GraftExtensions {
     unary("kis_transform")(KisTransform(_)),
     unary("bip_transform")(BipTransform(_)),
     unary("cnf_clauses")(ParseClauses(_)),
+    unary("decompress_auto")(Decompress(_)),
+    unary("decompress_xz")(Decompress(_, graft.core.Compression.Xz)),
+    unary("decompress_gzip")(Decompress(_, graft.core.Compression.Gzip)),
+    unary("decompress_bzip2")(Decompress(_, graft.core.Compression.Bzip2)),
+    unary("decompress_zstd")(Decompress(_, graft.core.Compression.Zstd)),
     unary("token_count")(TokenCount(_, "whitespace")),
     unary("token_count_bpe")(TokenCount(_, "bpe")),
     unary("text_quality")(TextQualityExpr(_)),
