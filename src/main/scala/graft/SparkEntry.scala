@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 58 queries spanning every implemented operator family
+/** Driver contract — 59 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -20,7 +20,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * path, q52 the pruned PageTable layout, q53 salted aggregation, q54 the
   * BPE-ish token estimator, q55/q56/q57 the reference's own golden fixtures
   * (xz-compressed payloads decompressed in-plan, constants hard-coded from
-  * the reference tree), q58 real-codec multimodal decode (PNG/WAV).
+  * the reference tree), q58 real-codec multimodal decode (PNG/JPEG/WAV),
+  * q59 the deterministic resource envelope (limit/timeout/ok outcomes).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -973,6 +974,54 @@ object SparkEntry {
       w.unionByName(o)
         .select(col("file"), col("fv.feature").as("feature"), col("fv.value").as("value"))
         .orderBy(col("file"), col("feature"))
+    }),
+
+    // ---- REAL codecs through the multimodal decode stage: actual PNG/JPEG
+    //      streams (javax.imageio) and canonical PCM WAVs built closed-form,
+    //      so every dimension/channel/duration in the oracle is known BY
+    //      CONSTRUCTION; a corrupt container yields the structured ok=false
+    //      row. Dispatch is by magic bytes (id 6's payload claims PNG and
+    //      fails to decode). ----
+    "q58_real_codecs" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "image", M.MediaGen.pngBytes(17, 9)),
+        M.MediaRow(2L, "image", M.MediaGen.pngBytes(33, 21, alpha = true)),
+        M.MediaRow(3L, "image", M.MediaGen.jpegBytes(24, 16)),
+        M.MediaRow(4L, "audio", M.MediaGen.wavBytes(1, 8000, 16000)),
+        M.MediaRow(5L, "audio", M.MediaGen.wavBytes(2, 44100, 44100)),
+        M.MediaRow(6L, "image",
+          Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42)))
+      M.decode(rows.toDS(), batchBytes = 1L << 20).toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"),
+          col("ok").cast("long").as("ok"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- the FULL ResourceLimits outcome channel (Main.cc:177-191),
+    //      driver-visible: per-id doc construction makes the byte budget
+    //      bind (comment-padded), the op budget bind (dense literal tail:
+    //      op-big at few bytes), or neither — and the oracle derives every
+    //      status from the CONSTRUCTION (id mod 3), independent of the
+    //      engine. Deterministic: same outcome on every executor/retry. ----
+    "q59_resource_envelope" -> ((s, dir) => {
+      val docs = syntheticCnf(s, dir).withColumn("text",
+        when(col("id") % 3 === 0,
+          concat(col("text"), repeat(lit("1 -2 0\n"), 50))) // 106 lits, ~400 B
+        .when(col("id") % 3 === 1,
+          concat(lit("c "), repeat(lit("x"), 5000), lit("\n"), col("text")))
+        .otherwise(col("text")))
+      graft.runtime.FeatureJob
+        .extractStage(docs.repartition(32, col("id")), "cnf",
+          maxDocBytes = 4096, maxDocOps = 100L)
+        .select(col("id"), col("status"),
+          col("instance_id").isNotNull.cast("long").as("has_id"))
+        .orderBy(col("id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1589,7 +1638,34 @@ object SparkEntry {
         |  ('wcnf_test.wcnf.xz', 's_weight_min', 1),
         |  ('wcnf_test.wcnf.xz', 's_weight_sum', 240),
         |  ('wcnf_test.wcnf.xz', 'variables', 1124))
-        |AS t(file, feature, value) ORDER BY t.file, t.feature""".stripMargin)
+        |AS t(file, feature, value) ORDER BY t.file, t.feature""".stripMargin,
+    // q58: every value known BY CONSTRUCTION of the media fixtures (PNG/JPEG
+    // pixel dims + color model, WAV header arithmetic: dataBytes*1000/byteRate)
+    "q58_real_codecs" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |CAST(channels AS BIGINT) AS channels,
+        |CAST(duration_ms AS BIGINT) AS duration_ms, CAST(ok AS BIGINT) AS ok
+        |FROM (VALUES
+        |  (1, 'image', 17, 9, 3, 0, 1),
+        |  (2, 'image', 33, 21, 4, 0, 1),
+        |  (3, 'image', 24, 16, 3, 0, 1),
+        |  (4, 'audio', 0, 0, 1, 1000, 1),
+        |  (5, 'audio', 0, 0, 2, 250, 1),
+        |  (6, 'image', 0, 0, 0, 0, 0))
+        |AS t(media_id, kind, width, height, channels, duration_ms, ok)
+        |ORDER BY media_id""".stripMargin,
+    // q59: statuses derive from the doc construction (id mod 3), never from
+    // the engine — id%3=1 is comment-padded past the 4096-byte cap (limit),
+    // id%3=0 appends 50 clauses = 106 literals > the 100-op cap at ~400
+    // bytes (timeout), the rest parse clean (ok, instance id present)
+    "q59_resource_envelope" ->
+      """SELECT o_orderkey AS id,
+        |CASE WHEN o_orderkey % 3 = 1 THEN 'limit'
+        |     WHEN o_orderkey % 3 = 0 THEN 'timeout'
+        |     ELSE 'ok' END AS status,
+        |CAST(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS has_id
+        |FROM orders ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -53,11 +53,24 @@ object Gates {
       val levels: Array[Long]) // size nVars+1 incl. index-0 dummy (golden behavior)
 
   /** Run the full analysis on a sanitized doc (lits are Lit keys). */
-  def analyze(doc: ClauseDoc, maxIterations: Int): Result = {
+  def analyze(doc: ClauseDoc, maxIterations: Int): Result =
+    analyze(doc, maxIterations, new KernelBudget(KernelBudget.Unlimited))
+
+  /** Budgeted analysis: `budget` is charged with clause-literal visits at
+    * the super-linear sites (blocked-set pair merges, occurrence-list
+    * removals, input-literal insertion scans, semantic clause loads) — the
+    * deterministic analog of the reference's per-extraction time limit
+    * (ResourceLimits.h:94-197). Exceeding it raises
+    * [[KernelBudget.KernelTimeout]], which the expression layer surfaces as
+    * `status = "timeout"`. Charging is a pure function of the document, so
+    * the outcome is identical on every rerun.
+    */
+  def analyze(doc: ClauseDoc, maxIterations: Int, budget: KernelBudget): Result = {
     val nVars = doc.nVars
     val nLits = 2 * nVars + 2
 
     // ---- occurrence list (OccurrenceList.h:30-124) ----
+    budget.charge(doc.lits.length.toLong)
     val index = Array.fill(nLits)(new mutable.ArrayBuffer[Int](4))
     var unitc = new mutable.ArrayBuffer[Int]()
     var c = 0
@@ -78,6 +91,7 @@ object Gates {
     def removeClauseFromLit(lit: Int, clause: Int): Unit = {
       val list = index(lit)
       if (list.nonEmpty) {
+        budget.charge(list.length.toLong)
         // reference removes the first matching instance (OccurrenceList.h:69-84)
         var it = 0
         while (it < list.length && list(it) != clause) it += 1
@@ -142,6 +156,8 @@ object Gates {
       while (i < pos.length) {
         var j = 0
         while (j < negl.length) {
+          // the quadratic hot spot: pos.length x negl.length sorted merges
+          budget.charge((doc.clauseSize(pos(i)) + doc.clauseSize(negl(j))).toLong)
           if (!isBlocked(o, pos(i), negl(j))) return false
           j += 1
         }
@@ -156,6 +172,8 @@ object Gates {
     def getInputLiterals(output: Int, clauses: Iterable[Int]): Array[Int] = {
       val inp = new mutable.ArrayBuffer[Int]()
       clauses.foreach { cl =>
+        // insertion-scan cost bound: clause length + current sorted-list size
+        budget.charge((doc.clauseSize(cl) + inp.length).toLong)
         var pos = 0
         var it = doc.clauseStart(cl)
         val end = doc.clauseEnd(cl)
@@ -263,6 +281,7 @@ object Gates {
       while (side < 2) { // { fwd, bwd } = { index[~o], index[o] }
         val f = if (side == 0) index(neg(o)) else index(o)
         f.foreach { cl =>
+          budget.charge(doc.clauseSize(cl).toLong)
           var i = doc.clauseStart(cl)
           while (i < doc.clauseEnd(cl)) {
             val lit = doc.lits(i)
@@ -382,9 +401,25 @@ object Gates {
       "levels_or", "levels_triv", "levels_equiv", "levels_full")
       .flatMap(p => Seq(s"${p}_mean", s"${p}_variance", s"${p}_min", s"${p}_max", s"${p}_entropy"))
 
-  def extract(buf: Array[Byte]): Array[Double] = {
+  def extract(buf: Array[Byte]): Array[Double] = extract(buf, KernelBudget.Unlimited)
+
+  /** Budgeted extraction; `maxOps` bounds the analysis work (clause-literal
+    * visits). Raises [[KernelBudget.KernelTimeout]] deterministically on a
+    * document whose blocked-set structure would blow the budget.
+    */
+  def extract(buf: Array[Byte], maxOps: Long): Array[Double] =
+    extract(buf, new KernelBudget(maxOps))
+
+  /** Ops the analysis charges for this doc (super-linearity diagnostics). */
+  def measureOps(buf: Array[Byte]): Long = {
+    val budget = new KernelBudget(KernelBudget.Unlimited)
+    extract(buf, budget)
+    budget.opsUsed
+  }
+
+  private def extract(buf: Array[Byte], budget: KernelBudget): Array[Double] = {
     val doc = IsoHash2.sanitizedParse(buf)
-    val r = analyze(doc, math.max(1, doc.nVars / 3))
+    val r = analyze(doc, math.max(1, doc.nVars / 3), budget)
 
     val counts = new Array[Long](8)
     val perType = Array.fill(8)(new mutable.ArrayBuffer[Long]())

@@ -230,63 +230,133 @@ object CnfExtract {
     */
   val DefaultMaxBytes: Int = 64 << 20
 
+  /** Default per-document op budget (clause-literal visits — the unit the
+    * feature kernels loop over; see [[graft.core.KernelBudget]]). The
+    * deterministic TIME-limit analog of ResourceLimits.h next to the byte
+    * (memory) cap above: bytes bound allocation, ops bound work, and the
+    * two bind independently — a comment-heavy doc is byte-big but op-small,
+    * a dense single-digit-literal doc is op-big at few bytes. 1<<26 is ~2s
+    * of kernel work per document; the sf corpora use a few thousand ops.
+    */
+  val DefaultMaxOps: Long = 1L << 26
+
   val schema: StructType = StructType(Seq(
     StructField("instance_id", StringType, nullable = true),
     StructField("features", FeatureSchemas.cnf, nullable = true),
     StructField("parse_ok", org.apache.spark.sql.types.BooleanType, nullable = false),
-    StructField("limited", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    StructField("limited", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("timed_out", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 /** Fused identity + features: one evaluation computes gbd_hash and the full
   * base-feature vector over the same in-memory buffer (one UTF8String fetch,
   * two byte-local scans) — the per-row hot path of FeatureJob. Never null:
-  * a malformed doc yields (null, null, parse_ok=false, limited=false) and a
-  * doc over the byte budget yields (null, null, false, limited=true), so
-  * the status column needs no second evaluation and one pathological page
-  * cannot stall a stage at 10^12-doc scale.
+  * a malformed doc yields (null, null, parse_ok=false, ...), a doc over the
+  * byte budget yields limited=true, and a doc over the op budget (total
+  * literal count — the exact work unit of the linear feature loops, known
+  * after the parse) yields timed_out=true, so the status column needs no
+  * second evaluation and one pathological page cannot stall a stage at
+  * 10^12-doc scale. Both budgets are deterministic: the same doc gets the
+  * same outcome on every executor and every retry (resume-checksum safe).
   */
-case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBytes)
+case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBytes,
+                      maxOps: Long = CnfExtract.DefaultMaxOps)
     extends DocKernelExpression {
   override def nullable: Boolean = false
   override def dataType: StructType = CnfExtract.schema
   override def prettyName: String = "cnf_extract"
   protected override def nullSafeEval(input: Any): Any = {
     val buf = docBytes(input)
-    if (buf.length > maxBytes) InternalRow(null, null, false, true)
+    if (buf.length > maxBytes) InternalRow(null, null, false, true, false)
     else try {
-      val hash = Dimacs.gbdHashCnf(buf)
-      val features = CnfBase.extract(buf)
-      InternalRow(UTF8String.fromString(hash),
-        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(features)),
-        true, false)
+      // parse once; the literal count IS the op count of the linear kernel
+      // loops that follow, so the time budget is checked before any of them
+      val doc = ClauseDoc.parse(buf)
+      if (doc.lits.length.toLong > maxOps) InternalRow(null, null, true, false, true)
+      else {
+        val hash = Dimacs.gbdHashCnf(buf)
+        val features = CnfBase.extract(doc)
+        InternalRow(UTF8String.fromString(hash),
+          InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(features)),
+          true, false, false)
+      }
     } catch {
-      case _: DocParseException => InternalRow(null, null, false, false)
+      case _: DocParseException => InternalRow(null, null, false, false, false)
     }
   }
   override def eval(input: InternalRow): Any = {
     val value = child.eval(input)
-    if (value == null) InternalRow(null, null, false, false) else nullSafeEval(value)
+    if (value == null) InternalRow(null, null, false, false, false) else nullSafeEval(value)
   }
   override protected def withNewChildInternal(newChild: Expression): CnfExtract =
     copy(child = newChild)
 }
 
 /** Gate-structure features (GateAnalyzer; see graft.core.Gates scope note). */
-case class GateFeaturesExpr(child: Expression) extends DocKernelExpression {
+case class GateFeaturesExpr(child: Expression, maxOps: Long = KernelBudget.Unlimited)
+    extends DocKernelExpression {
   override def dataType: StructType = FeatureSchemas.gates
   override def prettyName: String = "cnf_gate_features"
   protected override def nullSafeEval(input: Any): Any = {
     val buf = docBytes(input)
     try InternalRow.fromSeq(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(Gates.extract(buf)))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(Gates.extract(buf, maxOps)))
     catch {
       case _: DocParseException => null
       // resource envelope: a doc whose semantic gate checks blow the solver
-      // budget yields null features instead of stalling the task
+      // budget — or whose blocked-set structure blows the op budget —
+      // yields null features instead of stalling the task
       case _: graft.core.Sat.BudgetExceeded => null
+      case _: KernelBudget.KernelTimeout => null
     }
   }
   override protected def withNewChildInternal(newChild: Expression): GateFeaturesExpr =
+    copy(child = newChild)
+}
+
+object GateExtract {
+  /** Default gate-analysis op budget. The gate analyzer is the one
+    * SUPER-linear kernel (blocked-set checks multiply occurrence-list
+    * sizes), so unlike the linear kernels its op count cannot be read off
+    * the parse — it is charged online ([[graft.core.KernelBudget]]).
+    */
+  val DefaultMaxOps: Long = 1L << 26
+
+  val schema: StructType = StructType(Seq(
+    StructField("features", FeatureSchemas.gates, nullable = true),
+    StructField("status", StringType, nullable = false)))
+}
+
+/** Gate features with the full structured outcome channel
+  * (ok | parse_error | timeout | null_text) — the reference's per-call
+  * ResourceLimits contract (Main.cc:177-191) for the analyzer whose work is
+  * super-linear in the document. The solver's conflict budget and the
+  * analyzer's op budget both surface as `timeout`; never null, never a
+  * task failure.
+  */
+case class GateExtract(child: Expression, maxOps: Long = GateExtract.DefaultMaxOps)
+    extends DocKernelExpression {
+  override def nullable: Boolean = false
+  override def dataType: StructType = GateExtract.schema
+  override def prettyName: String = "cnf_gate_extract"
+  protected override def nullSafeEval(input: Any): Any = {
+    val buf = docBytes(input)
+    try InternalRow(
+      InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(Gates.extract(buf, maxOps))),
+      UTF8String.fromString("ok"))
+    catch {
+      case _: DocParseException => InternalRow(null, UTF8String.fromString("parse_error"))
+      case _: graft.core.Sat.BudgetExceeded => InternalRow(null, UTF8String.fromString("timeout"))
+      case _: KernelBudget.KernelTimeout => InternalRow(null, UTF8String.fromString("timeout"))
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) InternalRow(null, UTF8String.fromString("null_text"))
+    else nullSafeEval(value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GateExtract =
     copy(child = newChild)
 }
 

@@ -41,9 +41,13 @@ package object functions {
   /** Full base-feature vector as a struct of doubles (one fused pass). */
   def cnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Cnf))(c)
 
-  /** Fused identity + features + parse/limit status (FeatureJob hot path). */
+  /** Fused identity + features + parse/limit/timeout status (FeatureJob hot
+    * path); maxBytes = memory budget, maxOps = deterministic time budget.
+    */
   def cnf_extract(c: Column): Column = col1(CnfExtract(_))(c)
   def cnf_extract(c: Column, maxBytes: Int): Column = col1(CnfExtract(_, maxBytes))(c)
+  def cnf_extract(c: Column, maxBytes: Int, maxOps: Long): Column =
+    col1(CnfExtract(_, maxBytes, maxOps))(c)
   def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
   def opb_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Opb))(c)
 
@@ -52,6 +56,12 @@ package object functions {
 
   /** Gate-structure features (pattern+mono recognition). */
   def cnf_gate_features(c: Column): Column = col1(GateFeaturesExpr(_))(c)
+
+  /** Gate features with the structured outcome channel (ok | parse_error |
+    * timeout | null_text); maxOps bounds the analyzer's super-linear work.
+    */
+  def cnf_gate_extract(c: Column): Column = col1(GateExtract(_))(c)
+  def cnf_gate_extract(c: Column, maxOps: Long): Column = col1(GateExtract(_, maxOps))(c)
 
   /** Derived-instance transforms (struct with text + metadata). */
   def kis_transform(c: Column): Column = col1(KisTransform(_))(c)
@@ -133,6 +143,7 @@ object GraftExtensions {
     unary("opb_features")(ExtractFeatures(_, DocFormat.Opb)),
     unary("cnf_sanicheck")(SaniCheckExpr(_)),
     unary("cnf_gate_features")(GateFeaturesExpr(_)),
+    unary("cnf_gate_extract")(GateExtract(_)),
     unary("kis_transform")(KisTransform(_)),
     unary("bip_transform")(BipTransform(_)),
     unary("cnf_clauses")(ParseClauses(_)),

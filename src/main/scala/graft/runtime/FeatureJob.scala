@@ -50,7 +50,15 @@ object FeatureJob {
         * over this byte budget gets status="limit" instead of stalling a
         * task — deterministic, so resume checksums are stable
         */
-      maxDocBytes: Int = graft.functions.CnfExtract.DefaultMaxBytes)
+      maxDocBytes: Int = graft.functions.CnfExtract.DefaultMaxBytes,
+      /** the TIME half of the envelope: deterministic op-count budget
+        * (total literal count — the work unit of the feature kernels); a
+        * doc over it gets status="timeout". Byte and op budgets bind
+        * independently (comment-heavy docs are byte-big/op-small; dense
+        * literal lists are op-big at few bytes). cnf only — the wcnf/opb
+        * hash-form kernels are byte-linear, so their byte cap IS the op cap.
+        */
+      maxDocOps: Long = graft.functions.CnfExtract.DefaultMaxOps)
 
   final case class RunReport(
       processedShards: Seq[Int],
@@ -68,17 +76,23 @@ object FeatureJob {
   def extractStage(pages: DataFrame, format: String): DataFrame =
     extractStage(pages, format, graft.functions.CnfExtract.DefaultMaxBytes)
 
-  def extractStage(pages: DataFrame, format: String, maxDocBytes: Int): DataFrame = format match {
+  def extractStage(pages: DataFrame, format: String, maxDocBytes: Int): DataFrame =
+    extractStage(pages, format, maxDocBytes, graft.functions.CnfExtract.DefaultMaxOps)
+
+  def extractStage(pages: DataFrame, format: String, maxDocBytes: Int,
+                   maxDocOps: Long): DataFrame = format match {
     case "cnf" =>
       // fused hot path: one expression evaluation per row for hash+features;
-      // over-budget docs come back limited=true without running the kernels
+      // over-budget docs come back limited/timed_out without running the
+      // kernels (the full ResourceLimits outcome channel, deterministically)
       pages
-        .withColumn("_x", cnf_extract(col("text"), maxDocBytes))
+        .withColumn("_x", cnf_extract(col("text"), maxDocBytes, maxDocOps))
         .withColumn("instance_id", col("_x.instance_id"))
         .withColumn("features", col("_x.features"))
         .withColumn("status",
           when(col("text").isNull, "null_text")
             .when(col("_x.limited"), "limit")
+            .when(col("_x.timed_out"), "timeout")
             .when(!col("_x.parse_ok"), "parse_error")
             .otherwise("ok"))
         .drop("_x")
@@ -131,7 +145,7 @@ object FeatureJob {
   }
 
   def pipeline(pages: DataFrame, cfg: Config): DataFrame =
-    temporalStage(extractStage(pages, cfg.format, cfg.maxDocBytes), cfg)
+    temporalStage(extractStage(pages, cfg.format, cfg.maxDocBytes, cfg.maxDocOps), cfg)
 
   /** Per-row content-checksum term (resume equality proof): xxhash64 over
     * the identity columns, decimal-accumulated (exact under ANSI mode; a

@@ -351,4 +351,32 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0).frames_sampled == 1) // image
     assert(r(2).frames_sampled > 1) // video
   }
+
+  test("real codecs: PNG/JPEG dimensions+channels and WAV channels+duration decode from actual bytes") {
+    import Multimodal.{MediaGen, RealCodec}
+    assert(RealCodec.decode(MediaGen.pngBytes(17, 9)).contains((17, 9, 3, 0L)))
+    assert(RealCodec.decode(MediaGen.pngBytes(33, 21, alpha = true)).contains((33, 21, 4, 0L)))
+    assert(RealCodec.decode(MediaGen.jpegBytes(24, 16)).contains((24, 16, 3, 0L)))
+    // 8 kHz mono 16-bit, 16000 data bytes -> byteRate 16000 -> exactly 1 s
+    assert(RealCodec.decode(MediaGen.wavBytes(1, 8000, 16000)).contains((0, 0, 1, 1000L)))
+    // 44.1 kHz stereo 16-bit, byteRate 176400, 44100 data bytes -> 250 ms
+    assert(RealCodec.decode(MediaGen.wavBytes(2, 44100, 44100)).contains((0, 0, 2, 250L)))
+    // non-container bytes stay on the stub path
+    assert(RealCodec.decode("p cnf 1 1\n1 0\n".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decode stage dispatches by magic bytes, not the kind label; corrupt containers get ok=false") {
+    import Multimodal.MediaGen
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaGen.pngBytes(17, 9)),
+      // mislabeled: payload IS a wav — the decoder trusts the bytes
+      Multimodal.MediaRow(2L, "video", MediaGen.wavBytes(1, 8000, 16000)),
+      Multimodal.MediaRow(3L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42)),
+      Multimodal.MediaRow(4L, "video", Array.fill(64)(7.toByte))).toDS()
+    val r = Multimodal.decode(rows, batchBytes = 1 << 20).collect().sortBy(_.media_id)
+    assert(r(0).ok && r(0).width == 17 && r(0).height == 9 && r(0).channels == 3)
+    assert(r(1).ok && r(1).channels == 1 && r(1).duration_ms == 1000L)
+    assert(!r(2).ok, "corrupt png must yield a structured failure row")
+    assert(r(3).ok, "unrecognized container falls back to the stub")
+  }
 }
