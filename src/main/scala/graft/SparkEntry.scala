@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 59 queries spanning every implemented operator family
+/** Driver contract — 60 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -21,7 +21,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * BPE-ish token estimator, q55/q56/q57 the reference's own golden fixtures
   * (xz-compressed payloads decompressed in-plan, constants hard-coded from
   * the reference tree), q58 real-codec multimodal decode (PNG/JPEG/WAV),
-  * q59 the deterministic resource envelope (limit/timeout/ok outcomes).
+  * q59 the deterministic resource envelope (limit/timeout/ok outcomes),
+  * q60 the S4 split sink (content-addressed text + feature tables,
+  * written then read back and re-joined on the content hash).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1022,10 +1024,39 @@ object SparkEntry {
         .select(col("id"), col("status"),
           col("instance_id").isNotNull.cast("long").as("has_id"))
         .orderBy(col("id"))
+    }),
+
+    // ---- S4 driven end-to-end: the derived corpus is WRITTEN as the two
+    //      split tables (content-addressed zstd text + payload-free
+    //      features, Main.cc:296-380's separated streams) then READ BACK
+    //      and re-joined on the content hash — the oracle recomputes every
+    //      column (provenance hash, content hash, metadata, derived-text
+    //      length) closed-form from the doc construction ----
+    "q60_split_sink" -> ((s, dir) => {
+      val path = q60Path.synchronized {
+        q60Path.getOrElseUpdate(dir, {
+          val p = java.nio.file.Files.createTempDirectory("graft_q60").toString
+          val derived = graft.ops.Transforms.bipartite(sortedCnfBase(s, dir), "text")
+            .select(col("id"), col("hash"), col("to_cnf"), col("derived_text"),
+              col("bip_nodes"), col("bip_edges"))
+          graft.ops.Transforms.writeSplit(derived, p)
+          p
+        })
+      }
+      val (text, feats) = graft.ops.Transforms.readSplit(s, path)
+      feats.join(text, Seq("hash"))
+        .select(col("id"), col("hash"), col("to_cnf"),
+          col("bip_nodes").cast("long").as("bip_nodes"),
+          col("bip_edges").cast("long").as("bip_edges"),
+          length(col("derived_text")).cast("long").as("text_len"))
+        .orderBy(col("id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
   private val q52Path = scala.collection.mutable.Map[String, String]()
+
+  /** q60's split-sink directory per sf dir — written once per JVM. */
+  private val q60Path = scala.collection.mutable.Map[String, String]()
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
     * sides so cross-engine float summation cannot drift; orderings carry
@@ -1665,7 +1696,30 @@ object SparkEntry {
         |     WHEN o_orderkey % 3 = 0 THEN 'timeout'
         |     ELSE 'ok' END AS status,
         |CAST(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS has_id
-        |FROM orders ORDER BY id""".stripMargin)
+        |FROM orders ORDER BY id""".stripMargin,
+    // q60: the q36 closed-form bip text re-derived, content hash =
+    // md5(bip_text), provenance to_cnf = md5(norm stream) — every column
+    // independent of the engine's write/read round trip
+    "q60_split_sink" ->
+      s"""WITH $cnfBaseCte,
+         |bip AS (
+         |  SELECT id, d,
+         |  md5(norm_text) AS to_cnf,
+         |  'c directed bipartite graph representation from cnf' || chr(10) ||
+         |  'p edge ' || cast(d + 3 AS varchar) || ' 6' || chr(10) ||
+         |  'e ' || cast(d + 1 AS varchar) || ' ' || cast(a AS varchar) || chr(10) ||
+         |  'e ' || cast(b AS varchar) || ' ' || cast(d + 1 AS varchar) || chr(10) ||
+         |  'e ' || cast(a AS varchar) || ' ' || cast(d + 2 AS varchar) || chr(10) ||
+         |  'e ' || cast(d + 2 AS varchar) || ' ' || cast(c AS varchar) || chr(10) ||
+         |  (CASE WHEN pos_d
+         |    THEN 'e ' || cast(d + 2 AS varchar) || ' ' || cast(d AS varchar)
+         |    ELSE 'e ' || cast(d AS varchar) || ' ' || cast(d + 2 AS varchar) END) || chr(10) ||
+         |  'e ' || cast(d + 3 AS varchar) || ' ' || cast(b AS varchar) || chr(10) AS bip_text
+         |  FROM norm)
+         |SELECT id, md5(bip_text) AS hash, to_cnf,
+         |cast(d + 3 AS bigint) AS bip_nodes, cast(6 AS bigint) AS bip_edges,
+         |cast(length(bip_text) AS bigint) AS text_len
+         |FROM bip ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

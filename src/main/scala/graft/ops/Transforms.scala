@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -36,6 +36,37 @@ object Transforms {
       .withColumn("kis_k", k.getField("k"))
       .withColumn("hash", md5(k.getField("text").cast("binary")))
   }
+
+  /** S4 split sink (Main.cc:296-380 analog): the derived corpus lands as
+    * TWO tables — a CONTENT-ADDRESSED text table (hash → derived_text,
+    * deduplicated on hash exactly as the reference writes one file per
+    * instance id) and a feature table carrying provenance + metadata but
+    * no payload. Separating the streams is what makes the metadata side
+    * cheap to scan at corpus scale; the text side compresses (zstd) and
+    * is only fetched by hash.
+    *
+    * The input is scanned once per sink (two actions). At 100-TB scale
+    * recomputing a linear derive kernel beats caching multi-TB derived
+    * text between the two writes; callers who disagree can persist()
+    * before calling.
+    */
+  def writeSplit(derived: DataFrame, outDir: String,
+                 textCompression: String = "zstd"): Unit = {
+    derived
+      .select(col("hash"), col("derived_text"))
+      .dropDuplicates("hash")
+      .write.mode("overwrite")
+      .option("compression", textCompression)
+      .parquet(s"$outDir/text")
+    derived
+      .drop("derived_text")
+      .write.mode("overwrite")
+      .parquet(s"$outDir/features")
+  }
+
+  /** Read both sides of a [[writeSplit]] layout: (text, features). */
+  def readSplit(spark: SparkSession, outDir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$outDir/text"), spark.read.parquet(s"$outDir/features"))
 
   /** Directed bipartite incidence graph (cnf2bip) + metadata. */
   def bipartite(df: DataFrame, textCol: String): DataFrame = {

@@ -55,4 +55,23 @@ class TransformsOpsSpec extends graft.SparkSpec {
     val sani = Transforms.sanitized(Seq("p cnf 3 2\n1 1 -2 0\n2 3 0\n").toDF("text"), "text").head()
     assert(sani.getAs[String]("derived_text") == "p cnf 3 2\n1 -2 0\n2 3 0\n")
   }
+
+  test("split sink: text table content-addressed + deduped, feature table payload-free, round trip joins back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    // ids 1 and 3 derive IDENTICAL text -> one row in the text table
+    val df = Seq(
+      (1L, "p cnf 3 2\n1 -2 0\n2 3 0\n"),
+      (2L, "p cnf 2 1\n1 2 0\n"),
+      (3L, "c dup of 1\np cnf 3 2\n1 -2 0\n2 3 0\n")).toDF("id", "text")
+    Transforms.writeSplit(Transforms.normalized(df, "text"), dir)
+    val (text, feats) = Transforms.readSplit(spark, dir)
+    assert(text.columns.toSeq.sorted == Seq("derived_text", "hash"))
+    assert(!feats.columns.contains("derived_text"), "feature table must be payload-free")
+    assert(text.count() == 2, "text table is content-addressed: dup text stored once")
+    assert(feats.count() == 3, "feature table keeps every source row")
+    val joined = feats.join(text, Seq("hash")).select("id", "derived_text").collect()
+    assert(joined.length == 3, "every feature row resolves its payload by hash")
+    val byId = joined.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == byId(3L) && byId(1L) != byId(2L))
+  }
 }
