@@ -245,7 +245,8 @@ object CnfExtract {
     StructField("features", FeatureSchemas.cnf, nullable = true),
     StructField("parse_ok", org.apache.spark.sql.types.BooleanType, nullable = false),
     StructField("limited", org.apache.spark.sql.types.BooleanType, nullable = false),
-    StructField("timed_out", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    StructField("timed_out", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("decode_failed", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 /** Fused identity + features: one evaluation computes gbd_hash and the full
@@ -258,35 +259,58 @@ object CnfExtract {
   * second evaluation and one pathological page cannot stall a stage at
   * 10^12-doc scale. Both budgets are deterministic: the same doc gets the
   * same outcome on every executor and every retry (resume-checksum safe).
+  *
+  * `codec` (default "none") fuses compressed-payload ingestion BELOW the
+  * parse: the payload decompresses, parses, hashes, and featurizes in ONE
+  * expression evaluation — the Spark analog of the reference's streaming
+  * decompressing parse (StreamBuffer.h:106-124), with no decompressed
+  * intermediate column ever materialized (and so never shuffled or
+  * double-evaluated by projection collapse). A corrupt stream or a blob
+  * over the decompressed-size budget yields decode_failed=true — a row
+  * outcome, never a task failure. The byte budget applies to the
+  * COMPRESSED size first (cheap reject before any inflate work) and the
+  * decompressed size second (zip-bomb guard).
   */
 case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBytes,
-                      maxOps: Long = CnfExtract.DefaultMaxOps)
+                      maxOps: Long = CnfExtract.DefaultMaxOps,
+                      codec: String = Compression.None)
     extends DocKernelExpression {
+  require(Compression.codecs.contains(codec), s"unknown codec $codec")
   override def nullable: Boolean = false
   override def dataType: StructType = CnfExtract.schema
   override def prettyName: String = "cnf_extract"
   protected override def nullSafeEval(input: Any): Any = {
-    val buf = docBytes(input)
-    if (buf.length > maxBytes) InternalRow(null, null, false, true, false)
-    else try {
-      // parse once; the literal count IS the op count of the linear kernel
-      // loops that follow, so the time budget is checked before any of them
-      val doc = ClauseDoc.parse(buf)
-      if (doc.lits.length.toLong > maxOps) InternalRow(null, null, true, false, true)
-      else {
-        val hash = Dimacs.gbdHashCnf(buf)
-        val features = CnfBase.extract(doc)
-        InternalRow(UTF8String.fromString(hash),
-          InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(features)),
-          true, false, false)
+    val raw = docBytes(input)
+    if (raw.length > maxBytes) InternalRow(null, null, false, true, false, false)
+    else {
+      val buf =
+        if (codec == Compression.None) raw
+        else try Compression.decompress(raw, codec, maxBytes)
+        catch { case _: DocParseException =>
+          return InternalRow(null, null, false, false, false, true)
+        }
+      if (buf.length > maxBytes) InternalRow(null, null, false, true, false, false)
+      else try {
+        // parse once; the literal count IS the op count of the linear kernel
+        // loops that follow, so the time budget is checked before any of them
+        val doc = ClauseDoc.parse(buf)
+        if (doc.lits.length.toLong > maxOps) InternalRow(null, null, true, false, true, false)
+        else {
+          val hash = Dimacs.gbdHashCnf(buf)
+          val features = CnfBase.extract(doc)
+          InternalRow(UTF8String.fromString(hash),
+            InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(features)),
+            true, false, false, false)
+        }
+      } catch {
+        case _: DocParseException => InternalRow(null, null, false, false, false, false)
       }
-    } catch {
-      case _: DocParseException => InternalRow(null, null, false, false, false)
     }
   }
   override def eval(input: InternalRow): Any = {
     val value = child.eval(input)
-    if (value == null) InternalRow(null, null, false, false, false) else nullSafeEval(value)
+    if (value == null) InternalRow(null, null, false, false, false, false)
+    else nullSafeEval(value)
   }
   override protected def withNewChildInternal(newChild: Expression): CnfExtract =
     copy(child = newChild)

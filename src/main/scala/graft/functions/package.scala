@@ -48,6 +48,8 @@ package object functions {
   def cnf_extract(c: Column, maxBytes: Int): Column = col1(CnfExtract(_, maxBytes))(c)
   def cnf_extract(c: Column, maxBytes: Int, maxOps: Long): Column =
     col1(CnfExtract(_, maxBytes, maxOps))(c)
+  def cnf_extract(c: Column, maxBytes: Int, maxOps: Long, codec: String): Column =
+    col1(CnfExtract(_, maxBytes, maxOps, codec))(c)
   def wcnf_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Wcnf))(c)
   def opb_features(c: Column): Column = col1(ExtractFeatures(_, DocFormat.Opb))(c)
 

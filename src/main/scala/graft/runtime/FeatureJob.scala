@@ -58,7 +58,19 @@ object FeatureJob {
         * literal lists are op-big at few bytes). cnf only — the wcnf/opb
         * hash-form kernels are byte-linear, so their byte cap IS the op cap.
         */
-      maxDocOps: Long = graft.functions.CnfExtract.DefaultMaxOps)
+      maxDocOps: Long = graft.functions.CnfExtract.DefaultMaxOps,
+      /** payload codec: "none" = the doc column holds plain bytes/text;
+        * "auto"/"xz"/"gzip"/"bzip2"/"zstd" = it holds COMPRESSED bytes
+        * (real gbd corpora ship as .cnf.xz blobs), decompressed inside the
+        * same fused kernel evaluation as the parse — no decompressed
+        * intermediate column exists in the plan, so nothing multi-KB is
+        * ever duplicated by projection collapse or shuffled. Corrupt
+        * streams and zip bombs surface as status="decode_error" rows.
+        * cnf only: the wcnf/opb branch evaluates hash and features as two
+        * expressions, which would decompress twice — decompress ahead via
+        * decompress_auto() for those formats.
+        */
+      codec: String = graft.core.Compression.None)
 
   final case class RunReport(
       processedShards: Seq[Int],
@@ -80,23 +92,33 @@ object FeatureJob {
     extractStage(pages, format, maxDocBytes, graft.functions.CnfExtract.DefaultMaxOps)
 
   def extractStage(pages: DataFrame, format: String, maxDocBytes: Int,
-                   maxDocOps: Long): DataFrame = format match {
+                   maxDocOps: Long): DataFrame =
+    extractStage(pages, format, maxDocBytes, maxDocOps, graft.core.Compression.None)
+
+  def extractStage(pages: DataFrame, format: String, maxDocBytes: Int,
+                   maxDocOps: Long, codec: String): DataFrame = format match {
     case "cnf" =>
-      // fused hot path: one expression evaluation per row for hash+features;
-      // over-budget docs come back limited/timed_out without running the
-      // kernels (the full ResourceLimits outcome channel, deterministically)
+      // fused hot path: one expression evaluation per row for decompress
+      // (when codec != none) + hash + features; over-budget docs come back
+      // limited/timed_out and corrupt compressed streams decode_failed
+      // without running the kernels (the full ResourceLimits outcome
+      // channel, deterministically)
       pages
-        .withColumn("_x", cnf_extract(col("text"), maxDocBytes, maxDocOps))
+        .withColumn("_x", cnf_extract(col("text"), maxDocBytes, maxDocOps, codec))
         .withColumn("instance_id", col("_x.instance_id"))
         .withColumn("features", col("_x.features"))
         .withColumn("status",
           when(col("text").isNull, "null_text")
+            .when(col("_x.decode_failed"), "decode_error")
             .when(col("_x.limited"), "limit")
             .when(col("_x.timed_out"), "timeout")
             .when(!col("_x.parse_ok"), "parse_error")
             .otherwise("ok"))
         .drop("_x")
     case _ =>
+      require(codec == graft.core.Compression.None,
+        s"extractStage($format) evaluates hash and features as two expressions; " +
+          "decompress the payload ahead (decompress_auto) instead of codec=" + codec)
       val (hash, features) = format match {
         case "wcnf" => (gbd_hash_wcnf(col("text")), wcnf_features(col("text")))
         case _ => (gbd_hash_opb(col("text")), opb_features(col("text")))
@@ -145,7 +167,8 @@ object FeatureJob {
   }
 
   def pipeline(pages: DataFrame, cfg: Config): DataFrame =
-    temporalStage(extractStage(pages, cfg.format, cfg.maxDocBytes, cfg.maxDocOps), cfg)
+    temporalStage(
+      extractStage(pages, cfg.format, cfg.maxDocBytes, cfg.maxDocOps, cfg.codec), cfg)
 
   /** Per-row content-checksum term (resume equality proof): xxhash64 over
     * the identity columns, decimal-accumulated (exact under ANSI mode; a

@@ -71,6 +71,40 @@ class CompressionSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("FeatureJob codec: compressed corpus through the pipeline == plain corpus; corrupt blob → decode_error") {
+    import graft.runtime.FeatureJob
+    val doc2 = "p cnf 2 1\n-1 2 0\n".getBytes("UTF-8")
+    val corrupt = xz(doc).clone()
+    corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x5a).toByte
+    val plain = Seq(("u1", doc), ("u2", doc2)).toDF("url", "text")
+    val comp = Seq(("u1", xz(doc)), ("u2", zstd(doc2)), ("u3", corrupt))
+      .toDF("url", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "instance_id", "status", "features.clauses")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    val p = rows(FeatureJob.extractStage(plain, "cnf"))
+    val c = rows(FeatureJob.extractStage(comp, "cnf",
+      graft.functions.CnfExtract.DefaultMaxBytes,
+      graft.functions.CnfExtract.DefaultMaxOps, Compression.Auto))
+    assert(c.filter(_._1 != "u3") == p,
+      "compressed corpus must extract identically to the plain corpus")
+    assert(c.find(_._1 == "u3").map(_._3).contains("decode_error"))
+    // the fused plan materializes no decompressed intermediate: the only
+    // kernel expression in the executed plan is the single cnf_extract
+    // (repartition below keeps ConvertToLocalRelation from pre-evaluating
+    // the projection — over parquet the Project survives as in production)
+    val planStr = FeatureJob.extractStage(comp.repartition(2), "cnf",
+      graft.functions.CnfExtract.DefaultMaxBytes,
+      graft.functions.CnfExtract.DefaultMaxOps, Compression.Auto)
+      .queryExecution.executedPlan.toString
+    assert("cnf_extract".r.findAllIn(planStr).size == 1,
+      s"expected exactly one fused cnf_extract in the plan:\n$planStr")
+    // wcnf/opb reject a codec (two-expression branch would decompress twice)
+    intercept[IllegalArgumentException](FeatureJob.extractStage(comp, "wcnf",
+      1 << 20, 1L << 20, Compression.Auto))
+  }
+
   test("SQL registry path: decompress_xz usable from SQL text") {
     graft.GraftExtensions.register(spark)
     Seq((1L, xz(doc))).toDF("id", "payload").createOrReplaceTempView("comp_docs")
