@@ -913,10 +913,17 @@ object SparkEntry {
     "q55_golden_hashes" -> ((s, dir) => {
       import s.implicits._
       val G = graft.sources.GoldenFixtures
+      // the FUSED ingestion kernel (decompress → parse → hash in one
+      // evaluation, FeatureJob's Config.codec path), not the composed
+      // gbd_hash(decompress_auto(...)) — both are public API; driving the
+      // fused one here makes the production compressed-corpus path the
+      // thing the golden filenames certify
       G.hashNamed.map(n => (n.substring(0, 32), G.bytes(n)))
         .toDF("file_hash", "payload")
         .select(col("file_hash"),
-          gbd_hash(decompress_auto(col("payload"))).as("gbd"))
+          cnf_extract(col("payload"), graft.functions.CnfExtract.DefaultMaxBytes,
+            graft.functions.CnfExtract.DefaultMaxOps, graft.core.Compression.Auto)
+            .getField("instance_id").as("gbd"))
         .orderBy(col("file_hash"))
     }),
     "q56_golden_cnf" -> ((s, dir) => {
