@@ -168,6 +168,42 @@ class ResumeSpec extends SparkSpec {
     assert(Manifest.fromJson(Manifest.toJson(cur)).contains(cur))
   }
 
+  test("FeatureJob.run over an xz-compressed corpus equals the plain-corpus run (codec=auto)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options())
+      out.write(b); out.finish(); out.close()
+      bos.toByteArray
+    }
+    val plain = PageGen.pages(spark,
+      PageGen.Config(urls = 30, revisitsPerUrl = 3, hotUrls = 1, hotFactor = 3)).toDF()
+    // same corpus with the text column as compressed BINARY payloads —
+    // the shape real gbd corpora (.cnf.xz blobs) arrive in
+    val compRows = plain.collect().map { r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+        xz(r.getString(3).getBytes("UTF-8")), r.get(4))
+    }
+    val compSchema = StructType(plain.schema.map(f =>
+      if (f.name == "text") f.copy(dataType = BinaryType) else f))
+    val comp = spark.createDataFrame(
+      spark.sparkContext.parallelize(compRows.toIndexedSeq, 4), compSchema)
+    val outA = freshDir(); val outB = freshDir()
+    FeatureJob.run(spark, plain, FeatureJob.Config(outDir = outA, shards = 2))
+    FeatureJob.run(spark, comp, FeatureJob.Config(outDir = outB, shards = 2,
+      codec = graft.core.Compression.Auto))
+    def canon(path: String) = {
+      val df = spark.read.parquet(path).drop("shard")
+      df.select(df.columns.sorted.map(col): _*).collect().map(_.toString).sorted
+    }
+    assert(canon(s"$outA/data").sameElements(canon(s"$outB/data")),
+      "compressed-corpus output must be byte-identical to the plain run")
+    val statuses = spark.read.parquet(s"$outB/data")
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("ok"))
+  }
+
   test("temporal stage plan: exactly one exchange + one sort feed all windows") {
     val plan = FeatureJob.pipeline(pages, FeatureJob.Config(outDir = "unused"))
       .queryExecution.executedPlan.toString
