@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 60 queries spanning every implemented operator family
+/** Driver contract — 62 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -23,7 +23,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * the reference tree), q58 real-codec multimodal decode (PNG/JPEG/WAV),
   * q59 the deterministic resource envelope (limit/timeout/ok outcomes),
   * q60 the S4 split sink (content-addressed text + feature tables,
-  * written then read back and re-joined on the content hash).
+  * written then read back and re-joined on the content hash), q61 IVF ANN
+  * through the distributed treeAggregate Lloyd trainer (exact at
+  * nProbe == nCentroids), q62 decompress_auto magic-byte dispatch across
+  * all four stream codecs (xz/gzip/bzip2/zstd) in one binary column.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1057,6 +1060,48 @@ object SparkEntry {
           col("bip_edges").cast("long").as("bip_edges"),
           length(col("derived_text")).cast("long").as("text_len"))
         .orderBy(col("id"))
+    }),
+
+    // ---- q61: IVF ANN through the DISTRIBUTED treeAggregate Lloyd trainer
+    //      (the 100-TB codebook path — nCentroids=256 crosses the
+    //      8-samples-per-centroid dispatch threshold, so training runs one
+    //      whole-corpus pass per iteration instead of a driver sample);
+    //      nProbe == nCentroids keeps the exact-equals-brute-force contract,
+    //      so codebook quality never enters the oracle comparison ----
+    "q61_ann_ivf_distributed" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.ivfTopK(vecs.where(col("vec_id") >= 490), vecs,
+        "vec_id", "vec_id", "embedding", "embedding",
+        k = 5, nCentroids = 256, nProbe = 256)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- q62: decompress_auto's magic-byte dispatch across ALL FOUR stream
+    //      codecs in one column (the reference accepts any libarchive filter,
+    //      StreamBuffer.h:106-124 — not just xz). Harness side: each
+    //      document's text arrives as compressed BINARY with the codec
+    //      rotating by doc_id; the graded operator is the per-row detect +
+    //      decode, whose round-trip the oracle certifies from the PLAIN
+    //      table (md5 + length of the original text) ----
+    "q62_decompress_multicodec" -> ((s, dir) => {
+      import s.implicits._
+      // NOTE: the module is referenced statically INSIDE the lambda — an
+      // outer `val C = Compression` alias would be captured by value and
+      // fail task serialization (the module doesn't extend Serializable)
+      val codecs = Array(graft.core.Compression.Xz, graft.core.Compression.Gzip,
+        graft.core.Compression.Bzip2, graft.core.Compression.Zstd)
+      val comp = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val codec = codecs((id % 4).toInt)
+          (id, codec, graft.core.Compression.compress(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec))
+        }.toDF("doc_id", "codec", "payload")
+      comp.select(col("doc_id"), col("codec"),
+        md5(decompress_auto(col("payload"))).as("text_md5"),
+        length(decompress_auto(col("payload")).cast("string")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1726,7 +1771,27 @@ object SparkEntry {
          |SELECT id, md5(bip_text) AS hash, to_cnf,
          |cast(d + 3 AS bigint) AS bip_nodes, cast(6 AS bigint) AS bip_edges,
          |cast(length(bip_text) AS bigint) AS text_len
-         |FROM bip ORDER BY id""".stripMargin)
+         |FROM bip ORDER BY id""".stripMargin,
+
+    // q61: with nProbe == nCentroids the IVF result must equal brute-force
+    // top-k, which DuckDB recomputes independently — the distributed-Lloyd
+    // codebook influences pruning only, never this output
+    "q61_ann_ivf_distributed" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |FROM embeddings a JOIN embeddings b ON a.vec_id >= 490 AND b.vec_id != a.vec_id
+        |QUALIFY rank <= 5 ORDER BY 1, 3""".stripMargin,
+
+    // q62: the oracle never sees the compressed bytes — it certifies the
+    // round trip from the PLAIN table (md5 of the UTF-8 text + char length),
+    // with the codec label re-derived from the same doc_id rotation
+    "q62_decompress_multicodec" ->
+      """SELECT doc_id,
+        |CASE doc_id % 4 WHEN 0 THEN 'xz' WHEN 1 THEN 'gzip'
+        |  WHEN 2 THEN 'bzip2' ELSE 'zstd' END AS codec,
+        |md5(text) AS text_md5, cast(length(text) AS bigint) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

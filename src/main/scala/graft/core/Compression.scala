@@ -57,6 +57,29 @@ object Compression {
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
+  private def encoder(codec: String, out: java.io.OutputStream): java.io.OutputStream = codec match {
+    case Xz => new org.tukaani.xz.XZOutputStream(out, new org.tukaani.xz.LZMA2Options())
+    case Gzip => new java.util.zip.GZIPOutputStream(out)
+    case Bzip2 =>
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out)
+    case Zstd => new com.github.luben.zstd.ZstdOutputStream(out)
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Compress `buf` with `codec` — the write-side inverse of [[decompress]]
+    * (compressed-sink utility; also what tests and the driver harness use to
+    * manufacture ingestion payloads). [[Auto]] is a read-side concept and is
+    * rejected; [[None]] passes bytes through.
+    */
+  def compress(buf: Array[Byte], codec: String): Array[Byte] = {
+    if (codec == None) return buf
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, buf.length / 2))
+    val out = encoder(codec, bos)
+    out.write(buf)
+    out.close()
+    bos.toByteArray
+  }
+
   /** Decompress `buf` with `codec` (resolving [[Auto]] by magic bytes).
     * Plain/unrecognized bytes pass through under auto/none; corrupt streams
     * and budget violations raise [[DocParseException]] (row-level failure).

@@ -47,6 +47,16 @@ class CompressionSpec extends SparkSpec {
     assert(Compression.decompress(doc, Compression.Auto) eq doc, "plain bytes pass through")
   }
 
+  test("compress is the write-side inverse: detectable magic + exact round trip per codec") {
+    for (codec <- Seq(Compression.Xz, Compression.Gzip, Compression.Bzip2, Compression.Zstd)) {
+      val blob = Compression.compress(doc, codec)
+      assert(Compression.detect(blob) == codec, s"magic $codec")
+      assert(Compression.decompress(blob, Compression.Auto).sameElements(doc), s"round trip $codec")
+    }
+    assert(Compression.compress(doc, Compression.None) eq doc, "none passes through")
+    intercept[IllegalArgumentException](Compression.compress(doc, Compression.Auto))
+  }
+
   test("corrupt stream and decompressed-size budget fail the ROW (DocParseException)") {
     val corrupt = xz(doc).clone()
     corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x5a).toByte

@@ -57,4 +57,10 @@ for q in sorted(os.listdir(outdir)):
             print(f"   row count spark={len(srows)} oracle={len(orows)}")
     elif status == "FAIL":
         print(f"   columns spark={scols}\n   columns oracle={ocols}")
+# a query with an oracle but NO parquet dir means graft.Verify caught an
+# exception for it — surface that loudly instead of silently skipping
+for q in sorted(oracle):
+    if (not only or q in only) and not os.path.isdir(os.path.join(outdir, q)):
+        print(f"{q:28s} MISSING (Verify produced no output dir)")
+        fails += 1
 sys.exit(1 if fails else 0)
