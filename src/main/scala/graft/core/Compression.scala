@@ -57,11 +57,26 @@ object Compression {
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
-  private def encoder(codec: String, out: java.io.OutputStream): java.io.OutputStream = codec match {
-    case Xz => new org.tukaani.xz.XZOutputStream(out, new org.tukaani.xz.LZMA2Options())
+  private def encoder(codec: String, out: java.io.OutputStream,
+                      inputLen: Int): java.io.OutputStream = codec match {
+    case Xz =>
+      // Size the LZMA2 dictionary to the input: the default preset allocates
+      // an 8 MiB dictionary PER CALL, which for typical web documents
+      // (hundreds of bytes) is pure GC churn — a compressed sink writing
+      // millions of small rows per executor would spend more time allocating
+      // dictionaries than compressing. A dictionary >= the input is lossless
+      // for ratio (nothing beyond the window can be referenced anyway).
+      val opts = new org.tukaani.xz.LZMA2Options()
+      opts.setDictSize(math.min(opts.getDictSize,
+        math.max(org.tukaani.xz.LZMA2Options.DICT_SIZE_MIN,
+          java.lang.Integer.highestOneBit(math.max(1, inputLen - 1)) << 1)))
+      new org.tukaani.xz.XZOutputStream(out, opts)
     case Gzip => new java.util.zip.GZIPOutputStream(out)
     case Bzip2 =>
-      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(out)
+      // same reasoning: block size in 100 kB units, smallest block that
+      // still holds the whole input (bzip2 allocates ~10x block size)
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+        out, math.max(1, math.min(9, (inputLen + 99999) / 100000)))
     case Zstd => new com.github.luben.zstd.ZstdOutputStream(out)
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
@@ -74,7 +89,7 @@ object Compression {
   def compress(buf: Array[Byte], codec: String): Array[Byte] = {
     if (codec == None) return buf
     val bos = new java.io.ByteArrayOutputStream(math.max(64, buf.length / 2))
-    val out = encoder(codec, bos)
+    val out = encoder(codec, bos, buf.length)
     out.write(buf)
     out.close()
     bos.toByteArray
