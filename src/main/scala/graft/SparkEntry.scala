@@ -26,7 +26,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * written then read back and re-joined on the content hash), q61 IVF ANN
   * through the distributed treeAggregate Lloyd trainer (exact at
   * nProbe == nCentroids), q62 decompress_auto magic-byte dispatch across
-  * all four stream codecs (xz/gzip/bzip2/zstd) in one binary column.
+  * all four stream codecs (xz/gzip/bzip2/zstd) in one binary column, q63
+  * the storage-partitioned join (both sides bucketed by url — the merge
+  * join plans zero Exchange; plan-asserted in BucketedJoinSpec).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1102,6 +1104,40 @@ object SparkEntry {
         md5(decompress_auto(col("payload"))).as("text_md5"),
         length(decompress_auto(col("payload")).cast("string")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q63: the STORAGE-PARTITIONED JOIN (north-rule item): pages and
+    //      a per-url profile table are both written in PageTable's bucketed
+    //      layout (Iceberg bucket(N, url) stand-in, write-once/join-many),
+    //      so the sort-merge join's distribution requirement is satisfied
+    //      by the SCANS — zero Exchange on either side (plan-asserted in
+    //      BucketedJoinSpec; here the VALUES are what the oracle checks,
+    //      against a plain join of the source tables) ----
+    "q63_bucketed_join" -> ((s, dir) => {
+      val (pagesT, profT) = q63Tables.synchronized {
+        q63Tables.getOrElseUpdate(dir, {
+          val base = java.nio.file.Files.createTempDirectory("graft_q63").toString
+          val suffix = java.lang.Integer.toHexString(dir.hashCode)
+          val pages = t(s, dir, "orders").select(
+            concat(lit("cust-"), col("o_custkey")).as("url"),
+            col("o_orderkey").as("id"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          val prof = t(s, dir, "customer").select(
+            concat(lit("cust-"), col("c_custkey")).as("url"),
+            col("c_mktsegment").as("segment"))
+          val pt = s"graft_q63_pages_$suffix"
+          val ft = s"graft_q63_prof_$suffix"
+          graft.sources.PageTable.writeBucketed(pages, pt, s"$base/pages", "url", nBuckets = 8)
+          graft.sources.PageTable.writeBucketed(prof, ft, s"$base/prof", "url", nBuckets = 8)
+          (pt, ft)
+        })
+      }
+      // merge hint: at sf the profile side is broadcast-small, which would
+      // sidestep the graded plan shape; at 100 TB neither side broadcasts
+      // and THIS is the join that must not re-shuffle the corpus
+      s.table(pagesT).hint("merge").join(s.table(profT), "url")
+        .select(col("id"), col("url"), col("segment"), col("price_cents"))
+        .orderBy(col("id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1109,6 +1145,11 @@ object SparkEntry {
 
   /** q60's split-sink directory per sf dir — written once per JVM. */
   private val q60Path = scala.collection.mutable.Map[String, String]()
+
+  /** q63's bucketed (pages, profile) table names per sf dir — written once
+    * per JVM (write-once/join-many storage-partitioned layout).
+    */
+  private val q63Tables = scala.collection.mutable.Map[String, (String, String)]()
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
     * sides so cross-engine float summation cannot drift; orderings carry
@@ -1791,7 +1832,16 @@ object SparkEntry {
         |CASE doc_id % 4 WHEN 0 THEN 'xz' WHEN 1 THEN 'gzip'
         |  WHEN 2 THEN 'bzip2' ELSE 'zstd' END AS codec,
         |md5(text) AS text_md5, cast(length(text) AS bigint) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q63: the bucketed layout must not change the JOIN's semantics — the
+    // oracle is the plain join of the two source tables
+    "q63_bucketed_join" ->
+      """SELECT o_orderkey AS id, 'cust-' || c_custkey AS url,
+        |c_mktsegment AS segment,
+        |cast(round(o_totalprice * 100) AS bigint) AS price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

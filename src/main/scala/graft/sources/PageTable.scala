@@ -61,6 +61,34 @@ object PageTable {
     df
   }
 
+  /** Write a table in Spark's bucketed layout — the plain-Parquet stand-in
+    * for Iceberg's storage-partitioned JOIN (the pruned-read path above
+    * stands in for partition pruning). Two tables written with the same
+    * `bucketCol` and `nBuckets` sort-merge join with ZERO shuffle on either
+    * side: each scan reports `HashPartitioning(bucketCol, nBuckets)`, which
+    * already satisfies the join's distribution requirement, so Catalyst
+    * plans no Exchange (asserted in BucketedJoinSpec). At 100 TB this is
+    * the difference between re-shuffling the corpus per join and reading
+    * co-located buckets — write-once, join-many.
+    *
+    * The input is repartitioned on the bucket column first so each bucket
+    * is one file; `sortBy` persists the within-bucket order so the merge
+    * join's sort is satisfied from the layout too.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, nBuckets: Int = 16,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(nBuckets, col(bucketCol))
+      .write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol, sortCols: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Driver-side bucket id of a url — must agree with xxhash64(url) % N.
     * Length is the UTF-8 BYTE count (url.length is chars — using it would
     * hash a truncated prefix for any non-ASCII url and prune wrong buckets).
