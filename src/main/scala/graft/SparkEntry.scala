@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 62 queries spanning every implemented operator family
+/** Driver contract — 64 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -28,7 +28,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * nProbe == nCentroids), q62 decompress_auto magic-byte dispatch across
   * all four stream codecs (xz/gzip/bzip2/zstd) in one binary column, q63
   * the storage-partitioned join (both sides bucketed by url — the merge
-  * join plans zero Exchange; plan-asserted in BucketedJoinSpec).
+  * join plans zero Exchange; plan-asserted in BucketedJoinSpec), q64
+  * streaming watermark-scoped dedup (dropDuplicatesWithinWatermark
+  * replayed over four micro-batches — the streaming dual of q12).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1138,6 +1140,45 @@ object SparkEntry {
       s.table(pagesT).hint("merge").join(s.table(profT), "url")
         .select(col("id"), col("url"), col("segment"), col("price_cents"))
         .orderBy(col("id"))
+    }),
+
+    // ---- q64: §2.10 streaming dedup driver-visible — the events stream
+    //      REPLAYED through dropDuplicatesWithinWatermark in four
+    //      micro-batches (stateful dedup across batch boundaries), the
+    //      streaming dual of q12's exact dedup. The replay's watermark
+    //      delay covers the whole corpus span so no state evicts and no
+    //      row is late: the emitted key set is exactly
+    //      DISTINCT(user_id, event_type). At production scale the delay
+    //      is what BOUNDS the state (keys older than the horizon evict),
+    //      which a plain streaming dropDuplicates cannot do. ----
+    "q64_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // collect() is the REPLAY HARNESS (builds the MemoryStream feed),
+      // not part of the operator — production points readStream here
+      val rows = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("timestamp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)](
+        org.apache.spark.sql.Encoders.product[(Long, String, java.sql.Timestamp)],
+        s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val deduped = graft.streaming.Streaming.dedupWithinWatermark(
+          mem.toDF().toDF("user_id", "event_type", "ts"),
+          "ts", "3650 days", "user_id", "event_type")
+        // project the event time away AFTER dedup: which duplicate's ts
+        // survives depends on intra-batch row order, the key set does not
+        .select(col("user_id"), col("event_type"))
+      val sink = "q64_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      // materialize and DROP the catalog entry (same leak discipline as q41)
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result.orderBy(col("user_id"), col("event_type"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1841,7 +1882,13 @@ object SparkEntry {
         |c_mktsegment AS segment,
         |cast(round(o_totalprice * 100) AS bigint) AS price_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+
+    // q64: with an un-evictable replay watermark, streaming dedup's key
+    // set is exactly the batch DISTINCT
+    "q64_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -58,14 +58,24 @@ object Streaming {
                   watermarkDelay: String = "1 hour"): DataFrame =
     sessions(pages, "url", "warc_ts", gap, Some(watermarkDelay))
 
+  /** Watermark-scoped dedup of any keyed stream: the first occurrence of
+    * `keys` within the watermark horizon is emitted, repeats are dropped,
+    * and per-key state is EVICTED once the watermark passes it — state
+    * stays bounded by the horizon's key cardinality at any corpus scale
+    * (a plain streaming dropDuplicates would grow state forever).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermarkDelay: String, keys: String*): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Watermark-scoped exact dedup of revisit snapshots: a (url, content)
     * pair is emitted once within the watermark horizon.
     */
   def dedupedStream(pages: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
-    extractStream(pages)
-      .where(col("status") === "ok")
-      .withWatermark("warc_ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("url", "instance_id")
+    dedupWithinWatermark(
+      extractStream(pages).where(col("status") === "ok"),
+      "warc_ts", watermarkDelay, "url", "instance_id")
 
   // ---- custom state via flatMapGroupsWithState ----
 

@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: dup suppressed across batches, state EVICTED after horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = Streaming.dedupWithinWatermark(
+        input.toDF().toDF("k", "ts"), "ts", "1 hour", "k")
+      .select("k")
+      .writeStream.format("memory").queryName("dw").outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      // batch 1: k emitted; dup of k inside the same horizon suppressed
+      input.addData(Seq(("k", new Timestamp(t0)), ("k", new Timestamp(t0 + 1000))))
+      q.processAllAvailable()
+      // batch 2: advance the watermark to t0+9h — PAST k's t0+1h state
+      // expiry, so the bounded-state contract must evict k
+      input.addData(Seq(("adv", new Timestamp(t0 + 10 * 3600 * 1000L))))
+      q.processAllAvailable()
+      // batch 3: k re-arrives beyond the horizon → emitted AGAIN
+      input.addData(Seq(("k", new Timestamp(t0 + 10 * 3600 * 1000L))))
+      q.processAllAvailable()
+      val ks = spark.table("dw").collect().map(_.getString(0)).toSeq
+      assert(ks.count(_ == "k") == 2, s"expected k emitted twice (evict + re-emit), got $ks")
+      assert(ks.count(_ == "adv") == 1, s"got $ks")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState content tracker counts changes across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Page]
