@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 64 queries spanning every implemented operator family
+/** Driver contract — 65 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -30,7 +30,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * the storage-partitioned join (both sides bucketed by url — the merge
   * join plans zero Exchange; plan-asserted in BucketedJoinSpec), q64
   * streaming watermark-scoped dedup (dropDuplicatesWithinWatermark
-  * replayed over four micro-batches — the streaming dual of q12).
+  * replayed over four micro-batches — the streaming dual of q12), q65
+  * URL structure features (RE2-portable parse, registrable-domain key,
+  * path depth — the domain-level curation keys).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -696,9 +698,11 @@ object SparkEntry {
         mem.toDF().toDF("user_id", "ts"), "user_id", "ts", "1800 seconds",
         watermarkDelay = None)
       val sink = "q41_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = sess.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      withShufflePartitions(s, 8) {
+        val query = sess.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       // materialize the (session-count-sized) sink into a local DataFrame and
       // DROP the catalog entry: each invocation would otherwise leak a
       // driver-memory table holding the full result for the session lifetime
@@ -1170,15 +1174,37 @@ object SparkEntry {
         // survives depends on intra-batch row order, the key set does not
         .select(col("user_id"), col("event_type"))
       val sink = "q64_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      withShufflePartitions(s, 8) {
+        val query = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
       // materialize and DROP the catalog entry (same leak discipline as q41)
       val sinkDf = s.table(sink)
       val result = s.createDataFrame(
         java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
       s.catalog.dropTempView(sink)
       result.orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- q65: URL structure features (domain-level curation keys). The
+    //      corpus has no url column, so both sides build the SAME url
+    //      string deterministically from document fields; the graded part
+    //      is the RE2-portable parse (scheme/host/path), the registrable-
+    //      domain approximation, path depth and the query flag. ----
+    "q65_url_features" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("lang"), lit("/d"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?ref=r"), (col("doc_id") % 7).cast("string")))
+            .otherwise(lit(""))).as("url"))
+      graft.ops.Curation.urlFeatures(urls, "url")
+        .select(col("doc_id"), col("url"), col("url_scheme"), col("url_host"),
+          col("url_domain"), col("url_path"), col("url_depth"), col("url_has_query"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1191,6 +1217,19 @@ object SparkEntry {
     * per JVM (write-once/join-many storage-partitioned layout).
     */
   private val q63Tables = scala.collection.mutable.Map[String, (String, String)]()
+
+  /** Scope `spark.sql.shuffle.partitions` around a streaming REPLAY: the
+    * state-store partition count is fixed from this conf at query start,
+    * and 32 state tasks per micro-batch is pure scheduler overhead for a
+    * replay whose whole state fits in one task. Physical-layout knob only —
+    * a production stream sizes it to its cluster; results are identical.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
 
   /** DuckDB oracles. Aggregates go through explicit decimal casts on both
     * sides so cross-engine float summation cannot drift; orderings carry
@@ -1888,7 +1927,29 @@ object SparkEntry {
     // set is exactly the batch DISTINCT
     "q64_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // q65: the same RE2 patterns on the same constructed url string;
+    // depth counts non-empty path segments on both sides
+    "q65_url_features" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/docs/' || lang || '/d'
+        |    || cast(doc_id AS varchar)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '?ref=r' || cast(doc_id % 7 AS varchar)
+        |       ELSE '' END AS url FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS url_scheme,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS url_host,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS url_path
+        |FROM u)
+        |SELECT doc_id, url, url_scheme, url_host,
+        |  CASE WHEN len(string_split(url_host, '.')) >= 2
+        |    THEN string_split(url_host, '.')[-2] || '.' || string_split(url_host, '.')[-1]
+        |    ELSE url_host END AS url_domain,
+        |  url_path,
+        |  cast(len(list_filter(string_split(url_path, '/'), x -> x <> '')) AS bigint) AS url_depth,
+        |  contains(url, '?') AS url_has_query
+        |FROM p ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -157,4 +157,33 @@ object Curation {
         when(nl > 0, lit(1.0) - size(array_distinct(lines)).cast("double") / nl.cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** URL structure features for web-corpus curation: scheme/host/path
+    * split by RE2-portable regexes (NOT java.net parsing — the patterns
+    * mean the same thing in any engine, so the op is oracle-stable),
+    * registrable-domain approximation (last two host labels — a public-
+    * suffix list would refine co.uk-style hosts; documented trade-off),
+    * path depth and a query flag. Narrow per-row projection, fully
+    * codegen'd, zero shuffle. `url_domain`/`url_host` are the natural
+    * keys for domain-level stratification, per-site caps and
+    * domain-aware dedup at corpus scale — grouping by them shuffles
+    * slim (key, count) pairs, never payloads.
+    */
+  def urlFeatures(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val host = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val labels = split(host, "\\.")
+    df.withColumn("url_scheme", scheme)
+      .withColumn("url_host", host)
+      .withColumn("url_domain",
+        when(size(labels) >= 2,
+          concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+          .otherwise(host))
+      .withColumn("url_path", path)
+      .withColumn("url_depth",
+        size(filter(split(path, "/"), s => s =!= "")).cast("long"))
+      .withColumn("url_has_query", u.contains("?"))
+  }
 }

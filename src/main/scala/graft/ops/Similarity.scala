@@ -129,7 +129,13 @@ object Similarity {
     require(centroids.nonEmpty, "empty corpus")
     val dim = centroids.head.length
     val k = centroids.length
+    // one decode of the vector column, CACHED across the Lloyd iterations —
+    // without this every iteration re-scans the source and re-unboxes the
+    // rows (5 iters = 5 full corpus reads); with it each pass is a pure
+    // in-memory sweep (spills to disk per-partition if the corpus outgrows
+    // executor memory, which is the right degradation at 100 TB)
     val vecs = corpus.select(col(vecCol)).rdd.map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
       val bc = sc.broadcast(centroids)
@@ -172,6 +178,7 @@ object Similarity {
       }
       it += 1
     }
+    vecs.unpersist(blocking = false)
     centroids
   }
 

@@ -23,6 +23,24 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getString(3) == "two mails <EMAIL> <EMAIL> and ip <IP>")
   }
 
+  test("urlFeatures: host/domain/path/depth edges") {
+    val df = Seq(
+      (1L, "https://www.news.example.com/a/b/c?x=1"),
+      (2L, "http://example.com"),            // no path, no query
+      (3L, "https://localhost/x/"),          // single-label host, trailing slash
+      (4L, "ftp://a.b.co/p#frag"),           // fragment excluded from path
+      (5L, "not a url at all")               // malformed: everything empty
+    ).toDF("id", "url")
+    val r = Curation.urlFeatures(df, "url").orderBy("id")
+      .select("url_scheme", "url_host", "url_domain", "url_path", "url_depth", "url_has_query")
+      .collect()
+    assert(r(0).toSeq == Seq("https", "www.news.example.com", "example.com", "/a/b/c", 3L, true))
+    assert(r(1).toSeq == Seq("http", "example.com", "example.com", "", 0L, false))
+    assert(r(2).toSeq == Seq("https", "localhost", "localhost", "/x/", 1L, false))
+    assert(r(3).toSeq == Seq("ftp", "a.b.co", "b.co", "/p", 1L, false))
+    assert(r(4).toSeq == Seq("", "", "", "", 0L, false))
+  }
+
   test("repetitionStats: duplicate words/lines and exact means") {
     val df = Seq(
       (1L, "aa bb aa\naa bb aa\ncc"),
