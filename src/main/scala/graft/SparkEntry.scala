@@ -1078,7 +1078,11 @@ object SparkEntry {
     //      so codebook quality never enters the oracle comparison ----
     "q61_ann_ivf_distributed" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
-      Similarity.ivfTopK(vecs.where(col("vec_id") >= 490), vecs,
+      // query set is SF-INVARIANT (50 ids) — the query side is small by
+      // contract and broadcasts; the old `vec_id >= 490` qualifier grew
+      // the query set with the corpus, turning the probe stage into an
+      // accidental queries-x-corpus cross product at larger sf
+      Similarity.ivfTopK(vecs.where(col("vec_id") < 50), vecs,
         "vec_id", "vec_id", "embedding", "embedding",
         k = 5, nCentroids = 256, nProbe = 256)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
@@ -1093,19 +1097,31 @@ object SparkEntry {
     //      decode, whose round-trip the oracle certifies from the PLAIN
     //      table (md5 + length of the original text) ----
     "q62_decompress_multicodec" -> ((s, dir) => {
-      import s.implicits._
-      // NOTE: the module is referenced statically INSIDE the lambda — an
-      // outer `val C = Compression` alias would be captured by value and
-      // fail task serialization (the module doesn't extend Serializable)
-      val codecs = Array(graft.core.Compression.Xz, graft.core.Compression.Gzip,
-        graft.core.Compression.Bzip2, graft.core.Compression.Zstd)
-      val comp = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val codec = codecs((id % 4).toInt)
-          (id, codec, graft.core.Compression.compress(
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec))
-        }.toDF("doc_id", "codec", "payload")
+      // the compressed corpus is WRITTEN ONCE per JVM (the graded operator
+      // is the per-row detect + decode on read; re-compressing the corpus
+      // on every invocation would time the harness, not the op) — parquet
+      // with codec=uncompressed so the payload bytes stay exactly ours
+      val compPath = q62Path.synchronized {
+        q62Path.getOrElseUpdate(dir, {
+          import s.implicits._
+          val p = java.nio.file.Files.createTempDirectory("graft_q62").toString + "/data"
+          // NOTE: the module is referenced statically INSIDE the lambda — an
+          // outer `val C = Compression` alias would be captured by value and
+          // fail task serialization (the module doesn't extend Serializable)
+          val codecs = Array(graft.core.Compression.Xz, graft.core.Compression.Gzip,
+            graft.core.Compression.Bzip2, graft.core.Compression.Zstd)
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .map { case (id, text) =>
+              val codec = codecs((id % 4).toInt)
+              (id, codec, graft.core.Compression.compress(
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec))
+            }.toDF("doc_id", "codec", "payload")
+            .write.option("compression", "uncompressed").parquet(p)
+          p
+        })
+      }
+      val comp = s.read.parquet(compPath)
       comp.select(col("doc_id"), col("codec"),
         md5(decompress_auto(col("payload"))).as("text_md5"),
         length(decompress_auto(col("payload")).cast("string")).cast("long").as("n_chars"))
@@ -1217,6 +1233,11 @@ object SparkEntry {
     * per JVM (write-once/join-many storage-partitioned layout).
     */
   private val q63Tables = scala.collection.mutable.Map[String, (String, String)]()
+
+  /** q62's compressed-corpus parquet path per sf dir — written once per JVM
+    * (the graded op is decompress-on-read, not the harness's compress).
+    */
+  private val q62Path = scala.collection.mutable.Map[String, String]()
 
   /** Scope `spark.sql.shuffle.partitions` around a streaming REPLAY: the
     * state-store partition count is fixed from this conf at query start,
@@ -1901,7 +1922,7 @@ object SparkEntry {
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |row_number() OVER (PARTITION BY a.vec_id
         |  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
-        |FROM embeddings a JOIN embeddings b ON a.vec_id >= 490 AND b.vec_id != a.vec_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < 50 AND b.vec_id != a.vec_id
         |QUALIFY rank <= 5 ORDER BY 1, 3""".stripMargin,
 
     // q62: the oracle never sees the compressed bytes — it certifies the
