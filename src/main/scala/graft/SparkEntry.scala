@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 65 queries spanning every implemented operator family
+/** Driver contract — 67 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -32,7 +32,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * streaming watermark-scoped dedup (dropDuplicatesWithinWatermark
   * replayed over four micro-batches — the streaming dual of q12), q65
   * URL structure features (RE2-portable parse, registrable-domain key,
-  * path depth — the domain-level curation keys).
+  * path depth — the domain-level curation keys), q66 LINE-level dedup
+  * (C4/RefinedWeb boilerplate removal — corpus-common lines stripped from
+  * every doc, slim (id,pos,md5) explode + row-local reassembly), q67
+  * per-domain caps (md5-rank deterministic keep-k per url_domain).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1221,6 +1224,42 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("url_scheme"), col("url_host"),
           col("url_domain"), col("url_path"), col("url_depth"), col("url_has_query"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q66: LINE-level dedup (C4/RefinedWeb boilerplate removal). The
+    //      corpus is documents text wrapped in deterministic template lines
+    //      (a nav bar on every page, a rotating footer shared across docs,
+    //      a blank separator): corpus-common lines must vanish from every
+    //      doc, blanks and unique bodies survive in order. The exploded
+    //      stream carries only (id, pos, md5-of-line) — the text never
+    //      leaves its row until the row-local array-filter reassembly. ----
+    "q66_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("NAV: home | about | contact\n"),
+          col("text"), lit("\n\n"),
+          when(col("doc_id") % 3 === 0, lit("share on social media"))
+            .otherwise(concat(lit("p"), (col("doc_id") % 11).cast("string")))).as("text"))
+      graft.ops.Dedup.dedupLines(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup"), col("n_lines"), col("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q67: per-domain cap (keep <= 3 docs per registrable domain,
+    //      md5-rank deterministic) over urlFeatures' domain key. Output is
+    //      bounded by #domains x k regardless of corpus size; the ranking
+    //      window sees only (domain, id). ----
+    "q67_domain_cap" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://"), col("source"), (col("doc_id") % 13).cast("string"),
+          lit(".org/a/b")).as("url"))
+      val dom = graft.ops.Curation.urlFeatures(urls, "url")
+        .select(col("doc_id"), col("url_domain"))
+      graft.ops.Curation.capPerKey(dom, "doc_id", "url_domain", k = 3)
+        .select(col("doc_id"), col("url_domain"), col("key_rank"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -1970,7 +2009,48 @@ object SparkEntry {
         |  url_path,
         |  cast(len(list_filter(string_split(url_path, '/'), x -> x <> '')) AS bigint) AS url_depth,
         |  contains(url, '?') AS url_has_query
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q66: same template construction; common = non-empty lines whose
+    // corpus occurrence count > 1; reassembly = position-ordered list of
+    // surviving lines (zipped unnest gives positions); docs losing every
+    // line coalesce to ''
+    "q66_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  'NAV: home | about | contact' || chr(10) || text || chr(10) || chr(10) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'share on social media'
+        |       ELSE 'p' || cast(doc_id % 11 AS varchar) END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |lines AS (SELECT doc_id, unnest(arr) AS line,
+        |                 unnest(range(1, len(arr)+1)) AS pos FROM ls),
+        |common AS (SELECT line FROM lines WHERE length(line) >= 1
+        |           GROUP BY line HAVING count(*) > 1),
+        |kept AS (SELECT l.doc_id, l.line, l.pos FROM lines l
+        |         LEFT JOIN common c USING (line) WHERE c.line IS NULL),
+        |agg AS (SELECT doc_id,
+        |          array_to_string(list(line ORDER BY pos), chr(10)) AS text_dedup,
+        |          count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+        |  cast(len(string_split(d.text, chr(10))) AS bigint) AS n_lines,
+        |  cast(coalesce(a.n_kept, 0) AS bigint) AS n_lines_kept
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q67: same domain construction (host has exactly two labels so the
+    // registrable domain IS the host); rank = first 8 md5 hex digits of
+    // the id string as a uniform integer, tie-broken by id — identical to
+    // the engine's md5-rank (q45's portable-rank pattern)
+    "q67_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |  source || cast(doc_id % 13 AS varchar) || '.org' AS url_domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, url_domain,
+        |  row_number() OVER (PARTITION BY url_domain ORDER BY
+        |    ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::UBIGINT,
+        |    doc_id) AS key_rank
+        |  FROM u)
+        |SELECT doc_id, url_domain, cast(key_rank AS bigint) AS key_rank
+        |FROM r WHERE key_rank <= 3 ORDER BY doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

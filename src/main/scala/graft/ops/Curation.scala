@@ -186,4 +186,28 @@ object Curation {
         size(filter(split(path, "/"), s => s =!= "")).cast("long"))
       .withColumn("url_has_query", u.contains("?"))
   }
+
+  /** Keep at most `k` rows per key (per-domain caps — a web corpus can't
+    * let one mega-site dominate the mixture). Which k survive is a pure
+    * function of the row ids: rows rank by the first 8 md5 hex digits of
+    * the id (the same deterministic uniform rank [[stratifiedSample]]
+    * uses, so caps and rates compose into one reproducible policy),
+    * tie-broken by id. Returns the kept rows plus `key_rank` (1..k).
+    *
+    * Shape for 100 TB: the ranking window runs over a slim (key, id)
+    * projection — the payload is never buffered in a window operator. The
+    * keeper set is at most (#keys x k) rows, so the join-back is a
+    * broadcast under AQE whenever the key space is site-sized; the corpus
+    * itself crosses one exchange as join input.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String, k: Int): DataFrame = {
+    val rank = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(rank, col(idCol))
+    val keep = df.select(col(keyCol), col(idCol))
+      .withColumn("key_rank", row_number().over(w).cast("long"))
+      .where(col("key_rank") <= k)
+      .select(col(idCol), col("key_rank"))
+    df.join(keep, Seq(idCol))
+  }
 }

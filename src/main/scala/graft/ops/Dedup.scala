@@ -63,6 +63,50 @@ object Dedup {
     exact(df, idCol, textCol).where(col("is_canonical"))
       .drop("dup_cluster_size", "is_canonical")
 
+  /** LINE-level exact dedup (the C4 / RefinedWeb boilerplate-removal pass):
+    * a line whose corpus-wide occurrence count exceeds `maxDf` is removed
+    * from EVERY document (nav bars, cookie banners, share buttons — text
+    * that repeats across pages is template, not content). Lines shorter
+    * than `minLineLen` characters never participate (blank separator lines
+    * are structure, not boilerplate, and would otherwise all vanish).
+    *
+    * Returns the input plus `text_dedup` (surviving lines joined by \n, in
+    * original order), `n_lines`, `n_lines_kept`. Deterministic — no RNG,
+    * no "keep first occurrence" tie to document order.
+    *
+    * Shape for 100 TB: the exploded stream carries only (id, pos, 16-byte
+    * md5-of-line) — the line TEXT never leaves its row. Frequency is one
+    * hash aggregate on the key (map-side combine), the dropped-position
+    * list is corpus-duplicate-bounded and joins back on id (AQE picks
+    * broadcast when slim), and reassembly is a row-local array filter by
+    * position over the original text — the payload crosses the one
+    * join-back exchange and is never grouped, sorted or windowed.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxDf: Long = 1L, minLineLen: Int = 1): DataFrame = {
+    val arr = split(col(textCol), "\n", -1)
+    val lines = df
+      .select(col(idCol).as("_ld_id"),
+        posexplode(arr).as(Seq("_ld_pos", "_ld_line")))
+      .where(length(col("_ld_line")) >= minLineLen)
+      .select(col("_ld_id"), col("_ld_pos"),
+        md5(col("_ld_line").cast("binary")).as("_ld_key"))
+    val common = lines.groupBy(col("_ld_key"))
+      .agg(count(lit(1)).as("_ld_n"))
+      .where(col("_ld_n") > maxDf)
+      .select(col("_ld_key"))
+    val drops = lines.join(common, "_ld_key")
+      .groupBy(col("_ld_id"))
+      .agg(collect_list(col("_ld_pos")).as("_ld_drops"))
+    val dropsArr = coalesce(col("_ld_drops"), typedLit(Array.empty[Int]))
+    val keptArr = filter(arr, (_, i) => !array_contains(dropsArr, i))
+    df.join(drops, col(idCol) === col("_ld_id"), "left")
+      .withColumn("text_dedup", concat_ws("\n", keptArr))
+      .withColumn("n_lines", size(arr).cast("long"))
+      .withColumn("n_lines_kept", size(keptArr).cast("long"))
+      .drop("_ld_id", "_ld_drops")
+  }
+
   /** MinHash + LSH near-duplicate PAIRS: (id_a, id_b, est_jaccard) with
     * est_jaccard >= threshold. numBands divides numHashes; rowsPerBand =
     * numHashes/numBands controls the S-curve.

@@ -117,4 +117,52 @@ class CurationSpec extends SparkSpec {
       n = 3, threshold = 0.5).select("id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
   }
+
+  test("dedupLines strips corpus-common lines, keeps blanks and order") {
+    val nav = "NAV: home | about"
+    val df = Seq(
+      (1L, s"$nav\nunique first body\n\ntail one"),
+      (2L, s"$nav\nunique second body\n\ntail two"),
+      (3L, s"$nav\nunique third body\n\nshared tail"),
+      (4L, s"$nav\nunique fourth body\n\nshared tail"),
+      (5L, nav) // all lines boilerplate -> empty result
+    ).toDF("id", "text")
+    val r = Dedup.dedupLines(df, "id", "text").orderBy("id")
+      .select("text_dedup", "n_lines", "n_lines_kept").collect()
+    // nav (5 occurrences) and "shared tail" (2) are dropped everywhere;
+    // blank separator lines never participate and survive in place
+    assert(r(0).getString(0) == "unique first body\n\ntail one")
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 3L)
+    assert(r(1).getString(0) == "unique second body\n\ntail two")
+    assert(r(2).getString(0) == "unique third body\n")
+    assert(r(3).getString(0) == "unique fourth body\n")
+    assert(r(4).getString(0) == "" && r(4).getLong(1) == 1L && r(4).getLong(2) == 0L)
+  }
+
+  test("dedupLines honors maxDf and minLineLen") {
+    val df = Seq(
+      (1L, "dup\nxx\nkeep a"),
+      (2L, "dup\nxx\nkeep b"),
+      (3L, "dup\nyy\nkeep c")
+    ).toDF("id", "text")
+    // maxDf=2: "dup" (3 occurrences) dropped, "xx" (2) kept;
+    // minLineLen=3: 2-char lines never participate regardless of count
+    val r = Dedup.dedupLines(df, "id", "text", maxDf = 2L, minLineLen = 3)
+      .orderBy("id").select("text_dedup").as[String].collect()
+    assert(r.toSeq == Seq("xx\nkeep a", "xx\nkeep b", "yy\nkeep c"))
+  }
+
+  test("capPerKey keeps k deterministic rows per key with ranks 1..k") {
+    val df = (1L to 40L).map(i => (i, s"dom${i % 4}", s"payload $i")).toDF("id", "dom", "text")
+    val r = Curation.capPerKey(df, "id", "dom", k = 3)
+    val byDom = r.select("dom", "id", "key_rank").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(x => (x.getLong(1), x.getLong(2))).sortBy(_._2))
+    assert(byDom.size == 4 && byDom.values.forall(_.length == 3))
+    byDom.values.foreach { ks => assert(ks.map(_._2).toSeq == Seq(1L, 2L, 3L)) }
+    // deterministic across invocations and payload carried through
+    val again = Curation.capPerKey(df, "id", "dom", k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == r.select("id").as[Long].collect().sorted.toSeq)
+    assert(r.columns.contains("text"))
+  }
 }
