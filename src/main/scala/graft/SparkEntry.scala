@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 67 queries spanning every implemented operator family
+/** Driver contract — 69 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -35,7 +35,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * path depth — the domain-level curation keys), q66 LINE-level dedup
   * (C4/RefinedWeb boilerplate removal — corpus-common lines stripped from
   * every doc, slim (id,pos,md5) explode + row-local reassembly), q67
-  * per-domain caps (md5-rank deterministic keep-k per url_domain).
+  * per-domain caps (md5-rank deterministic keep-k per url_domain), q68
+  * composite quality gate (Gopher rule family with per-rule reasons), q69
+  * incremental shard-vs-ledger dedup (idempotent re-ingestion).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1260,6 +1262,50 @@ object SparkEntry {
       graft.ops.Curation.capPerKey(dom, "doc_id", "url_domain", k = 3)
         .select(col("doc_id"), col("url_domain"), col("key_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q68: composite quality gate (Gopher/FineWeb rule family). The
+    //      corpus is documents text with deterministic adversarial suffixes
+    //      so every rule branch binds: doc_id%7 appends 30 numeric tokens
+    //      (drags alpha_word_frac under 0.8 and mean_word_len down),
+    //      doc_id%11 appends four identical lines (dup_line_frac 0.6), and
+    //      the natural 10..99-word spread makes minWords=30 and the
+    //      stop-word rule split both ways. ----
+    "q68_quality_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" "), repeat(lit("9 "), 29), lit("9"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nREPEATED\nREPEATED\nREPEATED\nREPEATED")).otherwise(lit("")))
+          .as("text"))
+      graft.ops.Curation.qualityFilter(docs, "text",
+        minWords = 30, maxWords = 10000, minStopwordHits = 1)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("dup_line_frac"), col("alpha_word_frac"), col("stopword_hits"),
+          col("qf_keep"), col("qf_reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q69: incremental shard-vs-ledger dedup. Ledger = md5 keys of
+    //      every doc_id%5 text (the corpus so far); incoming = doc_id%2
+    //      docs, with doc_id%3 rows rewritten to four rotating templates so
+    //      the shard carries internal duplicate clusters. Survivors must be
+    //      canonical within the shard AND unseen in the ledger — docs
+    //      re-ingesting their own already-ledgered text (doc_id%10, %3!=0)
+    //      anti-join away, proving idempotent re-ingestion. ----
+    "q69_incremental_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val seen = base.where(col("doc_id") % 5 === 0)
+        .select(md5(col("text").cast("binary")).as("dup_key"))
+      val incoming = base.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("tpl "), (col("doc_id") % 4).cast("string")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Dedup.exactIncremental(incoming, seen, "doc_id", "text")
+        .select(col("doc_id"), col("dup_key"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2050,7 +2096,63 @@ object SparkEntry {
         |    doc_id) AS key_rank
         |  FROM u)
         |SELECT doc_id, url_domain, cast(key_rank AS bigint) AS key_rank
-        |FROM r WHERE key_rank <= 3 ORDER BY doc_id""".stripMargin)
+        |FROM r WHERE key_rank <= 3 ORDER BY doc_id""".stripMargin,
+
+    // q68: same adversarial-suffix construction; every signal recomputed
+    // from scratch (int/int double divisions are bit-stable across
+    // engines); concat_ws skips the NULL arms of un-failed rules in both
+    // engines, so qf_reasons is the fixed-order failed-rule list
+    "q68_quality_filter" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('9 ', 29) || '9' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |       THEN chr(10) || 'REPEATED' || chr(10) || 'REPEATED' ||
+        |            chr(10) || 'REPEATED' || chr(10) || 'REPEATED'
+        |       ELSE '' END AS tx
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(tx, '\s+'), x -> x <> '') AS ws,
+        |  list_filter(string_split(tx, chr(10)), x -> x <> '') AS ls FROM d),
+        |s AS (SELECT doc_id,
+        |  cast(len(ws) AS bigint) AS n_words,
+        |  CASE WHEN len(ws) > 0
+        |    THEN cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(len(ws) AS double)
+        |    ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(ls) > 0
+        |    THEN 1.0 - cast(len(list_distinct(ls)) AS double) / cast(len(ls) AS double)
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN len(ws) > 0
+        |    THEN cast(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS double) / cast(len(ws) AS double)
+        |    ELSE 0.0 END AS alpha_word_frac,
+        |  cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(list_transform(ws, x -> lower(x)), sw))) AS bigint) AS stopword_hits
+        |  FROM w),
+        |r AS (SELECT *, concat_ws(',',
+        |  CASE WHEN n_words < 30 THEN 'too_few_words' END,
+        |  CASE WHEN n_words > 10000 THEN 'too_many_words' END,
+        |  CASE WHEN mean_word_len < 3.0 THEN 'short_words' END,
+        |  CASE WHEN mean_word_len > 10.0 THEN 'long_words' END,
+        |  CASE WHEN dup_line_frac > 0.30 THEN 'dup_lines' END,
+        |  CASE WHEN alpha_word_frac < 0.80 THEN 'low_alpha' END,
+        |  CASE WHEN stopword_hits < 1 THEN 'few_stopwords' END) AS qf_reasons
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, dup_line_frac, alpha_word_frac,
+        |  stopword_hits, qf_reasons = '' AS qf_keep, qf_reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q69: ledger/shard construction mirrored; survivors = min-id per key
+    // within the shard, anti-joined against the ledger keys
+    "q69_incremental_dedup" ->
+      """WITH seen AS (SELECT md5(text) AS k FROM documents WHERE doc_id % 5 = 0),
+        |inc AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'tpl ' || cast(doc_id % 4 AS varchar)
+        |       ELSE text END AS tx
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |keyed AS (SELECT doc_id, md5(tx) AS k FROM inc),
+        |canon AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k)
+        |SELECT c.doc_id, c.k AS dup_key FROM canon c
+        |LEFT JOIN seen s ON c.k = s.k WHERE s.k IS NULL
+        |ORDER BY c.doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

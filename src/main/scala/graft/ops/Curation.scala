@@ -210,4 +210,60 @@ object Curation {
       .select(col(idCol), col("key_rank"))
     df.join(keep, Seq(idCol))
   }
+
+  /** The Gopher stop-word set (Rae et al. 2021, rule: a quality document
+    * contains at least 2 of these).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Composite document-quality gate (the Gopher/FineWeb rule family as one
+    * policy): word-count bounds, mean-word-length bounds, duplicate-line
+    * fraction, alphabetic-word fraction, and distinct-stop-word hits.
+    * Emits the signals ([[repetitionStats]] plus `alpha_word_frac` and
+    * `stopword_hits`), `qf_reasons` (failed rule names comma-joined in
+    * fixed rule order, '' when clean) and `qf_keep`. Keeping failures WITH
+    * their reasons — rather than filtering inline — is deliberate: corpus
+    * curation needs the rejection breakdown (what fraction died to which
+    * rule) before committing to a policy, and that audit is a groupBy over
+    * this output.
+    *
+    * All signals are exact integer arithmetic or int/int double divisions
+    * (bit-stable across engines), and the whole gate is one codegen'd
+    * narrow projection — zero shuffle, which is the only acceptable cost
+    * for a first-pass filter that reads every byte of a 100 TB corpus.
+    */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxDupLineFrac: Double = 0.30,
+                    minAlphaWordFrac: Double = 0.80,
+                    stopwords: Seq[String] = GopherStopwords,
+                    minStopwordHits: Int = 2): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val nw = col("n_words")
+    val alphaFrac = when(nw > 0,
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nw.cast("double"))
+      .otherwise(lit(0.0))
+    // distinct stop-word HITS (how many of the set occur), not occurrence
+    // count — one 'the' repeated a thousand times is still one hit
+    val hits = stopwords.map(sw =>
+        when(exists(words, w => lower(w) === lit(sw)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = repetitionStats(df, textCol)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("stopword_hits", hits)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (col("n_words") < minWords),
+      "too_many_words" -> (col("n_words") > maxWords),
+      "short_words" -> (col("mean_word_len") < minMeanWordLen),
+      "long_words" -> (col("mean_word_len") > maxMeanWordLen),
+      "dup_lines" -> (col("dup_line_frac") > maxDupLineFrac),
+      "low_alpha" -> (col("alpha_word_frac") < minAlphaWordFrac),
+      "few_stopwords" -> (col("stopword_hits") < minStopwordHits))
+    // concat_ws skips nulls, so each rule contributes its name iff it fails
+    out.withColumn("qf_reasons",
+        concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
+      .withColumn("qf_keep", col("qf_reasons") === "")
+  }
 }

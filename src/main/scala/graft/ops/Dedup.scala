@@ -63,6 +63,34 @@ object Dedup {
     exact(df, idCol, textCol).where(col("is_canonical"))
       .drop("dup_cluster_size", "is_canonical")
 
+  /** Incremental exact dedup: dedup an incoming shard against the corpus
+    * ingested so far WITHOUT touching the corpus itself. `seenKeys` is the
+    * key-only ledger of everything already ingested (a `keyCol` column of
+    * 16-byte md5 hex keys — the ONLY state the incremental path reads; the
+    * corpus payload stays wherever it was written). Returns the incoming
+    * rows surviving BOTH gates — canonical within the batch (min-id per
+    * key, the same rule as [[exact]]) and unseen against the ledger — with
+    * `dup_key` attached, so the caller appends exactly these keys to the
+    * ledger before the next shard. Re-ingesting an already-seen shard is
+    * therefore idempotent: every row anti-joins away.
+    *
+    * Shape for 100 TB: continuous ingestion must never re-dedup the whole
+    * corpus — this path's cost is O(shard) plus one anti-join against a
+    * key table that hash-partitions on the key. Nothing but 16-byte keys
+    * and the surviving shard payload ever shuffles; AQE broadcasts the
+    * shard side when it is small against the ledger.
+    */
+  def exactIncremental(incoming: DataFrame, seenKeys: DataFrame,
+                       idCol: String, textCol: String,
+                       keyCol: String = "dup_key"): DataFrame = {
+    val canon = exact(incoming, idCol, textCol).where(col("is_canonical"))
+      .drop("dup_cluster_size", "is_canonical")
+    // null-safe anti join: a null-keyed row (null text) is dropped iff the
+    // ledger records a null key, symmetric with exact()'s null handling
+    canon.join(seenKeys.select(col(keyCol).as("_seen_key")),
+      col("dup_key") <=> col("_seen_key"), "left_anti")
+  }
+
   /** LINE-level exact dedup (the C4 / RefinedWeb boilerplate-removal pass):
     * a line whose corpus-wide occurrence count exceeds `maxDf` is removed
     * from EVERY document (nav bars, cookie banners, share buttons — text

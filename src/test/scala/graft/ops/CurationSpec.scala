@@ -152,6 +152,45 @@ class CurationSpec extends SparkSpec {
     assert(r.toSeq == Seq("xx\nkeep a", "xx\nkeep b", "yy\nkeep c"))
   }
 
+  test("qualityFilter flags each rule and keeps clean docs") {
+    val good = (("the word list " * 10) + "of and that").trim // 43 words, stopwords, alpha
+    val df = Seq(
+      (1L, good),                                    // clean
+      (2L, "tiny doc of the and"),                   // too_few_words
+      (3L, good + (" 9" * 40)),                      // low_alpha (+ short_words drag)
+      (4L, good + "\nX\nX\nX\nX"),                   // dup_lines
+      (5L, ("zz " * 40).trim)                        // few_stopwords
+    ).toDF("id", "text")
+    val r = Curation.qualityFilter(df, "text", minWords = 30)
+      .orderBy("id").select("qf_keep", "qf_reasons").collect()
+    assert(r(0).getBoolean(0) && r(0).getString(1) == "")
+    assert(!r(1).getBoolean(0) && r(1).getString(1).contains("too_few_words"))
+    assert(!r(2).getBoolean(0) && r(2).getString(1).contains("low_alpha"))
+    assert(!r(3).getBoolean(0) && r(3).getString(1).contains("dup_lines"))
+    assert(!r(4).getBoolean(0) && r(4).getString(1).contains("few_stopwords"))
+    // reasons are comma-joined in fixed rule order
+    val multi = Curation.qualityFilter(
+      Seq((1L, "9 9")).toDF("id", "text"), "text", minWords = 30)
+      .select("qf_reasons").as[String].head()
+    assert(multi == "too_few_words,short_words,low_alpha,few_stopwords")
+  }
+
+  test("exactIncremental: batch-canonical, ledger-unseen, idempotent") {
+    val seen = Seq("already ingested").toDF("text")
+      .select(md5(col("text").cast("binary")).as("dup_key"))
+    val incoming = Seq(
+      (10L, "already ingested"), // in ledger -> dropped
+      (11L, "fresh one"),        // survives
+      (12L, "fresh two"),        // survives (canonical of 12/13)
+      (13L, "fresh two")         // batch dup -> dropped
+    ).toDF("id", "text")
+    val out = Dedup.exactIncremental(incoming, seen, "id", "text")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    // appending the survivors' keys makes re-ingestion a no-op
+    val ledger2 = seen.unionByName(out.select("dup_key"))
+    assert(Dedup.exactIncremental(incoming, ledger2, "id", "text").isEmpty)
+  }
+
   test("capPerKey keeps k deterministic rows per key with ranks 1..k") {
     val df = (1L to 40L).map(i => (i, s"dom${i % 4}", s"payload $i")).toDF("id", "dom", "text")
     val r = Curation.capPerKey(df, "id", "dom", k = 3)
