@@ -17,7 +17,9 @@ URLS=${1:-300000}; DS=${2:-24}; NS=${3:-8}; NB=${4:-32}; REPS=${5:-3}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g}
 if [ -n "$CORPUS" ]; then
   DIR="$CORPUS"; CLEAN=""
-  PAGES=$(sbt -batch "runMain graft.ScalingBench count $URLS" 2>/dev/null | grep -o '"rows":[0-9]*' | cut -d: -f2)
+  # count the ACTUAL corpus (a urls-derived count misreports pages/sec when
+  # the on-disk corpus was generated with different parameters)
+  PAGES=$(sbt -batch "runMain graft.ScalingBench count $DIR" 2>/dev/null | grep -o '"rows":[0-9]*' | cut -d: -f2)
 else
   DIR=$(mktemp -d)/pages; CLEAN="$(dirname "$DIR")"
   gen_out=$(sbt -batch "runMain graft.ScalingBench gen $URLS $DS $DIR" 2>/dev/null | grep -o '{"generated":[0-9]*[^}]*}')

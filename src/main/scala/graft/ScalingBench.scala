@@ -106,11 +106,23 @@ object ScalingBench {
       s.stop()
 
     case Some("count") =>
-      // row count for a config without generating (corpus-reuse path)
-      val urls = args(1).toInt
-      val cfg = graft.pages.PageGen.Config(urls = urls, revisitsPerUrl = 8,
-        hotUrls = 10, hotFactor = 50)
-      println(s"""{"rows":${graft.pages.PageGen.totalRows(cfg)}}""")
+      // row count for the corpus-reuse path. A PATH argument counts the
+      // actual parquet (authoritative); an integer derives the count from a
+      // generator config — which silently misreports pages/sec when the
+      // on-disk corpus was generated with different parameters (this
+      // happened: a 1.2M-page corpus reported as 2.4M because the script
+      // passed urls=300000; efficiency ratios were unaffected, throughput
+      // was 2x inflated). Prefer the path form.
+      if (args(1).contains("/")) {
+        val s = session(8)
+        val n = s.read.parquet(args(1)).count()
+        println(s"""{"rows":$n}""")
+        s.stop()
+      } else {
+        val cfg = graft.pages.PageGen.Config(urls = args(1).toInt,
+          revisitsPerUrl = 8, hotUrls = 10, hotFactor = 50)
+        println(s"""{"rows":${graft.pages.PageGen.totalRows(cfg)}}""")
+      }
 
     case Some("run") =>
       val cores = args(1).toInt
