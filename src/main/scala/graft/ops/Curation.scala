@@ -246,10 +246,11 @@ object Curation {
       size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nw.cast("double"))
       .otherwise(lit(0.0))
     // distinct stop-word HITS (how many of the set occur), not occurrence
-    // count — one 'the' repeated a thousand times is still one hit
-    val hits = stopwords.map(sw =>
-        when(exists(words, w => lower(w) === lit(sw)), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // count — one 'the' repeated a thousand times is still one hit; a
+    // single array_intersect pass, not one scan per stop word
+    val hits = coalesce(size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(stopwords.map(lit): _*))), lit(0)).cast("long")
     val out = repetitionStats(df, textCol)
       .withColumn("alpha_word_frac", alphaFrac)
       .withColumn("stopword_hits", hits)
