@@ -90,4 +90,67 @@ class CurationPropertySpec extends SparkSpec {
     assert(lo.subsetOf(hi), "thresholds are nested, so samples must be nested")
     assert(hi.size > lo.size, "higher rate keeps strictly more of a 150-row corpus")
   }
+
+  test("dedupLines invariants: kept lines are a subsequence, counts consistent, global removal") {
+    val out = Dedup.dedupLines(corpus, "id", "text").collect()
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus-wide frequency of participating (non-empty) lines
+    val freq = texts.values.toSeq.flatMap(_.split("\n", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size)
+    out.foreach { row =>
+      val id = row.getAs[Long]("id")
+      val orig = texts(id).split("\n", -1).toSeq
+      val kept = row.getAs[String]("text_dedup") match {
+        case "" if row.getAs[Long]("n_lines_kept") == 0 => Seq.empty[String]
+        case s => s.split("\n", -1).toSeq
+      }
+      assert(row.getAs[Long]("n_lines") == orig.length)
+      assert(row.getAs[Long]("n_lines_kept") == kept.length)
+      // kept is exactly the original minus corpus-common non-empty lines,
+      // in original order (subsequence with per-line survival predicate)
+      val expected = orig.filter(l => l.isEmpty || freq(l) <= 1)
+      assert(kept == expected, s"doc $id: $kept != $expected")
+    }
+  }
+
+  test("capPerKey invariants: per-key bound, subset, determinism under payload change") {
+    val keyed = corpus.withColumn("k", (col("id") % 7).cast("string"))
+    val out = Curation.capPerKey(keyed, "id", "k", 5)
+    val perKey = out.groupBy("k").count().collect()
+    perKey.foreach(r => assert(r.getLong(1) <= 5))
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids.subsetOf(keyed.select("id").as[Long].collect().toSet))
+    // the keeper set is a function of (id, key) only — payload is irrelevant
+    val shuffledPayload = keyed.withColumn("text", reverse(col("text")))
+    val ids2 = Curation.capPerKey(shuffledPayload, "id", "k", 5)
+      .select("id").as[Long].collect().toSet
+    assert(ids == ids2)
+  }
+
+  test("qualityFilter invariants: qf_keep iff no reasons, reasons consistent with signals") {
+    val out = Curation.qualityFilter(corpus, "text", minWords = 10).collect()
+    out.foreach { row =>
+      val reasons = row.getAs[String]("qf_reasons")
+      assert(row.getAs[Boolean]("qf_keep") == reasons.isEmpty)
+      val nw = row.getAs[Long]("n_words")
+      assert(reasons.contains("too_few_words") == (nw < 10))
+      assert(reasons.contains("few_stopwords") ==
+        (row.getAs[Long]("stopword_hits") < 2))
+      assert(reasons.contains("low_alpha") ==
+        (row.getAs[Double]("alpha_word_frac") < 0.80))
+    }
+  }
+
+  test("exactIncremental == exact-survivors minus seen keys, on messy data") {
+    val seen = corpus.where(col("id") % 3 === 0)
+      .select(md5(col("text").cast("binary")).as("dup_key"))
+    val inc = Dedup.exactIncremental(corpus, seen, "id", "text")
+      .select("id").as[Long].collect().toSet
+    val expected = Dedup.exact(corpus, "id", "text")
+      .where(col("is_canonical"))
+      .join(seen.withColumnRenamed("dup_key", "k"), col("dup_key") <=> col("k"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty, "corpus has unseen unique texts, so survivors exist")
+  }
 }
