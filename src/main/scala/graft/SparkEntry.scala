@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 69 queries spanning every implemented operator family
+/** Driver contract — 72 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -37,7 +37,13 @@ import graft.temporal.{AsOfJoin, Windows}
   * every doc, slim (id,pos,md5) explode + row-local reassembly), q67
   * per-domain caps (md5-rank deterministic keep-k per url_domain), q68
   * composite quality gate (Gopher rule family with per-rule reasons), q69
-  * incremental shard-vs-ledger dedup (idempotent re-ingestion).
+  * incremental shard-vs-ledger dedup (idempotent re-ingestion), q70
+  * HTML -> text extraction (the `html: binary` -> `text` stage; ordered
+  * RE2-portable grammar, byte-identical against the oracle's replay), q71
+  * revisit change detection (per-url simhash bit distance to the previous
+  * crawl snapshot — lag-only, zero temporal leakage), q72 SCD2 validity
+  * intervals (valid_from/valid_to/is_current per snapshot — the storage-side
+  * dual of the as-of join).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1306,6 +1312,65 @@ object SparkEntry {
       graft.ops.Dedup.exactIncremental(incoming, seen, "doc_id", "text")
         .select(col("doc_id"), col("dup_key"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q70: HTML -> text extraction (the stage that turns the input
+    //      table's `html: binary` into the `text` column every other
+    //      operator consumes). Each doc is wrapped in a full page whose
+    //      boilerplate exercises every rule of the fixed grammar: a script
+    //      body containing a bare `<` (must vanish BEFORE tag stripping),
+    //      a style block, a comment, block tags, and all five core
+    //      entities incl. a literal `&amp;` inside text. The oracle builds
+    //      the IDENTICAL page from the same table and applies the same
+    //      ordered RE2 chain — byte-identical extracted text. ----
+    "q70_html_extract" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- snap "), id, lit(" --><head><title>Doc</title>"),
+        lit("<style>p{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head>"),
+        lit("<body><h1>Title &amp; "), id, lit("</h1><p>"),
+        col("text"),
+        lit("</p><div>tail &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</div><br></body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), html.cast("binary").as("html"))
+      graft.ops.Curation.htmlExtract(pages, "html")
+        .select(col("doc_id"), col("extracted_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q71: revisit change detection — per url, the simhash bit
+    //      distance of each crawl snapshot to the PREVIOUS one (lag only:
+    //      zero temporal leakage by construction). Two snapshots per doc:
+    //      the original and a revisit that is byte-identical for even ids
+    //      (hamming 0 against its pair) and one-token-edited for odd ids
+    //      (small hamming); consecutive docs on the same url differ wholly
+    //      (large hamming). The oracle recomputes the md5 simhash from
+    //      scratch and lags it with a window. ----
+    "q71_revisit_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select((col("doc_id") * 2).as("snap_id"),
+        (col("doc_id") % 100).as("url_key"), col("text"))
+      val edit = docs.select((col("doc_id") * 2 + 1).as("snap_id"),
+        (col("doc_id") % 100).as("url_key"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" minoredit"))).as("text"))
+      Windows.revisitDiff(base.unionByName(edit), Seq("url_key"), "snap_id",
+          "text", maxHamming = 3)
+        .select(col("url_key"), col("snap_id"), col("hamming"), col("changed"))
+        .orderBy(col("url_key"), col("snap_id"))
+    }),
+
+    // ---- q72: SCD2 validity intervals over crawl revisits — each
+    //      (user, ts) snapshot valid until the key's next snapshot
+    //      (exclusive), newest row open-ended. Materialized intervals turn
+    //      later point-in-time lookups into plain range predicates — the
+    //      storage-side dual of the as-of join (q09). ----
+    "q72_snapshot_intervals" -> ((s, dir) => {
+      Windows.snapshotIntervals(t(s, dir, "events"), Seq("user_id"), "ts")
+        .select(col("user_id"), col("ts"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("ts"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2152,7 +2217,42 @@ object SparkEntry {
         |canon AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k)
         |SELECT c.doc_id, c.k AS dup_key FROM canon c
         |LEFT JOIN seen s ON c.k = s.k WHERE s.k IS NULL
-        |ORDER BY c.doc_id""".stripMargin)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // q70: the page is rebuilt from the same table and the SAME ordered
+    // RE2-portable chain re-applied step by step (CTE per step) —
+    // byte-identical extracted text is the contract. chr(10)/chr(34)/
+    // chr(39) dodge SQL quoting of newline/quote characters.
+    "q70_html_extract" ->
+      """WITH pages AS (SELECT doc_id,
+        |  '<html><!-- snap ' || cast(doc_id AS varchar) || ' --><head><title>Doc</title>' ||
+        |  '<style>p{color:red}</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+        |  '<body><h1>Title &amp; ' || cast(doc_id AS varchar) || '</h1><p>' || text ||
+        |  '</p><div>tail &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</div><br></body></html>' AS html
+        |  FROM documents),
+        |a AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS x FROM pages),
+        |b AS (SELECT doc_id, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS x FROM a),
+        |c AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') AS x FROM b),
+        |d AS (SELECT doc_id, regexp_replace(x, '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/title)\b[^>]*>', chr(10), 'g') AS x FROM c),
+        |e AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM d),
+        |f AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)), '&#39;', chr(39)),
+        |  '&nbsp;', ' '), '&amp;', '&') AS x FROM e),
+        |g AS (SELECT doc_id, regexp_replace(x, '[ \t\r\f]+', ' ', 'g') AS x FROM f),
+        |h AS (SELECT doc_id, regexp_replace(x, ' ?\n ?', chr(10), 'g') AS x FROM g),
+        |i AS (SELECT doc_id, regexp_replace(x, '\n+', chr(10), 'g') AS x FROM h)
+        |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS extracted_text
+        |FROM i ORDER BY doc_id""".stripMargin,
+
+    "q71_revisit_diff" -> revisitDiffOracleSql,
+
+    // q72: SCD2 intervals — lead over (key, ts), newest row open-ended
+    "q72_snapshot_intervals" ->
+      """SELECT user_id, ts, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM events ORDER BY user_id, ts""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
@@ -2179,5 +2279,34 @@ object SparkEntry {
        |cast(hamming(a.sim, b.sim) AS bigint) AS hamming
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE hamming(a.sim, b.sim) <= 3 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q71 oracle: the same generated 64-sum md5 SimHash as [[simhashOracleSql]]
+    * over the two-snapshots-per-doc crawl table, then a lag window per url —
+    * string-hamming(sim, prev) is positionally identical to the engine's
+    * bit_count(sim XOR prev) because both count per-bit sign disagreements.
+    */
+  private def revisitDiffOracleSql: String = {
+    val sums = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH snaps AS (
+       |  SELECT doc_id * 2 AS snap_id, doc_id % 100 AS url_key, text FROM documents
+       |  UNION ALL SELECT doc_id * 2 + 1, doc_id % 100,
+       |    CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' minoredit' END FROM documents),
+       |tok AS (SELECT snap_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM snaps),
+       |th AS (SELECT snap_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+       |agg AS (SELECT snap_id, $sums FROM th GROUP BY snap_id),
+       |sh AS (SELECT snap_id, ($bits) AS sim FROM agg),
+       |j AS (SELECT s.url_key, s.snap_id, sh.sim FROM snaps s JOIN sh USING (snap_id)),
+       |l AS (SELECT url_key, snap_id, sim,
+       |  lag(sim) OVER (PARTITION BY url_key ORDER BY snap_id) AS prev FROM j)
+       |SELECT url_key, snap_id,
+       |  CASE WHEN prev IS NULL THEN NULL ELSE cast(hamming(sim, prev) AS bigint) END AS hamming,
+       |  CASE WHEN prev IS NULL THEN NULL ELSE hamming(sim, prev) > 3 END AS changed
+       |FROM l ORDER BY 1, 2""".stripMargin
   }
 }

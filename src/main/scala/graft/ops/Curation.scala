@@ -267,4 +267,53 @@ object Curation {
         concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
       .withColumn("qf_keep", col("qf_reasons") === "")
   }
+
+  /** HTML -> text extraction (the C4/CommonCrawl WET-style boilerplate
+    * strip) as a single codegen'd expression chain — the stage that turns
+    * the input table's `html: binary` column into the `text` column
+    * downstream kernels consume. The grammar is a fixed, ORDERED regex
+    * pipeline chosen to mean the same thing in Java regex (Spark) and RE2
+    * (external oracles): no backreferences, no lookaround.
+    *
+    *  1. script/style element bodies vanish whole (non-greedy dotall —
+    *     a `<` inside inline JS must not leak into tag stripping),
+    *  2. comments vanish,
+    *  3. block-closing tags and `<br>` become newlines (so words from
+    *     adjacent paragraphs don't fuse),
+    *  4. every remaining tag is dropped,
+    *  5. the five HTML core entities decode (amp LAST, or `&amp;lt;`
+    *     would double-decode),
+    *  6. whitespace normalizes: horizontal runs -> one space, spaces
+    *     around newlines trimmed, newline runs -> one newline, ends
+    *     trimmed.
+    *
+    * Scale shape: a narrow per-row projection over the scan — zero
+    * shuffle, and the html column is read once (Parquet binary) and never
+    * materialized twice. Accepts binary or string input (binary is decoded
+    * as UTF-8 by the string cast, matching Spark's binary->string rule).
+    */
+  def extractHtmlText(html: Column): Column = {
+    val s0 = html.cast("string")
+    val noScript = regexp_replace(s0, "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/title)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    val hspace = regexp_replace(ent, "[ \\t\\r\\f]+", " ")
+    val trimmedNl = regexp_replace(hspace, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(trimmedNl, "\\n+", "\n")
+    regexp_replace(oneNl, "^\\s+|\\s+$", "")
+  }
+
+  /** Input + `extracted_text` (see [[extractHtmlText]]). */
+  def htmlExtract(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("extracted_text", extractHtmlText(col(htmlCol)))
 }

@@ -96,4 +96,49 @@ object Windows {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).desc)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === n).drop("_rn")
   }
+
+  /** Revisit CHANGE DETECTION: per key (url), how different is each crawl
+    * snapshot's text from the PREVIOUS snapshot? Adds
+    *   - `hamming`  — simhash64 bit distance to the previous snapshot
+    *                  (null for the key's first snapshot),
+    *   - `changed`  — hamming > maxHamming (null for the first snapshot).
+    * A crawler uses this to skip feature re-extraction for unchanged
+    * revisits and to compute per-url churn rates; at simhash's usual
+    * operating point hamming <= 3 means near-identical text.
+    *
+    * Leakage shape: the only cross-row read is lag(1) over (key, ts asc) —
+    * strictly earlier timestamps, so the zero-temporal-leakage rule of this
+    * module holds by construction. Cost: the same single (key-partition,
+    * ts-sort) exchange every other window op here uses; the simhash is a
+    * per-row expression computed once.
+    */
+  def revisitDiff(df: DataFrame, keys: Seq[String], ts: String, textCol: String,
+                  maxHamming: Int = 3): DataFrame = {
+    val w = byKey(keys, ts)
+    val sim = graft.functions.simhash64_md5(col(textCol))
+    df.withColumn("_sim", sim)
+      .withColumn("_prev_sim", lag(col("_sim"), 1).over(w))
+      .withColumn("hamming",
+        bit_count(col("_sim").bitwiseXOR(col("_prev_sim"))).cast("long"))
+      .withColumn("changed", col("hamming") > maxHamming)
+      .drop("_sim", "_prev_sim")
+  }
+
+  /** SCD2-style validity intervals: each snapshot is valid from its own ts
+    * until (exclusive) the key's next snapshot; the newest snapshot has
+    * `valid_to` null (open interval). Materializing intervals once turns
+    * every later point-in-time lookup into a plain range predicate
+    * (`valid_from <= t AND (valid_to IS NULL OR t < valid_to)`) — the
+    * storage-side dual of the as-of join, and the natural layout for an
+    * Iceberg history table. `lead` here is NOT feature leakage: valid_to
+    * describes the interval's end, it is never a feature value read from
+    * the future (the leakage tests' allowlist excludes `_future_`/interval
+    * columns).
+    */
+  def snapshotIntervals(df: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    val w = byKey(keys, ts)
+    df.withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -204,4 +204,43 @@ class CurationSpec extends SparkSpec {
     assert(again == r.select("id").as[Long].collect().sorted.toSeq)
     assert(r.columns.contains("text"))
   }
+
+  test("extractHtmlText: golden page — scripts/styles/comments vanish, blocks break, entities decode") {
+    val html = "<html><!-- c --><head><title>T</title><style>p{x:1}</style>" +
+      "<script>var a = 1 < 2; s(\"</div>ish\");</script></head>" + // bare < and fake tag INSIDE script
+      "<body>  <h1>A &amp; B</h1>\n<p>one\ttwo</p><ul><li>item</li></ul>" +
+      "<div>x &lt;y&gt; &quot;z&#39;s&quot;&nbsp;w</div><br><br></body></html>"
+    val df = Seq((1L, html)).toDF("id", "html")
+    val out = Curation.htmlExtract(df, "html").select("extracted_text").head.getString(0)
+    assert(out == "T\nA & B\none two\nitem\nx <y> \"z's\" w")
+  }
+
+  test("extractHtmlText: binary input decodes as UTF-8; plain text is a fixpoint") {
+    val df = Seq((1L, "<p>héllo &amp; wörld</p>".getBytes("UTF-8"))).toDF("id", "html")
+    val out = Curation.htmlExtract(df, "html")
+      .select("extracted_text").head.getString(0)
+    assert(out == "héllo & wörld")
+    // already-extracted text passes through unchanged (idempotence on tag-free input)
+    val plain = Seq((1L, "line one\nline two")).toDF("id", "html")
+    assert(Curation.htmlExtract(plain, "html")
+      .select("extracted_text").head.getString(0) == "line one\nline two")
+  }
+
+  test("extractHtmlText: no tag survives, any input (property)") {
+    val gen = new scala.util.Random(7)
+    val frags = Seq("<div a='b'>", "text", "<script>x<y</script>", "&amp;", "<BR>",
+      "<style >a{}</style>", "</p>", "<!-- hidden -->", "words here", "<em>i</em>", "\n", "  ")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 12).map(_ => frags(gen.nextInt(frags.length))).mkString)
+    }
+    val out = Curation.htmlExtract(docs.toDF("id", "html"), "html")
+      .select("extracted_text").as[String].collect()
+    out.foreach { s =>
+      assert(!s.contains("<div") && !s.contains("</") && !s.contains("<em>") &&
+        !s.contains("script") && !s.contains("hidden") && !s.contains("a{}"),
+        s"residual markup in: $s")
+      assert(!s.contains("  ") && !s.contains("\n\n"), s"uncollapsed whitespace in: $s")
+      assert(s == s.trim, s"untrimmed: '$s'")
+    }
+  }
 }

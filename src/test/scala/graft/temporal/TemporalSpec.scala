@@ -184,4 +184,48 @@ class WindowsSpec extends SparkSpec {
     val r = Windows.latestSnapshot(df, Seq("url"), "t").orderBy("url").select("v").as[String].collect()
     assert(r.toSeq == Seq("new", "only"))
   }
+
+  test("revisitDiff: identical revisit -> hamming 0 / unchanged; first snapshot null; lag-only") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      ("u", 1L, doc),                       // first snapshot: hamming null
+      ("u", 2L, doc),                       // byte-identical revisit: hamming 0
+      ("u", 3L, doc + " smalledit"),        // near-dup revisit: small hamming
+      ("u", 4L, "completely different words about another topic entirely now"),
+      ("v", 9L, doc)                        // other key's first snapshot: null
+    ).toDF("url", "t", "text")
+    val r = Windows.revisitDiff(df, Seq("url"), "t", "text", maxHamming = 3)
+      .orderBy("url", "t")
+      .select("hamming", "changed").collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getLong(0) == 0L && !r(1).getBoolean(1))
+    assert(r(2).getLong(0) > 0L)
+    assert(r(3).getLong(0) > 3L && r(3).getBoolean(1)) // wholly different text
+    assert(r(4).isNullAt(0) && r(4).isNullAt(1))       // per-key restart: no cross-key read
+    // leakage check: hamming at row t compares to the PREVIOUS ts only —
+    // mutating a LATER snapshot must not change any earlier row's output
+    val mutated = df.union(Seq(("u", 99L, "future poison row")).toDF("url", "t", "text"))
+    val before = Windows.revisitDiff(df, Seq("url"), "t", "text").where($"t" <= 4)
+      .select("url", "t", "hamming").collect().map(_.toSeq).toSet
+    val after = Windows.revisitDiff(mutated, Seq("url"), "t", "text").where($"t" <= 4)
+      .select("url", "t", "hamming").collect().map(_.toSeq).toSet
+    assert(before == after)
+  }
+
+  test("snapshotIntervals: half-open validity chain, newest row open-ended") {
+    val df = Seq(("u", ts(1)), ("u", ts(5)), ("u", ts(9)), ("v", ts(3))).toDF("url", "t")
+    val r = Windows.snapshotIntervals(df, Seq("url"), "t").orderBy("url", "t")
+      .select("valid_from", "valid_to", "is_current").collect()
+    assert(r(0).getTimestamp(0) == ts(1) && r(0).getTimestamp(1) == ts(5) && !r(0).getBoolean(2))
+    assert(r(1).getTimestamp(0) == ts(5) && r(1).getTimestamp(1) == ts(9) && !r(1).getBoolean(2))
+    assert(r(2).getTimestamp(0) == ts(9) && r(2).isNullAt(1) && r(2).getBoolean(2))
+    assert(r(3).getTimestamp(0) == ts(3) && r(3).isNullAt(1) && r(3).getBoolean(2))
+    // intervals tile the key's timeline: every ts is in EXACTLY one interval
+    val probes = Seq(ts(1), ts(4), ts(5), ts(8), ts(9), ts(100))
+    val iv = r.take(3).map(x => (x.getTimestamp(0), Option(x.getTimestamp(1))))
+    probes.foreach { p =>
+      val n = iv.count { case (f, t) => !p.before(f) && t.forall(p.before) }
+      assert(n == 1, s"probe $p covered by $n intervals")
+    }
+  }
 }
