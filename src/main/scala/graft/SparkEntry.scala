@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 72 queries spanning every implemented operator family
+/** Driver contract — 74 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -43,7 +43,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * revisit change detection (per-url simhash bit distance to the previous
   * crawl snapshot — lag-only, zero temporal leakage), q72 SCD2 validity
   * intervals (valid_from/valid_to/is_current per snapshot — the storage-side
-  * dual of the as-of join).
+  * dual of the as-of join), q73 outlink extraction (web-graph edge list
+  * with base-url resolution), q74 exact-integer PageRank (fixed-point
+  * bigint iterations — partitioning/fold-order independent, oracle unrolls
+  * the same iterations as CTEs).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1371,6 +1374,45 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("valid_from"), col("valid_to"),
           col("is_current"))
         .orderBy(col("user_id"), col("ts"))
+    }),
+
+    // ---- q73: outlink extraction (web-graph edge construction). Each page
+    //      carries five anchors that split the grammar: an absolute https
+    //      href (kept as-is), a host-relative href (resolved against the
+    //      page's scheme://host), a fragment href (row emitted, target
+    //      null), an <a> with no href and a single-quoted href (no row —
+    //      the contract is double-quoted hrefs only). Binary html input
+    //      exercises the UTF-8 cast path. ----
+    "q73_extract_links" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p>see <a href=\"https://ref"), ((col("doc_id") + 1) % 13).cast("string"),
+        lit(".org/a\">x</a> and <a class=\"c\" href=\"/local/"), id,
+        lit("\">y</a><a href=\"#frag\">z</a><a name=\"n\">w</a>"),
+        lit("<a href='sq.html'>v</a></p>"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".org/p/"), id).as("url"),
+        html.cast("binary").as("html"))
+      graft.ops.Curation.extractLinks(pages, "doc_id", "html", "url")
+        .select(col("doc_id"), col("link_no"), col("href"), col("target_url"))
+        .orderBy(col("doc_id"), col("link_no"))
+    }),
+
+    // ---- q74: EXACT-INTEGER PageRank, four synchronous iterations over a
+    //      deterministic 50-node link graph (production composes
+    //      extractLinks -> domain ids -> pageRankInt). Fixed-point bigint
+    //      arithmetic makes the result independent of partitioning and
+    //      fold order, so the oracle reproduces it bit-for-bit by
+    //      unrolling the same four iterations as CTEs. ----
+    "q74_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 1) % 50).as("dst"))
+      val e2 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 2) % 50).as("dst"))
+      graft.ops.Graph.pageRankInt(e1.unionByName(e2), "src", "dst", iters = 4)
+        .orderBy(col("node"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2252,7 +2294,31 @@ object SparkEntry {
       """SELECT user_id, ts, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
-        |FROM events ORDER BY user_id, ts""".stripMargin)
+        |FROM events ORDER BY user_id, ts""".stripMargin,
+
+    // q73: identical page rebuilt, hrefs re-extracted with the same RE2
+    // pattern (group 1), positions via an indexed list_transform, targets
+    // resolved by the same CASE grammar
+    "q73_extract_links" ->
+      """WITH pages AS (SELECT doc_id,
+        |  'https://site' || cast(doc_id % 13 AS varchar) || '.org/p/' || cast(doc_id AS varchar) AS url,
+        |  '<p>see <a href="https://ref' || cast((doc_id + 1) % 13 AS varchar) ||
+        |  '.org/a">x</a> and <a class="c" href="/local/' || cast(doc_id AS varchar) ||
+        |  '">y</a><a href="#frag">z</a><a name="n">w</a>' ||
+        |  '<a href=''sq.html''>v</a></p>' AS html FROM documents),
+        |ex AS (SELECT doc_id, url, unnest(list_transform(
+        |    regexp_extract_all(html, '(?i)<a\b[^>]*\bhref="([^"]*)"', 1),
+        |    (x, i) -> {'link_no': cast(i - 1 AS bigint), 'href': x}), recursive := true)
+        |  FROM pages)
+        |SELECT doc_id, link_no, href,
+        |  CASE WHEN regexp_matches(href, '^https?://') THEN href
+        |       WHEN href LIKE '/%' AND href NOT LIKE '//%'
+        |            AND regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) <> ''
+        |       THEN regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) || href
+        |       ELSE NULL END AS target_url
+        |FROM ex ORDER BY doc_id, link_no""".stripMargin,
+
+    "q74_pagerank" -> pageRankOracleSql)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
@@ -2308,5 +2374,32 @@ object SparkEntry {
        |  CASE WHEN prev IS NULL THEN NULL ELSE cast(hamming(sim, prev) AS bigint) END AS hamming,
        |  CASE WHEN prev IS NULL THEN NULL ELSE hamming(sim, prev) > 3 END AS changed
        |FROM l ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q74 oracle: the same four exact-integer PageRank iterations UNROLLED
+    * as CTEs (r1..r4). Every intermediate is cast back to BIGINT (DuckDB
+    * widens sum() to int128) so each step's truncating division matches the
+    * engine's int64 `div` exactly; all values are non-negative, so DuckDB's
+    * floor `//` and Spark's truncating `div` agree.
+    */
+  private def pageRankOracleSql: String = {
+    val iters = (1 to 4).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node, sum(r.rank_int // o.outdeg) AS s
+         |  FROM edges e JOIN $prev r ON e.src = r.node JOIN od o ON e.src = o.node
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT n.node,
+         |  cast(150000000 + (85 * coalesce(c.s, 0)) // 100 AS bigint) AS rank_int
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id % 50, (doc_id * 3 + 2) % 50 FROM documents),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |od AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank_int FROM nodes),
+       |$iters
+       |SELECT node, rank_int FROM r4 ORDER BY node""".stripMargin
   }
 }

@@ -316,4 +316,36 @@ object Curation {
   /** Input + `extracted_text` (see [[extractHtmlText]]). */
   def htmlExtract(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("extracted_text", extractHtmlText(col(htmlCol)))
+
+  /** Outlink edge extraction — the web-graph construction stage. One output
+    * row per DOUBLE-QUOTED `href` attribute of an `<a>` tag, in document
+    * order: (idCol, link_no, href, target_url) where target_url resolves
+    *   - absolute http(s) hrefs as-is,
+    *   - host-relative hrefs (`/path`) against the page's scheme://host
+    *     (taken from `baseUrlCol` via the same RE2-portable parse as
+    *     [[urlFeatures]]),
+    *   - anything else (fragments, mailto:, protocol-relative, quoteless)
+    *     to null — a link-graph edge you can't attribute beats a wrong one.
+    * Pages with no anchors produce no rows.
+    *
+    * Scale shape: regexp_extract_all + posexplode — a narrow per-row
+    * flatMap whose output is bounded by the anchor count, zero shuffle; the
+    * html column is read once. Downstream (group by target domain, join
+    * with the page table) decides its own partitioning.
+    */
+  val HrefRe = "(?i)<a\\b[^>]*\\bhref=\"([^\"]*)\""
+
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+                   baseUrlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol).cast("string"), lit(HrefRe), lit(1))
+    val base = regexp_extract(col(baseUrlCol), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    df.select(col(idCol), col(baseUrlCol), posexplode(hrefs).as(Seq("link_no", "href")))
+      .withColumn("target_url",
+        when(col("href").rlike("^https?://"), col("href"))
+          .when(col("href").startsWith("/") && !col("href").startsWith("//") &&
+            base =!= "", concat(base, col("href")))
+          .otherwise(lit(null)))
+      .withColumn("link_no", col("link_no").cast("long"))
+      .drop(baseUrlCol)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the edge list [[Curation.extractLinks]]
+  * produces — the corpus-level quality/spam signals a web pipeline derives
+  * from structure rather than content.
+  *
+  * PageRank here is EXACT-INTEGER: ranks live in fixed-point units of
+  * 1/SCALE, every per-iteration update is bigint multiply / integer-div /
+  * bigint sum — commutative and associative, so the result is independent
+  * of partitioning, fold order, and engine (an external SQL oracle
+  * reproduces it bit-for-bit by unrolling the same iterations). Classic
+  * double-precision PageRank cannot make that promise: float summation
+  * order drifts across engines and run-to-run at scale.
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks are integers in units of 1e-9. */
+  val Scale: Long = 1000000000L
+
+  /** Deterministic damped PageRank over `iters` synchronous iterations.
+    *
+    * Input: an edge list (srcCol, dstCol); duplicate edges are collapsed
+    * (the graph is simple). Nodes = src ∪ dst. Every node starts at
+    * SCALE (1.0 fixed-point; PageRank is defined up to a constant factor,
+    * so the un-normalized start avoids a SCALE div n remainder that an
+    * oracle would have to replicate). Per iteration, with damping d =
+    * dampNum/dampDen (default 85/100):
+    *
+    *   contrib(e) = rank(src) div outdeg(src)          — exact integer
+    *   rank'(v)   = (SCALE * (dampDen - dampNum)) div dampDen
+    *              + (dampNum * sum(contrib over in-edges)) div dampDen
+    *
+    * Dangling mass (nodes with no out-edges) is dropped, the standard
+    * simplification. Overflow headroom: sum(contrib) <= n * SCALE, so
+    * dampNum * sum stays within int64 for n < ~1e8 nodes per the default
+    * scale; at web scale callers lower Scale accordingly.
+    *
+    * Scale shape: the rank table is NODE-sized (tiny next to the corpus);
+    * each iteration is one join of edges->ranks on src (broadcastable if
+    * ranks fit, else a hash join co-partitioned with the edge list) + one
+    * shuffle aggregating contributions by dst. Lineage is truncated with
+    * localCheckpoint every 5 iterations (same discipline as
+    * [[Dedup.clusters]]).
+    *
+    * Returns (node, rank_int).
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int = 4, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen && dampDen > 0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val baseTerm = Scale * (dampDen - dampNum) / dampDen // exact: driver-side longs
+    var ranks = nodes.withColumn("rank_int", lit(Scale))
+    var persisted: DataFrame = null
+    for (i <- 0 until iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_int div outdeg")).as("_in"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseTerm) +
+            expr(s"(${dampNum}L * coalesce(_in, 0L)) div ${dampDen}L")).as("rank_int"))
+      val updated = (if (i % 5 == 4) next.localCheckpoint() else next).persist()
+      updated.count() // materialize before dropping the previous iteration
+      if (persisted != null) persisted.unpersist()
+      persisted = updated
+      ranks = updated
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

@@ -226,6 +226,32 @@ class CurationSpec extends SparkSpec {
       .select("extracted_text").head.getString(0) == "line one\nline two")
   }
 
+  test("extractLinks: grammar split — absolute kept, relative resolved, junk null, non-matches skipped") {
+    val html = """<A HREF="https://a.example/x">1</A><a rel=nofollow href="/rel/p?q=1">2</a>""" +
+      """<a href="//proto.example/y">3</a><a href="mailto:a@b.c">4</a><a href="#top">5</a>""" +
+      """<a name="anchor">6</a><a href='single.html'>7</a>"""
+    val df = Seq((7L, html, "https://host.example:8080/base/page")).toDF("id", "html", "url")
+    val r = Curation.extractLinks(df, "id", "html", "url").orderBy("link_no")
+      .select("link_no", "href", "target_url").collect()
+    assert(r.length == 5) // no-href and single-quoted anchors emit nothing
+    assert(r(0).getString(1) == "https://a.example/x" && r(0).getString(2) == "https://a.example/x")
+    assert(r(1).getString(1) == "/rel/p?q=1" &&
+      r(1).getString(2) == "https://host.example:8080/rel/p?q=1")
+    assert(r(2).getString(1) == "//proto.example/y" && r(2).isNullAt(2)) // protocol-relative
+    assert(r(3).getString(1) == "mailto:a@b.c" && r(3).isNullAt(2))
+    assert(r(4).getString(1) == "#top" && r(4).isNullAt(2))
+  }
+
+  test("extractLinks: no anchors -> no rows; malformed base -> relative unresolvable") {
+    val df = Seq(
+      (1L, "<p>plain text, zero anchors</p>", "https://ok.example"),
+      (2L, "<a href=\"/only\">x</a>", "not a url")).toDF("id", "html", "url")
+    val r = Curation.extractLinks(df, "id", "html", "url")
+      .select("id", "href", "target_url").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L && r(0).getString(1) == "/only" && r(0).isNullAt(2))
+  }
+
   test("extractHtmlText: no tag survives, any input (property)") {
     val gen = new scala.util.Random(7)
     val frags = Seq("<div a='b'>", "text", "<script>x<y</script>", "&amp;", "<BR>",

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRankInt: a 2-cycle is an exact fixpoint at SCALE") {
+    // each node has outdeg 1, so r' = 0.15e9 + (85 * 1e9) div 100 = 1e9 exactly
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 4)
+    assert(r == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pageRankInt: star graph, hand-computed integer values") {
+    // A(0) -> B(1), A -> C(2); B,C dangling. After iter 1:
+    //   A: base only                         = 150000000
+    //   B = C: 150000000 + (85 * (1e9 div 2)) div 100 = 575000000
+    val r1 = ranks(Seq((0L, 1L), (0L, 2L)), iters = 1)
+    assert(r1 == Map(0L -> 150000000L, 1L -> 575000000L, 2L -> 575000000L))
+    // iter 2: A has no in-edges -> base again; B/C fed by A's NEW rank:
+    //   150000000 + (85 * (150000000 div 2)) div 100 = 213750000
+    val r2 = ranks(Seq((0L, 1L), (0L, 2L)), iters = 2)
+    assert(r2 == Map(0L -> 150000000L, 1L -> 213750000L, 2L -> 213750000L))
+  }
+
+  test("pageRankInt: partitioning-independent and duplicate-edge-insensitive") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    val base = ranks(edges, iters = 4)
+    val shuffled = Graph.pageRankInt(
+        edges.toDF("src", "dst").repartition(7), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == base)
+    val duped = ranks(edges ++ edges, iters = 4) // graph is simple: dups collapse
+    assert(duped == base)
+  }
+
+  test("pageRankInt: link structure orders ranks (hub and its heir beat leaves)") {
+    // 1,2,3 all point at 9; 9 points at 1. Nothing points at 2/3, so they
+    // fall to base; 9 aggregates three in-edges; 1 inherits ALL of 9's mass
+    // (outdeg 1) and ends highest.
+    val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)), iters = 4)
+    assert(r(9L) > r(2L) && r(1L) > r(9L))
+    assert(r(2L) == r(3L)) // symmetric nodes tie exactly (integer arithmetic)
+  }
+}
