@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 74 queries spanning every implemented operator family
+/** Driver contract — 77 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -46,7 +46,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * dual of the as-of join), q73 outlink extraction (web-graph edge list
   * with base-url resolution), q74 exact-integer PageRank (fixed-point
   * bigint iterations — partitioning/fold-order independent, oracle unrolls
-  * the same iterations as CTEs).
+  * the same iterations as CTEs), q75 exact discrete quantiles (the
+  * quantile_disc element rule, dyadic qs), q76 deterministic shuffle-shard
+  * deal (pure function of seed+id, no global sort), q77 out-of-vocabulary
+  * stats vs the corpus's own deterministic top-100 vocabulary.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1413,6 +1416,37 @@ object SparkEntry {
         ((col("doc_id") * 3 + 2) % 50).as("dst"))
       graft.ops.Graph.pageRankInt(e1.unionByName(e2), "src", "dst", iters = 4)
         .orderBy(col("node"))
+    }),
+
+    // ---- q75: exact discrete quantiles (doc-length quartiles per
+    //      language) — the quantile_disc rule (element at max(1,
+    //      ceil(q*n))), dyadic qs so q*n is float-exact in both engines.
+    //      Always an actual group element, never an interpolated float. ----
+    "q75_quantiles" -> ((s, dir) => {
+      graft.ops.Stats.quantilesDisc(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", Seq(0.25, 0.5, 0.75))
+        .orderBy(col("lang"), col("q"))
+    }),
+
+    // ---- q76: deterministic training-data shuffle into shards — the
+    //      permutation is a pure function of (seed, id), no global sort,
+    //      no RNG state; the oracle re-deals the identical permutation. ----
+    "q76_shuffle_shards" -> ((s, dir) => {
+      graft.ops.Curation.shuffleShards(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          seed = "epoch7", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q77: out-of-vocabulary stats against the corpus's own top-100
+    //      vocabulary (freq desc, token asc tie-break — deterministic at
+    //      the boundary). Integer counts only; the oracle rebuilds the
+    //      same vocabulary and recounts. ----
+    "q77_oov_stats" -> ((s, dir) => {
+      graft.ops.Curation.oovStats(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 100)
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2318,7 +2352,41 @@ object SparkEntry {
         |       ELSE NULL END AS target_url
         |FROM ex ORDER BY doc_id, link_no""".stripMargin,
 
-    "q74_pagerank" -> pageRankOracleSql)
+    "q74_pagerank" -> pageRankOracleSql,
+
+    // q75: DuckDB's own quantile_disc implements the same max(1, ceil(q*n))
+    // element rule; parallel unnests zip positionally
+    "q75_quantiles" ->
+      """SELECT lang, unnest([0.25, 0.5, 0.75]) AS q,
+        |  unnest(quantile_disc(n_chars, [0.25, 0.5, 0.75])) AS n_chars_q
+        |FROM documents GROUP BY lang ORDER BY lang, q""".stripMargin,
+
+    // q76: identical md5 deal — shard from the first 8 hex digits,
+    // position by (full hash, id) within the shard
+    "q76_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('epoch7' || cast(doc_id AS varchar)) AS hh FROM documents),
+        |s AS (SELECT doc_id, hh,
+        |  ('0x' || substr(hh, 1, 8))::BIGINT % 8 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  cast(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS bigint) AS shard_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q77: same tokenizer grammar as the simhash family; vocabulary =
+    // top-100 by (count DESC, token ASC); counts are plain integers
+    "q77_oov_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |vocab AS (SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 100),
+        |tc AS (SELECT doc_id, count(*) AS n,
+        |  sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS o
+        |  FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(tc.n, 0) AS bigint) AS n_tokens,
+        |  cast(coalesce(tc.o, 0) AS bigint) AS oov_count
+        |FROM documents d LEFT JOIN tc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

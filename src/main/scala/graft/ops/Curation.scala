@@ -348,4 +348,65 @@ object Curation {
       .withColumn("link_no", col("link_no").cast("long"))
       .drop(baseUrlCol)
   }
+
+  /** Deterministic training-data shuffle WITHOUT a global sort: each row
+    * hashes to a shard (first 8 md5 hex digits of seed||id, mod nShards)
+    * and gets a dense position within that shard (rank by the full hash,
+    * id tie-break). A trainer reads shards in any order and rows within a
+    * shard in `shard_pos` order — the permutation is a pure function of
+    * (seed, id): reproducible across runs, resumes, and engines, no RNG
+    * state. Changing the seed re-deals every epoch.
+    *
+    * Scale shape: the only wide op is the per-shard ranking window over a
+    * slim (hash, id) projection — parallelism = nShards, no global
+    * coordination, payloads shuffle once into their shard. This is the
+    * export-side dual of [[stratifiedSample]] (same uniform md5 rank).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = md5(concat(lit(seed), col(idCol).cast("string")).cast("binary"))
+    val rank32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", (rank32 % nShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
+  /** Out-of-vocabulary statistics — the cheap LM-free fluency signal: how
+    * many of a document's token OCCURRENCES fall outside the corpus's
+    * top-`vocabSize` vocabulary (frequency desc, token asc tie-break, so
+    * the vocabulary is deterministic). Tokens are the same grammar the
+    * simhash/minhash family uses: lowercased `[a-z0-9_']+` runs.
+    *
+    * Returns one row per input row: (idCol, n_tokens, oov_count) —
+    * integers only, so an external oracle reproduces them exactly.
+    *
+    * Scale shape: token frequency is one map-side-combined hash aggregate
+    * over a slim (token) stream; the vocabulary is top-V of it (V rows —
+    * corpus-bounded, broadcastable by construction); per-doc counting is
+    * the exploded token stream joined against the BROADCAST vocab and
+    * re-aggregated by id. The document text never shuffles.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("_tok"))
+    val vocab = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_tok").asc)
+      .limit(vocabSize)
+      .select(col("_tok"), lit(1).as("_inv"))
+    val perDoc = toks.join(broadcast(vocab), Seq("_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("oov_count"))
+    // zero-token documents produce no token rows — join back so every
+    // input row is represented (n_tokens = oov_count = 0)
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_count"), lit(0L)).as("oov_count"))
+  }
 }

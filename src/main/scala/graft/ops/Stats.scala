@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact (non-sketch) corpus statistics. Spark's built-in
+  * `approx_percentile` is a sketch whose output depends on merge order —
+  * useless when a report must be reproducible run-to-run or verifiable by
+  * an external engine. These operators pay the exact cost deliberately and
+  * say so; at 100 TB you run them per-partition-key (language, domain,
+  * day) where each group fits a single sort, not over one global group.
+  */
+object Stats {
+
+  /** Exact DISCRETE quantiles per key: for each q in `qs`, the element at
+    * 1-based position max(1, ceil(q * n)) of the group's value-sorted rows
+    * — the standard `quantile_disc`/`percentile_disc` rule, so SQL engines
+    * reproduce it verbatim. Always an ACTUAL group element (never an
+    * interpolated float), which keeps integer columns integer and the
+    * result bit-exact across engines.
+    *
+    * `qs` must be exactly representable doubles (dyadic rationals like
+    * 0.25/0.5/0.75) — q*n is then exact and ceil cannot straddle an
+    * epsilon; a q like 0.1 risks ceil(0.1*10) differing across engines'
+    * rounding of the product.
+    *
+    * Output: one row per (key, q): keyCols..., q, <valCol>_q (the group
+    * element). Cost: one (key-partition, value-sort) window over a slim
+    * (key, value) projection + an explode of |qs| per row; groups
+    * materialize no arrays.
+    */
+  def quantilesDisc(df: DataFrame, keyCols: Seq[String], valCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be within [0, 1]")
+    val keys = keyCols.map(col)
+    val sorted = Window.partitionBy(keys: _*).orderBy(col(valCol))
+    val whole = Window.partitionBy(keys: _*)
+    df.select(keys :+ col(valCol): _*)
+      .withColumn("_rn", row_number().over(sorted))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("_rn") ===
+        greatest(lit(1L), ceil(col("q") * col("_n")).cast("long")))
+      .select(keys ++ Seq(col("q"), col(valCol).as(s"${valCol}_q")): _*)
+  }
+}

@@ -252,6 +252,41 @@ class CurationSpec extends SparkSpec {
     assert(r(0).getLong(0) == 2L && r(0).getString(1) == "/only" && r(0).isNullAt(2))
   }
 
+  test("shuffleShards: complete deal, dense per-shard positions, seed changes the permutation") {
+    val df = (0L until 200L).toDF("id")
+    val r = Curation.shuffleShards(df, "id", "ep1", nShards = 4)
+      .select("id", "shard", "shard_pos").collect()
+    assert(r.length == 200 && r.map(_.getLong(0)).toSet.size == 200) // every row dealt once
+    val byShard = r.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    byShard.values.foreach { rows => // positions are exactly 1..size (dense, no gaps)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: identical re-deal; different seed: different permutation
+    val again = Curation.shuffleShards(df, "id", "ep1", 4)
+      .select("id", "shard", "shard_pos").collect().map(_.toSeq).toSet
+    assert(again == r.map(_.toSeq).toSet)
+    val other = Curation.shuffleShards(df, "id", "ep2", 4)
+      .select("id", "shard", "shard_pos").collect().map(_.toSeq).toSet
+    assert(other != again)
+  }
+
+  test("oovStats: counts occurrences outside the deterministic top-V vocab; empty doc kept") {
+    val df = Seq(
+      (1L, "aa aa aa bb"),     // aa x3, bb x1
+      (2L, "aa bb cc"),        // cc is the rarest
+      (3L, "")                 // zero tokens
+    ).toDF("id", "text")
+    // corpus freq: aa=4, bb=2, cc=1 -> vocabSize=2 keeps {aa, bb}
+    val r = Curation.oovStats(df, "id", "text", vocabSize = 2).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 4L, 0L), (2L, 3L, 1L), (3L, 0L, 0L)))
+    // boundary tie-break is token-asc: with freq ties, 'ab' enters before 'ba'
+    val tie = Seq((1L, "ab ba zz zz")).toDF("id", "text")
+    val t2 = Curation.oovStats(tie, "id", "text", vocabSize = 2).head
+    assert(t2.getLong(1) == 4L && t2.getLong(2) == 1L) // vocab = {zz, ab}; 'ba' is OOV
+  }
+
   test("extractHtmlText: no tag survives, any input (property)") {
     val gen = new scala.util.Random(7)
     val frags = Seq("<div a='b'>", "text", "<script>x<y</script>", "&amp;", "<BR>",
