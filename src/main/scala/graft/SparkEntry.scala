@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 77 queries spanning every implemented operator family
+/** Driver contract — 78 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -49,7 +49,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * the same iterations as CTEs), q75 exact discrete quantiles (the
   * quantile_disc element rule, dyadic qs), q76 deterministic shuffle-shard
   * deal (pure function of seed+id, no global sort), q77 out-of-vocabulary
-  * stats vs the corpus's own deterministic top-100 vocabulary.
+  * stats vs the corpus's own deterministic top-100 vocabulary, q78 custom
+  * keyed streaming state (flatMapGroupsWithState revisit/change counters
+  * across four micro-batches vs the pure-window batch dual).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1447,6 +1449,44 @@ object SparkEntry {
       graft.ops.Curation.oovStats(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 100)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q78: ARBITRARY keyed state in Structured Streaming
+    //      (flatMapGroupsWithState) — running revisit/change counters per
+    //      key, state carried ACROSS four micro-batches (the replay feeds
+    //      batches in global ts order, honoring the operator's cross-batch
+    //      ordering contract; production relies on the watermark). The
+    //      oracle is the pure-window batch computation: row_number +
+    //      running sum of the lag-change flag. ----
+    "q78_stream_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // collect() is the REPLAY HARNESS (builds the MemoryStream feed), not
+      // part of the operator — keyedChanges consumes any unbounded source
+      val rows = t(s, dir, "events")
+        .select(col("user_id").cast("string"), col("ts").cast("timestamp"),
+          col("event_type"))
+        .orderBy(col("ts"), col("user_id"), col("event_type"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+      val mem = MemoryStream[(String, java.sql.Timestamp, String)](
+        org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp, String)],
+        s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val changes = graft.streaming.Streaming.keyedChanges(mem.toDS())
+      val sink = "q78_changes_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val query = changes.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result
+        .select(col("url"), col("warc_ts"), col("instance_id"),
+          col("revisit_no"), col("change_no"), col("changed"))
+        .orderBy(col("url"), col("warc_ts"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2386,7 +2426,24 @@ object SparkEntry {
         |  cast(coalesce(tc.n, 0) AS bigint) AS n_tokens,
         |  cast(coalesce(tc.o, 0) AS bigint) AS oov_count
         |FROM documents d LEFT JOIN tc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q78: the batch dual of the streaming state machine — row_number is
+    // the revisit counter, the running sum of the lag-change flag is the
+    // change counter ('' is the operator's empty-state sentinel, so a
+    // key's first event always counts as changed)
+    "q78_stream_changes" ->
+      """WITH e AS (SELECT cast(user_id AS varchar) AS url, ts, event_type FROM events),
+        |w AS (SELECT url, ts, event_type,
+        |  cast(row_number() OVER (PARTITION BY url ORDER BY ts) AS bigint) AS revisit_no,
+        |  CASE WHEN coalesce(lag(event_type) OVER (PARTITION BY url ORDER BY ts), '')
+        |       <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e)
+        |SELECT url, ts AS warc_ts, event_type AS instance_id, revisit_no,
+        |  cast(sum(chg) OVER (PARTITION BY url ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS bigint) AS change_no,
+        |  chg = 1 AS changed
+        |FROM w ORDER BY url, warc_ts""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

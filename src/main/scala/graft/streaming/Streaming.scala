@@ -85,22 +85,21 @@ object Streaming {
                                instance_id: String, revisit_no: Long, change_no: Long,
                                changed: Boolean)
 
-  /** Per-url content-change tracker: custom keyed state
-    * (flatMapGroupsWithState) emitting one event per revisit with running
-    * revisit/change counters — the streaming dual of the batch lag/delta
-    * stage. State survives across micro-batches; timeout-free (bounded by
-    * key cardinality; production would set a TTL timeout).
+  /** Custom keyed state over ANY (key, ts, content-id) stream: one output
+    * event per row with running revisit/change counters — the streaming
+    * dual of the batch lag/delta stage. State survives across
+    * micro-batches; within a batch each key's rows process in ts order.
+    * Determinism contract vs the batch computation: the source must not
+    * deliver a key's rows out of ts order ACROSS batches (a replay feeds
+    * batches in global ts order; production relies on the watermark).
+    * Timeout-free — state is bounded by key cardinality; production would
+    * set a TTL timeout.
     */
-  def contentChanges(pages: DataFrame): org.apache.spark.sql.Dataset[ChangeEvent] = {
+  def keyedChanges(events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String)])
+      : org.apache.spark.sql.Dataset[ChangeEvent] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val spark = pages.sparkSession
-    import spark.implicits._
-    val extracted = extractStream(pages)
-      .where(col("status") === "ok")
-      .select(col("url"), col("warc_ts"), col("instance_id"))
-      .as[(String, java.sql.Timestamp, String)]
-
-    extracted
+    import events.sparkSession.implicits._
+    events
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (url: String, rows: Iterator[(String, java.sql.Timestamp, String)], state: GroupState[UrlState]) => {
@@ -113,5 +112,18 @@ object Streaming {
           state.update(st)
           out.iterator
         })
+  }
+
+  /** Per-url content-change tracker over the pages stream: identity from
+    * the extract stage feeds [[keyedChanges]].
+    */
+  def contentChanges(pages: DataFrame): org.apache.spark.sql.Dataset[ChangeEvent] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    keyedChanges(
+      extractStream(pages)
+        .where(col("status") === "ok")
+        .select(col("url"), col("warc_ts"), col("instance_id"))
+        .as[(String, java.sql.Timestamp, String)])
   }
 }
