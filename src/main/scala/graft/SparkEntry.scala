@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 78 queries spanning every implemented operator family
+/** Driver contract — 79 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -51,7 +51,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * deal (pure function of seed+id, no global sort), q77 out-of-vocabulary
   * stats vs the corpus's own deterministic top-100 vocabulary, q78 custom
   * keyed streaming state (flatMapGroupsWithState revisit/change counters
-  * across four micro-batches vs the pure-window batch dual).
+  * across four micro-batches vs the pure-window batch dual), q79 as-of
+  * join under a max-staleness tolerance (too-stale matches degrade to
+  * unmatched nulls — feature-store point-in-time semantics).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1487,6 +1489,27 @@ object SparkEntry {
         .select(col("url"), col("warc_ts"), col("instance_id"),
           col("revisit_no"), col("change_no"), col("changed"))
         .orderBy(col("url"), col("warc_ts"))
+    }),
+
+    // ---- q79: as-of join with a MAX-STALENESS tolerance (feature-store
+    //      point-in-time semantics): q09's join, but a purchase older than
+    //      12h no longer qualifies — the probe comes back unmatched with
+    //      null payload, identical to having no history at all. Filtering
+    //      the latest candidate is equivalent to bounding the search
+    //      (earlier rows are staler). Staleness is whole epoch seconds on
+    //      both sides, which the oracle replicates with floor(epoch()). ----
+    "q79_asof_tolerance" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      AsOfJoin.asOfBucketed(clicks, purchases, Seq("user_id"), "ts", "pts",
+          lit(86400), toleranceSeconds = Some(43200L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"), col("pts").as("purchase_ts"),
+          col("_asof_matched").as("matched"))
+        .orderBy(col("event_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2443,7 +2466,27 @@ object SparkEntry {
         |  cast(sum(chg) OVER (PARTITION BY url ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) AS bigint) AS change_no,
         |  chg = 1 AS changed
-        |FROM w ORDER BY url, warc_ts""".stripMargin)
+        |FROM w ORDER BY url, warc_ts""".stripMargin,
+
+    // q79: q09's lateral latest-before, post-filtered by the whole-second
+    // staleness bound (floor(epoch) on both sides = the engine's
+    // epoch-seconds cast); a too-stale match degrades to unmatched nulls
+    "q79_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT c.event_id, c.user_id, c.ts, p.value, p.ts AS pts
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN LATERAL (
+        |    SELECT value, ts FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+        |    ORDER BY p.ts DESC, p.value DESC LIMIT 1) p ON true)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN ok THEN value END AS purchase_value,
+        |  CASE WHEN ok THEN pts END AS purchase_ts,
+        |  ok AS matched
+        |FROM (SELECT *, pts IS NOT NULL AND
+        |  cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(pts)) AS bigint) <= 43200 AS ok
+        |  FROM m)
+        |ORDER BY event_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

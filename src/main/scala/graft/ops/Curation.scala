@@ -357,10 +357,15 @@ object Curation {
     * (seed, id): reproducible across runs, resumes, and engines, no RNG
     * state. Changing the seed re-deals every epoch.
     *
-    * Scale shape: the only wide op is the per-shard ranking window over a
-    * slim (hash, id) projection — parallelism = nShards, no global
-    * coordination, payloads shuffle once into their shard. This is the
-    * export-side dual of [[stratifiedSample]] (same uniform md5 rank).
+    * Scale shape: one wide op — the rows shuffle once into their shard and
+    * sort there by a 40-byte (hash, id) key. The payload deliberately RIDES
+    * this shuffle: (shard, shard_pos) order is exactly the physical layout
+    * an exporter writes (`partitionBy(shard)`, rows pre-sorted), so moving
+    * the payload now is the move you'd otherwise pay at write time — no
+    * second shuffle, no slim-window-then-join-back detour. Parallelism =
+    * nShards; size nShards so a shard's rows fit one task's spill budget.
+    * This is the export-side dual of [[stratifiedSample]] (same uniform
+    * md5 rank).
     */
   def shuffleShards(df: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")

@@ -28,8 +28,26 @@ import org.apache.spark.sql.functions._
   *
   * Both append `right`'s payload columns (suffixed when colliding) plus
   * `_asof_matched: boolean`.
+  *
+  * `toleranceSeconds` (optional) is the feature-store max-staleness bound:
+  * a probe only matches when `probe_ts - build_ts <= tolerance` (whole
+  * epoch seconds on both sides). Filtering the LATEST candidate is
+  * equivalent to bounding the search — every earlier build row is staler —
+  * so the tolerance is a pure post-predicate on the found row: too-stale
+  * probes come back unmatched with null payload, exactly like no-history
+  * probes. No extra pass, no plan change.
   */
 object AsOfJoin {
+
+  private def staleGuard(row: Column, probeTs: Column,
+                         toleranceSeconds: Option[Long]): Column = {
+    val keep = toleranceSeconds.fold(row.isNotNull) { t =>
+      row.isNotNull &&
+        (Windows.epochSeconds(probeTs) -
+          Windows.epochSeconds(row.getField("_bts"))) <= t
+    }
+    when(keep, row)
+  }
 
   /** Correctness-oracle implementation (window forward-fill). */
   def asOfUnion(
@@ -39,7 +57,8 @@ object AsOfJoin {
       probeTs: String,
       buildTs: String,
       strict: Boolean = false,
-      suffix: String = "_r"): DataFrame = {
+      suffix: String = "_r",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val spark = probe.sparkSession
     import spark.implicits._
 
@@ -93,12 +112,13 @@ object AsOfJoin {
 
     filled
       .where($"_tag" === probeTag)
+      .withColumn("_row", staleGuard(col("_f"), $"_ts", toleranceSeconds))
       .select(
         (keys.map(col) ++
           probe.columns.filterNot(keys.contains).map(col) ++
-          payloadCols.map(c => col("_f").getField(c).as(outName(c)))) :+
-          col("_f").getField("_bts").as(buildTsOut) :+
-          col("_f").isNotNull.as("_asof_matched"): _*)
+          payloadCols.map(c => col("_row").getField(c).as(outName(c)))) :+
+          col("_row").getField("_bts").as(buildTsOut) :+
+          col("_row").isNotNull.as("_asof_matched"): _*)
   }
 
   /** Scale-path implementation: range-bucketed SORT-based as-of.
@@ -127,7 +147,8 @@ object AsOfJoin {
       buildTs: String,
       bucket: Column,
       strict: Boolean = false,
-      suffix: String = "_r"): DataFrame = {
+      suffix: String = "_r",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val spark = probe.sparkSession
     import spark.implicits._
 
@@ -216,7 +237,8 @@ object AsOfJoin {
     val joinCond = keys.zipWithIndex.map { case (k, i) => probes(k) === col(s"_ck$i") }
       .reduce(_ && _) && probes("_pb") === col("_cb")
     val joined = probes.join(carryForProbeBucket, joinCond, "left")
-      .withColumn("_row", coalesce(col("_f"), col("_prevCarry")))
+      .withColumn("_row",
+        staleGuard(coalesce(col("_f"), col("_prevCarry")), col("_ts"), toleranceSeconds))
 
     joined.select(
       (keys.map(col) ++

@@ -72,6 +72,29 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: too-stale matches degrade to unmatched nulls; union == bucketed") {
+    val (probe, build) = randomTables(5, nKeys = 6, nProbe = 220, nBuild = 160)
+    val tol = 2000L
+    // brute-force tolerance applied to the FOUND latest (earlier rows are
+    // staler, so filtering the latest == bounding the search)
+    val expected = bruteForce(probe, build, strict = false).map { case (k, best) =>
+      k -> best.filter(m => k._2.getTime / 1000L - m._1.getTime / 1000L <= tol)
+    }
+    val u = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts",
+      toleranceSeconds = Some(tol))
+    checkAgainstBrute(u, expected)
+    for (bucketSeconds <- Seq(1000L, 50000L)) {
+      val b = AsOfJoin.asOfBucketed(probe, build, Seq("key"), "t", "bts",
+        lit(bucketSeconds), toleranceSeconds = Some(tol))
+      checkAgainstBrute(b, expected)
+    }
+    // the bound actually bites on this draw AND some matches survive
+    val matched = u.where(col("_asof_matched")).count()
+    val unbounded = AsOfJoin.asOfUnion(probe, build, Seq("key"), "t", "bts")
+      .where(col("_asof_matched")).count()
+    assert(matched > 0 && matched < unbounded)
+  }
+
   test("asOfBucketed == asOfUnion on skewed keys (hot key dominates)") {
     val rnd = new scala.util.Random(3)
     val probe = ((0 until 500).map(i => ("hot", ts(rnd.nextInt(50000).toLong), s"p$i")) ++
