@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 79 queries spanning every implemented operator family
+/** Driver contract — 80 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -1510,6 +1510,20 @@ object SparkEntry {
           col("value").as("purchase_value"), col("pts").as("purchase_ts"),
           col("_asof_matched").as("matched"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- q80: crawl cadence — per-key MEDIAN inter-revisit gap, the
+    //      composition Windows.delta ∘ Stats.quantilesDisc (the number a
+    //      recrawl scheduler budgets from). Gaps are whole epoch seconds
+    //      (floored per row, then differenced), exactly replicable. ----
+    "q80_crawl_cadence" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_s", col("ts").cast("timestamp").cast("long"))
+      val gaps = Windows.delta(ev, Seq("user_id"), "ts", "ts_s")
+        .where(col("ts_s_delta").isNotNull)
+      graft.ops.Stats.quantilesDisc(gaps, Seq("user_id"), "ts_s_delta", Seq(0.5))
+        .select(col("user_id"), col("q"), col("ts_s_delta_q").as("median_gap_s"))
+        .orderBy(col("user_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2486,7 +2500,19 @@ object SparkEntry {
         |FROM (SELECT *, pts IS NOT NULL AND
         |  cast(floor(epoch(ts)) AS bigint) - cast(floor(epoch(pts)) AS bigint) <= 43200 AS ok
         |  FROM m)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // q80: floor-seconds per row then lag-difference (the engine's cast
+    // order), median via quantile_disc
+    "q80_crawl_cadence" ->
+      """WITH d AS (SELECT user_id,
+        |  cast(floor(epoch(ts)) AS bigint) -
+        |  lag(cast(floor(epoch(ts)) AS bigint))
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events)
+        |SELECT user_id, cast(0.5 AS double) AS q,
+        |  quantile_disc(gap, 0.5) AS median_gap_s
+        |FROM d WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the round-4 operators — the scaladoc
+  * scale claims ("zero shuffle", "broadcast vocab", "one exchange") pinned
+  * against the executed plan so a refactor can't silently regress them.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffles(plan: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+
+  test("htmlExtract / extractLinks / scrubPii are pure narrow projections (zero Exchange)") {
+    val df = Seq((1L, "<p>a</p>", "https://h.example/x")).toDF("id", "html", "url")
+    val p1 = Curation.htmlExtract(df, "html").queryExecution.executedPlan.toString
+    assert(shuffles(p1) == 0, s"htmlExtract shuffled:\n$p1")
+    val p2 = Curation.extractLinks(df, "id", "html", "url")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p2) == 0, s"extractLinks shuffled:\n$p2")
+    val p3 = Curation.scrubPii(df.withColumnRenamed("html", "text"), "text")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p3) == 0, s"scrubPii shuffled:\n$p3")
+  }
+
+  test("oovStats joins the token stream against a BROADCAST vocabulary") {
+    val df = Seq.tabulate(50)(i => (i.toLong, s"tok$i common words here")).toDF("id", "text")
+    val plan = Curation.oovStats(df, "id", "text", vocabSize = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab join is not broadcast:\n$plan")
+  }
+
+  test("quantilesDisc runs on ONE key-partition exchange over a slim projection") {
+    val df = Seq.tabulate(100)(i => (s"k${i % 3}", i.toLong, s"payload$i"))
+      .toDF("k", "v", "payload")
+    val q = Stats.quantilesDisc(df, Seq("k"), "v", Seq(0.25, 0.5, 0.75))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
+    // the payload column must not ride the window sort
+    assert(!plan.contains("payload"), s"payload leaked into the quantile plan:\n$plan")
+  }
+
+  test("shuffleShards: one exchange total — the payload rides its single shard shuffle") {
+    val df = Seq.tabulate(64)(i => (i.toLong, s"payload$i")).toDF("id", "text")
+    val plan = Curation.shuffleShards(df, "id", "ep", nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("revisitDiff: one exchange (the shared key-partition sort), simhash computed once") {
+    val df = Seq.tabulate(30)(i => (s"u${i % 5}", i.toLong, s"text number $i"))
+      .toDF("url", "t", "text")
+    val plan = graft.temporal.Windows.revisitDiff(df, Seq("url"), "t", "text")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
+    assert("simhash64_md5".r.findAllIn(plan).size <= 1,
+      s"simhash evaluated more than once:\n$plan")
+  }
+}
