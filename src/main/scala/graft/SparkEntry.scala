@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 80 queries spanning every implemented operator family
+/** Driver contract — 81 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -1524,6 +1524,41 @@ object SparkEntry {
       graft.ops.Stats.quantilesDisc(gaps, Seq("user_id"), "ts_s_delta", Seq(0.5))
         .select(col("user_id"), col("q"), col("ts_s_delta_q").as("median_gap_s"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- q81: the END-TO-END CURATION PIPELINE (the corpus-prep dual of
+    //      q50's feature pipeline): html -> extracted text -> C4 line
+    //      dedup (which PROVABLY strips the page template: the boilerplate
+    //      lines 'Doc' and the tail div appear in all 500 pages, so
+    //      maxDf=1 removes them from every doc while each unique headline
+    //      survives) -> composite quality gate -> exact dedup (min-id
+    //      canonical) -> deterministic stratified sample. One DAG, one
+    //      chained oracle recomputing every stage. ----
+    "q81_curation_pipeline" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- snap "), id, lit(" --><head><title>Doc</title>"),
+        lit("<style>p{color:red}</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head>"),
+        lit("<body><h1>Title &amp; "), id, lit("</h1><p>"),
+        col("text"),
+        lit("</p><div>tail &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</div><br></body></html>"))
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        html.cast("binary").as("html"))
+      val extracted = graft.ops.Curation.htmlExtract(pages, "html").drop("html")
+      val cleaned = graft.ops.Dedup.dedupLines(extracted, "doc_id",
+          "extracted_text", maxDf = 1)
+        .withColumnRenamed("text_dedup", "clean_text")
+        .drop("extracted_text", "n_lines", "n_lines_kept")
+      val gated = graft.ops.Curation.qualityFilter(cleaned, "clean_text",
+          minWords = 20, maxWords = 10000, minStopwordHits = 1)
+        .where(col("qf_keep"))
+      val canon = graft.ops.Dedup.exactDistinct(gated, "doc_id", "clean_text")
+      graft.ops.Curation.stratifiedSample(canon, "doc_id", "lang",
+          Map("en" -> 0.5), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2512,7 +2547,71 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, cast(0.5 AS double) AS q,
         |  quantile_disc(gap, 0.5) AS median_gap_s
-        |FROM d WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM d WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q81: every stage recomputed in one CTE chain — q70's extraction
+    // grammar, q66's line-df dedup (maxDf=1), q68's quality signals
+    // (thresholds 20/10000/3.0/10.0/0.30/0.80/1), q12's min-id canonical,
+    // q45's integer sampling thresholds
+    "q81_curation_pipeline" ->
+      """WITH pages AS (SELECT doc_id, lang,
+        |  '<html><!-- snap ' || cast(doc_id AS varchar) || ' --><head><title>Doc</title>' ||
+        |  '<style>p{color:red}</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+        |  '<body><h1>Title &amp; ' || cast(doc_id AS varchar) || '</h1><p>' || text ||
+        |  '</p><div>tail &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</div><br></body></html>' AS html
+        |  FROM documents),
+        |a AS (SELECT doc_id, lang, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS x FROM pages),
+        |b AS (SELECT doc_id, lang, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS x FROM a),
+        |c AS (SELECT doc_id, lang, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') AS x FROM b),
+        |d AS (SELECT doc_id, lang, regexp_replace(x, '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/title)\b[^>]*>', chr(10), 'g') AS x FROM c),
+        |e AS (SELECT doc_id, lang, regexp_replace(x, '(?s)<[^>]*>', '', 'g') AS x FROM d),
+        |f AS (SELECT doc_id, lang, replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)), '&#39;', chr(39)),
+        |  '&nbsp;', ' '), '&amp;', '&') AS x FROM e),
+        |g AS (SELECT doc_id, lang, regexp_replace(x, '[ \t\r\f]+', ' ', 'g') AS x FROM f),
+        |h AS (SELECT doc_id, lang, regexp_replace(x, ' ?\n ?', chr(10), 'g') AS x FROM g),
+        |i AS (SELECT doc_id, lang, regexp_replace(x, '\n+', chr(10), 'g') AS x FROM h),
+        |et AS (SELECT doc_id, lang, regexp_replace(x, '^\s+|\s+$', '', 'g') AS et FROM i),
+        |ls AS (SELECT doc_id, string_split(et, chr(10)) AS arr FROM et),
+        |lines AS (SELECT doc_id, unnest(arr) AS line,
+        |               unnest(range(1, len(arr)+1)) AS pos FROM ls),
+        |common AS (SELECT line FROM lines WHERE length(line) >= 1
+        |           GROUP BY line HAVING count(*) > 1),
+        |kept AS (SELECT l.doc_id, l.line, l.pos FROM lines l
+        |         LEFT JOIN common cm USING (line) WHERE cm.line IS NULL),
+        |cl AS (SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS tx
+        |       FROM kept GROUP BY doc_id),
+        |cleaned AS (SELECT et.doc_id, et.lang, coalesce(cl.tx, '') AS tx
+        |            FROM et LEFT JOIN cl USING (doc_id)),
+        |w2 AS (SELECT doc_id, lang, tx,
+        |  list_filter(string_split_regex(tx, '\s+'), x -> x <> '') AS ws,
+        |  list_filter(string_split(tx, chr(10)), x -> x <> '') AS lsx FROM cleaned),
+        |s2 AS (SELECT doc_id, lang, tx,
+        |  cast(len(ws) AS bigint) AS n_words,
+        |  CASE WHEN len(ws) > 0
+        |    THEN cast(list_sum(list_transform(ws, x -> length(x))) AS double) / cast(len(ws) AS double)
+        |    ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(lsx) > 0
+        |    THEN 1.0 - cast(len(list_distinct(lsx)) AS double) / cast(len(lsx) AS double)
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN len(ws) > 0
+        |    THEN cast(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS double) / cast(len(ws) AS double)
+        |    ELSE 0.0 END AS alpha_word_frac,
+        |  cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(list_transform(ws, x -> lower(x)), sw))) AS bigint) AS stopword_hits
+        |  FROM w2),
+        |g2 AS (SELECT doc_id, lang, tx, n_words FROM s2
+        |  WHERE NOT (n_words < 20 OR n_words > 10000 OR mean_word_len < 3.0
+        |    OR mean_word_len > 10.0 OR dup_line_frac > 0.30
+        |    OR alpha_word_frac < 0.80 OR stopword_hits < 1)),
+        |k2 AS (SELECT *, md5(tx) AS dup_key FROM g2),
+        |canon AS (SELECT dup_key, min(doc_id) AS cid FROM k2 GROUP BY dup_key)
+        |SELECT k2.doc_id, k2.lang, k2.n_words, md5(k2.tx) AS clean_md5
+        |FROM k2 JOIN canon cn ON k2.dup_key = cn.dup_key AND k2.doc_id = cn.cid
+        |WHERE ('0x' || substr(md5(cast(k2.doc_id AS varchar)), 1, 8))::UBIGINT <
+        |  CASE WHEN k2.lang = 'en' THEN 2147483648 ELSE 1073741824 END
+        |ORDER BY k2.doc_id""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
