@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 81 queries spanning every implemented operator family
+/** Driver contract — 82 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -1559,6 +1559,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_words"),
           md5(col("clean_text").cast("binary")).as("clean_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q82: corpus snapshot diff between two crawl days — the
+    //      incremental-crawl bookkeeping that bounds recompute to churn.
+    //      doc_id%4==3 exists only in day2 (added), %4==1 only in day1
+    //      (removed); of the common keys, %8==0 re-crawled with an edit
+    //      (changed), the rest byte-identical (unchanged). ----
+    "q82_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val day1 = docs.where(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val day2 = docs.where(col("doc_id") % 4 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 8 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      graft.ops.Diff.snapshotDiff(day1, day2, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   /** q52's layout directory per sf dir — written once per JVM. */
@@ -2611,7 +2628,22 @@ object SparkEntry {
         |FROM k2 JOIN canon cn ON k2.dup_key = cn.dup_key AND k2.doc_id = cn.cid
         |WHERE ('0x' || substr(md5(cast(k2.doc_id AS varchar)), 1, 8))::UBIGINT <
         |  CASE WHEN k2.lang = 'en' THEN 2147483648 ELSE 1073741824 END
-        |ORDER BY k2.doc_id""".stripMargin)
+        |ORDER BY k2.doc_id""".stripMargin,
+
+    // q82: full-outer join of the two day snapshots on the content hash
+    "q82_snapshot_diff" ->
+      """WITH d1 AS (SELECT doc_id, md5(text) AS old_key FROM documents
+        |            WHERE doc_id % 4 <> 3),
+        |d2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 8 = 0
+        |         THEN text || ' updated' ELSE text END) AS new_key
+        |       FROM documents WHERE doc_id % 4 <> 1)
+        |SELECT doc_id, old_key, new_key,
+        |  CASE WHEN old_key IS NULL THEN 'added'
+        |       WHEN new_key IS NULL THEN 'removed'
+        |       WHEN old_key = new_key THEN 'unchanged'
+        |       ELSE 'changed' END AS diff_status
+        |FROM d1 FULL OUTER JOIN d2 USING (doc_id)
+        |ORDER BY 1""".stripMargin)
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char
