@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 82 queries spanning every implemented operator family
+/** Driver contract — 87 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -53,7 +53,19 @@ import graft.temporal.{AsOfJoin, Windows}
   * keyed streaming state (flatMapGroupsWithState revisit/change counters
   * across four micro-batches vs the pure-window batch dual), q79 as-of
   * join under a max-staleness tolerance (too-stale matches degrade to
-  * unmatched nulls — feature-store point-in-time semantics).
+  * unmatched nulls — feature-store point-in-time semantics), q80 crawl
+  * cadence (median inter-revisit gap), q81 the END-TO-END curation
+  * pipeline (extract -> line-dedup -> quality gate -> dedup -> sample in
+  * one DAG), q82 corpus snapshot diff (added/removed/changed/unchanged
+  * between crawl days), q83 exact-integer tf-idf top-k terms (fixed-point
+  * rational idf — bit-exact across engines), q84 anchor extraction
+  * (outlinks with anchor text), q85 host-level inlink features (inlinks /
+  * distinct source hosts / external share per target host), q86
+  * quantile-based feature binning (within-key quartiles from the exact
+  * discrete thresholds), q87 the mergeable HLL distinct sketch (custom
+  * TypedImperativeAggregate; per-language estimates plus a '*' row from
+  * MERGING the per-language sketches, the estimate one exact int128
+  * division the oracle replays).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1576,7 +1588,97 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       graft.ops.Diff.snapshotDiff(day1, day2, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q83: exact-integer tf-idf top-5 terms per document. The idf
+    //      weight is the fixed-point rational (1e6 * N) div df — integer
+    //      multiply/divide only (same discipline as q74's PageRank), so
+    //      the scores and the (score desc, term asc) cut are bit-exact
+    //      across engines. ----
+    "q83_tfidf_topk" -> ((s, dir) => {
+      graft.ops.Relevance.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+          k = 5)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- q84: anchor extraction (outlinks WITH anchor text — the
+    //      off-page relevance signal). Five anchors per page split the
+    //      grammar: absolute href (kept), host-relative (resolved),
+    //      fragment (row kept, target null), nested-markup body (SKIPPED —
+    //      the plain-text-body grammar is deterministic in both engines),
+    //      and a self link. ----
+    "q84_anchor_links" -> ((s, dir) => {
+      graft.ops.Curation.extractAnchors(q84Pages(s, dir), "doc_id", "html", "url")
+        .select(col("doc_id"), col("link_no"), col("href"), col("anchor_text"),
+          col("target_url"))
+        .orderBy(col("doc_id"), col("link_no"))
+    }),
+
+    // ---- q85: host-level inlink features over the q84 anchor edges —
+    //      inlinks / distinct source hosts / external inlinks per target
+    //      host. ref* hosts collect only external links, site* hosts only
+    //      self-traffic (local + self anchors), so both branches of the
+    //      external test bind. ----
+    "q85_host_inlinks" -> ((s, dir) => {
+      val links = graft.ops.Curation.extractAnchors(q84Pages(s, dir),
+        "doc_id", "html", "url")
+        .join(q84Pages(s, dir).select(col("doc_id"), col("url")), Seq("doc_id"))
+      graft.ops.Graph.inlinkFeatures(links, "url", "target_url")
+        .orderBy(col("host"))
+    }),
+
+    // ---- q86: quantile-based feature binning — each doc's n_chars becomes
+    //      its within-language quartile (0..3), thresholds the EXACT
+    //      discrete quantiles of q75, comparison strict >, so the binning
+    //      is bit-exact across engines. ----
+    "q86_quantile_bins" -> ((s, dir) => {
+      graft.ops.Stats.binByQuantiles(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", Seq(0.25, 0.5, 0.75))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_chars_bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q87: mergeable HLL distinct sketch — estimated distinct
+    //      content hashes per language, plus a '*' total row whose sketch
+    //      is the MERGE of the per-language sketches (the rollup path:
+    //      coarser groupings without rescanning data). The estimate is
+    //      ONE integer division of exact integers (no float harmonic
+    //      mean), so the oracle reproduces it bit-for-bit in int128 SQL.
+    //      p=5 keeps the raw estimator in its valid regime at sf-scale
+    //      cardinalities (~100/key); production default is p=12. ----
+    "q87_hll_distinct" -> ((s, dir) => {
+      val vals = t(s, dir, "documents")
+        .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+      val sketches = vals.groupBy(col("lang"))
+        .agg(hll_sketch(col("h"), 5).as("_sk"),
+          countDistinct(col("h")).as("exact_distinct"))
+      val perLang = sketches.select(col("lang"),
+        hll_estimate(col("_sk")).as("est_distinct"), col("exact_distinct"))
+      val total = sketches.agg(hll_estimate(hll_merge(col("_sk"))).as("est_distinct"))
+        .crossJoin(vals.agg(countDistinct(col("h")).as("exact_distinct")))
+        .select(lit("*").as("lang"), col("est_distinct"), col("exact_distinct"))
+      perLang.unionByName(total).orderBy(col("lang"))
     }))
+
+  /** q84/q85's deterministic page corpus: five anchors per page that split
+    * the anchor grammar (absolute / host-relative / fragment / nested-
+    * markup-skipped / self). Binary html exercises the UTF-8 cast path.
+    */
+  private def q84Pages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<p><a href=\"https://ref"), ((col("doc_id") + 1) % 13).cast("string"),
+      lit(".org/a/"), id, lit("\">Ref Article "), id, lit("</a>"),
+      lit("<a href=\"/local/"), id, lit("\" class=\"x\">local "), id, lit("</a>"),
+      lit("<a href=\"#frag\">frag</a>"),
+      lit("<a href=\"https://skip.org/\"><b>bold</b></a>"),
+      lit("<a href=\"https://site"), (col("doc_id") % 13).cast("string"),
+      lit(".org/self\">self</a></p>"))
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+        lit(".org/p/"), id).as("url"),
+      html.cast("binary").as("html"))
+  }
 
   /** q52's layout directory per sf dir — written once per JVM. */
   private val q52Path = scala.collection.mutable.Map[String, String]()
@@ -2643,7 +2745,117 @@ object SparkEntry {
         |       WHEN old_key = new_key THEN 'unchanged'
         |       ELSE 'changed' END AS diff_status
         |FROM d1 FULL OUTER JOIN d2 USING (doc_id)
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin,
+
+    // q83: same tokenizer grammar; idf is the exact-integer rational
+    // (1e6 * N) // df, so score and the (score desc, term asc) top-5 cut
+    // replay bit-for-bit
+    "q83_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS score_int
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |rk AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_int DESC, term ASC) AS bigint) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, score_int, rank FROM rk
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // q84: identical page rebuilt; full anchors re-extracted (group 0),
+    // href/text re-extracted per anchor, targets resolved by the same
+    // CASE grammar as q73
+    "q84_anchor_links" ->
+      (s"""WITH $q84PagesCte,
+         |ex AS (SELECT doc_id, url, unnest(list_transform(
+         |    regexp_extract_all(html, '$AnchorReSql', 0),
+         |    (x, i) -> {'link_no': cast(i - 1 AS bigint), 'a': x}),
+         |    recursive := true) FROM pages)
+         |SELECT doc_id, link_no,
+         |  regexp_extract(a, '$AnchorReSql', 1) AS href,
+         |  regexp_extract(a, '$AnchorReSql', 2) AS anchor_text,
+         |  CASE WHEN regexp_matches(regexp_extract(a, '$AnchorReSql', 1), '^https?://')
+         |       THEN regexp_extract(a, '$AnchorReSql', 1)
+         |       WHEN regexp_extract(a, '$AnchorReSql', 1) LIKE '/%'
+         |            AND regexp_extract(a, '$AnchorReSql', 1) NOT LIKE '//%'
+         |            AND regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) <> ''
+         |       THEN regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)
+         |            || regexp_extract(a, '$AnchorReSql', 1)
+         |       ELSE NULL END AS target_url
+         |FROM ex ORDER BY doc_id, link_no""".stripMargin),
+
+    // q85: the q84 edges aggregated per target host — count / distinct
+    // source hosts / external count, all exact integers
+    "q85_host_inlinks" ->
+      (s"""WITH $q84PagesCte,
+         |ex AS (SELECT doc_id, url, unnest(
+         |    regexp_extract_all(html, '$AnchorReSql', 1)) AS href FROM pages),
+         |res AS (SELECT url,
+         |  CASE WHEN regexp_matches(href, '^https?://') THEN href
+         |       WHEN href LIKE '/%' AND href NOT LIKE '//%'
+         |            AND regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) <> ''
+         |       THEN regexp_extract(url, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) || href
+         |       ELSE NULL END AS target_url FROM ex),
+         |e AS (SELECT regexp_extract(target_url, '://([^/?#]+)', 1) AS host,
+         |             regexp_extract(url, '://([^/?#]+)', 1) AS src_host
+         |      FROM res WHERE target_url IS NOT NULL)
+         |SELECT host, cast(count(*) AS bigint) AS inlinks,
+         |  cast(count(DISTINCT src_host) AS bigint) AS src_hosts,
+         |  cast(sum(CASE WHEN src_host <> host THEN 1 ELSE 0 END) AS bigint)
+         |    AS external_inlinks
+         |FROM e GROUP BY host ORDER BY host""".stripMargin),
+
+    // q86: DuckDB's quantile_disc implements the same element rule as q75;
+    // bin = thresholds strictly below the value
+    "q86_quantile_bins" ->
+      """WITH t AS (SELECT lang, quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS th
+        |           FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  cast(length(list_filter(t.th, x -> d.n_chars > x)) AS bigint) AS n_chars_bin
+        |FROM documents d JOIN t USING (lang) ORDER BY d.doc_id""".stripMargin,
+
+    // q87: the HLL registers replayed in SQL — 32-bit md5 hash, p=5
+    // (idx = h >> 27, rho = 28 - bitlength(w)), the '*' row over the whole
+    // corpus (merge of per-lang maxes == max over the union), and the
+    // raw estimate as ONE int128 integer division:
+    // (alphaNum * m^2 * 2^(q+1)) // (alphaDen * zNum), alpha(32) = 697/1000
+    "q87_hll_distinct" ->
+      """WITH v AS (SELECT lang, md5(text) AS h FROM documents),
+        |g AS (SELECT lang, h FROM v UNION ALL SELECT '*' AS lang, h FROM v),
+        |hh AS (SELECT lang, h, ('0x' || substr(md5(h), 1, 8))::BIGINT AS h32 FROM g),
+        |r AS (SELECT lang, h32 // 134217728 AS idx,
+        |        CASE WHEN h32 % 134217728 = 0 THEN 28
+        |             ELSE 28 - length(format('{:b}', h32 % 134217728)) END AS rho
+        |      FROM hh),
+        |regs AS (SELECT lang, idx, max(rho) AS mr FROM r GROUP BY lang, idx),
+        |z AS (SELECT lang, sum((1 << (28 - mr)))::HUGEINT
+        |        + (32 - count(*))::HUGEINT * 268435456 AS znum
+        |      FROM regs GROUP BY lang),
+        |est AS (SELECT lang, cast((697::HUGEINT * 1024 * 268435456)
+        |        // (1000::HUGEINT * znum) AS bigint) AS est_distinct FROM z),
+        |ex AS (SELECT lang, cast(count(DISTINCT h) AS bigint) AS exact_distinct
+        |       FROM g GROUP BY lang)
+        |SELECT est.lang, est.est_distinct, ex.exact_distinct
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin)
+
+  /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
+    * byte-identically).
+    */
+  private val q84PagesCte: String =
+    """pages AS (SELECT doc_id,
+      |  'https://site' || cast(doc_id % 13 AS varchar) || '.org/p/' || cast(doc_id AS varchar) AS url,
+      |  '<p><a href="https://ref' || cast((doc_id + 1) % 13 AS varchar) || '.org/a/' || cast(doc_id AS varchar) ||
+      |  '">Ref Article ' || cast(doc_id AS varchar) || '</a>' ||
+      |  '<a href="/local/' || cast(doc_id AS varchar) || '" class="x">local ' || cast(doc_id AS varchar) || '</a>' ||
+      |  '<a href="#frag">frag</a>' ||
+      |  '<a href="https://skip.org/"><b>bold</b></a>' ||
+      |  '<a href="https://site' || cast(doc_id % 13 AS varchar) || '.org/self">self</a></p>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** [[graft.ops.Curation.AnchorRe]] escaped for a DuckDB string literal. */
+  private val AnchorReSql: String =
+    graft.ops.Curation.AnchorRe.replace("'", "''")
 
   /** q17 oracle: the md5-token SimHash recomputed in pure SQL — 64 per-bit
     * sign sums over unnested tokens, the signature assembled as a 64-char

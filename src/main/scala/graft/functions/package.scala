@@ -103,6 +103,22 @@ package object functions {
     col1(NearestCentroid(_, centroids))(c)
   def nearest_centroids(c: Column, centroids: Array[Array[Float]], n: Int): Column =
     col1(NearestCentroids(_, centroids, n))(c)
+
+  // ---- mergeable sketches (corpus-scale approximate analytics) ----
+
+  /** HLL register aggregate over a string column (binary, 2^p bytes). */
+  def hll_sketch(c: Column, p: Int = 12): Column =
+    GraftShim.column(HllSketchAgg(GraftShim.expression(c), p).toAggregateExpression())
+
+  /** Merge already-built sketches (rollup without rescanning data). */
+  def hll_merge(c: Column): Column =
+    GraftShim.column(HllMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Exact-integer raw-HLL cardinality estimate of a sketch. */
+  def hll_estimate(c: Column): Column = col1(HllEstimate(_))(c)
+
+  /** Convenience: estimated COUNT(DISTINCT c) in one aggregate. */
+  def hll_distinct(c: Column, p: Int = 12): Column = hll_estimate(hll_sketch(c, p))
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -163,7 +179,24 @@ object GraftExtensions {
     unary("rolling_fingerprint")(RollingFingerprint(_)),
     "jaccard_sorted" -> { args => require(args.length == 2); JaccardSorted(args(0), args(1)) },
     "minhash_estimate" -> { args => require(args.length == 2); MinHashEstimate(args(0), args(1)) },
-    "cosine_similarity" -> { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) })
+    "cosine_similarity" -> { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) },
+    "hll_sketch" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "hll_sketch expects (value) or (value, precision)")
+      val p = if (args.length == 2) args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+            if v != null && (t == org.apache.spark.sql.types.IntegerType ||
+              t == org.apache.spark.sql.types.LongType ||
+              t == org.apache.spark.sql.types.ShortType ||
+              t == org.apache.spark.sql.types.ByteType) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"hll_sketch precision must be an integer literal, got $other")
+      } else 12
+      HllSketchAgg(args.head, p).toAggregateExpression()
+    },
+    unary("hll_merge")(HllMergeAgg(_).toAggregateExpression()),
+    unary("hll_estimate")(HllEstimate(_)))
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

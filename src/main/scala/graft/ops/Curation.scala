@@ -335,18 +335,58 @@ object Curation {
     */
   val HrefRe = "(?i)<a\\b[^>]*\\bhref=\"([^\"]*)\""
 
+  /** href resolution shared by [[extractLinks]] and [[extractAnchors]]:
+    * absolute http(s) targets pass through, host-relative paths resolve
+    * against the page's scheme://host, everything else (fragment, mailto,
+    * protocol-relative, malformed base) stays null.
+    */
+  private def resolveTarget(href: org.apache.spark.sql.Column,
+                            base: org.apache.spark.sql.Column) =
+    when(href.rlike("^https?://"), href)
+      .when(href.startsWith("/") && !href.startsWith("//") && base =!= "",
+        concat(base, href))
+      .otherwise(lit(null))
+
+  private def baseOf(urlCol: String) =
+    regexp_extract(col(urlCol), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+
   def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
                    baseUrlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(col(htmlCol).cast("string"), lit(HrefRe), lit(1))
-    val base = regexp_extract(col(baseUrlCol), "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
     df.select(col(idCol), col(baseUrlCol), posexplode(hrefs).as(Seq("link_no", "href")))
-      .withColumn("target_url",
-        when(col("href").rlike("^https?://"), col("href"))
-          .when(col("href").startsWith("/") && !col("href").startsWith("//") &&
-            base =!= "", concat(base, col("href")))
-          .otherwise(lit(null)))
+      .withColumn("target_url", resolveTarget(col("href"), baseOf(baseUrlCol)))
       .withColumn("link_no", col("link_no").cast("long"))
       .drop(baseUrlCol)
+  }
+
+  /** Anchor grammar for [[extractAnchors]]: a double-quoted href anchor
+    * whose body is plain text (no nested tags) — group 1 the href, group 2
+    * the anchor text. Anchors with markup inside the body are skipped (a
+    * full parse is out of scope for a regex grammar; the skip is
+    * deterministic and engine-portable — no lookaround/backreferences).
+    */
+  val AnchorRe = "(?i)<a\\b[^>]*\\bhref=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Outlinks WITH their anchor text — the classic off-page relevance
+    * signal (what other pages call this page). One row per matching
+    * anchor in document order: (idCol, link_no, href, anchor_text,
+    * target_url), targets resolved by the same grammar as
+    * [[extractLinks]].
+    *
+    * Scale shape: identical to extractLinks — regexp_extract_all of the
+    * full anchor (group 0) + posexplode, the two groups re-extracted from
+    * the bounded per-anchor snippet. Narrow flatMap, zero shuffle, html
+    * read once.
+    */
+  def extractAnchors(df: DataFrame, idCol: String, htmlCol: String,
+                     baseUrlCol: String): DataFrame = {
+    val anchors = regexp_extract_all(col(htmlCol).cast("string"), lit(AnchorRe), lit(0))
+    df.select(col(idCol), col(baseUrlCol), posexplode(anchors).as(Seq("link_no", "_a")))
+      .withColumn("href", regexp_extract(col("_a"), AnchorRe, 1))
+      .withColumn("anchor_text", regexp_extract(col("_a"), AnchorRe, 2))
+      .withColumn("target_url", resolveTarget(col("href"), baseOf(baseUrlCol)))
+      .withColumn("link_no", col("link_no").cast("long"))
+      .drop(baseUrlCol, "_a")
   }
 
   /** Deterministic training-data shuffle WITHOUT a global sort: each row

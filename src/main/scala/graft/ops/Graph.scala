@@ -47,6 +47,43 @@ object Graph {
     *
     * Returns (node, rank_int).
     */
+  /** Host of a URL: the authority between `://` and the first `/?#` —
+    * the grouping key for site-level link analytics. Empty string when
+    * the URL has no scheme://host prefix.
+    */
+  def hostOf(urlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(urlCol, "://([^/?#]+)", 1)
+
+  /** Host-level inlink features over a URL edge list (what
+    * [[graft.ops.Curation.extractLinks]] / `extractAnchors` emit): for
+    * each TARGET host, how often it is linked, from how many distinct
+    * source hosts, and how much of that is external (source host differs
+    * from target host) — the cheap authority/spam signals of web curation
+    * (a host whose inlinks are all self-links is its own fan club).
+    * Edges with an unresolvable target (null) are dropped; source URLs
+    * without a host count as the empty-string host (still a distinct
+    * source, still external).
+    *
+    * Output: (host, inlinks, src_hosts, external_inlinks).
+    *
+    * Scale shape: hosts are derived in the same narrow projection that
+    * reads the edge, then ONE hash aggregate keyed by target host — the
+    * slim (dst_host, src_host) pair stream is all that shuffles, and the
+    * count/count-distinct/conditional-sum share the exchange. Hot hosts
+    * (every corpus has a google.com) skew this key: at production scale
+    * wrap the aggregate in [[Skew]]-style two-phase salting — the
+    * count-distinct then needs the exact two-level form (salted distinct
+    * pairs, then re-merge) — or cap per-source fan-out upstream.
+    */
+  def inlinkFeatures(edges: DataFrame, srcUrlCol: String, dstUrlCol: String): DataFrame =
+    edges.where(col(dstUrlCol).isNotNull)
+      .select(hostOf(col(dstUrlCol)).as("host"), hostOf(col(srcUrlCol)).as("_src_host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("inlinks"),
+        countDistinct(col("_src_host")).as("src_hosts"),
+        sum(when(col("_src_host") =!= col("host"), 1L).otherwise(0L))
+          .as("external_inlinks"))
+
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 4, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen && dampDen > 0)

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-relevance features over the document corpus — the retrieval-style
+  * signals (salient terms per document) a training-data pipeline uses for
+  * topic tagging, near-dup triage and retrieval-augmented sampling.
+  *
+  * Scoring is EXACT-INTEGER in the same spirit as [[Graph.pageRankInt]]:
+  * the inverse-document-frequency weight is the fixed-point rational
+  * `(scale * N) div df` rather than a float `ln(N/df)` — every operation is
+  * integer multiply / integer divide, so the score is independent of
+  * partitioning, fold order, and engine, and an external SQL oracle
+  * reproduces it bit-for-bit. (A float idf curve costs nothing more at
+  * runtime but makes cross-engine verification impossible: `ln` is not
+  * required to be correctly rounded, and 1-ulp disagreements between
+  * libm implementations would poison every downstream hash comparison.
+  * The linear idf preserves the ranking property that matters — rarer
+  * terms weigh more — with a steeper curve than log; callers that want
+  * the log curve apply it to the emitted (tf, df, n_docs) integers.)
+  */
+object Relevance {
+
+  /** Fixed-point idf scale. With score = tf * ((scale * nDocs) div df), the
+    * caller must keep scale * nDocs * max(tf) within int64; at web scale
+    * (nDocs ~ 1e12) pass scale = 1.
+    */
+  val Scale: Long = 1000000L
+
+  /** Top-`k` salient terms per document by exact-integer tf-idf.
+    *
+    * Tokens are the corpus's shared grammar (lowercased `[a-z0-9_']+`
+    * runs — the same tokenizer the simhash/minhash/oov family uses, so
+    * "term" means the same thing across every operator). For each
+    * (document, term): tf = occurrences in the document, df = number of
+    * documents containing the term, n_docs = rows in `df`, and
+    *
+    *   score_int = tf * ((scale * n_docs) div df)
+    *
+    * Output: (idCol, term, tf, df, score_int, rank) for rank 1..k, ranked
+    * by (score_int desc, term asc) — the tie-break makes the cut
+    * deterministic. Documents with no tokens emit no rows.
+    *
+    * Scale shape: tf is one map-side-combined aggregate over the slim
+    * (id, term) token stream (text never shuffles); df re-aggregates the
+    * tf table by term (term-type-bounded, far smaller than the corpus);
+    * the tf->df equi-join shuffles only (term, count) pairs; the top-k
+    * window partitions by document and sorts each document's DISTINCT
+    * terms only. No stage touches the payload after tokenization.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+                scale: Long = Scale): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(scale > 0, "scale must be positive")
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_int").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_int", expr(s"tf * ((${scale}L * n_docs) div df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_int"), col("rank"))
+  }
+}

@@ -45,4 +45,40 @@ object Stats {
         greatest(lit(1L), ceil(col("q") * col("_n")).cast("long")))
       .select(keys ++ Seq(col("q"), col(valCol).as(s"${valCol}_q")): _*)
   }
+
+  /** Quantile-based feature binning: each row's `valCol` becomes the bin
+    * index `count of thresholds strictly below-or-equal`, i.e.
+    * bin = |{ t in thresholds(key) : value > t }|, with the thresholds the
+    * EXACT discrete quantiles of [[quantilesDisc]] over the same data —
+    * so with qs = (0.25, 0.5, 0.75), bin is the within-key quartile
+    * 0..3 and the group's minimum always lands in bin 0. Because the
+    * thresholds are actual group elements and the comparison is a strict
+    * `>`, the binning is bit-exact across engines — no interpolated float
+    * boundary to disagree about.
+    *
+    * Output: every input column + `<valCol>_bin` (long, 0..|qs|).
+    *
+    * Scale shape: the threshold table is (#keys x |qs|) rows — corpus-
+    * bounded and BROADCAST; binning is then a narrow map over the input
+    * (one conditional sum across |qs| pivoted threshold columns), zero
+    * added shuffle beyond the quantile computation itself, which at
+    * production scale runs per partition key exactly as quantilesDisc
+    * documents.
+    */
+  def binByQuantiles(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    val thresholds = quantilesDisc(df, keyCols, valCol, qs)
+      .groupBy(keyCols.map(col): _*)
+      .pivot("q", qs.map(q => q: Any))
+      .agg(first(col(s"${valCol}_q")))
+    val renamed = qs.zipWithIndex.foldLeft(thresholds) { case (t, (q, i)) =>
+      t.withColumnRenamed(q.toString, s"_th$i")
+    }
+    val bin = qs.indices
+      .map(i => when(col(valCol) > col(s"_th$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.join(broadcast(renamed), keyCols)
+      .withColumn(s"${valCol}_bin", bin)
+      .drop(qs.indices.map(i => s"_th$i"): _*)
+  }
 }

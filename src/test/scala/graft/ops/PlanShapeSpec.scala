@@ -59,4 +59,39 @@ class PlanShapeSpec extends SparkSpec {
     assert("simhash64_md5".r.findAllIn(plan).size <= 1,
       s"simhash evaluated more than once:\n$plan")
   }
+
+  test("extractAnchors is a pure narrow projection (zero Exchange)") {
+    val df = Seq((1L, "<a href=\"https://x.example/\">x</a>", "https://s.example/"))
+      .toDF("id", "html", "url")
+    val plan = Curation.extractAnchors(df, "id", "html", "url")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"extractAnchors shuffled:\n$plan")
+  }
+
+  test("binByQuantiles joins the input against BROADCAST thresholds — the payload never shuffles") {
+    val df = Seq.tabulate(60)(i => (s"k${i % 3}", i.toLong, (i % 11).toLong, s"payload$i"))
+      .toDF("k", "id", "v", "payload")
+    val out = Stats.binByQuantiles(df, Seq("k"), "v", Seq(0.25, 0.5, 0.75))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join is not broadcast:\n$plan")
+    // the only shuffles sit under the threshold (quantile window) subtree,
+    // which never sees the payload column
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("payload#")),
+      s"payload rides a shuffle:\n$plan")
+  }
+
+  test("tfidfTopK: n_docs arrives by broadcast; text never rides an exchange") {
+    val df = Seq.tabulate(40)(i => (i.toLong, s"alpha beta tok$i words"))
+      .toDF("id", "text")
+    val plan = Relevance.tfidfTopK(df, "id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"n_docs is not broadcast:\n$plan")
+    // after tokenization only (id, term) aggregates shuffle — the raw text
+    // column must not appear in any Exchange's input schema
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text rides a shuffle:\n$plan")
+  }
 }

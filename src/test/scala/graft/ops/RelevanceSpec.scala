@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple apple apple banana common"),
+    (2L, "banana banana cherry common"),
+    (3L, "cherry common common common")).toDF("id", "text")
+
+  test("tfidfTopK: hand-computed exact-integer scores (N=3, scale=1e6)") {
+    // df: apple=1, banana=2, cherry=2, common=3
+    // idf_int: apple (3e6/1)=3000000, banana/cherry (3e6/2)=1500000,
+    //          common (3e6/3)=1000000
+    val r = Relevance.tfidfTopK(docs, "id", "text", k = 10)
+      .orderBy("id", "rank")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1L, "apple", 3L, 1L, 9000000L, 1L),
+      (1L, "banana", 1L, 2L, 1500000L, 2L),
+      (1L, "common", 1L, 3L, 1000000L, 3L),
+      (2L, "banana", 2L, 2L, 3000000L, 1L),
+      (2L, "cherry", 1L, 2L, 1500000L, 2L),
+      (2L, "common", 1L, 3L, 1000000L, 3L),
+      (3L, "common", 3L, 3L, 3000000L, 1L),
+      (3L, "cherry", 1L, 2L, 1500000L, 2L)))
+  }
+
+  test("tfidfTopK: k cuts after the deterministic (score desc, term asc) tie-break") {
+    // two terms with identical tf and df -> identical score; term asc decides
+    val df = Seq((1L, "zzz aaa")).toDF("id", "text")
+    val r = Relevance.tfidfTopK(df, "id", "text", k = 1).collect()
+    assert(r.length == 1 && r(0).getString(1) == "aaa")
+  }
+
+  test("tfidfTopK: partitioning-independent (exact integers, no float fold)") {
+    val a = Relevance.tfidfTopK(docs, "id", "text", k = 2)
+      .orderBy("id", "rank").collect().toSeq
+    val b = Relevance.tfidfTopK(docs.repartition(7), "id", "text", k = 2)
+      .orderBy("id", "rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("tfidfTopK: custom scale threads through the score") {
+    val r = Relevance.tfidfTopK(docs, "id", "text", k = 1, scale = 10L)
+      .where($"id" === 1L).collect()
+    assert(r(0).getLong(4) == 3L * ((10L * 3) / 1)) // apple: tf=3, df=1
+  }
+
+  test("tfidfTopK: zero-token documents emit no rows, others unaffected") {
+    val df = Seq((1L, "only words"), (2L, ""), (3L, "   ...   ")).toDF("id", "text")
+    val ids = Relevance.tfidfTopK(df, "id", "text", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+}

@@ -31,4 +31,43 @@ class StatsSpec extends SparkSpec {
       .select("v_q").as[Long].collect().toSet
     assert(vals.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
+
+  test("binByQuantiles: quartile bins, hand-checked; group minimum lands in bin 0") {
+    // group a sorted: [10,20,30,40] -> thresholds q25=10, q50=20, q75=30
+    // bins (strict >): 10->0, 20->1, 30->2, 40->3
+    val df = Seq(("a", 1L, 40L), ("a", 2L, 10L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("b", 5L, 7L)).toDF("k", "id", "v")
+    val r = Stats.binByQuantiles(df, Seq("k"), "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("id")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 40L, 3L), (2L, 10L, 0L), (3L, 30L, 2L),
+      (4L, 20L, 1L), (5L, 7L, 0L))) // singleton group: its own value, bin 0
+  }
+
+  test("binByQuantiles: bins match the brute-force rank definition on random-ish data") {
+    val df = Seq.tabulate(97)(i => (s"k${i % 3}", i.toLong, ((i * 37) % 101).toLong))
+      .toDF("k", "id", "v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val th = Stats.quantilesDisc(df, Seq("k"), "v", qs)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    val expected = df.collect()
+      .map(x => (x.getLong(1), th(x.getString(0)).count(_ < x.getLong(2)).toLong))
+      .toMap
+    val got = Stats.binByQuantiles(df, Seq("k"), "v", qs)
+      .collect().map(x => (x.getLong(1), x.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("binByQuantiles: carries every input column and is partitioning-independent") {
+    val df = Seq.tabulate(30)(i => (s"k${i % 2}", i.toLong, i.toLong % 7, s"p$i"))
+      .toDF("k", "id", "v", "payload")
+    val out = Stats.binByQuantiles(df, Seq("k"), "v", Seq(0.5))
+    assert(out.columns.toSeq == Seq("k", "id", "v", "payload", "v_bin"))
+    val a = out.orderBy("id").collect().toSeq
+    val b = Stats.binByQuantiles(df.repartition(7), Seq("k"), "v", Seq(0.5))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
