@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 87 queries spanning every implemented operator family
+/** Driver contract — 91 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -65,7 +65,13 @@ import graft.temporal.{AsOfJoin, Windows}
   * discrete thresholds), q87 the mergeable HLL distinct sketch (custom
   * TypedImperativeAggregate; per-language estimates plus a '*' row from
   * MERGING the per-language sketches, the estimate one exact int128
-  * division the oracle replays).
+  * division the oracle replays), q88 URL canonicalization (ordered
+  * RE2-portable grammar: case-fold, default-port strip, tracking-param
+  * drop, query sort, fragment drop), q89 count-min sketch frequency
+  * estimates (never-underestimate visible under deliberate collisions,
+  * every cell replayed), q90 Bloom-filter decontamination (zero false
+  * negatives, deterministic false positives replayed bit-for-bit), q91
+  * term co-occurrence with exact-integer PMI-style lift.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1658,6 +1664,84 @@ object SparkEntry {
         .crossJoin(vals.agg(countDistinct(col("h")).as("exact_distinct")))
         .select(lit("*").as("lang"), col("est_distinct"), col("exact_distinct"))
       perLang.unionByName(total).orderBy(col("lang"))
+    }),
+
+    // ---- q88: URL canonicalization — six deterministic messy variants
+    //      split every grammar branch (case-folding, default vs non-default
+    //      port, tracking-param drop + query sort, fragment drop, empty
+    //      path, unparseable -> null). ----
+    "q88_canonical_urls" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val k = (col("doc_id") % 7).cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://Example"), k, lit(".COM:80/Path/"), id,
+            lit("?b=2&utm_source=x&a=1#frag")))
+        .when(col("doc_id") % 6 === 1, concat(lit("https://site"), k, lit(".org:443/")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://site"), k, lit(".org:8080/x?gclid="), id))
+        .when(col("doc_id") % 6 === 3, concat(lit("https://site"), k, lit(".org")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("http://a"), k, lit(".b/p?fbclid=9&z="), id, lit("&ref=feed")))
+        .otherwise(concat(lit("not a url "), id))
+      graft.ops.Curation.canonicalizeUrl(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+        .select(col("doc_id"), col("url"), col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q89: count-min sketch frequency estimates — per-language token
+    //      CMS at width 16 x depth 4 (small width on purpose: the corpus's
+    //      ~31 distinct tokens collide, so the never-underestimate property
+    //      is visible, est >= exact with both replayed exactly). Probes
+    //      cover frequent, mid, and absent tokens. ----
+    "q89_cms_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9_']+"), lit(0)))
+          .as("tok"))
+      val sketches = toks.groupBy(col("lang")).agg(cms_sketch(col("tok"), 16, 4).as("_sk"))
+      val probes = Seq("the", "table", "data", "xylophone", "value")
+      val probeDf = s.createDataFrame(probes.map(Tuple1(_))).toDF("probe")
+      val exact = toks.join(broadcast(probeDf), col("tok") === col("probe"))
+        .groupBy(col("lang"), col("probe")).agg(count(lit(1)).as("_ex"))
+      sketches.crossJoin(broadcast(probeDf))
+        .withColumn("est_count", cms_query(col("_sk"), col("probe")))
+        .join(exact, Seq("lang", "probe"), "left")
+        .select(col("lang"), col("probe"), col("est_count"),
+          coalesce(col("_ex"), lit(0L)).as("exact_count"))
+        .orderBy(col("lang"), col("probe"))
+    }),
+
+    // ---- q90: Bloom-filter decontamination — the reference set becomes a
+    //      fixed 32-byte bitset (256 bits, k=3, deliberately tight so
+    //      false positives OCCUR and are verified): probes that hit the
+    //      filter include every true member (zero false negatives) plus
+    //      deterministic false positives the oracle replays bit-for-bit.
+    //      At 100 TB this is how a bench/ledger set too big to broadcast
+    //      raw probes the corpus: m/8 bytes regardless of set size. ----
+    "q90_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 31 === 0)
+        .select(concat(lit("bench item "), col("doc_id").cast("string")).as("b"))
+      val bloom = bench.agg(bloom_agg(col("b"), 256, 3).as("_bloom"))
+      val probes = docs.select(col("doc_id"),
+        concat(lit("bench item "), (col("doc_id") % 97).cast("string")).as("_v"))
+      probes.crossJoin(broadcast(bloom))
+        .withColumn("in_bloom", bloom_contains(col("_bloom"), col("_v")))
+        .join(bench.distinct().withColumn("_hit", lit(true))
+            .withColumnRenamed("b", "_v"),
+          Seq("_v"), "left")
+        .select(col("doc_id"), col("in_bloom"),
+          coalesce(col("_hit"), lit(false)).as("actually_in"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q91: document-level term co-occurrence with exact-integer lift
+    //      ((1e6 * N * n_ab) div (n_a * n_b) — the PMI argument as one
+    //      fixed-point division), vocabulary-bounded pair space. ----
+    "q91_cooccurrence" -> ((s, dir) => {
+      graft.ops.Relevance.cooccurrence(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20, minPairCount = 5L)
+        .orderBy(col("term_a"), col("term_b"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -2837,7 +2921,104 @@ object SparkEntry {
         |ex AS (SELECT lang, cast(count(DISTINCT h) AS bigint) AS exact_distinct
         |       FROM g GROUP BY lang)
         |SELECT est.lang, est.est_distinct, ex.exact_distinct
-        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin)
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+
+    // q88: same construction, same ordered grammar — parts re-extracted,
+    // tracking params filtered, remainder sorted, default ports stripped
+    // (DuckDB's array_to_string of an empty list is NULL -> coalesce)
+    "q88_canonical_urls" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'HTTP://Example' || cast(doc_id % 7 AS varchar) || '.COM:80/Path/' || cast(doc_id AS varchar) || '?b=2&utm_source=x&a=1#frag'
+        |    WHEN 1 THEN 'https://site' || cast(doc_id % 7 AS varchar) || '.org:443/'
+        |    WHEN 2 THEN 'https://site' || cast(doc_id % 7 AS varchar) || '.org:8080/x?gclid=' || cast(doc_id AS varchar)
+        |    WHEN 3 THEN 'https://site' || cast(doc_id % 7 AS varchar) || '.org'
+        |    WHEN 4 THEN 'http://a' || cast(doc_id % 7 AS varchar) || '.b/p?fbclid=9&z=' || cast(doc_id AS varchar) || '&ref=feed'
+        |    ELSE 'not a url ' || cast(doc_id AS varchar) END AS url
+        |  FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:([0-9]+)', 1) AS port,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+        |q AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS cq
+        |      FROM parts)
+        |SELECT doc_id, url, CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+        |  scheme || '://' || host ||
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |            OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
+        |  CASE WHEN path = '' THEN '/' ELSE path END ||
+        |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+        |END AS canonical_url FROM q ORDER BY doc_id""".stripMargin,
+
+    // q89: the CMS cells replayed in SQL — md5-seeded placement
+    // (hash_i(v) = first 8 md5 hex of (i || v) mod 16), a DENSE
+    // (lang, probe, depth) frame so zero-collision cells keep the min
+    // honest, estimate = min over the 4 depth rows
+    "q89_cms_counts" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM documents),
+        |probes AS (SELECT unnest(['the','table','data','xylophone','value']) AS probe),
+        |depths AS (SELECT unnest([0,1,2,3]) AS i),
+        |th AS (SELECT lang, t, i,
+        |        ('0x' || substr(md5(cast(i AS varchar) || t), 1, 8))::BIGINT % 16 AS pos
+        |       FROM tok CROSS JOIN depths),
+        |ph AS (SELECT probe, i,
+        |        ('0x' || substr(md5(cast(i AS varchar) || probe), 1, 8))::BIGINT % 16 AS pos
+        |       FROM probes CROSS JOIN depths),
+        |frame AS (SELECT l.lang, ph.probe, ph.i, ph.pos
+        |          FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN ph),
+        |cell AS (SELECT f.lang, f.probe, f.i, count(th.t) AS c
+        |         FROM frame f LEFT JOIN th ON th.lang = f.lang AND th.i = f.i AND th.pos = f.pos
+        |         GROUP BY f.lang, f.probe, f.i),
+        |est AS (SELECT lang, probe, cast(min(c) AS bigint) AS est_count
+        |        FROM cell GROUP BY lang, probe),
+        |ex AS (SELECT lang, probe, cast(count(*) FILTER (t = probe) AS bigint) AS exact_count
+        |       FROM tok CROSS JOIN probes GROUP BY lang, probe)
+        |SELECT ex.lang, ex.probe, est.est_count, ex.exact_count
+        |FROM ex JOIN est USING (lang, probe) ORDER BY lang, probe""".stripMargin,
+
+    // q90: the bloom bitset replayed in SQL — bit positions are the
+    // DISTINCT md5-seeded placements of the bench set; a probe is in the
+    // filter iff all k=3 of its positions are set (bool_and over a left
+    // join). Zero false negatives by construction; the false positives
+    // are deterministic and must match too.
+    "q90_bloom_decontaminate" ->
+      """WITH bench AS (SELECT 'bench item ' || cast(doc_id AS varchar) AS b
+        |               FROM documents WHERE doc_id % 31 = 0),
+        |ks AS (SELECT unnest([0,1,2]) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(cast(i AS varchar) || b), 1, 8))::BIGINT % 256 AS pos
+        |  FROM bench CROSS JOIN ks),
+        |probe AS (SELECT doc_id, 'bench item ' || cast(doc_id % 97 AS varchar) AS v FROM documents),
+        |pp AS (SELECT doc_id, v, i,
+        |    ('0x' || substr(md5(cast(i AS varchar) || v), 1, 8))::BIGINT % 256 AS pos
+        |  FROM probe CROSS JOIN ks),
+        |hit AS (SELECT doc_id, v, bool_and(bits.pos IS NOT NULL) AS in_bloom
+        |        FROM pp LEFT JOIN bits USING (pos) GROUP BY doc_id, v),
+        |truth AS (SELECT doc_id, v IN (SELECT b FROM bench) AS actually_in FROM probe)
+        |SELECT h.doc_id, h.in_bloom, t.actually_in
+        |FROM hit h JOIN truth t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q91: doc-distinct vocab tokens self-joined per doc; lift is the
+    // exact-integer division both engines compute identically
+    "q91_cooccurrence" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |vocab AS (SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 20),
+        |dt AS (SELECT DISTINCT doc_id, t FROM tok WHERE t IN (SELECT t FROM vocab)),
+        |marg AS (SELECT t, count(*) AS n_t FROM dt GROUP BY t),
+        |pairs AS (SELECT a.t AS term_a, b.t AS term_b, count(*) AS n_ab
+        |          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+        |          GROUP BY a.t, b.t),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term_a, term_b, ma.n_t AS n_a, mb.n_t AS n_b, n_ab,
+        |  (1000000 * n.n_docs * n_ab) // (ma.n_t * mb.n_t) AS lift_int
+        |FROM pairs JOIN marg ma ON ma.t = term_a
+        |           JOIN marg mb ON mb.t = term_b
+        |           CROSS JOIN n
+        |WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -119,6 +119,24 @@ package object functions {
 
   /** Convenience: estimated COUNT(DISTINCT c) in one aggregate. */
   def hll_distinct(c: Column, p: Int = 12): Column = hll_estimate(hll_sketch(c, p))
+
+  /** Count-min sketch aggregate (binary; merge = elementwise sum). */
+  def cms_sketch(c: Column, width: Int, depth: Int): Column =
+    GraftShim.column(CmsSketchAgg(GraftShim.expression(c), width, depth)
+      .toAggregateExpression())
+
+  /** Frequency estimate of `v` in a CMS sketch (never underestimates). */
+  def cms_query(sketch: Column, v: Column): Column =
+    GraftShim.column(CmsQuery(GraftShim.expression(sketch), GraftShim.expression(v)))
+
+  /** Bloom filter aggregate (binary; merge = bitwise OR). */
+  def bloom_agg(c: Column, mBits: Int, k: Int): Column =
+    GraftShim.column(BloomAgg(GraftShim.expression(c), mBits, k)
+      .toAggregateExpression())
+
+  /** Membership probe (zero false negatives, deterministic false positives). */
+  def bloom_contains(bloom: Column, v: Column): Column =
+    GraftShim.column(BloomContains(GraftShim.expression(bloom), GraftShim.expression(v)))
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -141,6 +159,17 @@ object GraftExtensions {
       require(args.length == 1, s"$name expects exactly one argument")
       f(args.head)
     }
+
+  private def intLit(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+        if v != null && (t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.ShortType ||
+          t == org.apache.spark.sql.types.ByteType) =>
+      v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
 
   private[graft] val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     unary("normalize_cnf")(NormalizeText(_, DocFormat.Cnf, "hash")),
@@ -183,20 +212,23 @@ object GraftExtensions {
     "hll_sketch" -> { args =>
       require(args.length == 1 || args.length == 2,
         "hll_sketch expects (value) or (value, precision)")
-      val p = if (args.length == 2) args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
-            if v != null && (t == org.apache.spark.sql.types.IntegerType ||
-              t == org.apache.spark.sql.types.LongType ||
-              t == org.apache.spark.sql.types.ShortType ||
-              t == org.apache.spark.sql.types.ByteType) =>
-          v.toString.toInt
-        case other => throw new IllegalArgumentException(
-          s"hll_sketch precision must be an integer literal, got $other")
-      } else 12
+      val p = if (args.length == 2) intLit("hll_sketch precision", args(1)) else 12
       HllSketchAgg(args.head, p).toAggregateExpression()
     },
     unary("hll_merge")(HllMergeAgg(_).toAggregateExpression()),
-    unary("hll_estimate")(HllEstimate(_)))
+    unary("hll_estimate")(HllEstimate(_)),
+    "cms_sketch" -> { args =>
+      require(args.length == 3, "cms_sketch expects (value, width, depth)")
+      CmsSketchAgg(args(0), intLit("cms_sketch width", args(1)),
+        intLit("cms_sketch depth", args(2))).toAggregateExpression()
+    },
+    "cms_query" -> { args => require(args.length == 2); CmsQuery(args(0), args(1)) },
+    "bloom_agg" -> { args =>
+      require(args.length == 3, "bloom_agg expects (value, mBits, k)")
+      BloomAgg(args(0), intLit("bloom_agg mBits", args(1)),
+        intLit("bloom_agg k", args(2))).toAggregateExpression()
+    },
+    "bloom_contains" -> { args => require(args.length == 2); BloomContains(args(0), args(1)) })
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

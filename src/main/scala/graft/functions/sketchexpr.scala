@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -196,6 +196,233 @@ case class HllMergeAgg(child: Expression,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
     copy(child = newChild)
+}
+
+/** Seeded 32-bit hash shared by the CMS and Bloom sketches: the first 32
+  * md5 bits of (i || value) — `('0x' || substr(md5(cast(i AS varchar) ||
+  * v), 1, 8))::BIGINT` in SQL, so register placement replays externally.
+  */
+object SeededHash {
+  def hash32(seed: Int, v: UTF8String): Long =
+    HllSketch.hash32((seed.toString + v.toString).getBytes("UTF-8"))
+}
+
+/** Count-min sketch codec: binary layout [width:int][depth:int][depth*width
+  * longs], big-endian.
+  */
+object CmsCodec {
+  def encode(w: Int, d: Int, counters: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + counters.length * 8)
+    bb.putInt(w).putInt(d)
+    counters.foreach(bb.putLong)
+    bb.array()
+  }
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    require(bytes.length >= 8, s"malformed cms sketch (len=${bytes.length})")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val w = bb.getInt; val d = bb.getInt
+    require(w > 0 && d > 0 && bytes.length == 8 + w * d * 8,
+      s"malformed cms sketch (w=$w d=$d len=${bytes.length})")
+    val counters = new Array[Long](w * d)
+    var i = 0
+    while (i < counters.length) { counters(i) = bb.getLong; i += 1 }
+    (w, d, counters)
+  }
+}
+
+/** Mergeable count-min sketch — the frequency dual of the HLL sketch:
+  * per-key token/url/ngram frequency estimates in O(width x depth)
+  * counters instead of a full per-value aggregate. Estimates NEVER
+  * underestimate (min over depth rows of colliding sums); width bounds
+  * the overestimate (~ total_count / width with depth independent
+  * trials). Merging is elementwise sum, so per-shard/per-day sketches
+  * roll up losslessly. Same engine-portability discipline as the HLL:
+  * md5-seeded placement and pure integer counters — an external oracle
+  * replays every cell.
+  */
+case class CmsSketchAgg(child: Expression, width: Int, depth: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(width > 0 && depth > 0 && width.toLong * depth <= (1 << 24),
+    s"cms dimensions out of range (width=$width depth=$depth)")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](width * depth)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < depth) {
+        buffer(i * width + (SeededHash.hash32(i, s) % width).toInt) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = CmsCodec.encode(width, depth, buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    CmsCodec.encode(width, depth, buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] = CmsCodec.decode(storage)._3
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch expects a string column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "cms_sketch"
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+}
+
+/** Scalar: (cms sketch, value) -> frequency estimate (min over depth rows).
+  * Self-describing — width/depth come from the sketch header.
+  */
+case class CmsQuery(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_query"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, StringType | NullType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_query expects (binary sketch, string value), got (${l.simpleString}, ${r.simpleString})")
+    }
+  protected override def nullSafeEval(sk: Any, v: Any): Any = {
+    val (w, d, counters) = CmsCodec.decode(sk.asInstanceOf[Array[Byte]])
+    val s = v.asInstanceOf[UTF8String]
+    var est = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = counters(i * w + (SeededHash.hash32(i, s) % w).toInt)
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
+    copy(left = l, right = r)
+}
+
+/** Bloom codec: [mBits:int][k:int][mBits/8 bytes], big-endian header. */
+object BloomCodec {
+  def encode(mBits: Int, k: Int, bits: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + bits.length)
+    bb.putInt(mBits).putInt(k).put(bits)
+    bb.array()
+  }
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8, s"malformed bloom filter (len=${bytes.length})")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val m = bb.getInt; val k = bb.getInt
+    require(m > 0 && m % 8 == 0 && k > 0 && bytes.length == 8 + m / 8,
+      s"malformed bloom filter (m=$m k=$k len=${bytes.length})")
+    val bits = new Array[Byte](m / 8)
+    bb.get(bits)
+    (m, k, bits)
+  }
+}
+
+/** Mergeable Bloom filter — set membership with ZERO false negatives and a
+  * bounded false-positive rate (~(1 - e^(-kn/m))^k). The 100-TB use is
+  * decontamination and ledger probes where the reference set is too big to
+  * broadcast raw: the filter is m/8 bytes regardless of set size, merges
+  * by bitwise OR (per-shard builds roll up), and probes are a narrow map
+  * over the corpus. md5-seeded bit placement — an external oracle replays
+  * the exact bit set, so even the false positives are deterministic and
+  * verifiable.
+  */
+case class BloomAgg(child: Expression, mBits: Int, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  require(mBits > 0 && mBits % 8 == 0 && mBits <= (1 << 30),
+    s"mBits must be a positive multiple of 8, got $mBits")
+  require(k > 0 && k <= 16, s"k must be in [1,16], got $k")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits / 8)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var i = 0
+      while (i < k) {
+        val pos = (SeededHash.hash32(i, s) % mBits).toInt
+        buffer(pos >> 3) = (buffer(pos >> 3) | (1 << (pos & 7))).toByte
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) = (buffer(i) | other(i)).toByte; i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = BloomCodec.encode(mBits, k, buffer)
+  override def serialize(buffer: Array[Byte]): Array[Byte] =
+    BloomCodec.encode(mBits, k, buffer)
+  override def deserialize(storage: Array[Byte]): Array[Byte] = BloomCodec.decode(storage)._3
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg expects a string column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "bloom_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** Scalar: (bloom bytes, value) -> membership (no false negatives). */
+case class BloomContains(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, StringType | NullType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains expects (binary filter, string value), got (${l.simpleString}, ${r.simpleString})")
+    }
+  protected override def nullSafeEval(bl: Any, v: Any): Any = {
+    val (m, k, bits) = BloomCodec.decode(bl.asInstanceOf[Array[Byte]])
+    val s = v.asInstanceOf[UTF8String]
+    var i = 0
+    while (i < k) {
+      val pos = (SeededHash.hash32(i, s) % m).toInt
+      if ((bits(pos >> 3) & (1 << (pos & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
 }
 
 /** Scalar: sketch bytes -> exact-integer raw-HLL cardinality estimate. */

@@ -389,6 +389,47 @@ object Curation {
       .drop(baseUrlCol, "_a")
   }
 
+  /** URL canonicalization — the dedup/join key a crawl corpus needs before
+    * any per-url operator means what it says (the same page arrives as
+    * `HTTP://Host:80/x?utm_source=a&b=1#f` and `http://host/x?b=1`).
+    * Ordered, RE2-portable grammar (no lookaround, so Java regex and an
+    * external oracle agree):
+    *
+    *   1. scheme and host lowercase;
+    *   2. default port stripped (http:80, https:443), other ports kept;
+    *   3. fragment dropped;
+    *   4. tracking params dropped (utm_*, gclid, fbclid, ref), the
+    *      remaining query params SORTED bytewise and re-joined — param
+    *      order never distinguishes two URLs again;
+    *   5. empty path becomes "/".
+    *
+    * Unparseable URLs (no scheme://host) canonicalize to null — the
+    * caller decides whether to drop or keep-as-is. Adds `canonical_url`.
+    *
+    * Scale shape: one codegen'd narrow projection (regexp parts + array
+    * HOFs), zero shuffle.
+    */
+  def canonicalizeUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    val port = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:([0-9]+)", 1)
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val keptParams = filter(split(query, "&"), x =>
+      x =!= "" && !x.rlike("^(utm_[a-z0-9_]*|gclid|fbclid|ref)="))
+    val cq = array_join(array_sort(keptParams), "&")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val queryPart = when(cq === "", lit("")).otherwise(concat(lit("?"), cq))
+    df.withColumn("canonical_url",
+      when(scheme === "" || host === "", lit(null))
+        .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart)))
+  }
+
   /** Deterministic training-data shuffle WITHOUT a global sort: each row
     * hashes to a shard (first 8 md5 hex digits of seed||id, mod nShards)
     * and gets a dense position within that shard (rank by the full hash,

@@ -70,4 +70,61 @@ object Relevance {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score_int"), col("rank"))
   }
+
+  /** Document-level term co-occurrence with an exact-integer lift score —
+    * the PMI-style association signal (topic structure, collocations,
+    * template detection) restricted to the corpus's own top-`vocabSize`
+    * vocabulary so the pair space is bounded by construction.
+    *
+    * For vocabulary terms x < y (bytewise): n_x = documents containing x,
+    * n_ab = documents containing both, N = rows in `df`, and
+    *
+    *   lift_int = (scale * N * n_ab) div (n_a * n_b)
+    *
+    * — the PMI argument P(x,y)/(P(x)P(y)) as one fixed-point integer
+    * division (lift_int > scale means positively associated); callers
+    * wanting log-PMI apply it to the emitted integers. Pairs below
+    * `minPairCount` are dropped.
+    *
+    * Output: (term_a, term_b, n_a, n_b, n_ab, lift_int).
+    *
+    * Scale shape: the token stream reduces to DISTINCT (id, vocab-term)
+    * pairs (<= V per document) against a BROADCAST vocabulary; the pair
+    * count is a self-join on the document id — per-document fan-out is
+    * bounded by V^2 and the output by the vocabulary, not the corpus.
+    * Marginals reuse the same distinct stream. Overflow: keep
+    * scale * N * max(n_ab) within int64 (at web scale lower `scale`,
+    * exactly as [[tfidfTopK]] documents).
+    */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int, minPairCount: Long = 1L,
+                   scale: Long = Scale): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(scale > 0, "scale must be positive")
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"))
+    val dt = toks.join(broadcast(vocab), Seq("term")).distinct()
+    val marg = dt.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(marg.select(col("term").as("term_a"), col("n_t").as("n_a"))),
+        Seq("term_a"))
+      .join(broadcast(marg.select(col("term").as("term_b"), col("n_t").as("n_b"))),
+        Seq("term_b"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_int", expr(s"(${scale}L * n_docs * n_ab) div (n_a * n_b)"))
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("lift_int"))
+  }
 }

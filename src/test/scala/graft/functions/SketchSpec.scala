@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.functions.{hll_distinct, hll_estimate, hll_merge, hll_sketch}
+import graft.functions.{bloom_agg, bloom_contains, cms_query, cms_sketch, hll_distinct, hll_estimate, hll_merge, hll_sketch}
 
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -92,5 +92,98 @@ class SketchSpec extends SparkSpec {
       a.unionByName(b).agg(hll_merge($"sk")).collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  // ---- count-min sketch ----
+
+  test("cms: NEVER underestimates, and is exact on a wide sketch with no collisions") {
+    val df = Seq.tabulate(300)(i => s"tok${i % 9}").toDF("v")
+    val exact = df.groupBy($"v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = df.agg(cms_sketch($"v", 4096, 4).as("sk"))
+    val wide = exact.keys.toSeq.sorted.map { t =>
+      t -> sk.select(cms_query($"sk", lit(t))).as[Long].head()
+    }
+    wide.foreach { case (t, est) => assert(est == exact(t), s"wide cms wrong for $t") }
+    // tight sketch: collisions force overestimates but never underestimates
+    val tight = df.agg(cms_sketch($"v", 4, 2).as("sk"))
+    exact.keys.foreach { t =>
+      val est = tight.select(cms_query($"sk", lit(t))).as[Long].head()
+      assert(est >= exact(t), s"cms UNDERestimated $t: $est < ${exact(t)}")
+    }
+    // absent value on the wide sketch: zero
+    assert(sk.select(cms_query($"sk", lit("absent"))).as[Long].head() == 0L)
+  }
+
+  test("cms: partitioning-independent (merge is elementwise sum) and bit-identical") {
+    val df = spark.range(4000).select(($"id" % 131).cast("string").as("v"))
+    val a = df.agg(cms_sketch($"v", 64, 4)).as[Array[Byte]].head()
+    val b = df.repartition(11).agg(cms_sketch($"v", 64, 4)).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("cms: SQL registry path") {
+    spark.range(100).select(($"id" % 5).cast("string").as("v"))
+      .createOrReplaceTempView("cms_input")
+    try {
+      val est = spark.sql(
+        "SELECT cms_query(cms_sketch(v, 1024, 4), '3') FROM cms_input").as[Long].head()
+      assert(est == 20L)
+    } finally spark.catalog.dropTempView("cms_input")
+  }
+
+  // ---- bloom filter ----
+
+  test("bloom: ZERO false negatives over every member; empty filter contains nothing") {
+    val members = Seq.tabulate(200)(i => s"member-$i")
+    val df = members.toDF("v")
+    val bloom = df.agg(bloom_agg($"v", 2048, 5).as("bl"))
+    val misses = bloom
+      .crossJoin(members.toDF("m"))
+      .select(bloom_contains($"bl", $"m")).as[Boolean].collect()
+    assert(misses.forall(identity), "bloom false negative")
+    val empty = Seq.empty[String].toDF("v").agg(bloom_agg($"v", 256, 3).as("bl"))
+    assert(!empty.select(bloom_contains($"bl", lit("anything"))).as[Boolean].head())
+  }
+
+  test("bloom: partitioning-independent (merge is bitwise OR) and bit-identical") {
+    val df = spark.range(1000).select($"id".cast("string").as("v"))
+    val a = df.agg(bloom_agg($"v", 4096, 3)).as[Array[Byte]].head()
+    val b = df.repartition(13).agg(bloom_agg($"v", 4096, 3)).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("bloom: false-positive rate at the design point is near theory, and deterministic") {
+    // n=256 members in m=4096 bits, k=3: (1 - e^(-kn/m))^k ~ 0.5%
+    val members = spark.range(256).select(concat(lit("m"), $"id").as("v"))
+    val bloom = members.agg(bloom_agg($"v", 4096, 3).as("bl"))
+    val probes = spark.range(10000).select(concat(lit("p"), $"id").as("q"))
+    val fp = bloom.crossJoin(probes)
+      .select(bloom_contains($"bl", $"q").as("hit"))
+      .where($"hit").count()
+    assert(fp < 200, s"false-positive count $fp out of 10000 is far above theory")
+    val fp2 = bloom.crossJoin(probes.repartition(7))
+      .select(bloom_contains($"bl", $"q").as("hit"))
+      .where($"hit").count()
+    assert(fp == fp2, "false positives must be deterministic")
+  }
+
+  test("bloom/cms: SQL registry path for bloom, malformed sketch fails loudly") {
+    spark.range(50).select($"id".cast("string").as("v"))
+      .createOrReplaceTempView("bloom_input")
+    try {
+      val r = spark.sql(
+        """SELECT bool_and(bloom_contains(bl, '7')) FROM
+          |  (SELECT bloom_agg(v, 512, 3) AS bl FROM bloom_input)""".stripMargin)
+        .as[Boolean].head()
+      assert(r)
+    } finally spark.catalog.dropTempView("bloom_input")
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("bl")
+        .select(bloom_contains($"bl", lit("x"))).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("malformed bloom filter")), messages.mkString(" | "))
   }
 }

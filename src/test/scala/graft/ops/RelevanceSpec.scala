@@ -57,4 +57,35 @@ class RelevanceSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(ids == Set(1L))
   }
+
+  test("cooccurrence: hand-computed lift on a 4-doc corpus") {
+    // x and y always together (lift > 1e6), x and z never (pair absent);
+    // repeated tokens in one doc count once (document-level)
+    val df = Seq(
+      (1L, "x y y"), (2L, "x y"), (3L, "z w"), (4L, "z w x y")).toDF("id", "text")
+    val r = Relevance.cooccurrence(df, "id", "text", vocabSize = 10)
+      .orderBy("term_a", "term_b")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    // marginals: x=3 docs, y=3, z=2, w=2; N=4
+    assert(r.toSeq == Seq(
+      ("w", "x", 2L, 3L, 1L, 1000000L * 4 * 1 / (2 * 3)),
+      ("w", "y", 2L, 3L, 1L, 1000000L * 4 * 1 / (2 * 3)),
+      ("w", "z", 2L, 2L, 2L, 1000000L * 4 * 2 / (2 * 2)),
+      ("x", "y", 3L, 3L, 3L, 1000000L * 4 * 3 / (3 * 3)),
+      ("x", "z", 3L, 2L, 1L, 1000000L * 4 * 1 / (3 * 2)),
+      ("y", "z", 3L, 2L, 1L, 1000000L * 4 * 1 / (3 * 2))))
+    // perfect co-travelers score above independence (scale), odd pairs below
+    assert(r.find(p => p._1 == "w" && p._2 == "z").get._6 == 2000000L)
+    assert(r.find(p => p._1 == "x" && p._2 == "y").get._6 > 1000000L)
+  }
+
+  test("cooccurrence: vocabulary bound excludes rare terms; minPairCount filters") {
+    val df = Seq((1L, "a b rare1"), (2L, "a b rare2"), (3L, "a b")).toDF("id", "text")
+    val r = Relevance.cooccurrence(df, "id", "text", vocabSize = 2, minPairCount = 3L)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "a" && r(0).getString(1) == "b" && r(0).getLong(4) == 3L)
+  }
 }
