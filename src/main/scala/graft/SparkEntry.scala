@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 91 queries spanning every implemented operator family
+/** Driver contract — 92 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -71,7 +71,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * estimates (never-underestimate visible under deliberate collisions,
   * every cell replayed), q90 Bloom-filter decontamination (zero false
   * negatives, deterministic false positives replayed bit-for-bit), q91
-  * term co-occurrence with exact-integer PMI-style lift.
+  * term co-occurrence with exact-integer PMI-style lift, q92 the
+  * END-TO-END near-dup dedup pipeline (LSH -> exact verify -> CC ->
+  * canonical selection; one row per input doc with cluster_id /
+  * cluster_size / kept).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1742,6 +1745,21 @@ object SparkEntry {
       graft.ops.Relevance.cooccurrence(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 20, minPairCount = 5L)
         .orderBy(col("term_a"), col("term_b"))
+    }),
+
+    // ---- q92: the END-TO-END near-dup dedup pipeline (the corpus-dedup
+    //      dual of q81): LSH candidates -> exact Jaccard verify -> CC
+    //      clusters -> min-id canonical selection, ONE row per input doc
+    //      with (cluster_id, cluster_size, kept). Every original+mutated
+    //      pair collapses to a 2-cluster keeping the original; unique
+    //      docs are singletons keeping themselves. ----
+    "q92_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.nearDupDedup(docs.unionByName(mutated), "id", "text",
+          numHashes = 64, numBands = 32, shingleSize = 3, jaccard = 0.8)
+        .orderBy(col("id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3018,7 +3036,39 @@ object SparkEntry {
         |FROM pairs JOIN marg ma ON ma.t = term_a
         |           JOIN marg mb ON mb.t = term_b
         |           CROSS JOIN n
-        |WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin)
+        |WHERE n_ab >= 5 ORDER BY term_a, term_b""".stripMargin,
+
+    // q92: q48's independent transitive closure extended to the full
+    // per-row contract — singletons label themselves, sizes are
+    // label-group counts, the canonical row is the min id
+    "q92_neardup_dedup" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0 AND
+        |    cast(len(list_intersect(a.s, b.s)) AS double) /
+        |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |lab AS (SELECT d.id, coalesce(cl.cluster_id, d.id) AS cluster_id
+        |        FROM docs d LEFT JOIN cl USING (id)),
+        |sz AS (SELECT cluster_id, cast(count(*) AS bigint) AS cluster_size
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT lab.id, lab.cluster_id, sz.cluster_size,
+        |  lab.id = lab.cluster_id AS kept
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

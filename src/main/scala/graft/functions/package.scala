@@ -129,6 +129,10 @@ package object functions {
   def cms_query(sketch: Column, v: Column): Column =
     GraftShim.column(CmsQuery(GraftShim.expression(sketch), GraftShim.expression(v)))
 
+  /** Merge stored CMS sketches (elementwise sum; shapes must agree). */
+  def cms_merge(c: Column): Column =
+    GraftShim.column(CmsMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
   /** Bloom filter aggregate (binary; merge = bitwise OR). */
   def bloom_agg(c: Column, mBits: Int, k: Int): Column =
     GraftShim.column(BloomAgg(GraftShim.expression(c), mBits, k)
@@ -137,6 +141,10 @@ package object functions {
   /** Membership probe (zero false negatives, deterministic false positives). */
   def bloom_contains(bloom: Column, v: Column): Column =
     GraftShim.column(BloomContains(GraftShim.expression(bloom), GraftShim.expression(v)))
+
+  /** Merge stored Bloom filters (bitwise OR; shapes must agree). */
+  def bloom_merge(c: Column): Column =
+    GraftShim.column(BloomMergeAgg(GraftShim.expression(c)).toAggregateExpression())
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -223,6 +231,8 @@ object GraftExtensions {
         intLit("cms_sketch depth", args(2))).toAggregateExpression()
     },
     "cms_query" -> { args => require(args.length == 2); CmsQuery(args(0), args(1)) },
+    unary("cms_merge")(CmsMergeAgg(_).toAggregateExpression()),
+    unary("bloom_merge")(BloomMergeAgg(_).toAggregateExpression()),
     "bloom_agg" -> { args =>
       require(args.length == 3, "bloom_agg expects (value, mBits, k)")
       BloomAgg(args(0), intLit("bloom_agg mBits", args(1)),

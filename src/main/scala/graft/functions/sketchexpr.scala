@@ -289,6 +289,58 @@ case class CmsSketchAgg(child: Expression, width: Int, depth: Int,
     copy(child = newChild)
 }
 
+/** Aggregate: merge already-built CMS sketches (binary -> binary) — the
+  * rollup path: per-shard/per-day frequency sketches combine into any
+  * coarser grouping by elementwise counter addition without rescanning
+  * data. Headers (width, depth) must agree.
+  */
+case class CmsMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeInto(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other.clone()
+    else {
+      val (w1, d1, acc) = CmsCodec.decode(buffer)
+      val (w2, d2, in) = CmsCodec.decode(other)
+      require(w1 == w2 && d1 == d2,
+        s"cannot merge cms sketches of different shape (${w1}x$d1 vs ${w2}x$d2)")
+      var i = 0
+      while (i < acc.length) { acc(i) += in(i); i += 1 }
+      CmsCodec.encode(w1, d1, acc)
+    }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buffer else mergeInto(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    mergeInto(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_merge expects a binary sketch column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "cms_merge"
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
 /** Scalar: (cms sketch, value) -> frequency estimate (min over depth rows).
   * Self-describing — width/depth come from the sketch header.
   */
@@ -395,6 +447,58 @@ case class BloomAgg(child: Expression, mBits: Int, k: Int,
   override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** Aggregate: merge already-built Bloom filters (binary -> binary) by
+  * bitwise OR — per-shard/per-day membership filters roll up into any
+  * coarser grouping without rescanning data. Headers (mBits, k) must
+  * agree.
+  */
+case class BloomMergeAgg(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeInto(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other.clone()
+    else {
+      val (m1, k1, _) = BloomCodec.decode(buffer)
+      val (m2, k2, _) = BloomCodec.decode(other)
+      require(m1 == m2 && k1 == k2,
+        s"cannot merge bloom filters of different shape (m=$m1,k=$k1 vs m=$m2,k=$k2)")
+      var i = 8 // headers verified equal; OR the bit payload in place
+      while (i < buffer.length) { buffer(i) = (buffer(i) | other(i)).toByte; i += 1 }
+      buffer
+    }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buffer else mergeInto(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    mergeInto(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_merge expects a binary filter column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "bloom_merge"
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomMergeAgg =
     copy(child = newChild)
 }
 

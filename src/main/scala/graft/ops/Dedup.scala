@@ -374,4 +374,50 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** The END-TO-END near-duplicate dedup pipeline — the flagship corpus op
+    * assembled from this module's stages in one DAG:
+    *
+    *   MinHash-LSH candidates ([[minHashPairs]] at banding threshold 0)
+    *     -> EXACT shingle-Jaccard verify at `jaccard` (LSH recall is a
+    *        probabilistic 1 at sane banding; the verify makes the pair set
+    *        exactly {J >= jaccard}, so downstream is deterministic)
+    *     -> connected components over the dup graph ([[clusters]])
+    *     -> canonical selection: min id per component.
+    *
+    * Output: one row PER INPUT ROW — (idCol, cluster_id, cluster_size,
+    * kept). Singletons are their own cluster of size 1; `kept` marks the
+    * canonical row (exactly one per cluster), so `where(col("kept"))` IS
+    * the deduplicated corpus and the rest is the audit trail.
+    *
+    * Scale shape: the text reduces to signatures/shingle arrays before
+    * anything wide; pairs are bucket-join-bounded; CC runs on the
+    * pair-graph (dup-sized, not corpus-sized); the final join-back
+    * attaches labels to the corpus by id only. The cluster-size aggregate
+    * is label-sized.
+    */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, numBands: Int = 32,
+                   shingleSize: Int = 5, jaccard: Double = 0.8): DataFrame = {
+    val cands = minHashPairs(df, idCol, textCol, numHashes, numBands,
+      threshold = 0.0, shingleSize = shingleSize)
+    val sh = df.select(col(idCol).as("_sid"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+    val pairs = cands
+      .join(sh.select(col("_sid").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+      .join(sh.select(col("_sid").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
+      .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
+        jaccard_sorted(col("_sa"), col("_sb")) >= jaccard)
+      .select(col("id_a"), col("id_b"))
+    val labels = clusters(pairs)
+    val labeled = df.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).as("kept"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.functions.{bloom_agg, bloom_contains, cms_query, cms_sketch, hll_distinct, hll_estimate, hll_merge, hll_sketch}
+import graft.functions.{bloom_agg, bloom_contains, bloom_merge, cms_merge, cms_query, cms_sketch, hll_distinct, hll_estimate, hll_merge, hll_sketch}
 
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -120,6 +120,32 @@ class SketchSpec extends SparkSpec {
     val a = df.agg(cms_sketch($"v", 64, 4)).as[Array[Byte]].head()
     val b = df.repartition(11).agg(cms_sketch($"v", 64, 4)).as[Array[Byte]].head()
     assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("cms_merge / bloom_merge: per-shard rollup equals whole-corpus, BIT-IDENTICAL") {
+    val df = spark.range(3000)
+      .select(($"id" % 5).as("shard"), ($"id" % 211).cast("string").as("v"))
+    val wholeCms = df.agg(cms_sketch($"v", 64, 4)).as[Array[Byte]].head()
+    val rolledCms = df.groupBy($"shard").agg(cms_sketch($"v", 64, 4).as("sk"))
+      .agg(cms_merge($"sk")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(wholeCms, rolledCms))
+    val wholeBloom = df.agg(bloom_agg($"v", 1024, 3)).as[Array[Byte]].head()
+    val rolledBloom = df.groupBy($"shard").agg(bloom_agg($"v", 1024, 3).as("bl"))
+      .agg(bloom_merge($"bl")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(wholeBloom, rolledBloom))
+  }
+
+  test("cms_merge / bloom_merge: shape mismatches fail loudly") {
+    val c1 = Seq("x").toDF("v").agg(cms_sketch($"v", 8, 2).as("sk"))
+    val c2 = Seq("y").toDF("v").agg(cms_sketch($"v", 8, 3).as("sk"))
+    assert(intercept[Exception] {
+      c1.unionByName(c2).agg(cms_merge($"sk")).collect()
+    }.toString.nonEmpty)
+    val b1 = Seq("x").toDF("v").agg(bloom_agg($"v", 256, 3).as("bl"))
+    val b2 = Seq("y").toDF("v").agg(bloom_agg($"v", 512, 3).as("bl"))
+    assert(intercept[Exception] {
+      b1.unionByName(b2).agg(bloom_merge($"bl")).collect()
+    }.toString.nonEmpty)
   }
 
   test("cms: SQL registry path") {

@@ -88,4 +88,25 @@ class RelevanceSpec extends SparkSpec {
     assert(r.length == 1)
     assert(r(0).getString(0) == "a" && r(0).getString(1) == "b" && r(0).getLong(4) == 3L)
   }
+
+  test("nearDupDedup: end-to-end clusters, sizes, and canonical keep flags") {
+    val base = "one two three four five six seven eight nine ten"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, base), (2L, "x " + base), (3L, "y " + base), // 3-cluster, min id 1
+      (5L, other), (6L, "z " + other),                  // 2-cluster, min id 5
+      (9L, "totally different words entirely here now okay then")) // singleton
+      .toDF("id", "text")
+    val r = Dedup.nearDupDedup(df, "id", "text",
+        numHashes = 64, numBands = 32, shingleSize = 3, jaccard = 0.8)
+      .orderBy("id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false),
+      (9L, 9L, 1L, true)))
+    // exactly one kept row per cluster; kept rows ARE the deduped corpus
+    assert(r.count(_._4) == 3)
+  }
 }
