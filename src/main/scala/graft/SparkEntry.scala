@@ -1702,11 +1702,17 @@ object SparkEntry {
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9_']+"), lit(0)))
           .as("tok"))
       val sketches = toks.groupBy(col("lang")).agg(cms_sketch(col("tok"), 16, 4).as("_sk"))
+      // '*' = the per-language sketches MERGED (elementwise counter sum) —
+      // identical to a whole-corpus build, the rollup path driver-visible
+      val merged = sketches.agg(cms_merge(col("_sk")).as("_sk"))
+        .select(lit("*").as("lang"), col("_sk"))
       val probes = Seq("the", "table", "data", "xylophone", "value")
       val probeDf = s.createDataFrame(probes.map(Tuple1(_))).toDF("probe")
-      val exact = toks.join(broadcast(probeDf), col("tok") === col("probe"))
+      val exact = toks.select(lit("*").as("lang"), col("tok"))
+        .unionByName(toks)
+        .join(broadcast(probeDf), col("tok") === col("probe"))
         .groupBy(col("lang"), col("probe")).agg(count(lit(1)).as("_ex"))
-      sketches.crossJoin(broadcast(probeDf))
+      sketches.unionByName(merged).crossJoin(broadcast(probeDf))
         .withColumn("est_count", cms_query(col("_sk"), col("probe")))
         .join(exact, Seq("lang", "probe"), "left")
         .select(col("lang"), col("probe"), col("est_count"),
@@ -1724,14 +1730,18 @@ object SparkEntry {
     "q90_bloom_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 31 === 0)
-        .select(concat(lit("bench item "), col("doc_id").cast("string")).as("b"))
-      val bloom = bench.agg(bloom_agg(col("b"), 256, 3).as("_bloom"))
+        .select((col("doc_id") % 2).as("_shard"),
+          concat(lit("bench item "), col("doc_id").cast("string")).as("b"))
+      // build per-shard filters, then MERGE (bitwise OR) — bit-identical
+      // to a whole-set build (spec-proven), the rollup path driver-visible
+      val bloom = bench.groupBy(col("_shard"))
+        .agg(bloom_agg(col("b"), 256, 3).as("_bl"))
+        .agg(bloom_merge(col("_bl")).as("_bloom"))
       val probes = docs.select(col("doc_id"),
         concat(lit("bench item "), (col("doc_id") % 97).cast("string")).as("_v"))
       probes.crossJoin(broadcast(bloom))
         .withColumn("in_bloom", bloom_contains(col("_bloom"), col("_v")))
-        .join(bench.distinct().withColumn("_hit", lit(true))
-            .withColumnRenamed("b", "_v"),
+        .join(bench.select(col("b").as("_v")).distinct().withColumn("_hit", lit(true)),
           Seq("_v"), "left")
         .select(col("doc_id"), col("in_bloom"),
           coalesce(col("_hit"), lit(false)).as("actually_in"))
@@ -2977,23 +2987,24 @@ object SparkEntry {
     // honest, estimate = min over the 4 depth rows
     "q89_cms_counts" ->
       """WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t FROM documents),
+        |g AS (SELECT lang, t FROM tok UNION ALL SELECT '*' AS lang, t FROM tok),
         |probes AS (SELECT unnest(['the','table','data','xylophone','value']) AS probe),
         |depths AS (SELECT unnest([0,1,2,3]) AS i),
         |th AS (SELECT lang, t, i,
         |        ('0x' || substr(md5(cast(i AS varchar) || t), 1, 8))::BIGINT % 16 AS pos
-        |       FROM tok CROSS JOIN depths),
+        |       FROM g CROSS JOIN depths),
         |ph AS (SELECT probe, i,
         |        ('0x' || substr(md5(cast(i AS varchar) || probe), 1, 8))::BIGINT % 16 AS pos
         |       FROM probes CROSS JOIN depths),
         |frame AS (SELECT l.lang, ph.probe, ph.i, ph.pos
-        |          FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN ph),
+        |          FROM (SELECT DISTINCT lang FROM g) l CROSS JOIN ph),
         |cell AS (SELECT f.lang, f.probe, f.i, count(th.t) AS c
         |         FROM frame f LEFT JOIN th ON th.lang = f.lang AND th.i = f.i AND th.pos = f.pos
         |         GROUP BY f.lang, f.probe, f.i),
         |est AS (SELECT lang, probe, cast(min(c) AS bigint) AS est_count
         |        FROM cell GROUP BY lang, probe),
         |ex AS (SELECT lang, probe, cast(count(*) FILTER (t = probe) AS bigint) AS exact_count
-        |       FROM tok CROSS JOIN probes GROUP BY lang, probe)
+        |       FROM g CROSS JOIN probes GROUP BY lang, probe)
         |SELECT ex.lang, ex.probe, est.est_count, ex.exact_count
         |FROM ex JOIN est USING (lang, probe) ORDER BY lang, probe""".stripMargin,
 
