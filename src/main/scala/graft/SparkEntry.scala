@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 92 queries spanning every implemented operator family
+/** Driver contract — 93 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -74,7 +74,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * term co-occurrence with exact-integer PMI-style lift, q92 the
   * END-TO-END near-dup dedup pipeline (LSH -> exact verify -> CC ->
   * canonical selection; one row per input doc with cluster_id /
-  * cluster_size / kept).
+  * cluster_size / kept), q93 bigram-coverage fluency (second-order oov
+  * against the corpus's own top-50 bigram vocabulary).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1770,6 +1771,15 @@ object SparkEntry {
       Dedup.nearDupDedup(docs.unionByName(mutated), "id", "text",
           numHashes = 64, numBands = 32, shingleSize = 3, jaccard = 0.8)
         .orderBy(col("id"))
+    }),
+
+    // ---- q93: bigram-coverage fluency — second-order oov (word salad
+    //      passes unigram checks but its word PAIRS are corpus-rare);
+    //      top-50 corpus bigram vocabulary, integer counts only. ----
+    "q93_bigram_coverage" -> ((s, dir) => {
+      graft.ops.Curation.bigramCoverage(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 50)
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3079,7 +3089,23 @@ object SparkEntry {
         |       FROM lab GROUP BY cluster_id)
         |SELECT lab.id, lab.cluster_id, sz.cluster_size,
         |  lab.id = lab.cluster_id AS kept
-        |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.id""".stripMargin)
+        |FROM lab JOIN sz USING (cluster_id) ORDER BY lab.id""".stripMargin,
+
+    // q93: same bigram stream (indexed list_transform), same top-50
+    // (count desc, bigram asc) vocabulary, integer counts
+    "q93_bigram_coverage" ->
+      """WITH words AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |       FROM words WHERE len(w) >= 2),
+        |freq AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+        |vocab AS (SELECT b FROM freq ORDER BY c DESC, b ASC LIMIT 50),
+        |cov AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        sum(CASE WHEN v.b IS NULL THEN 0 ELSE 1 END) AS in_vocab
+        |        FROM bg LEFT JOIN vocab v USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(cov.n_bigrams, 0) AS bigint) AS n_bigrams,
+        |  cast(coalesce(cov.in_vocab, 0) AS bigint) AS in_vocab
+        |FROM documents d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -474,6 +474,44 @@ object Curation {
     * the exploded token stream joined against the BROADCAST vocab and
     * re-aggregated by id. The document text never shuffles.
     */
+  /** Bigram-coverage fluency — the second-order companion of [[oovStats]]:
+    * how many of a document's word BIGRAMS fall inside the corpus's own
+    * top-`vocabSize` bigram vocabulary (frequency desc, bigram asc —
+    * deterministic at the boundary). Word salad passes a unigram check
+    * but fails this one: its word PAIRS are corpus-rare. Integers only
+    * (n_bigrams, in_vocab) so the ratio — and any threshold policy — is
+    * exactly reproducible.
+    *
+    * Scale shape: identical to oovStats one order up — bigram frequency is
+    * one combiner aggregate over the slim (bigram) stream, the vocabulary
+    * is corpus-bounded and BROADCAST, per-doc counting re-aggregates by
+    * id; text never shuffles. Zero-bigram docs (0 or 1 words) survive the
+    * join-back with zeros.
+    */
+  def bigramCoverage(df: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val bgs = df.select(col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)).as("_w"))
+      .select(col(idCol), explode(expr(
+        // greatest(.., 0): a 0- or 1-word doc has no bigrams, and slice
+        // rejects a negative length outright
+        "transform(slice(_w, 1, greatest(size(_w) - 1, 0)), (x, i) -> concat(x, ' ', element_at(_w, i + 2)))"))
+        .as("_bg"))
+    val vocab = bgs.groupBy(col("_bg")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_bg").asc)
+      .limit(vocabSize)
+      .select(col("_bg"), lit(1).as("_inv"))
+    val perDoc = bgs.join(broadcast(vocab), Seq("_bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_inv").isNull, 0L).otherwise(1L)).as("in_vocab"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("in_vocab"), lit(0L)).as("in_vocab"))
+  }
+
   def oovStats(df: DataFrame, idCol: String, textCol: String,
                vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")

@@ -304,4 +304,23 @@ class CurationSpec extends SparkSpec {
       assert(s == s.trim, s"untrimmed: '$s'")
     }
   }
+
+  test("bigramCoverage: word salad fails the second-order check that unigrams pass") {
+    // three fluent docs share every bigram; the salad doc uses the SAME
+    // words in a novel order — unigram coverage full, bigram coverage low
+    val fluent = "the cat sat on the mat"
+    val df = Seq((1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "mat the on sat cat the"), (5L, ""), (6L, "single")).toDF("id", "text")
+    val r = Curation.bigramCoverage(df, "id", "text", vocabSize = 5)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // fluent docs: 5 bigrams, all in the top-5 vocabulary (each occurs 3x,
+    // beating every salad bigram's 1x)
+    assert(r(0) == ((1L, 5L, 5L)) && r(1) == ((2L, 5L, 5L)) && r(2) == ((3L, 5L, 5L)))
+    // the salad doc: same words, novel pairs -> low coverage
+    val (_, saladN, saladIn) = r(3)
+    assert(saladN == 5L && saladIn == 0L, s"salad coverage $saladIn/$saladN")
+    // zero- and one-word docs survive with zeros
+    assert(r(4) == ((5L, 0L, 0L)) && r(5) == ((6L, 0L, 0L)))
+  }
 }
