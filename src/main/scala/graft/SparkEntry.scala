@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 93 queries spanning every implemented operator family
+/** Driver contract — 94 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -75,7 +75,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * END-TO-END near-dup dedup pipeline (LSH -> exact verify -> CC ->
   * canonical selection; one row per input doc with cluster_id /
   * cluster_size / kept), q93 bigram-coverage fluency (second-order oov
-  * against the corpus's own top-50 bigram vocabulary).
+  * against the corpus's own top-50 bigram vocabulary), q94 deterministic
+  * mixture upsampling (fixed-point domain weights, md5 fractional coin —
+  * the realized training mix is a pure function of seed+id).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1780,6 +1782,21 @@ object SparkEntry {
       graft.ops.Curation.bigramCoverage(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 50)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q94: deterministic mixture upsampling (domain reweighting):
+    //      en 2.5x (2-3 copies), zh 0.5x (0-1), others 1.0x exactly —
+    //      the multi-copy, fractional-coin, and exact-integer paths all
+    //      bind; the realized corpus is a pure function of (seed, id). ----
+    "q94_mixture_upsample" -> ((s, dir) => {
+      val w = when(col("lang") === "en", 2500L)
+        .when(col("lang") === "zh", 500L)
+        .otherwise(1000L)
+      graft.ops.Curation.upsampleByWeight(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), w.as("w_milli")),
+          "doc_id", "w_milli", seed = "mix1")
+        .select(col("doc_id"), col("lang"), col("copy_no"))
+        .orderBy(col("doc_id"), col("copy_no"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3105,7 +3122,19 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  cast(coalesce(cov.n_bigrams, 0) AS bigint) AS n_bigrams,
         |  cast(coalesce(cov.in_vocab, 0) AS bigint) AS in_vocab
-        |FROM documents d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+        |FROM documents d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q94: identical md5 coin (first 8 hex of md5(seed||id) mod 1000),
+    // copies = floor + fractional keep, range(copies) replays the fan-out
+    "q94_mixture_upsample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'zh' THEN 500
+        |       ELSE 1000 END AS wm FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  wm // 1000 + CASE WHEN ('0x' || substr(md5('mix1' || cast(doc_id AS varchar)), 1, 8))::BIGINT
+        |    % 1000 < wm % 1000 THEN 1 ELSE 0 END AS copies FROM w)
+        |SELECT doc_id, lang, unnest(range(copies)) AS copy_no
+        |FROM c ORDER BY doc_id, copy_no""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -459,6 +459,37 @@ object Curation {
       .drop("_h")
   }
 
+  /** Deterministic mixture upsampling — training-data domain reweighting
+    * ("3x Wikipedia, 0.5x CommonCrawl") as a pure function of (seed, id):
+    * a row with weight w (FIXED-POINT MILLI, e.g. 2500 = 2.5x) emits
+    * floor(w/1000) copies plus one more iff its md5-uniform rank (mod
+    * 1000) falls below the fractional part — so expected copies = w/1000
+    * exactly, the realized corpus is identical on every run/resume/engine,
+    * and changing the seed re-rolls the fractional coin per epoch.
+    * Weights < 1000 downsample (w=500 keeps ~half), w=0 drops.
+    *
+    * Output: one row per emitted copy — every input column + `copy_no`
+    * (0-based). Composes with [[shuffleShards]] downstream (shard on
+    * (idCol, copy_no)) so copies spread across shards.
+    *
+    * Scale shape: a narrow flatMap (posexplode of array_repeat) — zero
+    * shuffle; output size is sum(w)/1000, decided row-locally. The same
+    * md5-rank primitive as [[stratifiedSample]]/[[capPerKey]], so
+    * sampling, capping and mixing compose into one reproducible policy.
+    */
+  def upsampleByWeight(df: DataFrame, idCol: String, weightMilliCol: String,
+                       seed: String): DataFrame = {
+    val rank = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 1000
+    val copies = expr(s"cast($weightMilliCol AS bigint) div 1000L") +
+      when(rank < col(weightMilliCol) % 1000, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("_copies").cast("int"))))
+      .withColumnRenamed("pos", "copy_no")
+      .withColumn("copy_no", col("copy_no").cast("long"))
+      .drop("_copies", "col")
+  }
+
   /** Out-of-vocabulary statistics — the cheap LM-free fluency signal: how
     * many of a document's token OCCURRENCES fall outside the corpus's
     * top-`vocabSize` vocabulary (frequency desc, token asc tie-break, so

@@ -323,4 +323,31 @@ class CurationSpec extends SparkSpec {
     // zero- and one-word docs survive with zeros
     assert(r(4) == ((5L, 0L, 0L)) && r(5) == ((6L, 0L, 0L)))
   }
+
+  test("upsampleByWeight: integer weights exact, fractional coin deterministic, w=0 drops") {
+    val df = Seq((1L, 3000L), (2L, 1000L), (3L, 0L), (4L, 2500L)).toDF("id", "w")
+    val r = Curation.upsampleByWeight(df, "id", "w", seed = "s1")
+      .orderBy("id", "copy_no")
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    val byId = r.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byId(1L) == Seq(0L, 1L, 2L))        // 3.0x -> exactly 3 copies
+    assert(byId(2L) == Seq(0L))                 // 1.0x -> exactly 1
+    assert(!byId.contains(3L))                  // 0x -> dropped
+    assert(byId(4L).size == 2 || byId(4L).size == 3) // 2.5x -> 2 or 3
+    // deterministic: identical re-run, identical under repartition
+    val again = Curation.upsampleByWeight(df.repartition(5), "id", "w", seed = "s1")
+      .orderBy("id", "copy_no").collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(r.toSeq == again.toSeq)
+    // a different seed re-rolls only the fractional coin
+    val other = Curation.upsampleByWeight(df, "id", "w", seed = "s2")
+      .orderBy("id", "copy_no").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(other(1L) == 3 && other(2L) == 1 && !other.contains(3L))
+  }
+
+  test("upsampleByWeight: fractional keep rate tracks the weight (law of large numbers)") {
+    val df = spark.range(4000).select($"id", lit(500L).as("w")) // 0.5x
+    val kept = Curation.upsampleByWeight(df, "id", "w", seed = "lln").count()
+    assert(math.abs(kept - 2000L) < 150, s"0.5x of 4000 kept $kept")
+  }
 }

@@ -81,6 +81,28 @@ class PlanShapeSpec extends SparkSpec {
       s"payload rides a shuffle:\n$plan")
   }
 
+  test("canonicalizeUrl is a pure narrow projection (zero Exchange)") {
+    val df = Seq((1L, "https://h.example:8080/x?b=1&utm_source=a")).toDF("id", "url")
+    val plan = Curation.canonicalizeUrl(df, "url")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"canonicalizeUrl shuffled:\n$plan")
+  }
+
+  test("cooccurrence / bigramCoverage join their token streams against BROADCAST vocabularies") {
+    val df = Seq.tabulate(40)(i => (i.toLong, s"alpha beta gamma tok$i")).toDF("id", "text")
+    val p1 = Relevance.cooccurrence(df, "id", "text", vocabSize = 4)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"cooccurrence vocab join not broadcast:\n$p1")
+    val p2 = Curation.bigramCoverage(df, "id", "text", vocabSize = 4)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), s"bigram vocab join not broadcast:\n$p2")
+    // neither plan moves the raw text through an exchange
+    Seq(p1, p2).foreach { p =>
+      val exchanges = p.split("\n").filter(_.contains("Exchange"))
+      assert(!exchanges.exists(_.contains("text#")), s"text rides a shuffle:\n$p")
+    }
+  }
+
   test("tfidfTopK: n_docs arrives by broadcast; text never rides an exchange") {
     val df = Seq.tabulate(40)(i => (i.toLong, s"alpha beta tok$i words"))
       .toDF("id", "text")
