@@ -1057,7 +1057,13 @@ object SparkEntry {
         M.MediaRow(4L, "audio", M.MediaGen.wavBytes(1, 8000, 16000)),
         M.MediaRow(5L, "audio", M.MediaGen.wavBytes(2, 44100, 44100)),
         M.MediaRow(6L, "image",
-          Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42)))
+          Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42)),
+        // video: the REAL ISO BMFF box walk (mvhd duration, tkhd 16.16
+        // dims) — no frame decode; and a corrupt container (ftyp magic,
+        // garbage box size) -> ok=0
+        M.MediaRow(7L, "video", M.MediaGen.mp4Bytes(640, 360, 2500)),
+        M.MediaRow(8L, "video",
+          Array[Byte]('x', 'x', 'x', 'x', 'f', 't', 'y', 'p', 1, 2, 3, 4)))
       M.decode(rows.toDS(), batchBytes = 1L << 20).toDF()
         .select(col("media_id"), col("kind"),
           col("width").cast("long").as("width"),
@@ -2473,7 +2479,9 @@ object SparkEntry {
         |  (3, 'image', 24, 16, 3, 0, 1),
         |  (4, 'audio', 0, 0, 1, 1000, 1),
         |  (5, 'audio', 0, 0, 2, 250, 1),
-        |  (6, 'image', 0, 0, 0, 0, 0))
+        |  (6, 'image', 0, 0, 0, 0, 0),
+        |  (7, 'video', 640, 360, 0, 2500, 1),
+        |  (8, 'video', 0, 0, 0, 0, 0))
         |AS t(media_id, kind, width, height, channels, duration_ms, ok)
         |ORDER BY media_id""".stripMargin,
     // q59: statuses derive from the doc construction (id mod 3), never from

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * buffers — the Scala analog of mapInPandas' batch shape), partition
   * sizing by payload bytes, and deterministic content addressing.
   *
-  * Codecs: PNG/JPEG (javax.imageio, JDK-native, headless-safe) and WAV
-  * (RIFF header parse) are REAL — payloads carrying those magic bytes
-  * decode to actual dimensions/channels/duration ([[RealCodec]]). Payloads
-  * of other formats (video containers — no decoder ships in the JDK) fall
-  * back to the clearly-marked [[FakeCodec]] stub, which derives
-  * deterministic pseudo-metadata from the bytes; swapping in a real video
-  * decoder touches exactly one dispatch arm.
+  * Codecs: PNG/JPEG (javax.imageio, JDK-native, headless-safe), WAV (RIFF
+  * header parse) and MP4/MOV (ISO BMFF box walk — mvhd duration, tkhd
+  * dimensions; container metadata, no frame decode) are REAL — payloads
+  * carrying those magic bytes decode to actual dimensions/channels/
+  * duration ([[RealCodec]]). Unrecognized formats fall back to the
+  * clearly-marked [[FakeCodec]] stub, which derives deterministic
+  * pseudo-metadata from the bytes; FRAME decoding (no video codec ships
+  * in the JDK) remains behind that stub, and swapping in a real one
+  * touches exactly one dispatch arm.
   */
 object Multimodal {
 
@@ -76,6 +78,7 @@ object Multimodal {
     final val Png = "png"
     final val Jpeg = "jpeg"
     final val Wav = "wav"
+    final val Mp4 = "mp4"
 
     /** Container sniff by magic bytes; "" = no real decoder for this blob. */
     def sniff(p: Array[Byte]): String =
@@ -83,6 +86,7 @@ object Multimodal {
       else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) Jpeg
       else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') Wav
+      else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') Mp4
       else ""
 
     /** (width, height, channels, duration_ms) for a recognized container;
@@ -97,6 +101,9 @@ object Multimodal {
       case Wav =>
         val (channels, durationMs) = parseWav(p)
         Some((0, 0, channels, durationMs))
+      case Mp4 =>
+        val (w, h, durationMs) = parseMp4(p)
+        Some((w, h, 0, durationMs))
       case _ => None
     }
 
@@ -128,6 +135,59 @@ object Multimodal {
       if (channels < 0 || dataLen < 0 || byteRate <= 0)
         throw new java.io.IOException("malformed wav header")
       (channels, dataLen * 1000L / byteRate)
+    }
+
+    @inline private def be32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) | ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    @inline private def be64(p: Array[Byte], o: Int): Long =
+      (be32(p, o) << 32) | be32(p, o + 4)
+
+    /** ISO BMFF (MP4/MOV) box walk — the REAL container grammar, no frame
+      * decode: presentation duration from `moov/mvhd` (version 0 and 1
+      * layouts), track dimensions from the largest `moov/trak/tkhd`
+      * (16.16 fixed-point). Box sizes are big-endian; size==1 means a
+      * 64-bit largesize follows, size==0 means to-end-of-parent. A `ftyp`
+      * magic with no parsable moov raises — the caller's ok=false channel.
+      */
+    private def parseMp4(p: Array[Byte]): (Int, Int, Long) = {
+      var width = 0; var height = 0
+      var durationMs = -1L
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val o = off.toInt
+          var size = be32(p, o)
+          val typ = new String(p, o + 4, 4, "US-ASCII")
+          var hdr = 8L
+          if (size == 1L && off + 16 <= to) { size = be64(p, o + 8); hdr = 16L }
+          else if (size == 0L) size = to - off
+          if (size < hdr || off + size > to) throw new java.io.IOException(
+            s"malformed mp4 box '$typ' (size=$size)")
+          val body = off + hdr
+          typ match {
+            case "moov" | "trak" if depth < 4 => walk(body, off + size, depth + 1)
+            case "mvhd" =>
+              val b = body.toInt
+              val version = p(b) & 0xff
+              val (ts, dur) =
+                if (version == 1) (be32(p, b + 20), be64(p, b + 24))
+                else (be32(p, b + 12), be32(p, b + 16))
+              if (ts <= 0) throw new java.io.IOException("mp4 mvhd timescale <= 0")
+              durationMs = dur * 1000L / ts
+            case "tkhd" =>
+              val b = body.toInt
+              val wh = if ((p(b) & 0xff) == 1) b + 88 else b + 76
+              val w = (be32(p, wh) >> 16).toInt     // 16.16 fixed point
+              val h = (be32(p, wh + 4) >> 16).toInt
+              if (w * h > width * height) { width = w; height = h }
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0L, p.length.toLong, 0)
+      if (durationMs < 0) throw new java.io.IOException("mp4 without mvhd")
+      (width, height, durationMs)
     }
   }
 
@@ -245,6 +305,46 @@ object Multimodal {
       var i = 0
       while (i < dataBytes / 2) { out.putShort(((i * 257) % 32768).toShort); i += 1 }
       out.array()
+    }
+
+    /** Minimal valid ISO BMFF movie: ftyp + moov(mvhd v0 + trak(tkhd v0)).
+      * timescale 1000, so mvhd duration == durationMs; dimensions are the
+      * tkhd 16.16 fixed-point fields. Header-only (no mdat) — exactly the
+      * part of the container the metadata walk reads.
+      */
+    def mp4Bytes(w: Int, h: Int, durationMs: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 216) // big-endian default
+      def ascii(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+      bb.putInt(16); ascii("ftyp"); ascii("isom"); bb.putInt(0)
+      bb.putInt(216); ascii("moov")
+      bb.putInt(108); ascii("mvhd")
+      bb.putInt(0)                        // version 0 + flags
+      bb.putInt(0).putInt(0)              // creation, modification
+      bb.putInt(1000)                     // timescale
+      bb.putInt(durationMs)               // duration (in timescale units)
+      bb.putInt(0x00010000)               // rate 1.0
+      bb.putShort(0x0100.toShort).putShort(0) // volume 1.0 + reserved
+      bb.putLong(0L)                      // reserved
+      bb.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2)                        // next_track_ID
+      bb.putInt(100); ascii("trak")
+      bb.putInt(92); ascii("tkhd")
+      bb.putInt(7)                        // version 0 + flags (enabled|in movie|in preview)
+      bb.putInt(0).putInt(0)              // creation, modification
+      bb.putInt(1)                        // track_ID
+      bb.putInt(0)                        // reserved
+      bb.putInt(durationMs)               // duration
+      bb.putLong(0L)                      // reserved
+      bb.putShort(0).putShort(0)          // layer, alternate_group
+      bb.putShort(0).putShort(0)          // volume (video: 0), reserved
+      bb.putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(w << 16).putInt(h << 16)  // 16.16 fixed-point dimensions
+      bb.array()
     }
   }
 

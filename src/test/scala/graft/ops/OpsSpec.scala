@@ -365,6 +365,20 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodec.decode("p cnf 1 1\n1 0\n".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real codecs: MP4 box walk reads mvhd duration and tkhd 16.16 dimensions") {
+    import Multimodal.{MediaGen, RealCodec}
+    assert(RealCodec.decode(MediaGen.mp4Bytes(640, 360, 2500)).contains((640, 360, 0, 2500L)))
+    assert(RealCodec.decode(MediaGen.mp4Bytes(1920, 1080, 1)).contains((1920, 1080, 0, 1L)))
+    // ftyp magic with a garbage box size -> loud failure (ok=false channel)
+    intercept[java.io.IOException] {
+      RealCodec.decode(Array[Byte]('x', 'x', 'x', 'x', 'f', 't', 'y', 'p', 1, 2, 3, 4))
+    }
+    // ftyp magic but no moov anywhere -> loud failure too
+    intercept[java.io.IOException] {
+      RealCodec.decode(MediaGen.mp4Bytes(1, 1, 1).take(16))
+    }
+  }
+
   test("decode stage dispatches by magic bytes, not the kind label; corrupt containers get ok=false") {
     import Multimodal.MediaGen
     val rows = Seq(
