@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 94 queries spanning every implemented operator family
+/** Driver contract — 95 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -77,7 +77,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * cluster_size / kept), q93 bigram-coverage fluency (second-order oov
   * against the corpus's own top-50 bigram vocabulary), q94 deterministic
   * mixture upsampling (fixed-point domain weights, md5 fractional coin —
-  * the realized training mix is a pure function of seed+id).
+  * the realized training mix is a pure function of seed+id), q95 the HLL
+  * sketch as Structured Streaming STATE (per-day distinct estimates whose
+  * register buffers merge across micro-batches in the state store).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1803,6 +1805,40 @@ object SparkEntry {
           "doc_id", "w_milli", seed = "mix1")
         .select(col("doc_id"), col("lang"), col("copy_no"))
         .orderBy(col("doc_id"), col("copy_no"))
+    }),
+
+    // ---- q95: the HLL sketch as STRUCTURED STREAMING STATE — per-day
+    //      distinct-user estimates where the binary register buffer lives
+    //      in the state store and merges across four micro-batches (the
+    //      same elementwise max that merges shards in batch). The oracle
+    //      replays the registers per UTC-day window in SQL. ----
+    "q95_stream_distinct_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // collect() is the REPLAY HARNESS (builds the MemoryStream feed) —
+      // windowedDistinctSketch consumes any unbounded source
+      val rows = t(s, dir, "events")
+        .select(col("user_id").cast("string"), col("ts").cast("timestamp"))
+        .orderBy(col("ts"), col("user_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+      val mem = MemoryStream[(String, java.sql.Timestamp)](
+        org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp)],
+        s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val agg = graft.streaming.Streaming.windowedDistinctSketch(
+        mem.toDF().toDF("uid", "ts"), "ts", "uid", "1 day", p = 5,
+        watermarkDelay = None)
+      val sink = "q95_sketch_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result.orderBy(col("window_start"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3142,7 +3178,30 @@ object SparkEntry {
         |  wm // 1000 + CASE WHEN ('0x' || substr(md5('mix1' || cast(doc_id AS varchar)), 1, 8))::BIGINT
         |    % 1000 < wm % 1000 THEN 1 ELSE 0 END AS copies FROM w)
         |SELECT doc_id, lang, unnest(range(copies)) AS copy_no
-        |FROM c ORDER BY doc_id, copy_no""".stripMargin)
+        |FROM c ORDER BY doc_id, copy_no""".stripMargin,
+
+    // q95: the q87 register replay per UTC-day window — hash is the first
+    // 32 md5 bits of the user id string, p=5, estimate one int128 division;
+    // window bounds from epoch-floored microseconds
+    "q95_stream_distinct_sketch" ->
+      """WITH e AS (SELECT cast(user_id AS varchar) AS uid, ts,
+        |  (epoch_us(ts) // 86400000000) * 86400000000 AS wus FROM events),
+        |hh AS (SELECT wus, uid, ('0x' || substr(md5(uid), 1, 8))::BIGINT AS h32 FROM e),
+        |r AS (SELECT wus, h32 // 134217728 AS idx,
+        |        CASE WHEN h32 % 134217728 = 0 THEN 28
+        |             ELSE 28 - length(format('{:b}', h32 % 134217728)) END AS rho
+        |      FROM hh),
+        |regs AS (SELECT wus, idx, max(rho) AS mr FROM r GROUP BY wus, idx),
+        |z AS (SELECT wus, sum((1 << (28 - mr)))::HUGEINT
+        |        + (32 - count(*))::HUGEINT * 268435456 AS znum
+        |      FROM regs GROUP BY wus),
+        |est AS (SELECT wus, cast((697::HUGEINT * 1024 * 268435456)
+        |        // (1000::HUGEINT * znum) AS bigint) AS est_distinct FROM z),
+        |cnt AS (SELECT wus, cast(count(*) AS bigint) AS events FROM e GROUP BY wus)
+        |SELECT make_timestamp(cnt.wus) AS window_start,
+        |  make_timestamp(cnt.wus + 86400000000) AS window_end,
+        |  est.est_distinct, cnt.events
+        |FROM cnt JOIN est USING (wus) ORDER BY window_start""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -35,6 +35,31 @@ object Streaming {
         sum(when(col("status") === "ok", 1).otherwise(0)).as("ok_pages"),
         approx_count_distinct(col("instance_id")).as("distinct_instances"))
 
+  /** Tumbling-window distinct-cardinality estimate with the mergeable HLL
+    * sketch as STREAMING STATE: the TypedImperativeAggregate's binary
+    * register buffer lives in the state store and MERGES across
+    * micro-batches (the same elementwise max that merges shards in
+    * batch), so a window's estimate converges as its events arrive in any
+    * batch order — the streaming dual of the batch q87 rollup. At
+    * production scale the watermark bounds state exactly as it does for
+    * counts; a 2^p-byte register array per open window is the entire
+    * state footprint regardless of how many distinct values pass.
+    * Watermark optional: None for complete-mode finite replays (tests,
+    * the driver oracle).
+    */
+  def windowedDistinctSketch(events: DataFrame, tsCol: String, valCol: String,
+                             window: String, p: Int = 12,
+                             watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.map(d => events.withWatermark(tsCol, d)).getOrElse(events)
+    src.groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.functions.hll_sketch(col(valCol), p).as("_sk"),
+        count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        graft.functions.hll_estimate(col("_sk")).as("est_distinct"),
+        col("events"))
+  }
+
   /** Generic gap-session aggregation over any (key, ts) stream — the
     * streaming dual of the batch Windows.sessionize. session_window merges
     * events whose [ts, ts+gap) windows overlap, so a session SPLITS exactly

@@ -81,11 +81,15 @@ class PlanShapeSpec extends SparkSpec {
       s"payload rides a shuffle:\n$plan")
   }
 
-  test("canonicalizeUrl is a pure narrow projection (zero Exchange)") {
+  test("canonicalizeUrl / upsampleByWeight are pure narrow ops (zero Exchange)") {
     val df = Seq((1L, "https://h.example:8080/x?b=1&utm_source=a")).toDF("id", "url")
     val plan = Curation.canonicalizeUrl(df, "url")
       .queryExecution.executedPlan.toString
     assert(shuffles(plan) == 0, s"canonicalizeUrl shuffled:\n$plan")
+    val up = Seq((1L, 2500L)).toDF("id", "w")
+    val p2 = Curation.upsampleByWeight(up, "id", "w", "s")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p2) == 0, s"upsampleByWeight shuffled:\n$p2")
   }
 
   test("cooccurrence / bigramCoverage join their token streams against BROADCAST vocabularies") {

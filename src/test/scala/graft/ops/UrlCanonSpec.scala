@@ -47,4 +47,20 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://H.example:8443/CaseSensitive/Path?zz=1&aa=2") ==
       Seq(Some("https://h.example:8443/CaseSensitive/Path?aa=2&zz=1")))
   }
+
+  test("canonicalizeUrl: never throws on garbage; output is null or re-canonicalizes to itself (property)") {
+    val gen = new scala.util.Random(11)
+    val frags = Seq("http://", "https://", "HTTP://", "host", ".com", ":80", ":443",
+      ":x9", "/p th", "?a=1", "&utm_x=2", "#f", "??", "//", "%%%", " ", "ftp:/",
+      "é", "=", "&&")
+    val urls = (0 until 200).map(_ =>
+      (0 until 1 + gen.nextInt(6)).map(_ => frags(gen.nextInt(frags.length))).mkString)
+    val once = canon(urls: _*)
+    val nonNull = once.flatten
+    if (nonNull.nonEmpty) {
+      val twice = canon(nonNull: _*)
+      // idempotence: a canonical form is a fixpoint (and stays parseable)
+      assert(twice.flatten == nonNull, "canonical form is not a fixpoint")
+    }
+  }
 }

@@ -120,4 +120,28 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq((1L, 1L, true), (2L, 1L, false), (3L, 2L, true)), s"got $rows")
     } finally q.stop()
   }
+
+  test("windowedDistinctSketch: HLL registers merge across micro-batches == one batch pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L // mid-day UTC; all events land in two day-windows
+    val events = (0 until 300).map { i =>
+      (s"user${i % 47}", new Timestamp(t0 + (i % 2) * 86400000L + i * 1000L))
+    }
+    // streaming: three micro-batches, windows SPAN batches
+    val input = MemoryStream[(String, Timestamp)]
+    events.grouped(100).foreach(b => input.addData(b))
+    val q = Streaming.windowedDistinctSketch(
+        input.toDF().toDF("uid", "ts"), "ts", "uid", "1 day", p = 8)
+      .writeStream.format("memory").queryName("wds").outputMode(OutputMode.Complete).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("wds").orderBy("window_start").collect() }
+      finally q.stop()
+    // batch: the same operator over the static frame
+    val batch = Streaming.windowedDistinctSketch(
+        events.toDF("uid", "ts"), "ts", "uid", "1 day", p = 8)
+      .orderBy("window_start").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed.length == 2 && streamed.forall(_.getLong(2) > 0))
+  }
 }
