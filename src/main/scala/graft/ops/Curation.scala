@@ -483,11 +483,15 @@ object Curation {
       .cast("binary")), 1, 8), 16, 10).cast("long") % 1000
     val copies = expr(s"cast($weightMilliCol AS bigint) div 1000L") +
       when(rank < col(weightMilliCol) % 1000, 1L).otherwise(0L)
+    // Multi-alias the generator output: posexplode's default (pos, col)
+    // names would clobber user columns named `pos`/`col` on the
+    // rename/drop below.
     df.withColumn("_copies", copies)
-      .select(col("*"), posexplode(array_repeat(lit(1), col("_copies").cast("int"))))
-      .withColumnRenamed("pos", "copy_no")
+      .select(col("*"),
+        posexplode(array_repeat(lit(1), col("_copies").cast("int")))
+          .as(Seq("copy_no", "_one")))
       .withColumn("copy_no", col("copy_no").cast("long"))
-      .drop("_copies", "col")
+      .drop("_copies", "_one")
   }
 
   /** Out-of-vocabulary statistics — the cheap LM-free fluency signal: how

@@ -345,6 +345,17 @@ class CurationSpec extends SparkSpec {
     assert(other(1L) == 3 && other(2L) == 1 && !other.contains(3L))
   }
 
+  test("upsampleByWeight: user columns named pos/col pass through untouched") {
+    val df = Seq((1L, 2000L, "p1", "c1"), (2L, 1000L, "p2", "c2"))
+      .toDF("id", "w", "pos", "col")
+    val r = Curation.upsampleByWeight(df, "id", "w", seed = "s1")
+    assert(r.columns.toSeq == Seq("id", "w", "pos", "col", "copy_no"))
+    val rows = r.orderBy("id", "copy_no")
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(rows.toSeq == Seq((1L, "p1", "c1", 0L), (1L, "p1", "c1", 1L),
+      (2L, "p2", "c2", 0L)))
+  }
+
   test("upsampleByWeight: fractional keep rate tracks the weight (law of large numbers)") {
     val df = spark.range(4000).select($"id", lit(500L).as("w")) // 0.5x
     val kept = Curation.upsampleByWeight(df, "id", "w", seed = "lln").count()
