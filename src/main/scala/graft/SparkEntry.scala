@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 95 queries spanning every implemented operator family
+/** Driver contract — 98 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -79,7 +79,13 @@ import graft.temporal.{AsOfJoin, Windows}
   * mixture upsampling (fixed-point domain weights, md5 fractional coin —
   * the realized training mix is a pure function of seed+id), q95 the HLL
   * sketch as Structured Streaming STATE (per-day distinct estimates whose
-  * register buffers merge across micro-batches in the state store).
+  * register buffers merge across micro-batches in the state store), q96
+  * greedy token-budget selection (the global score-ordered prefix sum
+  * decomposed into score-level offsets + within-score windows), q97
+  * DSIR-style hashed importance weights (fixed-point density-ratio
+  * scoring against a target subset, decimal(38,0) products + div), q98
+  * winnowed fingerprint overlap (MOSS winnowing — substring-level
+  * partial-dup pairs doc-level Jaccard can't see).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1839,6 +1845,50 @@ object SparkEntry {
         java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
       s.catalog.dropTempView(sink)
       result.orderBy(col("window_start"))
+    }),
+
+    // ---- q96: greedy token-budget selection — the global (score desc,
+    //      id asc) inclusive prefix sum decomposed into score-level
+    //      offsets + within-score windows (never one global window).
+    //      Score is the quantized distinct-word percent (0-100, so score
+    //      ties bind across documents), tokens the word count — integers
+    //      only, and the 20k budget cuts mid-corpus so kept and rejected
+    //      rows both exist. ----
+    "q96_token_budget" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9_']+"), lit(0)).as("_w"))
+        .select(col("doc_id"), size(col("_w")).cast("long").as("n_tokens"),
+          when(size(col("_w")) === 0, 0L)
+            .otherwise(expr("(100L * size(array_distinct(_w))) div size(_w)"))
+            .as("score"))
+      graft.ops.Curation.selectByTokenBudget(base, "doc_id", "n_tokens",
+          "score", budgetTokens = 20000L)
+        .select(col("doc_id"), col("score"), col("n_tokens"),
+          col("cum_tokens"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q97: DSIR-style hashed importance weights — every product in
+    //      decimal(38,0), div truncation, md5 buckets: the fixed-point
+    //      density-ratio score replays exactly in HUGEINT SQL. Target
+    //      distribution = the corpus's own English rows. ----
+    "q97_importance_weights" -> ((s, dir) => {
+      graft.ops.Curation.importanceWeights(
+          t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+          "doc_id", "text", "is_en", nBuckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q98: winnowed fingerprint overlap (MOSS) — SUBSTRING-level
+    //      partial-dup pairs doc-level Jaccard can't see. maxFpDf lifted
+    //      above the corpus size so the output equals the oracle's exact
+    //      fingerprint-set predicate (q37 precedent: production keeps the
+    //      boilerplate cap). ----
+    "q98_winnow_overlap" -> ((s, dir) => {
+      graft.ops.Dedup.winnowedOverlapPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 4, windowW = 5, minShared = 2,
+          maxFpDf = 1000000)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3201,7 +3251,66 @@ object SparkEntry {
         |SELECT make_timestamp(cnt.wus) AS window_start,
         |  make_timestamp(cnt.wus + 86400000000) AS window_end,
         |  est.est_distinct, cnt.events
-        |FROM cnt JOIN est USING (wus) ORDER BY window_start""".stripMargin)
+        |FROM cnt JOIN est USING (wus) ORDER BY window_start""".stripMargin,
+
+    // q96: the same global (score desc, doc_id asc) inclusive running sum,
+    // as ONE window — the oracle is allowed the global sort the engine
+    // decomposes away; integer-exact score and cum
+    "q96_token_budget" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents),
+        |b AS (SELECT doc_id, cast(len(w) AS bigint) AS n_tokens,
+        |        cast(CASE WHEN len(w) = 0 THEN 0
+        |             ELSE (100 * len(list_distinct(w))) // len(w) END AS bigint) AS score
+        |      FROM t),
+        |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b)
+        |SELECT doc_id, score, n_tokens, cast(cum AS bigint) AS cum_tokens,
+        |  cum <= 20000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q97: md5-bucketed token stream; Laplace-smoothed fixed-point weight
+    // in HUGEINT with // truncation — bit-for-bit the engine's
+    // decimal(38,0) div
+    "q97_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tok
+        |        FROM documents)),
+        |counts AS (SELECT b, count(*) AS raw,
+        |             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t
+        |           FROM toks GROUP BY b),
+        |tot AS (SELECT sum(raw) AS rawtot, sum(t) AS ttot FROM counts),
+        |w AS (SELECT b, (1000000::HUGEINT * (t + 1) * (rawtot + 64))
+        |        // ((raw + 1)::HUGEINT * (ttot + 64)) AS w
+        |      FROM counts, tot),
+        |perdoc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS imp_sum
+        |           FROM toks JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(n_tokens, 0) AS bigint) AS n_tokens,
+        |  cast(coalesce(imp_sum, 0) AS bigint) AS imp_sum
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q98: winnowing replayed with list ops — per-position 4-gram md5
+    // hashes, min of each 5-hash window, distinct mins as the fingerprint
+    // set, pairs by shared-count
+    "q98_winnow_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+        |        i -> ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT) AS h
+        |      FROM w),
+        |fp AS (SELECT doc_id, unnest(list_distinct(CASE
+        |         WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(h) <= 5 THEN [list_aggregate(h, 'min')]
+        |         ELSE list_transform(range(1, len(h) - 3),
+        |                j -> list_aggregate(h[j:j+4], 'min'))
+        |       END)) AS g FROM h)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  cast(count(*) AS bigint) AS shared_fps
+        |FROM fp x JOIN fp y ON x.g = y.g AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

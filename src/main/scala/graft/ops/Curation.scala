@@ -568,4 +568,103 @@ object Curation {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("oov_count"), lit(0L)).as("oov_count"))
   }
+
+  /** Greedy token-budget corpus selection — "take the best documents until
+    * the training budget is spent" as ONE deterministic rule: order the
+    * corpus by (scoreCol desc, idCol asc) and keep every row whose
+    * INCLUSIVE running token total still fits `budgetTokens`. Emits the
+    * audit trail instead of filtering: every input column + `cum_tokens`
+    * (the row's inclusive prefix total in that global order) + `kept`;
+    * `where(kept)` IS the selected corpus and the rejected rows carry the
+    * exact budget position that excluded them.
+    *
+    * Scale shape — a distributed EXACT prefix sum, never a global
+    * single-partition window over the corpus: per-score token totals are
+    * one map-side-combined aggregate; the cross-score exclusive offsets
+    * are a window over that SCORE-LEVEL table only (scoreCol is
+    * contractually a QUANTIZED policy score — tens to thousands of
+    * distinct values, so the table is corpus-bounded and BROADCASTS back);
+    * the within-score running sum partitions by score. Parallelism of the
+    * final window = #distinct scores, so a single hot score value
+    * concentrates its rows in one task — quantize no coarser than the
+    * policy needs. Ties inside a score break on idCol: the global order
+    * (score desc, id asc) is total and engine-independent.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                          scoreCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val tok = col(tokensCol).cast("long")
+    val perScore = df.groupBy(col(scoreCol).as("_s")).agg(sum(tok).as("_stot"))
+    // exclusive prefix across scores, descending — score-level rows only
+    val offW = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perScore.select(col("_s"),
+      coalesce(sum(col("_stot")).over(offW), lit(0L)).as("_off"))
+    val inW = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(offsets), col(scoreCol) === col("_s"))
+      .withColumn("cum_tokens", (col("_off") + sum(tok).over(inW)).cast("long"))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .drop("_s", "_off")
+  }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — published method):
+    * score each document by how much more likely its tokens are under a
+    * TARGET distribution than under the raw corpus, both distributions
+    * estimated over `nBuckets` hashed unigram buckets. All arithmetic is
+    * fixed-point integer — Laplace-smoothed ratio scaled by `scale`,
+    * products carried in decimal(38,0), `div` truncation — so the weights
+    * replay bit-for-bit in any engine:
+    *
+    *   w(b)    = (scale * (target_b + 1) * (rawTotal + nBuckets))
+    *             div ((raw_b + 1) * (targetTotal + nBuckets))
+    *   imp_sum = sum over token OCCURRENCES of w(bucket(token))
+    *
+    * `targetCol` is a boolean marking the in-target rows (a trusted
+    * high-quality subset); the bucket is the first 32 md5 bits of the
+    * token mod nBuckets (the repo's standard oracle-replayable hash).
+    * Output: one row per input row — (idCol, n_tokens, imp_sum); rank by
+    * imp_sum/n_tokens or feed a normalized imp_sum to
+    * [[upsampleByWeight]] as the resampling policy.
+    *
+    * Scale shape: the token stream is slim (id, bucket, flag); BOTH
+    * distributions come from ONE map-side-combined aggregate over it; the
+    * weight table is nBuckets rows — BROADCAST; per-doc scoring joins the
+    * token stream against that broadcast and re-aggregates by id. Text
+    * never shuffles. Overflow audit: scale(1e6) x (t_b+1)(<=1e13) x
+    * (rawTotal+nB)(<=1e15) ~ 1e34 < 10^38, so decimal(38,0) carries a
+    * 100-TB corpus; the QUOTIENT is ~scale x density-ratio and imp_sum
+    * <= n_tokens x max-weight — both comfortably bigint.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetCol: String, nBuckets: Int,
+                        scale: Long = 1000000L): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(scale > 0, "scale must be positive")
+    val toks = df.select(col(idCol), col(targetCol).cast("boolean").as("_tgt"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+          .as("_tok"))
+      .select(col(idCol), col("_tgt"),
+        (conv(substring(md5(col("_tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nBuckets).as("_b"))
+    val counts = toks.groupBy(col("_b")).agg(
+      count(lit(1)).as("_raw"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"))
+    val totals = counts.agg(sum(col("_raw")).as("_rawTot"), sum(col("_t")).as("_tTot"))
+    val weights = counts.crossJoin(broadcast(totals)).select(col("_b"),
+      expr(s"""(cast($scale AS decimal(38,0)) * cast(_t + 1 AS decimal(38,0))
+              |  * cast(_rawTot + $nBuckets AS decimal(38,0)))
+              | div
+              |(cast(_raw + 1 AS decimal(38,0))
+              |  * cast(_tTot + $nBuckets AS decimal(38,0)))""".stripMargin)
+        .as("_w"))
+    val perDoc = toks.join(broadcast(weights), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_w")).as("imp_sum"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("imp_sum"), lit(0L)).cast("long").as("imp_sum"))
+  }
 }

@@ -420,4 +420,64 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).as("kept"))
   }
+
+  /** Winnowed fingerprint overlap — SUBSTRING-level partial-duplicate
+    * detection (Schleimer/Wilkerson/Aiken 2003, the MOSS winnowing
+    * algorithm — published method). Doc-level Jaccard (minHash / ngram)
+    * misses a copied paragraph inside an otherwise-different page; this
+    * finds it, with the winnowing guarantee: any shared token run of
+    * length >= windowW + k - 1 contributes at least one COMMON fingerprint
+    * to both documents.
+    *
+    * Fingerprints: hash every word k-gram (first 32 md5 bits — the repo's
+    * standard oracle-replayable hash), slide a window of `windowW`
+    * consecutive k-gram hashes and keep each window's MIN; the document's
+    * fingerprint set is the distinct mins (a document with fewer than
+    * windowW k-grams contributes the min over what it has; no k-grams —
+    * no fingerprints). Pairs sharing >= minShared distinct fingerprints
+    * are emitted as (id_a, id_b, shared_fps), id_a < id_b.
+    *
+    * Scale shape: fingerprinting is a narrow per-row projection of
+    * built-in array HOFs (~|tokens| x windowW comparisons; the
+    * deque-optimal scan would not change what gets read or shuffled), and
+    * winnowing's expected density is 2/(windowW+1) fingerprints per
+    * token, so the inverted index is a FRACTION of the all-shingles q37
+    * index. Pairing is the same df-pruned inverted-index self-join as
+    * [[ngramJaccardPairs]]: hot fingerprints (site boilerplate) are
+    * dropped by the maxFpDf anti-join BEFORE the join fan-out, and the
+    * pruned postings join carries only (id, fingerprint) — text never
+    * rides an exchange.
+    */
+  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 4, windowW: Int = 5, minShared: Int = 2,
+                           maxFpDf: Int = 1000): DataFrame = {
+    require(k > 0 && windowW > 0, "k and windowW must be positive")
+    require(minShared > 0, "minShared must be positive")
+    val fps = df.select(col(idCol).as("_id"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)).as("_w"))
+      .withColumn("_h", expr(
+        s"""transform(slice(_w, 1, greatest(size(_w) - ${k - 1}, 0)),
+           |  (x, i) -> cast(conv(substring(md5(cast(
+           |    concat_ws(' ', slice(_w, i + 1, $k)) AS binary)), 1, 8), 16, 10)
+           |    AS bigint))""".stripMargin))
+      .withColumn("_fp", expr(
+        s"""array_distinct(CASE
+           |  WHEN size(_h) = 0 THEN cast(array() AS array<bigint>)
+           |  WHEN size(_h) <= $windowW THEN array(array_min(_h))
+           |  ELSE transform(sequence(1, size(_h) - ${windowW - 1}),
+           |         j -> array_min(slice(_h, j, $windowW)))
+           |END)""".stripMargin))
+      .select(col("_id"), explode(col("_fp")).as("_g"))
+    // document-frequency pruning before the self-join fan-out — same
+    // combiner-aggregate + anti-join shape (and rationale) as
+    // ngramJaccardPairs
+    val hot = fps.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxFpDf).select(col("_g"))
+    val pruned = fps.join(hot, Seq("_g"), "left_anti")
+    pruned.as("x").join(pruned.as("y"), col("x._g") === col("y._g"))
+      .where(col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Token-budget selection, DSIR importance weights, winnowed partial-dup
+  * overlap: brute-force parity, determinism under repartition, and the
+  * winnowing detection guarantee.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- selectByTokenBudget ----
+
+  private def budgetInput(n: Int) =
+    (1 to n).map(i => (i.toLong, (i * 7 % 19 + 1).toLong, (i * 13 % 6).toLong))
+      .toDF("id", "tokens", "score")
+
+  test("selectByTokenBudget matches the driver-side brute force, repartition-stable") {
+    val df = budgetInput(200)
+    val budget = 700L
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: global (score desc, id asc) inclusive cumsum
+    var cum = 0L
+    val expected = rows.sortBy { case (id, _, s) => (-s, id) }.map { case (id, tk, s) =>
+      cum += tk
+      (id, cum, cum <= budget)
+    }.map(t => (t._1, (t._2, t._3))).toMap
+
+    for (d <- Seq(df, df.repartition(7))) {
+      val got = Curation.selectByTokenBudget(d, "id", "tokens", "score", budget)
+        .select($"id", $"cum_tokens", $"kept").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("selectByTokenBudget: budget 0 keeps nothing; huge budget keeps everything") {
+    val df = budgetInput(30)
+    val none = Curation.selectByTokenBudget(df, "id", "tokens", "score", 0L)
+    assert(none.where($"kept").count() === 0L)
+    assert(none.count() === 30L)
+    val all = Curation.selectByTokenBudget(df, "id", "tokens", "score", Long.MaxValue / 2)
+    assert(all.where(!$"kept").count() === 0L)
+  }
+
+  // ---- importanceWeights ----
+
+  test("importanceWeights matches an independent BigInt reimplementation") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry", true),
+      (2L, "banana banana cherry", true),
+      (3L, "xyzzy quux flurb xyzzy", false),
+      (4L, "apple xyzzy", false),
+      (5L, "", false)
+    ).toDF("id", "text", "is_target")
+    val nB = 16
+    val scale = 1000000L
+
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % nB
+    }
+    val toks = docs.collect().flatMap { r =>
+      "[a-z0-9_']+".r.findAllIn(r.getString(1).toLowerCase)
+        .map(t => (r.getLong(0), bucket(t), r.getBoolean(2))).toSeq
+    }
+    val raw = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tgt = toks.groupBy(_._2).view.mapValues(_.count(_._3).toLong).toMap
+    val rawTot = toks.size.toLong
+    val tgtTot = toks.count(_._3).toLong
+    def w(b: Long): Long =
+      ((BigInt(scale) * BigInt(tgt(b) + 1) * BigInt(rawTot + nB)) /
+        (BigInt(raw(b) + 1) * BigInt(tgtTot + nB))).toLong
+    val expected = (1L to 5L).map { id =>
+      val mine = toks.filter(_._1 == id)
+      (id, (mine.size.toLong, mine.map(t => w(t._2)).sum))
+    }.toMap
+
+    for (d <- Seq(docs, docs.repartition(3))) {
+      val got = Curation.importanceWeights(d, "id", "text", "is_target", nB, scale)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("importanceWeights ranks target-like held-out docs above off-target ones") {
+    // target rows use the fruit vocabulary, background uses the junk one;
+    // two held-out docs (not target-flagged) are scored by association
+    val base = (1 to 20).map(i => (i.toLong, "apple banana cherry date", true)) ++
+      (21 to 40).map(i => (i.toLong, "xyzzy quux flurb grault", false))
+    val docs = (base ++ Seq(
+      (100L, "apple banana date banana", false),
+      (101L, "quux flurb xyzzy grault", false))).toDF("id", "text", "is_target")
+    val got = Curation.importanceWeights(docs, "id", "text", "is_target", 64)
+      .where($"id" >= 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(got(100L) > got(101L))
+  }
+
+  // ---- winnowedOverlapPairs ----
+
+  private val junk1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val junk2 = "one two three four five six seven eight nine ten " +
+    "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+  private val copied = "the quick brown fox jumps over the lazy dog while seven " +
+    "wizards brew tonic under moonlight near ancient stone bridges every autumn evening"
+
+  test("winnowing guarantee: a copied run >= windowW + k - 1 tokens is detected") {
+    val docs = Seq(
+      (1L, junk1 + " " + copied + " " + junk1),
+      (2L, junk2 + " " + copied + " " + junk2),
+      (3L, junk2 + " " + junk2 + " " + junk2)
+    ).toDF("id", "text")
+    for (d <- Seq(docs, docs.repartition(5))) {
+      val pairs = Dedup.winnowedOverlapPairs(d, "id", "text",
+        k = 4, windowW = 5, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), "shared paragraph must be found")
+      // doc 3 (junk2 repeated) legitimately overlaps doc 2's junk2 frame —
+      // that IS a partial dup — but shares no 4-gram with doc 1
+      assert(!pairs.contains((1L, 3L)), "doc 3 shares no k-gram with doc 1")
+      assert(pairs.contains((2L, 3L)), "doc 3's junk2 run is a real partial dup of doc 2")
+    }
+    // the doc-LEVEL jaccard view is blind to this pair at dedup thresholds
+    val j = Dedup.ngramJaccardPairs(docs, "id", "text", n = 4,
+      threshold = 0.5, maxShingleDf = 1000)
+    assert(j.where($"id_a" === 1L && $"id_b" === 2L).isEmpty,
+      "whole-doc jaccard misses the partial overlap winnowing finds")
+  }
+
+  test("winnowedOverlapPairs: identical docs share their whole fingerprint set; short docs fingerprint as one min") {
+    val docs = Seq((1L, copied), (2L, copied), (3L, "tiny doc here"), (4L, "tiny doc here"))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowedOverlapPairs(docs, "id", "text",
+      k = 4, windowW = 5, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 2L)
+    // 3 words with k=4 -> zero k-grams -> no fingerprints -> no pair
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("winnowedOverlapPairs df pruning drops boilerplate fingerprints") {
+    // the same boilerplate sentence in every doc; unique tails
+    val docs = (1 to 12).map(i =>
+      (i.toLong, junk1 + s" unique$i tail$i marker$i close$i end$i"))
+      .toDF("id", "text")
+    // boilerplate fps hit df=12 > 3 -> pruned -> no pair reaches minShared
+    val pruned = Dedup.winnowedOverlapPairs(docs, "id", "text",
+      k = 4, windowW = 5, minShared = 1, maxFpDf = 3)
+    assert(pruned.isEmpty)
+    // with the cap lifted the boilerplate pairs everything
+    val full = Dedup.winnowedOverlapPairs(docs, "id", "text",
+      k = 4, windowW = 5, minShared = 1, maxFpDf = 1000)
+    assert(full.count() === (12L * 11L) / 2L)
+  }
+}
