@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 98 queries spanning every implemented operator family
+/** Driver contract — 101 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -85,7 +85,12 @@ import graft.temporal.{AsOfJoin, Windows}
   * DSIR-style hashed importance weights (fixed-point density-ratio
   * scoring against a target subset, decimal(38,0) products + div), q98
   * winnowed fingerprint overlap (MOSS winnowing — substring-level
-  * partial-dup pairs doc-level Jaccard can't see).
+  * partial-dup pairs doc-level Jaccard can't see), q99 near-dup dedup with
+  * quality-scored canonical selection (keep the best variant, not the
+  * smallest id), q100 incremental near-dup dedup against a ledger
+  * (ledger_dup / shard_dup / kept statuses — idempotent continuous
+  * ingestion), q101 robots-style URL policy (longest-prefix match, deny
+  * wins ties, broadcast rule table).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1889,6 +1894,69 @@ object SparkEntry {
           "doc_id", "text", k = 4, windowW = 5, minShared = 2,
           maxFpDf = 1000000)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- q99: near-dup dedup with QUALITY-scored canonical selection —
+    //      the production policy (keep the longest/best variant, not the
+    //      accidental smallest id). Same corpus as q92; the mutated copies
+    //      are LONGER, so `kept` flips to them wherever q92 kept the
+    //      original — the scored path visibly diverges from min-id, and
+    //      exact-dup clusters (equal lengths) exercise the id tie-break. ----
+    "q99_neardup_keepby" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.nearDupDedup(
+          docs.unionByName(mutated)
+            .withColumn("quality", length(col("text")).cast("long")),
+          "id", "text", numHashes = 64, numBands = 32, shingleSize = 3,
+          jaccard = 0.8, keepByCol = Some("quality"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- q100: INCREMENTAL near-dup dedup against a ledger — continuous
+    //      ingestion never re-dedups the corpus. The shard carries all
+    //      three outcomes by construction: mutated ledger near-dups
+    //      (ledger_dup where J >= 0.8, decided by the oracle's exact
+    //      predicate), synthetic novel docs (kept), and a second copy of
+    //      each novel doc (shard_dup canonicalized to the first). ----
+    "q100_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val ids = col("id").cast("string")
+      val synth = concat_ws(" ", lit("novel"), ids, lit("alpha"), ids,
+        lit("beta"), ids, lit("gamma"), ids, lit("delta"), ids)
+      val mutated = docs.select((col("id") + 200000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      val novel1 = docs.select((col("id") + 500000L).as("id"), synth.as("text"))
+      val novel2 = docs.select((col("id") + 600000L).as("id"), synth.as("text"))
+      Dedup.nearDupIncremental(
+          mutated.unionByName(novel1).unionByName(novel2), docs,
+          "id", "text", numHashes = 64, numBands = 32, shingleSize = 3,
+          jaccard = 0.8)
+        .orderBy(col("id"))
+    }),
+
+    // ---- q101: robots-style URL policy — longest matching path_prefix
+    //      per exact host decides, deny wins length ties, no rule means
+    //      allowed. Three-level override chain (/docs/ allow -> /docs/zh
+    //      deny -> /docs/zh/d1 re-allow) plus unmatched /raw paths. ----
+    "q101_url_policy" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("/raw/d"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/docs/"), col("lang"), lit("/d"),
+            col("doc_id").cast("string"))).as("path"))
+      val rules = t(s, dir, "documents")
+        .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
+        .select(col("host"), explode(array(
+          struct(lit("/docs/").as("path_prefix"), lit(true).as("allow")),
+          struct(lit("/docs/zh").as("path_prefix"), lit(false).as("allow")),
+          struct(lit("/docs/zh/d1").as("path_prefix"), lit(true).as("allow"))))
+          .as("r"))
+        .select(col("host"), col("r.path_prefix"), col("r.allow"))
+      graft.ops.Curation.applyUrlPolicy(pages, "host", "path", rules)
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3310,7 +3378,121 @@ object SparkEntry {
         |  cast(count(*) AS bigint) AS shared_fps
         |FROM fp x JOIN fp y ON x.g = y.g AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q99: q92's closure with scored canonical selection — argmax
+    // (length desc, id asc) per cluster instead of min id
+    "q99_neardup_keepby" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0 AND
+        |    cast(len(list_intersect(a.s, b.s)) AS double) /
+        |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |lab AS (SELECT d.id, coalesce(cl.cluster_id, d.id) AS cluster_id
+        |        FROM docs d LEFT JOIN cl USING (id)),
+        |sz AS (SELECT cluster_id, cast(count(*) AS bigint) AS cluster_size
+        |       FROM lab GROUP BY cluster_id),
+        |can AS (SELECT lab.id, row_number() OVER (PARTITION BY lab.cluster_id
+        |          ORDER BY length(d.text) DESC, lab.id ASC) AS rn
+        |        FROM lab JOIN docs d ON lab.id = d.id)
+        |SELECT lab.id, lab.cluster_id, sz.cluster_size, can.rn = 1 AS kept
+        |FROM lab JOIN sz USING (cluster_id) JOIN can ON lab.id = can.id
+        |ORDER BY lab.id""".stripMargin,
+
+    // q100: the incremental contract replayed exactly — incoming-vs-ledger
+    // exact-jaccard (min matching ledger id), then q92's recursive closure
+    // over the survivors only
+    "q100_neardup_incremental" ->
+      """WITH RECURSIVE led AS (SELECT doc_id AS id, text FROM documents),
+        |inc AS (
+        |  SELECT doc_id + 200000 AS id, 'prefixtoken ' || text AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'novel ' || cast(doc_id AS varchar) ||
+        |    ' alpha ' || cast(doc_id AS varchar) || ' beta ' || cast(doc_id AS varchar) ||
+        |    ' gamma ' || cast(doc_id AS varchar) || ' delta ' || cast(doc_id AS varchar)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, 'novel ' || cast(doc_id AS varchar) ||
+        |    ' alpha ' || cast(doc_id AS varchar) || ' beta ' || cast(doc_id AS varchar) ||
+        |    ' gamma ' || cast(doc_id AS varchar) || ' delta ' || cast(doc_id AS varchar)
+        |  FROM documents),
+        |shl AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM led)
+        |        WHERE len(w) >= 3),
+        |shi AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |        FROM (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM inc)
+        |        WHERE len(w) >= 3),
+        |ldup AS (SELECT i.id, min(l.id) AS dup_of
+        |         FROM shi i JOIN shl l ON
+        |           len(list_intersect(i.s, l.s)) > 0 AND
+        |           cast(len(list_intersect(i.s, l.s)) AS double) /
+        |           cast(len(i.s) + len(l.s) - len(list_intersect(i.s, l.s)) AS double) >= 0.8
+        |         GROUP BY i.id),
+        |rest AS (SELECT * FROM shi WHERE id NOT IN (SELECT id FROM ldup)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rest a JOIN rest b ON a.id < b.id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0 AND
+        |    cast(len(list_intersect(a.s, b.s)) AS double) /
+        |    cast(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS double) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |lab AS (SELECT i.id, coalesce(cl.cluster_id, i.id) AS cluster_id
+        |        FROM inc i LEFT JOIN cl ON i.id = cl.id
+        |        WHERE i.id NOT IN (SELECT id FROM ldup))
+        |SELECT id, status, dup_of FROM (
+        |  SELECT id, 'ledger_dup' AS status, dup_of FROM ldup
+        |  UNION ALL
+        |  SELECT id, CASE WHEN id = cluster_id THEN 'kept' ELSE 'shard_dup' END,
+        |         CASE WHEN id = cluster_id THEN NULL ELSE cluster_id END
+        |  FROM lab)
+        |ORDER BY id""".stripMargin,
+
+    // q101: longest-prefix policy replayed with a row_number argmin —
+    // length desc, deny first, prefix bytewise-largest (the engine's
+    // struct-max order)
+    "q101_url_policy" ->
+      """WITH pages AS (SELECT doc_id, source || '.example.com' AS host,
+        |  CASE WHEN doc_id % 11 = 0 THEN '/raw/d' || cast(doc_id AS varchar)
+        |       ELSE '/docs/' || lang || '/d' || cast(doc_id AS varchar) END AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT DISTINCT source || '.example.com' AS host, r.path_prefix, r.allow
+        |  FROM documents,
+        |    (VALUES ('/docs/', true), ('/docs/zh', false), ('/docs/zh/d1', true))
+        |      AS r(path_prefix, allow)),
+        |m AS (SELECT p.doc_id, r.path_prefix, r.allow,
+        |        row_number() OVER (PARTITION BY p.doc_id
+        |          ORDER BY length(r.path_prefix) DESC, r.allow ASC,
+        |                   r.path_prefix DESC) AS rn
+        |      FROM pages p JOIN rules r
+        |        ON p.host = r.host AND starts_with(p.path, r.path_prefix))
+        |SELECT p.doc_id, p.host, p.path, m.path_prefix AS matched_prefix,
+        |  coalesce(m.allow, true) AS allowed
+        |FROM pages p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -637,6 +637,41 @@ object Curation {
     * 100-TB corpus; the QUOTIENT is ~scale x density-ratio and imp_sum
     * <= n_tokens x max-weight — both comfortably bigint.
     */
+  /** Robots-style URL policy — rules are (host, path_prefix, allow) rows;
+    * for each page the LONGEST matching path_prefix among its exact-host
+    * rules decides (RFC 9309 / Google robots.txt longest-match semantics;
+    * on a length tie, deny wins, then the bytewise-largest prefix — a
+    * total, engine-independent order; the prefix tie-break can only
+    * affect which prefix is REPORTED, never the decision). No matching
+    * rule → allowed.
+    * Emits every input column + `matched_prefix` (null when no rule
+    * matched) + `allowed`; `where(col("allowed"))` filters.
+    *
+    * Scale shape: ZERO SHUFFLE for the corpus — the policy-sized rule
+    * table is packed into ONE broadcast row (collect_list of structs) and
+    * the longest-match argmax runs as row-local array HOFs under the
+    * broadcast nested-loop join; the page payload never moves. The rule
+    * set must be policy-sized (it lives in one array cell); for
+    * crawl-scale policies in the millions of rules, join on host first.
+    */
+  def applyUrlPolicy(df: DataFrame, hostCol: String, pathCol: String,
+                     rules: DataFrame): DataFrame = {
+    val packed = broadcast(rules.agg(collect_list(struct(
+      col("host").cast("string").as("host"),
+      col("path_prefix").cast("string").as("path_prefix"),
+      col("allow").cast("boolean").as("allow"))).as("_rules")))
+    df.crossJoin(packed)
+      .withColumn("_best", expr(
+        s"""array_max(transform(
+           |  filter(_rules, r -> r.host = $hostCol
+           |                      AND startswith($pathCol, r.path_prefix)),
+           |  r -> struct(length(r.path_prefix) AS l, NOT r.allow AS deny,
+           |              r.path_prefix AS p, r.allow AS a)))""".stripMargin))
+      .withColumn("matched_prefix", col("_best.p"))
+      .withColumn("allowed", coalesce(col("_best.a"), lit(true)))
+      .drop("_rules", "_best")
+  }
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetCol: String, nBuckets: Int,
                         scale: Long = 1000000L): DataFrame = {

@@ -383,7 +383,14 @@ object Dedup {
     *        probabilistic 1 at sane banding; the verify makes the pair set
     *        exactly {J >= jaccard}, so downstream is deterministic)
     *     -> connected components over the dup graph ([[clusters]])
-    *     -> canonical selection: min id per component.
+    *     -> canonical selection: min id per component, or — when
+    *        `keepByCol` names a score column on `df` — the component's
+    *        best row by (score desc, id asc), the production policy of
+    *        keeping the longest/highest-quality variant instead of the
+    *        accidental smallest id. The scored path ranks inside a
+    *        cluster-partitioned window: dup clusters are small by nature,
+    *        but a pathological giant cluster concentrates in one task —
+    *        the min-id default has no such window.
     *
     * Output: one row PER INPUT ROW — (idCol, cluster_id, cluster_size,
     * kept). Singletons are their own cluster of size 1; `kept` marks the
@@ -398,7 +405,8 @@ object Dedup {
     */
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, numBands: Int = 32,
-                   shingleSize: Int = 5, jaccard: Double = 0.8): DataFrame = {
+                   shingleSize: Int = 5, jaccard: Double = 0.8,
+                   keepByCol: Option[String] = None): DataFrame = {
     val cands = minHashPairs(df, idCol, textCol, numHashes, numBands,
       threshold = 0.0, shingleSize = shingleSize)
     val sh = df.select(col(idCol).as("_sid"),
@@ -416,9 +424,19 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     val sizes = labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, Seq("cluster_id"))
-      .select(col(idCol), col("cluster_id"), col("cluster_size"),
-        (col(idCol) === col("cluster_id")).as("kept"))
+    val base = labeled.join(sizes, Seq("cluster_id"))
+    keepByCol match {
+      case None =>
+        base.select(col(idCol), col("cluster_id"), col("cluster_size"),
+          (col(idCol) === col("cluster_id")).as("kept"))
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("_keep_score").desc, col(idCol).asc)
+        base.join(df.select(col(idCol), col(sc).as("_keep_score")), Seq(idCol))
+          .withColumn("kept", row_number().over(w) === 1)
+          .select(col(idCol), col("cluster_id"), col("cluster_size"), col("kept"))
+    }
   }
 
   /** Winnowed fingerprint overlap — SUBSTRING-level partial-duplicate
@@ -479,5 +497,60 @@ object Dedup {
       .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
+  }
+
+  /** Incremental NEAR-dup dedup against a ledger of already-kept documents
+    * — the MinHash/LSH dual of [[exactIncremental]], for continuous
+    * ingestion: a new shard never re-dedups the corpus. One row per
+    * incoming row, `status` in:
+    *
+    *  - `ledger_dup`: exact shingle-Jaccard >= `jaccard` against some
+    *    ledger document; `dup_of` = the smallest matching ledger id.
+    *  - `shard_dup`: survives the ledger but loses the within-shard
+    *    [[nearDupDedup]] canonical selection; `dup_of` = its cluster
+    *    canonical (min id).
+    *  - `kept`: append to the corpus (and to the ledger) — re-ingesting a
+    *    kept document later lands it in `ledger_dup`, so ingestion is
+    *    idempotent one similarity notch up from exactIncremental.
+    *
+    * Scale shape: both sides reduce to banded signature buckets before
+    * anything wide; the corpus-sized ledger is PROBED by a (band, bucket)
+    * equi-join — never all-pairs, never broadcast — and the exact shingle
+    * verify touches candidate pairs only. Cost is O(shard work) + the
+    * bucket-join fan-in; the ledger's text is read but never self-joined.
+    */
+  def nearDupIncremental(incoming: DataFrame, ledger: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 128, numBands: Int = 32,
+                         shingleSize: Int = 5, jaccard: Double = 0.8): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    def banded(df: DataFrame) = df.select(col(idCol).as("_id"),
+        minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("_band", "_bucket")))
+      .select(col("_band"), col("_bucket"), col("_id"))
+    def sh(df: DataFrame) = df.select(col(idCol).as("_sid"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+    val cands = banded(incoming).withColumnRenamed("_id", "_in")
+      .join(banded(ledger).withColumnRenamed("_id", "_led"), Seq("_band", "_bucket"))
+      .select(col("_in"), col("_led")).distinct()
+    val ledgerDups = cands
+      .join(sh(incoming).select(col("_sid").as("_in"), col("_sh").as("_sa")), Seq("_in"))
+      .join(sh(ledger).select(col("_sid").as("_led"), col("_sh").as("_sb")), Seq("_led"))
+      .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
+        jaccard_sorted(col("_sa"), col("_sb")) >= jaccard)
+      .groupBy(col("_in")).agg(min(col("_led")).as("dup_of"))
+    val rest = incoming.join(ledgerDups.select(col("_in").as(idCol)),
+      Seq(idCol), "left_anti")
+    val within = nearDupDedup(rest, idCol, textCol, numHashes, numBands,
+      shingleSize, jaccard)
+    ledgerDups
+      .select(col("_in").as(idCol), lit("ledger_dup").as("status"), col("dup_of"))
+      .unionByName(within.select(col(idCol),
+        when(col("kept"), lit("kept")).otherwise(lit("shard_dup")).as("status"),
+        when(col("kept"), lit(null)).otherwise(col("cluster_id")).as("dup_of")))
   }
 }

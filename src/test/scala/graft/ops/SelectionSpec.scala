@@ -143,6 +143,80 @@ class SelectionSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  // ---- nearDupDedup keepBy + nearDupIncremental ----
+
+  test("nearDupDedup keepByCol keeps the best-scored row per cluster, min-id on ties") {
+    val docs = Seq(
+      (1L, copied, 10L),
+      (2L, copied + " extra tail words here", 99L), // same cluster, higher score
+      (3L, junk1, 5L),
+      (4L, junk1, 5L) // exact dup of 3, tied score -> min id wins
+    ).toDF("id", "text", "quality")
+    val r = Dedup.nearDupDedup(docs, "id", "text", numHashes = 64,
+        numBands = 32, shingleSize = 3, jaccard = 0.8, keepByCol = Some("quality"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(r(2L) && !r(1L), "higher quality wins the cluster")
+    assert(r(3L) && !r(4L), "score tie falls back to min id")
+    // default (no score) keeps min id everywhere
+    val d = Dedup.nearDupDedup(docs, "id", "text", numHashes = 64,
+        numBands = 32, shingleSize = 3, jaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(d(1L) && !d(2L))
+  }
+
+  test("nearDupIncremental: ledger dups dropped, shard dups canonicalized, ingestion idempotent") {
+    val ledger = Seq((1L, copied), (2L, junk1)).toDF("id", "text")
+    val incoming = Seq(
+      (10L, copied),            // ledger_dup of 1
+      (11L, junk2),             // novel -> kept
+      (12L, junk2),             // within-shard dup of 11 -> shard_dup
+      (13L, junk2 + " y")       // near-dup of 11 -> shard_dup (J high)
+    ).toDF("id", "text")
+    val r = Dedup.nearDupIncremental(incoming, ledger, "id", "text",
+        numHashes = 64, numBands = 32, shingleSize = 3, jaccard = 0.8)
+      .collect().map(r => (r.getLong(0), (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(r(10L) === ("ledger_dup", 1L))
+    assert(r(11L) === ("kept", -1L))
+    assert(r(12L) === ("shard_dup", 11L))
+    assert(r(13L)._1 === "shard_dup")
+    // idempotence: append the kept row to the ledger, re-ingest the shard
+    val ledger2 = ledger.unionByName(Seq((11L, junk2)).toDF("id", "text"))
+    val again = Dedup.nearDupIncremental(incoming, ledger2, "id", "text",
+        numHashes = 64, numBands = 32, shingleSize = 3, jaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again(11L) === "ledger_dup" && again(12L) === "ledger_dup")
+    assert(!again.values.exists(_ == "kept"))
+  }
+
+  // ---- applyUrlPolicy ----
+
+  test("applyUrlPolicy: longest prefix wins, deny beats allow on ties, default allow") {
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/private", false),
+      ("a.com", "/private/ok", true),
+      ("b.com", "/x", false),
+      ("b.com", "/x", true) // tie: deny wins
+    ).toDF("host", "path_prefix", "allow")
+    val pages = Seq(
+      (1L, "a.com", "/index"),          // '/' allow
+      (2L, "a.com", "/private/secret"), // '/private' deny
+      (3L, "a.com", "/private/ok/doc"), // '/private/ok' allow (longest)
+      (4L, "b.com", "/x/thing"),        // tie -> deny
+      (5L, "c.com", "/anything")        // no rule -> default allow
+    ).toDF("id", "host", "path")
+    val r = Curation.applyUrlPolicy(pages, "host", "path", rules)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(r.fieldIndex("allowed")),
+          Option(r.getAs[String]("matched_prefix")).getOrElse("")))).toMap
+    assert(r(1L) === ((true, "/")))
+    assert(r(2L) === ((false, "/private")))
+    assert(r(3L) === ((true, "/private/ok")))
+    assert(r(4L) === ((false, "/x")))
+    assert(r(5L) === ((true, "")))
+  }
+
   test("winnowedOverlapPairs df pruning drops boilerplate fingerprints") {
     // the same boilerplate sentence in every doc; unique tails
     val docs = (1 to 12).map(i =>
