@@ -1957,6 +1957,59 @@ object SparkEntry {
         .select(col("host"), col("r.path_prefix"), col("r.allow"))
       graft.ops.Curation.applyUrlPolicy(pages, "host", "path", rules)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q102: the ZERO-TEMPORAL-LEAKAGE contract as a driver-visible
+    //      query — audit q09's production as-of output per user; the
+    //      oracle recomputes the point-in-time join independently and must
+    //      agree n_leaks = 0 at every entity (and that n_matched agrees
+    //      row for row). ----
+    "q102_leakage_audit" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      val joined = AsOfJoin.asOfBucketed(clicks, purchases, Seq("user_id"),
+        "ts", "pts", lit(86400))
+      AsOfJoin.leakageAudit(joined, Seq("user_id"), "ts", "pts")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- q103: incremental MERGE into the Iceberg-style pages layout —
+    //      a recrawl delta (replacements at existing (url, warc_ts) keys +
+    //      inserts on a brand-new day) upserted with only the touched
+    //      (p_day, p_bucket) partitions rewritten (mtime-asserted in
+    //      PageTableSpec); the read-back corpus must equal the oracle's
+    //      from-scratch reconstruction. ----
+    "q103_pagetable_merge" -> ((s, dir) => {
+      def pages(df: DataFrame) = df.select(
+        concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+        timestamp_seconds(lit(1600000000L) + (col("doc_id") % 45) * 86400L)
+          .as("warc_ts"),
+        col("lang"), col("n_chars"))
+      val path = q103Path.synchronized {
+        q103Path.getOrElseUpdate(dir, {
+          val p = java.nio.file.Files.createTempDirectory("graft_q103").toString
+          val docs = t(s, dir, "documents")
+          graft.sources.PageTable.write(pages(docs), p, nBuckets = 4)
+          val repl = pages(docs.where(col("doc_id") % 10 === 0))
+            .withColumn("n_chars", col("n_chars") + 1000000L)
+          val ins = docs.where(col("doc_id") % 10 === 1).select(
+            concat(lit("https://site"), (col("doc_id") % 13).cast("string"),
+              lit(".org/p/"), col("doc_id").cast("string")).as("url"),
+            timestamp_seconds(lit(1600000000L) + 100L * 86400L + col("doc_id"))
+              .as("warc_ts"),
+            col("lang"), col("n_chars"))
+          graft.sources.PageTable.mergeDelta(s, p, repl.unionByName(ins),
+            nBuckets = 4)
+          p
+        })
+      }
+      graft.sources.PageTable.read(s, path)
+        .select(col("url"), col("warc_ts"), col("lang"), col("n_chars"))
+        .orderBy(col("url"), col("warc_ts"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -1981,6 +2034,7 @@ object SparkEntry {
 
   /** q52's layout directory per sf dir — written once per JVM. */
   private val q52Path = scala.collection.mutable.Map[String, String]()
+  private val q103Path = scala.collection.mutable.Map[String, String]()
 
   /** q60's split-sink directory per sf dir — written once per JVM. */
   private val q60Path = scala.collection.mutable.Map[String, String]()
@@ -3492,7 +3546,46 @@ object SparkEntry {
         |SELECT p.doc_id, p.host, p.path, m.path_prefix AS matched_prefix,
         |  coalesce(m.allow, true) AS allowed
         |FROM pages p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin)
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // q102: the q09 point-in-time join recomputed independently, then the
+    // same per-user audit — n_leaks MUST be 0 everywhere
+    "q102_leakage_audit" ->
+      """WITH j AS (
+        |  SELECT c.user_id, c.ts, p.ts AS pts
+        |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN LATERAL (
+        |    SELECT ts FROM events p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+        |    ORDER BY p.ts DESC, p.value DESC LIMIT 1) p ON true)
+        |SELECT user_id, cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(pts) AS bigint) AS n_matched,
+        |  cast(sum(CASE WHEN pts > ts THEN 1 ELSE 0 END) AS bigint) AS n_leaks,
+        |  cast(0 AS bigint) AS n_stale
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q103: the merged corpus rebuilt from scratch — base minus replaced
+    // keys, plus replacements and the new-day inserts
+    "q103_pagetable_merge" ->
+      """WITH base AS (SELECT
+        |    'https://site' || cast(doc_id % 13 AS varchar) || '.org/p/' || cast(doc_id AS varchar) AS url,
+        |    make_timestamp((1600000000 + (doc_id % 45) * 86400) * 1000000) AS warc_ts,
+        |    lang, n_chars FROM documents),
+        |repl AS (SELECT
+        |    'https://site' || cast(doc_id % 13 AS varchar) || '.org/p/' || cast(doc_id AS varchar) AS url,
+        |    make_timestamp((1600000000 + (doc_id % 45) * 86400) * 1000000) AS warc_ts,
+        |    lang, n_chars + 1000000 AS n_chars FROM documents WHERE doc_id % 10 = 0),
+        |ins AS (SELECT
+        |    'https://site' || cast(doc_id % 13 AS varchar) || '.org/p/' || cast(doc_id AS varchar) AS url,
+        |    make_timestamp((1600000000 + 100 * 86400 + doc_id) * 1000000) AS warc_ts,
+        |    lang, n_chars FROM documents WHERE doc_id % 10 = 1),
+        |merged AS (
+        |  SELECT * FROM base b WHERE NOT EXISTS (
+        |    SELECT 1 FROM repl r WHERE r.url = b.url AND r.warc_ts = b.warc_ts)
+        |  UNION ALL SELECT * FROM repl
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT url, warc_ts, lang, n_chars FROM merged
+        |ORDER BY url, warc_ts""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -89,6 +89,43 @@ object PageTable {
       .saveAsTable(table)
   }
 
+  /** Incremental MERGE of a crawl delta into the pages layout — the
+    * Iceberg overwrite-by-filter analog on the plain-Parquet facade:
+    * upsert by (url, warc_ts), rewriting ONLY the (p_day, p_bucket)
+    * partitions the delta touches. Existing rows in touched partitions
+    * whose key reappears in the delta are REPLACED (recrawl corrections);
+    * everything else in those partitions is carried over; untouched
+    * partition directories are never rewritten (dynamic partition
+    * overwrite — asserted on file mtimes in PageTableSpec).
+    *
+    * Scale shape: the delta's partition set is joined as a left-semi
+    * filter, so the carry-over scan reads ONLY touched partitions
+    * (partition pruning on the derived columns); the anti-join runs on
+    * (url, warc_ts) keys within them. The carried rows are materialized
+    * (localCheckpoint) before the write because a path cannot be
+    * overwritten while a plan still scans it — per-merge memory is
+    * bounded by the touched-partition footprint, so batch deltas by
+    * partition count, exactly as an Iceberg commit batches manifests.
+    */
+  def mergeDelta(spark: SparkSession, path: String, delta: DataFrame,
+                 nBuckets: Int = 16, compression: String = "zstd"): Unit = {
+    val d = withLayoutColumns(delta, nBuckets)
+    val parts = d.select(col(DayCol), col(BucketCol)).distinct()
+    val keep = read(spark, path)
+      .join(parts, Seq(DayCol, BucketCol), "left_semi")
+      .join(d.select(col("url"), col("warc_ts")), Seq("url", "warc_ts"),
+        "left_anti")
+      .localCheckpoint(true)
+    keep.unionByName(d.select(keep.columns.map(col): _*))
+      .repartition(col(DayCol), col(BucketCol))
+      .write
+      .partitionBy(DayCol, BucketCol)
+      .option("compression", compression)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** Driver-side bucket id of a url — must agree with xxhash64(url) % N.
     * Length is the UTF-8 BYTE count (url.length is chars — using it would
     * hash a truncated prefix for any non-ASCII url and prune wrong buckets).

@@ -247,4 +247,36 @@ object AsOfJoin {
         col("_row").getField("_bts").as(buildTsOut) :+
         col("_row").isNotNull.as("_asof_matched"): _*)
   }
+
+  /** Temporal-leakage audit over an as-of joined output — the "provably
+    * zero temporal leakage" contract as a first-class, queryable check
+    * rather than a test-only property: per key, how many probe rows
+    * matched a build row FROM THE FUTURE (`n_leaks` — must be 0 for any
+    * correct point-in-time join; inclusive joins allow build_ts ==
+    * probe_ts, strict ones don't) and, when a tolerance is given, how
+    * many matches are older than allowed (`n_stale` — must be 0 when the
+    * join enforced the same tolerance). Run it over every feature table a
+    * training pipeline materializes; a nonzero row is a reproducible
+    * pointer at the exact entity that leaked.
+    *
+    * Output: (keys..., n_rows, n_matched, n_leaks, n_stale). One hash
+    * aggregate over (keys, two ts columns) — map-side combined, payload
+    * never read.
+    */
+  def leakageAudit(joined: DataFrame, keys: Seq[String], probeTsCol: String,
+                   buildTsCol: String, strict: Boolean = false,
+                   toleranceSeconds: Option[Long] = None): DataFrame = {
+    val b = col(buildTsCol)
+    val p = col(probeTsCol)
+    val leak = b.isNotNull && (if (strict) b >= p else b > p)
+    val stale = toleranceSeconds
+      .map(t => b.isNotNull &&
+        (Windows.epochSeconds(p) - Windows.epochSeconds(b)) > t)
+      .getOrElse(lit(false))
+    joined.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(b.isNotNull, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(leak, 1L).otherwise(0L)).as("n_leaks"),
+      sum(when(stale, 1L).otherwise(0L)).as("n_stale"))
+  }
 }

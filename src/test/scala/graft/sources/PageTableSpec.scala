@@ -66,4 +66,51 @@ class PageTableSpec extends SparkSpec {
     assert(pruned.count() < all.count())
     assert(pruned.agg(min(col(PageTable.DayCol))).head().getInt(0) >= minDay + 1)
   }
+
+  test("mergeDelta upserts by (url, warc_ts) and rewrites ONLY touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pagetable_merge").toString + "/pages"
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val base = (0 until 60).map(i =>
+      (s"https://m$i.com/", ts(100 + i % 3), s"body$i")).toDF("url", "warc_ts", "text")
+    PageTable.write(base, dir, nBuckets = 4)
+
+    def fileState(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileState()
+
+    // delta: replace url m0 at its existing ts (same partition), insert a
+    // new revisit of m1 on a brand-new day (new partition)
+    val delta = Seq(
+      ("https://m0.com/", ts(100), "REPLACED"),
+      ("https://m1.com/", ts(500), "NEWDAY")).toDF("url", "warc_ts", "text")
+    PageTable.mergeDelta(spark, dir, delta, nBuckets = 4)
+
+    val after = PageTable.read(spark, dir)
+      .select($"url", $"warc_ts", $"text").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2))).toSet
+    val expected = base.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+      .filterNot(t => t._1 == "https://m0.com/" && t._2 == ts(100)).toSet ++
+      Set(("https://m0.com/", ts(100), "REPLACED"),
+        ("https://m1.com/", ts(500), "NEWDAY"))
+    assert(after === expected)
+
+    // untouched partitions keep their exact files; touched ones changed
+    val newDayPart = s"${PageTable.DayCol}=500"
+    val m0Part = s"${PageTable.DayCol}=100/${PageTable.BucketCol}=${PageTable.bucketOf("https://m0.com/", 4)}"
+    val stateAfter = fileState()
+    val untouchedBefore = before.filterNot(_._1.contains(m0Part))
+    untouchedBefore.foreach { case (p, m) =>
+      assert(stateAfter.get(p).contains(m), s"untouched partition file rewritten: $p")
+    }
+    assert(stateAfter.keys.exists(_.contains(newDayPart)), "new partition written")
+    assert(before.keys.filter(_.contains(m0Part)) !=
+      stateAfter.keys.filter(_.contains(m0Part)), "touched partition rewritten")
+  }
 }

@@ -251,4 +251,30 @@ class WindowsSpec extends SparkSpec {
       assert(n == 1, s"probe $p covered by $n intervals")
     }
   }
+
+  test("leakageAudit: clean as-of output audits zero; poisoned matches are flagged") {
+    val probe = Seq(("u", ts(5)), ("u", ts(10)), ("v", ts(3))).toDF("k", "pts")
+    val build = Seq(("u", ts(4), 1.0), ("u", ts(9), 2.0), ("v", ts(7), 3.0))
+      .toDF("k", "bts", "x")
+    val joined = AsOfJoin.asOfUnion(probe, build, Seq("k"), "pts", "bts")
+    val clean = AsOfJoin.leakageAudit(joined, Seq("k"), "pts", "bts")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(clean("u") === ((2L, 2L, 0L, 0L)))
+    assert(clean("v") === ((1L, 0L, 0L, 0L))) // v's only build row is future -> unmatched
+    // poison: hand-built "join output" matching a FUTURE row, plus a stale one
+    val poisoned = Seq(
+      ("u", ts(5), Some(ts(6))),   // leak: build after probe
+      ("u", ts(10), Some(ts(10))), // equal ts: ok inclusive, leak strict
+      ("v", ts(100), Some(ts(1)))  // stale at tolerance 10s
+    ).toDF("k", "pts", "bts")
+    val audit = AsOfJoin.leakageAudit(poisoned, Seq("k"), "pts", "bts",
+        toleranceSeconds = Some(10L))
+      .collect().map(r => (r.getString(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(audit("u") === ((1L, 0L)))
+    assert(audit("v") === ((0L, 1L)))
+    val strict = AsOfJoin.leakageAudit(poisoned, Seq("k"), "pts", "bts", strict = true)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(strict("u") === 2L)
+  }
 }
