@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 101 queries spanning every implemented operator family
+/** Driver contract — 103 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -90,7 +90,12 @@ import graft.temporal.{AsOfJoin, Windows}
   * smallest id), q100 incremental near-dup dedup against a ledger
   * (ledger_dup / shard_dup / kept statuses — idempotent continuous
   * ingestion), q101 robots-style URL policy (longest-prefix match, deny
-  * wins ties, broadcast rule table).
+  * wins ties, broadcast rule table), q102 the temporal-leakage audit
+  * (per-user n_leaks over q09's production as-of output — the oracle
+  * recomputes the point-in-time join independently and must agree
+  * n_leaks = 0 everywhere), q103 incremental PageTable merge (recrawl
+  * delta upserted by (url, warc_ts) with only touched (p_day, p_bucket)
+  * partitions rewritten; read-back equals a from-scratch reconstruction).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
