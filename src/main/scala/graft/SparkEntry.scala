@@ -2015,6 +2015,48 @@ object SparkEntry {
       graft.sources.PageTable.read(s, path)
         .select(col("url"), col("warc_ts"), col("lang"), col("n_chars"))
         .orderBy(col("url"), col("warc_ts"))
+    }),
+
+    // ---- q104: WARC container ingestion — the Common-Crawl wire format.
+    //      Eight WARC files are assembled from the documents table with
+    //      pure built-ins (header strings + Content-Length framing +
+    //      ordered binary-fold concatenation), the odd-numbered files are
+    //      additionally gzip-wrapped (the member framing CC ships), then
+    //      warc_records parses them back and the record metadata must
+    //      equal the oracle's direct reconstruction from documents. ----
+    "q104_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val payload = encode(col("text"), "UTF-8")
+      val header = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
+        md5(payload), lit(">\r\nWARC-Date: "),
+        date_format(timestamp_seconds(lit(1600000000L) + col("doc_id")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit("\r\nWARC-Target-URI: https://crawl.example/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+        lit("\r\n\r\n"))
+      val rec = concat(encode(header, "UTF-8"), payload,
+        encode(lit("\r\n\r\n"), "UTF-8"))
+      val files = docs
+        .select((col("doc_id") % 8).as("file_id"),
+          struct(col("doc_id"), rec.as("rec")).as("sr"))
+        .groupBy(col("file_id"))
+        .agg(aggregate(array_sort(collect_list(col("sr"))),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("rec"))).as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, b) =>
+          (id, if (id % 2 == 1) graft.core.Compression.compress(b, "gzip") else b)
+        }.toDF("file_id", "bytes")
+      files
+        .select(col("file_id"),
+          posexplode(warc_records(col("bytes"))).as(Seq("pos", "r")))
+        .select(col("file_id"), col("pos"), col("r.target_uri"),
+          col("r.warc_date"), col("r.content_length"),
+          md5(col("r.payload")).as("payload_md5"))
+        .orderBy(col("file_id"), col("pos"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3590,7 +3632,18 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM repl
         |  UNION ALL SELECT * FROM ins)
         |SELECT url, warc_ts, lang, n_chars FROM merged
-        |ORDER BY url, warc_ts""".stripMargin)
+        |ORDER BY url, warc_ts""".stripMargin,
+
+    // q104: record metadata reconstructed directly from documents — the
+    // WARC build/parse round trip (incl. gzip member framing) must invert
+    "q104_warc_ingest" ->
+      """SELECT cast(doc_id % 8 AS bigint) AS file_id,
+        |  cast(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS int) AS pos,
+        |  'https://crawl.example/doc/' || cast(doc_id AS varchar) AS target_uri,
+        |  strftime(make_timestamp((1600000000 + doc_id) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+        |  cast(octet_length(encode(text)) AS bigint) AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY file_id, pos""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -72,6 +72,9 @@ package object functions {
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
 
+  /** WARC container ingestion: one file's bytes -> array of record structs. */
+  def warc_records(c: Column): Column = col1(graft.sources.WarcRecordsExpr(_))(c)
+
   /** Compressed-payload ingestion (S1): decompress below the kernels. */
   def decompress_auto(c: Column): Column = col1(Decompress(_))(c)
   def decompress_xz(c: Column): Column = col1(Decompress(_, graft.core.Compression.Xz))(c)
@@ -202,6 +205,7 @@ object GraftExtensions {
     unary("kis_transform")(KisTransform(_)),
     unary("bip_transform")(BipTransform(_)),
     unary("cnf_clauses")(ParseClauses(_)),
+    unary("warc_records")(graft.sources.WarcRecordsExpr(_)),
     unary("decompress_auto")(Decompress(_)),
     unary("decompress_xz")(Decompress(_, graft.core.Compression.Xz)),
     unary("decompress_gzip")(Decompress(_, graft.core.Compression.Gzip)),
