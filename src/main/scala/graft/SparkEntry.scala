@@ -2057,6 +2057,19 @@ object SparkEntry {
           col("r.warc_date"), col("r.content_length"),
           md5(col("r.payload")).as("payload_md5"))
         .orderBy(col("file_id"), col("pos"))
+    }),
+
+    // ---- q105: exact duplicated-span removal (Lee et al. exact-substring
+    //      dedup at k-token granularity): every 8-token shingle occurring
+    //      more than once corpus-wide keeps its first (id, pos) occurrence;
+    //      all other occurrences are cut from their documents' token
+    //      streams. The oracle recomputes owner election with window
+    //      functions and reassembles kept tokens relationally. ----
+    "q105_span_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_kept"),
+          col("text_span_dedup"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3643,7 +3656,46 @@ object SparkEntry {
         |  strftime(make_timestamp((1600000000 + doc_id) * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
         |  cast(octet_length(encode(text)) AS bigint) AS content_length,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY file_id, pos""".stripMargin)
+        |FROM documents ORDER BY file_id, pos""".stripMargin,
+
+    // q105: owner election recomputed with window functions; reassembly is
+    // relational (token table anti-join removed positions, ordered
+    // string_agg). '[ \t\n\x0b\f\r]' is Java \s spelled out so RE2 and
+    // java.util.regex agree byte-for-byte on the token boundaries.
+    "q105_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i
+        |        FROM d),
+        |sh AS (SELECT doc_id, i - 1 AS pos,
+        |              md5(array_to_string(toks[i:i+7], ' ')) AS key
+        |       FROM sh0),
+        |marked AS (SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n
+        |  FROM sh),
+        |drops AS (SELECT doc_id, pos FROM marked WHERE n > 1 AND rn > 1),
+        |tok0 AS (SELECT doc_id, unnest(toks) AS tok,
+        |                unnest(range(1, len(toks) + 1)) AS p FROM d),
+        |tok AS (SELECT doc_id, tok, p - 1 AS tpos FROM tok0),
+        |removed AS (SELECT DISTINCT t.doc_id, t.tpos
+        |  FROM tok t JOIN drops dr ON t.doc_id = dr.doc_id
+        |   AND t.tpos >= dr.pos AND t.tpos < dr.pos + 8),
+        |kept AS (SELECT t.doc_id, t.tpos, t.tok
+        |  FROM tok t LEFT JOIN removed r
+        |    ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+        |  WHERE r.doc_id IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS cnt,
+        |               string_agg(tok, ' ' ORDER BY tpos) AS txt
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, cast(len(d.toks) AS bigint) AS n_tokens,
+        |       cast(coalesce(agg.cnt, 0) AS bigint) AS n_tokens_kept,
+        |       coalesce(agg.txt, '') AS text_span_dedup
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

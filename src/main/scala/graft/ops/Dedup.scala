@@ -135,6 +135,67 @@ object Dedup {
       .drop("_ld_id", "_ld_drops")
   }
 
+  /** Exact duplicated-SPAN removal at k-token granularity — the
+    * "deduplicating training data" exact-substring operation (Lee et al.
+    * 2022) reshaped for Spark: suffix arrays need co-resident corpora, but
+    * any duplicated span of >= k tokens contains a duplicated ALIGNED
+    * k-shingle at every offset, so shingle-level keep-first removal cuts
+    * exactly the repeated span occurrences (at the cost of also cutting
+    * shorter k-token coincidences — k tunes that tradeoff; Lee et al. use
+    * 50 BPE tokens, this operator's unit is whitespace tokens).
+    *
+    * Semantics: tokenize on whitespace; every k-token shingle that occurs
+    * more than once in the corpus keeps its FIRST occurrence — the minimum
+    * (id, pos) in a deterministic total order — and every token covered by
+    * any OTHER occurrence is cut from its document. Internal repetition
+    * (the same shingle twice in one document) dedups the same way. Returns
+    * the input plus `text_span_dedup` (kept tokens joined by single
+    * spaces — inter-token whitespace is normalized by reassembly),
+    * `n_tokens`, `n_tokens_kept`. Deterministic; docs under k tokens pass
+    * through untouched.
+    *
+    * Shape for 100 TB: the shingle stream carries (id, pos, 16-byte md5)
+    * — never the text. Owner election is ONE hash aggregate
+    * (min(struct(id,pos)) + count, map-side combine applies); only
+    * duplicated occurrences (corpus-duplicate-bounded) survive the filter
+    * and join back on id; coverage + reassembly are row-local array HOFs
+    * over the original tokens. The payload crosses the one join-back
+    * exchange and is never grouped, sorted or windowed — the same shape
+    * as [[dedupLines]] one granularity down.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 50): DataFrame = {
+    require(k > 1, "k must be > 1 (k=1 would cut every repeated token)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val sh = df
+      .select(col(idCol).as("_sd_id"), toks.as("_sd_toks"))
+      .select(col("_sd_id"), posexplode(expr(
+        s"""transform(slice(_sd_toks, 1, greatest(size(_sd_toks) - ${k - 1}, 0)),
+           |  (x, i) -> md5(cast(concat_ws(' ', slice(_sd_toks, i + 1, $k)) AS binary)))"""
+          .stripMargin)).as(Seq("_sd_pos", "_sd_key")))
+    // owner election: one combiner-friendly aggregate; keys occurring once
+    // (the overwhelming mass) die here and never join anything
+    val owners = sh.groupBy(col("_sd_key"))
+      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_owner"),
+        count(lit(1)).as("_sd_n"))
+      .where(col("_sd_n") > 1)
+      .select(col("_sd_key"), col("_sd_owner"))
+    // non-owner occurrences of duplicated shingles -> per-doc cut list
+    val drops = sh.join(owners, "_sd_key")
+      .where(col("_sd_id") =!= col("_sd_owner._sd_id") ||
+        col("_sd_pos") =!= col("_sd_owner._sd_pos"))
+      .groupBy(col("_sd_id"))
+      .agg(collect_list(col("_sd_pos")).as("_sd_drops"))
+    val dropsArr = coalesce(col("_sd_drops"), typedLit(Array.empty[Int]))
+    val keptArr = filter(toks, (_, i) =>
+      !exists(dropsArr, p => p <= i && i < p + k))
+    df.join(drops, col(idCol) === col("_sd_id"), "left")
+      .withColumn("text_span_dedup", concat_ws(" ", keptArr))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens_kept", size(keptArr).cast("long"))
+      .drop("_sd_id", "_sd_drops")
+  }
+
   /** MinHash + LSH near-duplicate PAIRS: (id_a, id_b, est_jaccard) with
     * est_jaccard >= threshold. numBands divides numHashes; rowsPerBand =
     * numHashes/numBands controls the S-curve.

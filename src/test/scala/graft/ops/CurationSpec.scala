@@ -152,6 +152,41 @@ class CurationSpec extends SparkSpec {
     assert(r.toSeq == Seq("xx\nkeep a", "xx\nkeep b", "yy\nkeep c"))
   }
 
+  test("spanDedup cuts the non-owner occurrence of a shared span, exactly") {
+    // a 6-token span shared by docs 1 and 2; all surrounding tokens unique,
+    // so only the three fully-inside aligned 4-shingles are duplicated and
+    // their coverage is exactly the span
+    val span = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $span a4 a5 a6"),
+      (2L, s"b1 b2 $span b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8") // nothing shared -> untouched
+    ).toDF("id", "text")
+    val r = Dedup.spanDedup(df, "id", "text", k = 4).orderBy("id")
+      .select("text_span_dedup", "n_tokens", "n_tokens_kept").collect()
+    // owner = min (id, pos): doc 1 keeps the span
+    assert(r(0).getString(0) == s"a1 a2 a3 $span a4 a5 a6")
+    assert(r(0).getLong(1) == 12L && r(0).getLong(2) == 12L)
+    assert(r(1).getString(0) == "b1 b2 b3 b4")
+    assert(r(1).getLong(1) == 10L && r(1).getLong(2) == 4L)
+    assert(r(2).getString(0) == "c1 c2 c3 c4 c5 c6 c7 c8")
+  }
+
+  test("spanDedup handles internal repetition, short docs, whitespace") {
+    val s = "p q r s" // one 4-shingle
+    val df = Seq(
+      (1L, s"$s mid1 mid2 $s"),     // same shingle twice IN one doc
+      (2L, "u1 u2 u3"),             // < k tokens -> no shingles, untouched
+      (3L, "  w1   w2\tw3 \n w4 ")  // whitespace-normalized reassembly
+    ).toDF("id", "text")
+    val r = Dedup.spanDedup(df, "id", "text", k = 4).orderBy("id")
+      .select("text_span_dedup", "n_tokens_kept").collect()
+    assert(r(0).getString(0) == s"$s mid1 mid2") // second occurrence cut
+    assert(r(0).getLong(1) == 6L)
+    assert(r(1).getString(0) == "u1 u2 u3")
+    assert(r(2).getString(0) == "w1 w2 w3 w4")
+  }
+
   test("qualityFilter flags each rule and keeps clean docs") {
     val good = (("the word list " * 10) + "of and that").trim // 43 words, stopwords, alpha
     val df = Seq(
