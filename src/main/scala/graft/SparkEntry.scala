@@ -2070,6 +2070,45 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_tokens_kept"),
           col("text_span_dedup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q106: robots.txt crawl policy end-to-end — raw RFC 9309 files
+    //      (groups, comments, CRLF, empty directives, wildcard + $
+    //      patterns) parsed per host, decisions per page via the
+    //      longest-pattern/allow-ties precedence. Three host classes:
+    //      no robots at all, a *-only file, and a file where the GraftBot
+    //      group suppresses the * group. The oracle states every decision
+    //      in closed form from (doc_id % 13, doc_id % 6). ----
+    "q106_robots_policy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = col("doc_id") % 13
+      val pages = docs.select(col("doc_id"),
+        concat(lit("site"), h.cast("string"), lit(".org")).as("host"),
+        when(col("doc_id") % 6 === 0, concat(lit("/public/a"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 1, concat(lit("/public/private/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 2, lit("/tmp/keep"))
+          .when(col("doc_id") % 6 === 3, concat(lit("/tmp/keep"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 4, concat(lit("/star/"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/free/"), col("doc_id").cast("string"))).as("path"))
+      val hosts = docs.select((col("doc_id") % 13).as("h")).distinct()
+        .where(col("h") % 5 =!= 0) // h%5==0: no robots.txt published
+      val robots = hosts.select(
+        concat(lit("site"), col("h").cast("string"), lit(".org")).as("rhost"),
+        when(col("h") % 3 === 0, lit(
+          "User-agent: *\r\nDisallow: /star/\r\nAllow: /star/open$\r\n"))
+          .otherwise(concat(
+            lit("# policy\r\nSitemap: https://site"), col("h").cast("string"),
+            lit(".org/sitemap.xml\r\nDisallow: /pre-group\r\n\r\n" +
+              "User-agent: otherbot\r\nDisallow: /\r\n\r\n" +
+              "User-agent: GraftBot\r\nAllow: /public/   # comment\r\n" +
+              "Disallow: /public/private*\r\nDisallow: /tmp/\r\n" +
+              "Allow: /tmp/keep$\r\nDisallow:\r\n\r\n" +
+              "User-agent: *\r\nDisallow: /everything/\r\n"))).as("rtext"))
+      graft.ops.Robots.applyPolicy(pages, "host", "path",
+          robots, "rhost", "rtext", "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+          col("matched_pattern"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3695,7 +3734,36 @@ object SparkEntry {
         |       cast(coalesce(agg.cnt, 0) AS bigint) AS n_tokens_kept,
         |       coalesce(agg.txt, '') AS text_span_dedup
         |FROM d LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q106: every decision stated in closed form from the host class
+    // (doc_id % 13: absent robots / *-only / GraftBot group) and the path
+    // class (doc_id % 6) — the engine must reach each one by actually
+    // parsing the files and running longest-pattern precedence
+    "q106_robots_policy" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 13 AS h, doc_id % 6 AS c,
+        |         'site' || cast(doc_id % 13 AS varchar) || '.org' AS host,
+        |         CASE doc_id % 6
+        |           WHEN 0 THEN '/public/a' || cast(doc_id AS varchar)
+        |           WHEN 1 THEN '/public/private/' || cast(doc_id AS varchar)
+        |           WHEN 2 THEN '/tmp/keep'
+        |           WHEN 3 THEN '/tmp/keep' || cast(doc_id AS varchar)
+        |           WHEN 4 THEN '/star/' || cast(doc_id AS varchar)
+        |           ELSE '/free/' || cast(doc_id AS varchar) END AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CASE WHEN h % 5 = 0 THEN true
+        |       WHEN h % 3 = 0 THEN (c <> 4)
+        |       ELSE c NOT IN (1, 3) END AS allowed,
+        |  CASE WHEN h % 5 = 0 THEN NULL
+        |       WHEN h % 3 = 0 THEN (CASE WHEN c = 4 THEN '/star/' END)
+        |       ELSE (CASE c WHEN 0 THEN '/public/'
+        |                    WHEN 1 THEN '/public/private*'
+        |                    WHEN 2 THEN '/tmp/keep$'
+        |                    WHEN 3 THEN '/tmp/' END)
+        |  END AS matched_pattern
+        |FROM p ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

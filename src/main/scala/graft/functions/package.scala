@@ -75,6 +75,15 @@ package object functions {
   /** WARC container ingestion: one file's bytes -> array of record structs. */
   def warc_records(c: Column): Column = col1(graft.sources.WarcRecordsExpr(_))(c)
 
+  /** robots.txt (RFC 9309): raw text -> `agent`'s effective rule array. */
+  def robots_rules(c: Column, agent: String): Column =
+    col1(graft.ops.RobotsRulesExpr(_, agent))(c)
+
+  /** RFC 9309 longest-pattern decision: (path, rules) -> struct(allowed, pattern). */
+  def robots_decision(path: Column, rules: Column): Column =
+    GraftShim.column(graft.ops.RobotsDecisionExpr(
+      GraftShim.expression(path), GraftShim.expression(rules)))
+
   /** Compressed-payload ingestion (S1): decompress below the kernels. */
   def decompress_auto(c: Column): Column = col1(Decompress(_))(c)
   def decompress_xz(c: Column): Column = col1(Decompress(_, graft.core.Compression.Xz))(c)
