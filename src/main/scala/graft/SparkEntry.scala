@@ -2109,6 +2109,35 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("path"), col("allowed"),
           col("matched_pattern"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q107: C4 line-level cleaning over a constructed corpus that
+    //      exercises every rule (short line, javascript line, no terminal
+    //      punctuation, brace page, lorem-ipsum page, under-3-sentences
+    //      page). The oracle RE-IMPLEMENTS the filter in SQL (list_filter
+    //      lambdas) over the identically-constructed text. ----
+    "q107_c4_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(
+        lit("Document "), id.cast("string"),
+        lit(" opens with a clean first sentence.\n"),
+        lit("It continues with a second good sentence right here!\n"),
+        lit("A third sentence keeps the page over the limit."))
+      val extra1 = when(id % 4 === 0, lit("\ntiny line."))
+        .when(id % 4 === 1, lit("\nPlease enable JavaScript to continue browsing."))
+        .when(id % 4 === 2, lit("\nno terminal punctuation on this line"))
+        .otherwise(lit(""))
+      val extra2 = when(id % 7 === 0, lit("\nif (x) { y(); }")).otherwise(lit(""))
+      val extra3 = when(id % 11 === 0, lit("\nLorem ipsum dolor sit amet today."))
+        .otherwise(lit(""))
+      val text = when(id % 13 === 0, lit("One lonely sentence only."))
+        .otherwise(concat(base, extra1, extra2, extra3))
+      val src = t(s, dir, "documents").select(id, text.as("text"))
+      graft.ops.Curation.c4Filter(src, "text")
+        .select(col("doc_id"), col("c4_text"), col("n_lines"),
+          col("n_lines_kept"), col("n_sentences"), col("c4_reasons"),
+          col("c4_keep"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3763,7 +3792,49 @@ object SparkEntry {
         |                    WHEN 2 THEN '/tmp/keep$'
         |                    WHEN 3 THEN '/tmp/' END)
         |  END AS matched_pattern
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q107: the C4 line filter re-implemented in SQL lambdas over the
+    // identically-constructed corpus — an independent second
+    // implementation, not a closed-form answer key
+    "q107_c4_filter" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'One lonely sentence only.'
+        |  ELSE 'Document ' || cast(doc_id AS varchar) ||
+        |    ' opens with a clean first sentence.' || chr(10) ||
+        |    'It continues with a second good sentence right here!' || chr(10) ||
+        |    'A third sentence keeps the page over the limit.' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'tiny line.'
+        |          WHEN doc_id % 4 = 1 THEN chr(10) || 'Please enable JavaScript to continue browsing.'
+        |          WHEN doc_id % 4 = 2 THEN chr(10) || 'no terminal punctuation on this line'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'if (x) { y(); }' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet today.' ELSE '' END)
+        |  END AS text FROM documents),
+        |ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS arr FROM src),
+        |k AS (SELECT doc_id, text, arr,
+        |        list_filter(arr, x -> regexp_matches(x, '[.!?"]$')
+        |          AND len(list_filter(regexp_split_to_array(trim(x), '[ \t\n\x0b\f\r]+'),
+        |                              w -> w <> '')) >= 5
+        |          AND NOT contains(lower(x), 'javascript')) AS karr
+        |      FROM ls),
+        |g AS (SELECT doc_id, text,
+        |        -- duckdb: array_to_string([]) is NULL, spark concat_ws is ''
+        |        coalesce(array_to_string(karr, chr(10)), '') AS c4_text,
+        |        cast(len(arr) AS bigint) AS n_lines,
+        |        cast(len(karr) AS bigint) AS n_lines_kept
+        |      FROM k),
+        |h AS (SELECT *,
+        |        cast(len(regexp_extract_all(c4_text, '[.!?]')) AS bigint) AS n_sentences
+        |      FROM g)
+        |SELECT doc_id, c4_text, n_lines, n_lines_kept, n_sentences,
+        |  concat_ws(',',
+        |    CASE WHEN contains(text, '{') THEN 'brace' END,
+        |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+        |    CASE WHEN n_sentences < 3 THEN 'few_sentences' END) AS c4_reasons,
+        |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND n_sentences >= 3) AS c4_keep
+        |FROM h ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

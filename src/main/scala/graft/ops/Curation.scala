@@ -268,6 +268,45 @@ object Curation {
       .withColumn("qf_keep", col("qf_reasons") === "")
   }
 
+  /** C4 LINE-level cleaning (Raffel et al. 2020 §2.2) — the per-line
+    * companion to the doc-level Gopher rules in [[qualityFilter]]:
+    *
+    *  - keep only lines ending in terminal punctuation (`.` `!` `?` `"`),
+    *  - with at least `minLineWords` whitespace words,
+    *  - not mentioning "javascript" (case-insensitive);
+    *
+    * then the page-level C4 verdicts over what survived: `brace` (raw text
+    * contains `{` — code), `lorem_ipsum` (boilerplate filler), and
+    * `few_sentences` (< `minSentences` terminal-punctuation marks in the
+    * KEPT text — C4 drops pages under 3 sentences). Emits every input
+    * column + `c4_text` (kept lines, original order), `n_lines`,
+    * `n_lines_kept`, `n_sentences`, `c4_reasons`, `c4_keep`.
+    *
+    * Scale shape: a pure row-local projection — array HOFs over the line
+    * split, zero shuffle, whole-stage-codegen friendly, payload read once.
+    */
+  def c4Filter(df: DataFrame, textCol: String,
+               minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val out = df
+      .withColumn("c4_text", concat_ws("\n", keptLines))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_lines_kept", size(keptLines).cast("long"))
+      .withColumn("n_sentences",
+        regexp_count(col("c4_text"), lit("[.!?]")).cast("long"))
+    val rules: Seq[(String, Column)] = Seq(
+      "brace" -> col(textCol).contains("{"),
+      "lorem_ipsum" -> lower(col(textCol)).contains("lorem ipsum"),
+      "few_sentences" -> (col("n_sentences") < minSentences))
+    out.withColumn("c4_reasons",
+        concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
+      .withColumn("c4_keep", col("c4_reasons") === "")
+  }
+
   /** HTML -> text extraction (the C4/CommonCrawl WET-style boilerplate
     * strip) as a single codegen'd expression chain — the stage that turns
     * the input table's `html: binary` column into the `text` column

@@ -187,6 +187,32 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getString(0) == "w1 w2 w3 w4")
   }
 
+  test("c4Filter line rules and page verdicts") {
+    val clean = "This is a perfectly fine sentence for the corpus.\n" +
+      "Another good sentence follows it right here!\n" +
+      "And a third one closes the paragraph, carefully."
+    val df = Seq(
+      (1L, clean),                                        // keep
+      (2L, clean + "\nshort line."),                      // <5 words -> line cut, page keeps
+      (3L, clean + "\nEnable JavaScript to view content."), // js line cut
+      (4L, clean + "\nno terminal punctuation here"),     // line cut
+      (5L, clean.replace(".", "").replace("!", "")),      // nothing survives -> few_sentences
+      (6L, clean + "\nfunction f() { return 1; }"),       // brace page flag
+      (7L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n" + clean)
+    ).toDF("id", "text")
+    val r = Curation.c4Filter(df, "text").orderBy("id")
+      .select("c4_text", "n_lines_kept", "n_sentences", "c4_reasons", "c4_keep")
+      .collect()
+    assert(r(0).getString(0) == clean && r(0).getBoolean(4))
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 3L)
+    assert(r(1).getString(0) == clean && r(1).getBoolean(4)) // cut line, kept page
+    assert(r(2).getString(0) == clean && r(2).getBoolean(4))
+    assert(r(3).getString(0) == clean && r(3).getBoolean(4))
+    assert(r(4).getLong(1) == 0L && r(4).getString(3) == "few_sentences")
+    assert(r(5).getString(3) == "brace" && !r(5).getBoolean(4))
+    assert(r(6).getString(3) == "lorem_ipsum" && !r(6).getBoolean(4))
+  }
+
   test("qualityFilter flags each rule and keeps clean docs") {
     val good = (("the word list " * 10) + "of and that").trim // 43 words, stopwords, alpha
     val df = Seq(
