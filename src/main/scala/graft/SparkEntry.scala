@@ -2138,6 +2138,16 @@ object SparkEntry {
           col("n_lines_kept"), col("n_sentences"), col("c4_reasons"),
           col("c4_keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q108: rendezvous (HRW) shard routing — minimal-movement shard
+    //      assignment; the oracle recomputes the per-(doc, shard) md5
+    //      tournament relationally and picks each doc's winner. ----
+    "q108_rendezvous_shard" -> ((s, dir) => {
+      graft.ops.Curation.rendezvousShard(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", (0 until 7).map(i => s"s$i"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3834,7 +3844,20 @@ object SparkEntry {
         |    CASE WHEN n_sentences < 3 THEN 'few_sentences' END) AS c4_reasons,
         |  (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
         |    AND n_sentences >= 3) AS c4_keep
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // q108: the HRW tournament recomputed relationally — unnest the shard
+    // list per doc, rank by (md5, name) desc, keep the winner
+    "q108_rendezvous_shard" ->
+      """WITH sh AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6']) AS s),
+        |scored AS (SELECT d.doc_id, sh.s,
+        |    md5(sh.s || '|' || cast(d.doc_id AS varchar)) AS h
+        |  FROM documents d CROSS JOIN sh),
+        |ranked AS (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, s AS shard FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -498,6 +498,29 @@ object Curation {
       .drop("_h")
   }
 
+  /** Rendezvous (highest-random-weight) shard routing — the MINIMAL-
+    * MOVEMENT dual of [[shuffleShards]]: each row goes to the shard with
+    * the largest md5(shard || '|' || id), so when the shard SET changes
+    * (a storage node added, an output fan widened) the only rows that
+    * move are the ones the new shard now wins (~1/(n+1) of the corpus);
+    * every other row keeps its assignment. A mod-N deal reassigns nearly
+    * everything on N -> N+1 — at 100 TB that difference is the whole
+    * re-layout bill.
+    *
+    * Emits every input column + `shard` (the winning name). Row-local
+    * (one array HOF over the broadcast-literal shard list), zero shuffle,
+    * deterministic and engine-replayable (md5-hex order, name tie-break).
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "shards must be non-empty")
+    require(shards.distinct.size == shards.size, "shard names must be unique")
+    val arr = array(shards.map(lit): _*)
+    val weighted = transform(arr, sh => struct(
+      md5(concat(sh, lit("|"), col(idCol).cast("string")).cast("binary")).as("h"),
+      sh.as("s")))
+    df.withColumn("shard", array_max(weighted).getField("s"))
+  }
+
   /** Deterministic mixture upsampling — training-data domain reweighting
     * ("3x Wikipedia, 0.5x CommonCrawl") as a pure function of (seed, id):
     * a row with weight w (FIXED-POINT MILLI, e.g. 2500 = 2.5x) emits

@@ -187,6 +187,27 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getString(0) == "w1 w2 w3 w4")
   }
 
+  test("rendezvousShard: deterministic, and adding a shard only moves winners") {
+    val df = (0L until 600L).toDF("id")
+    val s5 = Curation.rendezvousShard(df, "id", (0 until 5).map(i => s"s$i"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s6 = Curation.rendezvousShard(df, "id", (0 until 6).map(i => s"s$i"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // determinism
+    val again = Curation.rendezvousShard(df, "id", (0 until 5).map(i => s"s$i"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == s5)
+    // the HRW guarantee: a row changes shard ONLY to the new shard
+    val moved = (0L until 600L).filter(i => s5(i) != s6(i))
+    assert(moved.forall(i => s6(i) == "s5"),
+      s"non-minimal movement: ${moved.filter(i => s6(i) != "s5").take(3)}")
+    // expected movement ~ 1/6 of rows; allow wide slack on 600 draws
+    assert(moved.size > 40 && moved.size < 180, s"moved=${moved.size}")
+    // rough balance across the 5 shards
+    val byShard = s5.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.values.forall(n => n > 60 && n < 180), byShard.toMap.toString)
+  }
+
   test("c4Filter line rules and page verdicts") {
     val clean = "This is a perfectly fine sentence for the corpus.\n" +
       "Another good sentence follows it right here!\n" +
