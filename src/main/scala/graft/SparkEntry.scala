@@ -2148,6 +2148,20 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id")),
           "doc_id", (0 until 7).map(i => s"s$i"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q109: blocked postings-list export (search-index sink) —
+    //      delta-encoded (gap, tf) entries within doc-range blocks; the
+    //      driver explodes the arrays and the oracle recomputes gaps with
+    //      lag windows over the same (term, doc, tf) stream. ----
+    "q109_postings_blocks" -> ((s, dir) => {
+      graft.ops.Relevance.postingsBlocks(
+          t(s, dir, "documents"), "doc_id", "text", blockSpan = 64L)
+        .select(col("term"), col("block"), col("df_block"), col("cf_block"),
+          posexplode(col("postings")).as(Seq("pos", "p")))
+        .select(col("term"), col("block"), col("df_block"), col("cf_block"),
+          col("pos"), col("p.gap").as("gap"), col("p.tf").as("tf"))
+        .orderBy(col("term"), col("block"), col("pos"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3857,7 +3871,28 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
         |  FROM scored)
         |SELECT doc_id, s AS shard FROM ranked WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q109: gaps recomputed with lag windows over the (term, doc, tf)
+    // stream; first gap in each block is relative to the block base
+    "q109_postings_blocks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |wb AS (SELECT term, doc_id // 64 AS block, doc_id, tf,
+        |    lag(doc_id) OVER (PARTITION BY term, doc_id // 64 ORDER BY doc_id) AS prev,
+        |    row_number() OVER (PARTITION BY term, doc_id // 64 ORDER BY doc_id) - 1 AS pos,
+        |    count(*) OVER (PARTITION BY term, doc_id // 64) AS df_block,
+        |    sum(tf) OVER (PARTITION BY term, doc_id // 64) AS cf_block
+        |  FROM tf)
+        |SELECT term, cast(block AS bigint) AS block,
+        |  cast(df_block AS bigint) AS df_block,
+        |  cast(cf_block AS bigint) AS cf_block,
+        |  cast(pos AS int) AS pos,
+        |  cast(doc_id - coalesce(prev, block * 64) AS bigint) AS gap,
+        |  cast(tf AS bigint) AS tf
+        |FROM wb ORDER BY term, block, pos""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

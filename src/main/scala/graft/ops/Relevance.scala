@@ -127,4 +127,46 @@ object Relevance {
       .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
         col("n_ab"), col("lift_int"))
   }
+
+  /** Blocked postings-list export — the search-index sink (retrieval over
+    * the curated corpus, RAG serving, contamination lookups): one row per
+    * (term, doc-range block) with the block's postings DELTA-ENCODED as
+    * array<struct<gap, tf>> in doc-id order (first gap is relative to the
+    * block base, so every gap is small and compresses like a real index's
+    * varint stream). `df_block` / `cf_block` ride along; global df/cf are
+    * one slim groupBy(term) over the block rows.
+    *
+    * Blocking is what makes this a 100-TB operator: a flat
+    * collect_list-per-term dies on stopwords (a corpus-frequency term's
+    * postings row would be corpus-sized); with `blockSpan` bounding the
+    * doc-id range per row, per-row memory is <= blockSpan entries no
+    * matter how hot the term, hot terms fan out across blocks instead of
+    * concentrating in one reducer, and readers prune by (term, block)
+    * range exactly like Lucene block postings. Shape: token explode ->
+    * ONE (term, id) count aggregate (map-side combine) -> ONE
+    * (term, block) aggregate whose collect_list is blockSpan-bounded;
+    * delta encoding is a row-local array HOF.
+    */
+  def postingsBlocks(df: DataFrame, idCol: String, textCol: String,
+                     blockSpan: Long = 1L << 20): DataFrame = {
+    require(blockSpan > 0, "blockSpan must be positive")
+    val toks = df.select(col(idCol).cast("long").as("_pb_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col("term"), col("_pb_id"))
+      .agg(count(lit(1)).as("_pb_tf"))
+    tf.withColumn("block", floor(col("_pb_id") / blockSpan).cast("long"))
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(struct(col("_pb_id"), col("_pb_tf"))))
+          .as("_pb_list"),
+        count(lit(1)).as("df_block"),
+        sum(col("_pb_tf")).as("cf_block"))
+      .withColumn("postings", expr(
+        s"""transform(_pb_list, (x, i) -> struct(
+           |  x._pb_id - (CASE WHEN i = 0 THEN block * ${blockSpan}L
+           |                   ELSE element_at(_pb_list, i)._pb_id END) AS gap,
+           |  x._pb_tf AS tf))""".stripMargin))
+      .select(col("term"), col("block"), col("df_block"), col("cf_block"),
+        col("postings"))
+  }
 }

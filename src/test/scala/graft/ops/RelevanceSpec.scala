@@ -109,4 +109,34 @@ class RelevanceSpec extends SparkSpec {
     // exactly one kept row per cluster; kept rows ARE the deduped corpus
     assert(r.count(_._4) == 3)
   }
+
+  test("postingsBlocks: delta-encoded blocks reconstruct exact (doc, tf) postings") {
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (0L, "apple banana apple"),   // block 0 (span 4): apple tf=2
+      (1L, "apple cherry"),
+      (3L, "apple"),
+      (5L, "apple banana banana"),  // block 1
+      (9L, "apple")                 // block 2
+    ).toDF("id", "text")
+    val out = Relevance.postingsBlocks(df, "id", "text", blockSpan = 4L)
+      .orderBy("term", "block").collect()
+    def decode(r: Row): (String, Long, Long, Long, Seq[(Long, Long)]) = {
+      val base = r.getLong(1) * 4L
+      var doc = base
+      val entries = r.getSeq[Row](4).map { p =>
+        doc += p.getLong(0); (doc, p.getLong(1))
+      }
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), entries)
+    }
+    val decoded = out.map(decode).toSeq
+    // hot term spans three blocks, per-block rows bounded by the span
+    assert(decoded == Seq(
+      ("apple", 0L, 3L, 4L, Seq((0L, 2L), (1L, 1L), (3L, 1L))),
+      ("apple", 1L, 1L, 1L, Seq((5L, 1L))),
+      ("apple", 2L, 1L, 1L, Seq((9L, 1L))),
+      ("banana", 0L, 1L, 1L, Seq((0L, 1L))),
+      ("banana", 1L, 1L, 2L, Seq((5L, 2L))),
+      ("cherry", 0L, 1L, 1L, Seq((1L, 1L)))))
+  }
 }
