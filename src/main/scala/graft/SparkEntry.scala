@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 108 queries spanning every implemented operator family
+/** Driver contract — 112 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -95,7 +95,19 @@ import graft.temporal.{AsOfJoin, Windows}
   * recomputes the point-in-time join independently and must agree
   * n_leaks = 0 everywhere), q103 incremental PageTable merge (recrawl
   * delta upserted by (url, warc_ts) with only touched (p_day, p_bucket)
-  * partitions rewritten; read-back equals a from-scratch reconstruction).
+  * partitions rewritten; read-back equals a from-scratch reconstruction),
+  * q104 WARC container ingestion (ISO 28500 parse + gzip member framing),
+  * q105 exact duplicated-span removal (Lee et al. k-token keep-first),
+  * q106 robots.txt parsing + RFC 9309 crawl policy, q107 C4 line-level
+  * cleaning (oracle re-implements the filter in DuckDB lambdas), q108
+  * rendezvous (HRW) minimal-movement shard routing, q109 blocked
+  * delta-encoded postings-list export (the Lucene-style search-index
+  * sink), q110 canonical web-text normalization (Unicode NFC + control
+  * strip + whitespace collapse — the byte-identity contract for web pages,
+  * oracled against DuckDB's independent utf8proc NFC), q111 entity-safe
+  * deterministic train/val/test split (pure function of the key — all
+  * revisits of one entity share a split), q112 hashing-trick sparse
+  * feature export (signed 32-bit-md5 buckets at fixed dim).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2162,6 +2174,44 @@ object SparkEntry {
         .select(col("term"), col("block"), col("df_block"), col("cf_block"),
           col("pos"), col("p.gap").as("gap"), col("p.tf").as("tf"))
         .orderBy(col("term"), col("block"), col("pos"))
+    }),
+
+    // ---- q110: canonical web-text normalization — NFC + control strip +
+    //      whitespace collapse, the web-page byte-identity contract. The
+    //      per-doc_id suffixes exercise every pass: combining-accent and
+    //      Hangul-jamo composition, CRLF/CR, C0/C1/DEL controls, tab runs,
+    //      spaces adjacent to newlines, blank-line capping. The oracle's
+    //      NFC is DuckDB's utf8proc — an independent implementation. ----
+    "q110_normalize_webtext" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val dirty = concat(col("text"),
+        when(m === 0, lit(" Café \r\nxy"))
+          .when(m === 1, lit("Åb\t\tc\n\n\n\nd"))
+          .when(m === 2, lit("가 ko e"))
+          .otherwise(lit("x \n \n  yz")))
+      t(s, dir, "documents").select(col("doc_id"),
+          normalize_webtext(dirty).as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q111: entity-safe deterministic train/val/test split — the
+    //      assignment is a pure function of the KEY (source), so all rows
+    //      of one entity share a split and corpus growth never moves an
+    //      existing key. ----
+    "q111_split_assign" -> ((s, dir) => {
+      graft.ops.Curation.assignSplit(t(s, dir, "documents"), "source",
+          Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q112: hashing-trick sparse feature export — signed md5 buckets
+    //      at fixed dim=64; one map-side-combined (id, bucket) aggregate.
+    //      ----
+    "q112_hashed_features" -> ((s, dir) => {
+      graft.ops.Relevance.hashedFeatures(
+          t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3892,7 +3942,54 @@ object SparkEntry {
         |  cast(pos AS int) AS pos,
         |  cast(doc_id - coalesce(prev, block * 64) AS bigint) AS gap,
         |  cast(tf AS bigint) AS tf
-        |FROM wb ORDER BY term, block, pos""".stripMargin)
+        |FROM wb ORDER BY term, block, pos""".stripMargin,
+
+    // q110: the oracle rebuilds the dirty input with chr() codepoints
+    // (U+0301 combining acute, U+030A combining ring, Hangul jamo
+    // U+1100/U+1161, controls 1/133/127) and replays the kernel's
+    // documented pass list as sequential global regex_replaces over
+    // DuckDB's OWN utf8proc NFC — an independent Unicode implementation.
+    "q110_normalize_webtext" ->
+      """WITH dirty AS (SELECT doc_id, text ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN ' Cafe' || chr(769) || ' ' || chr(13) || chr(10) || 'x' || chr(1) || 'y'
+        |    WHEN 1 THEN 'A' || chr(778) || 'b' || chr(9) || chr(9) || 'c' || repeat(chr(10), 4) || 'd'
+        |    WHEN 2 THEN chr(4352) || chr(4449) || ' ko ' || chr(133) || 'e'
+        |    ELSE 'x ' || chr(10) || ' ' || chr(10) || '  y' || chr(127) || 'z'
+        |  END AS raw FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    nfc_normalize(
+        |      regexp_replace(regexp_replace(raw,
+        |        '\r\n?', chr(10), 'g'),
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]', '', 'g')),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' *\n *', chr(10), 'g'),
+        |    '\n\n\n+', chr(10) || chr(10), 'g'),
+        |  ' ' || chr(10)) AS norm_text
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    // q111: md5-bucket split replayed relationally — same 32-bit rank,
+    // same integer mod 10, same cumulative thresholds 8/9
+    "q111_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10 < 8 THEN 'train'
+        |       WHEN ('0x' || substr(md5(source), 1, 8))::UBIGINT % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q112: signed hashing trick replayed — bucket from md5 hex 1..8,
+    // sign from the parity of hex digit 9
+    "q112_hashed_features" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(term) AS hx FROM toks)
+        |SELECT doc_id,
+        |  cast(('0x' || substr(hx, 1, 8))::UBIGINT % 64 AS bigint) AS bucket,
+        |  cast(sum(CASE WHEN ('0x' || substr(hx, 9, 1))::UBIGINT % 2 = 0
+        |               THEN 1 ELSE -1 END) AS bigint) AS value
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

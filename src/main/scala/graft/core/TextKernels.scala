@@ -384,6 +384,79 @@ object TextKernels {
   /** Sign bits against k pseudo-random hyperplanes (deterministic from seed):
     * the LSH bucket key for cosine similarity.
     */
+  // ---- web-text normalization -------------------------------------------
+
+  /** Canonical web-text cleanup — the byte-identical normalized-text
+    * contract for the graft's actual domain (N1 is the CNF grammar; this is
+    * the web-page one). Every production corpus pipeline (CCNet, C4, Dolma)
+    * applies exactly this family of passes before hashing/dedup, because a
+    * denormalized "Café" (e + U+0301) and a composed one otherwise hash to
+    * different documents. Pass order (each pass equals the stated regex
+    * applied globally, which is how the external SQL oracle replays it):
+    *
+    *  1. `\r\n?` -> `\n` (newline canonicalization).
+    *  2. drop C0 controls except `\n`/`\t`, plus DEL and C1
+    *     (`[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]` -> ``).
+    *  3. Unicode NFC (canonical composition). AFTER the control strip on
+    *     purpose: removing a control can create a newly-composable pair
+    *     ("e", U+0001, U+0301 -> "e", U+0301), and only composing after
+    *     the strip makes the whole chain idempotent.
+    *  4. `[ \t]+` -> ` ` (horizontal-whitespace collapse).
+    *  5. ` *\n *` -> `\n` (no spaces adjacent to newlines).
+    *  6. `\n{3,}` -> `\n\n` (at most one blank line).
+    *  7. strip leading/trailing ` `/`\n`.
+    *
+    * (Whitespace deletions never create composable adjacencies — every
+    * retained space/newline has ccc=0 and blocks composition — so NFC
+    * need not re-run after passes 4-7.) Deterministic, idempotent
+    * (property-tested), row-local — zero shuffle, and the NFC pass is the
+    * only allocation-heavy step. Passes 1-2 and 4-7 each run as one char
+    * walk; equivalence with the sequential regex pipeline is pinned by a
+    * property test against java.util.regex.
+    */
+  def normalizeWebText(s: String): String = {
+    // passes 1-2: newline canonicalization + control strip (pre-NFC)
+    val a = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\r') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\n') i += 1
+        a.append('\n')
+      } else if (c == '\n' || c == '\t') a.append(c)
+      else if (c < 0x20 || (c >= 0x7f && c <= 0x9f)) () // drop control
+      else a.append(c)
+      i += 1
+    }
+    // pass 3
+    val nfc = java.text.Normalizer.normalize(a, java.text.Normalizer.Form.NFC)
+    // passes 4-7: whitespace canonicalization
+    val n = nfc.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var newlines = 0 // consecutive '\n' already appended
+    var j = 0
+    while (j < n) {
+      val c = nfc.charAt(j)
+      if (c == ' ' || c == '\t') pendingSpace = true // pass 4 (tab -> space)
+      else if (c == '\n') { // pass 5 eats the space; pass 6 caps the run
+        pendingSpace = false
+        // never leading (pass 7), at most two consecutive (pass 6)
+        if (sb.length > 0 && newlines < 2) { sb.append('\n'); newlines += 1 }
+      } else {
+        // pass 5/7: no space after '\n' or at the start
+        if (pendingSpace && newlines == 0 && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+        newlines = 0
+      }
+      j += 1
+    }
+    var end = sb.length // pass 7: strip trailing '\n' (spaces never trail)
+    while (end > 0 && sb.charAt(end - 1) == '\n') end -= 1
+    sb.substring(0, end)
+  }
+
   def hyperplaneSignature(v: Array[Float], bits: Int, seed: Long): Long = {
     var out = 0L
     var k = 0

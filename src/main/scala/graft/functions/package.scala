@@ -93,6 +93,7 @@ package object functions {
 
   // ---- text analysis / similarity (training-data pipeline) ----
 
+  def normalize_webtext(c: Column): Column = col1(NormalizeWebText(_))(c)
   def token_count(c: Column): Column = col1(TokenCount(_, "whitespace"))(c)
   def token_count_bpe(c: Column): Column = col1(TokenCount(_, "bpe"))(c)
   def text_quality(c: Column): Column = col1(TextQualityExpr(_))(c)
@@ -220,6 +221,7 @@ object GraftExtensions {
     unary("decompress_gzip")(Decompress(_, graft.core.Compression.Gzip)),
     unary("decompress_bzip2")(Decompress(_, graft.core.Compression.Bzip2)),
     unary("decompress_zstd")(Decompress(_, graft.core.Compression.Zstd)),
+    unary("normalize_webtext")(NormalizeWebText(_)),
     unary("token_count")(TokenCount(_, "whitespace")),
     unary("token_count_bpe")(TokenCount(_, "bpe")),
     unary("text_quality")(TextQualityExpr(_)),

@@ -48,6 +48,22 @@ object TextQualityExpr {
     StructField("quality_score", DoubleType, nullable = false)))
 }
 
+/** Canonical web-text normalization (NFC + control strip + whitespace
+  * collapse — [[TextKernels.normalizeWebText]]): the web-page analog of the
+  * CNF `normalize_cnf` byte-identity contract. Apply below simhash/minhash/
+  * gbd-style content hashes so composed and denormalized Unicode forms of
+  * the same page agree on identity.
+  */
+case class NormalizeWebText(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_webtext"
+  protected override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      TextKernels.normalizeWebText(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWebText =
+    copy(child = newChild)
+}
+
 /** Quality-signal struct (length/punct/stopword heuristics + score). */
 case class TextQualityExpr(child: Expression) extends StringKernelExpression {
   override def dataType: StructType = TextQualityExpr.schema

@@ -64,6 +64,38 @@ object Curation {
     df.where(rank < thr)
   }
 
+  /** Entity-safe deterministic train/val/test split assignment. The split
+    * is a pure function of the KEY (not the row): bucket = 32-bit md5 rank
+    * of the key mod sum(weights), mapped to the first split whose
+    * cumulative weight exceeds it. So every row sharing a key — all crawl
+    * revisits of a url, all near-dup copies routed through a canonical key
+    * — lands in the SAME split: the entity-level holdout that stops
+    * train/test contamination through alternate snapshots of one page.
+    * Also growth-stable: adding rows (or whole new keys) never moves an
+    * existing key's assignment, unlike rank-percentile splits which
+    * reshuffle the boundary on every corpus extension.
+    *
+    * Scale shape: row-local expression over the scan, zero shuffle, no RNG
+    * state. Replayable bit-for-bit by an external SQL engine (md5 + integer
+    * mod + when-cascade). The `mod total` draw has modulo bias below
+    * total/2^32 — negligible for split tables (total ~ 10..1000).
+    */
+  def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Long)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    val total = splits.map(_._2).sum
+    val bucket = pmod(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(total))
+    val cum = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val assigned = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), ub), acc) => when(bucket < ub, lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Greedy sequence packing for training batches: rows are packed in
     * `orderCol` order within each shard, and a row goes to bin
     * floor(tokens_before / budget) — the prefix-sum chunking used to cut a

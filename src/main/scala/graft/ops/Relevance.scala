@@ -147,6 +147,39 @@ object Relevance {
     * (term, block) aggregate whose collect_list is blockSpan-bounded;
     * delta encoding is a row-local array HOF.
     */
+  /** Hashing-trick sparse feature export (Weinberger et al. 2009): each
+    * document becomes (id, bucket, value) rows with bucket =
+    * 32-bit-md5(term) mod `dim` and value = the signed occurrence sum —
+    * the sign (parity of the 9th md5 hex digit) makes colliding terms
+    * cancel in expectation instead of inflating each other, the property
+    * that lets linear models train on a FIXED dim regardless of vocabulary
+    * size (no vocab table to build, broadcast, or keep consistent across
+    * corpus versions — the feature space never changes when the corpus
+    * does).
+    *
+    * Scale shape: token explode -> ONE (id, bucket) aggregate with
+    * map-side combine; the payload never shuffles and output is bounded by
+    * min(doc terms, dim) rows per document. Every operation is md5 +
+    * integer arithmetic, so an external SQL engine replays it exactly.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String, dim: Int,
+                     signed: Boolean = true): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("term"))
+    val h = md5(col("term").cast("binary"))
+    val bucket = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    val sign =
+      if (signed)
+        when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
+          .otherwise(lit(-1L))
+      else lit(1L)
+    toks.select(col(idCol), bucket.as("bucket"), sign.as("_hf_sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_hf_sign")).as("value"))
+  }
+
   def postingsBlocks(df: DataFrame, idCol: String, textCol: String,
                      blockSpan: Long = 1L << 20): DataFrame = {
     require(blockSpan > 0, "blockSpan must be positive")
