@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 112 queries spanning every implemented operator family
+/** Driver contract — 117 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -107,7 +107,17 @@ import graft.temporal.{AsOfJoin, Windows}
   * oracled against DuckDB's independent utf8proc NFC), q111 entity-safe
   * deterministic train/val/test split (pure function of the key — all
   * revisits of one entity share a split), q112 hashing-trick sparse
-  * feature export (signed 32-bit-md5 buckets at fixed dim).
+  * feature export (signed 32-bit-md5 buckets at fixed dim), q113
+  * fixed-point smoothed bigram-LM fluency (the CCNet-style reference-
+  * corpus scorer: LM trained on the corpus's English split, every doc
+  * scored with add-one smoothing — unseen bigrams AND unseen contexts
+  * bind), q114 BPE merge-pair statistics (round-1 corpus-weighted symbol
+  * pair counts — the tokenizer-trainer's decision table), q115 BPE
+  * segmentation statistics under a fixed merge list (the exact greedy
+  * left-to-right encoder fold; merges chosen with disjoint alphabets so
+  * the oracle can replay fires as non-overlapping regex counts), q116
+  * fastText-style linear classifier inference (signed hashed features x
+  * broadcast weight table, integer dot product).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2212,6 +2222,80 @@ object SparkEntry {
       graft.ops.Relevance.hashedFeatures(
           t(s, dir, "documents"), "doc_id", "text", dim = 64)
         .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // ---- q113: fixed-point smoothed bigram-LM fluency — the CCNet shape:
+    //      LM counts from the corpus's OWN English split, every document
+    //      scored against them, so non-English rows hit the unseen-bigram
+    //      and unseen-context smoothing paths. Exact integers throughout
+    //      ((scale*(c2+1)) div (c1+V)); the oracle replays the same
+    //      rationals relationally. ----
+    "q113_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Lm.bigramFluency(docs, "doc_id", "text",
+          lmDf = Some(docs.where(col("lang") === "en")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q114: BPE merge-pair statistics (tokenizer-trainer round 1) —
+    //      corpus-frequency-weighted adjacent character-pair counts over
+    //      the vocabulary, top-20 with a (freq desc, pair asc) tie-break
+    //      so the cut is deterministic. ----
+    "q114_bpe_pairs" -> ((s, dir) => {
+      graft.ops.Lm.bpePairStats(t(s, dir, "documents"), "text")
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    // ---- q115: BPE segmentation statistics under a FIXED merge list —
+    //      the exact greedy left-to-right encoder fold (not the estimator).
+    //      The merges use pairwise-disjoint character alphabets, so each
+    //      merge's fire count equals the word's non-overlapping substring
+    //      count and the oracle replays the fold as regex counts:
+    //      n_subwords = chars - fires, n_single_chars = chars - 2*fires. ----
+    "q115_bpe_segment" -> ((s, dir) => {
+      graft.ops.Lm.bpeSegmentStats(t(s, dir, "documents"), "doc_id", "text",
+          Seq(("t", "h"), ("e", "r"), ("o", "n")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q116: linear classifier inference (fastText-style quality gate)
+    //      — q112's signed hashed features against a deterministic md5
+    //      weight table (model-sized, broadcast), integer dot product,
+    //      label = score > 0. Featureless docs score 0/false. ----
+    "q116_classifier_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.ops.Relevance.hashedFeatures(docs, "doc_id", "text",
+        dim = 64)
+      val weights = s.range(64).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L)
+          .as("weight"))
+      graft.ops.Lm.linearScore(docs, feats, weights, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q117: REAL pixel-raster decode — exact integer channel sums over
+    //      javax.imageio rasters. PNG is lossless, so the oracle recomputes
+    //      every sum CLOSED-FORM from the generator's fill function
+    //      ((x*31 + y*17) & 0xffffff), never from the engine; the 2200-wide
+    //      image pushes values past 2^16 so the red channel binds too.
+    //      Undecodable payload -> ok=false zeros. ----
+    "q117_image_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "image", M.MediaGen.pngBytes(17, 9)),
+        M.MediaRow(2L, "image", M.MediaGen.pngBytes(8, 6, alpha = true)),
+        M.MediaRow(3L, "image", M.MediaGen.pngBytes(2200, 3)),
+        M.MediaRow(4L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0)))
+      M.imagePixelStats(rows.toDS()).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("ok"))
+        .orderBy(col("media_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -3989,7 +4073,109 @@ object SparkEntry {
         |  cast(('0x' || substr(hx, 1, 8))::UBIGINT % 64 AS bigint) AS bucket,
         |  cast(sum(CASE WHEN ('0x' || substr(hx, 9, 1))::UBIGINT % 2 = 0
         |               THEN 1 ELSE -1 END) AS bigint) AS value
-        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    // q113: the add-one bigram LM replayed relationally — identical integer
+    // rationals (scale 1e6, // truncation), LM side = the en split, V from
+    // the en split's distinct tokens, unseen joins coalesce to 0
+    "q113_lm_fluency" ->
+      """WITH lmw AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+        |             FROM documents WHERE lang = 'en'),
+        |lmbg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |         FROM lmw WHERE len(w) >= 2),
+        |c2 AS (SELECT b, count(*) AS c2 FROM lmbg GROUP BY b),
+        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM
+        |        (SELECT unnest(w) AS t FROM lmw)),
+        |dbg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, b, count(*) AS n FROM
+        |          (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |           FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents)
+        |           WHERE len(w) >= 2)
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, n,
+        |         (1000000 * (coalesce(c2.c2, 0) + 1)) // (coalesce(c1.c1, 0) + v.v) AS p_fp
+        |       FROM dbg LEFT JOIN c2 USING (b) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, sum(n) AS nb, sum(n * p_fp) AS ps, min(p_fp) AS pm,
+        |         sum(CASE WHEN p_fp < 1000 THEN n ELSE 0 END) AS nr
+        |       FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  cast(coalesce(nb, 0) AS bigint) AS n_bigrams,
+        |  cast(coalesce(ps, 0) AS bigint) AS p_sum,
+        |  cast(coalesce(pm, 0) AS bigint) AS p_min,
+        |  cast(coalesce(nr, 0) AS bigint) AS n_rare
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q114: round-1 BPE pair table replayed — word-frequency aggregate,
+    // per-word adjacent char pairs weighted by freq, same tie-break
+    "q114_bpe_pairs" ->
+      """WITH wf AS (SELECT w, count(*) AS freq FROM
+        |    (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS w
+        |     FROM documents) GROUP BY w),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |        i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))) AS pair, freq
+        |      FROM wf WHERE length(w) >= 2)
+        |SELECT pair, cast(sum(freq) AS bigint) AS freq FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // q115: the greedy fold replayed as regex fire counts — valid because
+    // the merge alphabets {t,h}/{e,r}/{o,n} are pairwise disjoint, so
+    // merges can't chain and each fire is a non-overlapping substring match
+    "q115_bpe_segment" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_words,
+        |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS chars,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'th')) + len(regexp_extract_all(x, 'er'))
+        |          + len(regexp_extract_all(x, 'on')))), 0) AS fires
+        |      FROM w)
+        |SELECT doc_id, cast(n_words AS bigint) AS n_words,
+        |  cast(chars - fires AS bigint) AS n_subwords,
+        |  cast(chars - 2 * fires AS bigint) AS n_single_chars
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q116: q112's feature table joined to the same md5 weight construction
+    // (('0x'||md5-hex-8)::BIGINT % 2001 - 1000), integer dot product
+    "q116_classifier_score" ->
+      """WITH h AS (SELECT doc_id, md5(tok) AS hx FROM
+        |    (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tok
+        |     FROM documents)),
+        |f AS (SELECT doc_id,
+        |        cast(('0x' || substr(hx, 1, 8))::UBIGINT % 64 AS bigint) AS bucket,
+        |        cast(sum(CASE WHEN ('0x' || substr(hx, 9, 1))::UBIGINT % 2 = 0
+        |                     THEN 1 ELSE -1 END) AS bigint) AS value
+        |      FROM h GROUP BY 1, 2),
+        |wts AS (SELECT b AS bucket,
+        |          ('0x' || substr(md5('w' || cast(b AS varchar)), 1, 8))::BIGINT % 2001 - 1000 AS weight
+        |        FROM range(64) t(b)),
+        |sc AS (SELECT doc_id, sum(value * weight) AS score
+        |       FROM f JOIN wts USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id, cast(coalesce(score, 0) AS bigint) AS score,
+        |  coalesce(score, 0) > 0 AS label
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q117: the PNG rasters recomputed closed-form — pixel (x, y) carries
+    // (x*31 + y*17) & 0xffffff (the generator's fill), pixel index r
+    // enumerates x = r % w, y = r // w; PNG decode is bit-exact by spec
+    "q117_image_pixels" ->
+      """WITH dims AS (SELECT * FROM (VALUES (1, 17, 9), (2, 8, 6), (3, 2200, 3))
+        |              AS t(media_id, w, h)),
+        |px AS (SELECT d.media_id, d.w, d.h,
+        |         ((x.r % d.w) * 31 + (x.r // d.w) * 17) % 16777216 AS v
+        |       FROM dims d JOIN range(6600) x(r) ON x.r < d.w * d.h),
+        |agg AS (SELECT media_id, w, h, sum(v // 65536) AS sr,
+        |          sum((v // 256) % 256) AS sg, sum(v % 256) AS sb
+        |        FROM px GROUP BY 1, 2, 3)
+        |SELECT cast(media_id AS bigint) AS media_id, cast(w AS bigint) AS width,
+        |  cast(h AS bigint) AS height, cast(w * h AS bigint) AS n_pixels,
+        |  cast(sr AS bigint) AS sum_r, cast(sg AS bigint) AS sum_g,
+        |  cast(sb AS bigint) AS sum_b, true AS ok
+        |FROM agg
+        |UNION ALL
+        |SELECT 4, 0, 0, 0, 0, 0, 0, false
+        |ORDER BY media_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model operators for corpus curation: a fixed-point
+  * smoothed bigram LM (the CCNet-style "score every page against a clean
+  * reference corpus" filter), a distributed BPE merge trainer (tokenizer
+  * construction over the corpus's own word distribution), and linear
+  * classifier inference over hashed features (the fastText-style quality
+  * gate).
+  *
+  * All scores are EXACT-INTEGER in the same spirit as [[Relevance]] and
+  * [[Graph.pageRankInt]]: the smoothed conditional probability is the
+  * fixed-point rational `(scale * (c2+1)) div (c1+V)` rather than a float,
+  * and the per-document score aggregates those integers — so the result is
+  * independent of partitioning and fold order, and an external SQL oracle
+  * reproduces it bit-for-bit. A float `log p` cross-entropy costs nothing
+  * more at runtime but `ln` is not correctly-rounded across libm
+  * implementations; callers that want log-space perplexity apply it to the
+  * emitted integers. The linear-probability score preserves the filtering
+  * property that matters: fluent text (frequent transitions) scores high,
+  * gibberish and boilerplate-mangled text scores low.
+  */
+object Lm {
+
+  /** Fixed-point probability scale: p_fp in [0, Scale] represents
+    * p in [0, 1]. With per-bigram joint values n * p_fp summed per
+    * document, callers must keep maxDocTokens * Scale within int64 —
+    * ample at Scale = 1e6.
+    */
+  val Scale: Long = 1000000L
+
+  private def words(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0))
+        .as("_w"))
+
+  /** Per-document fluency under an add-one-smoothed bigram LM trained on
+    * `lmDf` (defaults to `df` itself — self-scoring; production passes the
+    * clean reference split, e.g. the target-language Wikipedia analog, and
+    * scores the whole crawl against it).
+    *
+    * Model: for each adjacent token pair (w1, w2) in a document,
+    *
+    *   p_fp(w2|w1) = (scale * (c2(w1 w2) + 1)) div (c1(w1) + V)
+    *
+    * where c2 = corpus count of the bigram in the LM corpus, c1 = count of
+    * w1 as a bigram CONTEXT (sum of c2 over bigrams starting with w1), and
+    * V = distinct-token vocabulary size of the LM corpus. Unseen bigrams
+    * and unseen contexts take the smoothed floor (scale * 1) div (0 + V) —
+    * the standard Laplace estimate, exercised whenever the scored corpus
+    * contains tokens the LM corpus lacks.
+    *
+    * Output, one row per input row (docs with < 2 tokens score zero):
+    *   (idCol, n_bigrams, p_sum, p_min, n_rare)
+    * where p_sum = sum over the doc's bigram OCCURRENCES of p_fp (so
+    * p_sum/n_bigrams is the mean transition probability — the fluency
+    * score), p_min = the most surprising transition (0 when no bigrams),
+    * and n_rare = occurrences with p_fp < rareBelow (the "how much of this
+    * page is gibberish" counter).
+    *
+    * Scale shape: both corpora reduce to slim (id, bigram) streams — text
+    * never shuffles. The LM side collapses to a bigram-type-bounded count
+    * table; c1 and the doc-side join are derived FROM that table (no
+    * second pass over the LM corpus). The scored side pre-aggregates per
+    * (doc, bigram) so the count-table join carries distinct pairs, not
+    * occurrences. V rides a broadcast 1-row aggregate — the whole job is
+    * one lazy plan, no driver action. At 10^12 docs the bigram-count join
+    * is a shuffle equi-join on the bigram key (the table is far too big to
+    * broadcast, and AQE handles the head-word skew).
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String,
+                    lmDf: Option[DataFrame] = None,
+                    scale: Long = Scale,
+                    rareBelow: Long = Scale / 1000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val lmWords = words(lmDf.getOrElse(df), idCol, textCol)
+    val lmBigrams = lmWords.where(size(col("_w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_w) - 2), i -> struct(_w[i] AS w1, concat(_w[i], ' ', _w[i + 1]) AS b))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.b").as("b"))
+    val c2 = lmBigrams.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.select(split(col("b"), " ", 2).getItem(0).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = lmWords.select(explode(col("_w")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+
+    val docWords = words(df, idCol, textCol)
+    val docBigrams = docWords.where(size(col("_w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_w) - 2), i -> struct(_w[i] AS w1, concat(_w[i], ' ', _w[i + 1]) AS b))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
+      .groupBy(col(idCol), col("w1"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+    val scored = docBigrams
+      .join(c2, Seq("b"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_fp", expr(
+        s"(${scale}L * (coalesce(c2, 0L) + 1L)) div (coalesce(c1, 0L) + v)"))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      sum(col("n")).as("_nb"),
+      sum(col("n") * col("p_fp")).as("_ps"),
+      min(col("p_fp")).as("_pm"),
+      sum(when(col("p_fp") < rareBelow, col("n")).otherwise(0L)).as("_nr"))
+
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("_ps"), lit(0L)).as("p_sum"),
+        coalesce(col("_pm"), lit(0L)).as("p_min"),
+        coalesce(col("_nr"), lit(0L)).as("n_rare"))
+  }
+
+  /** Corpus-weighted symbol-pair statistics for one BPE round: every word
+    * in the token grammar is split into single-character symbols and each
+    * adjacent symbol pair is counted weighted by the word's corpus
+    * frequency. Output: (pair, freq) where pair = "a b" (symbols are
+    * single characters at round 1, so the space join is unambiguous).
+    *
+    * Scale shape: the corpus reduces to a word-frequency table (one
+    * map-side-combined aggregate over the token stream); the pair explode
+    * runs over the VOCABULARY, not the corpus — at web scale the vocab is
+    * orders of magnitude smaller than the token stream.
+    */
+  def bpePairStats(df: DataFrame, textCol: String): DataFrame =
+    pairStats(wordTable(df, textCol))
+
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  private def pairStats(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2), i -> concat(syms[i], ' ', syms[i + 1]))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("freq"))
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Train `nMerges` BPE merges over the corpus word distribution: each
+    * round picks the most frequent adjacent symbol pair (ties broken by
+    * pair text ascending — the trainer is deterministic) and rewrites
+    * every word's segmentation with the standard greedy left-to-right
+    * merge (a fold: if the accumulated tail equals the pair's left symbol
+    * and the next symbol is the right, replace the tail with the merged
+    * symbol — so "aaa" under merge (a,a) becomes [aa, a], never [a, aa]).
+    *
+    * Returns the learned merges in order with their frequencies at
+    * selection time. Stops early when no pair reaches `minFreq`.
+    *
+    * Scale shape: the iteration state is the VOCAB table (word, freq,
+    * syms) — corpus text is touched exactly once to build it. Each round
+    * is one vocab-sized aggregate plus a 1-row argmax collect (the merge
+    * decision is inherently global and tiny) plus a narrow rewrite. The
+    * vocab is cached and re-cached every round so lineage stays one step
+    * deep across hundreds of merges.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               minFreq: Long = 1L): Seq[(String, String, Long)] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    var vocab = wordTable(df, textCol).persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      var round = 0
+      var done = false
+      while (round < nMerges && !done) {
+        val top = pairStats(vocab)
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getLong(1) < minFreq) { done = true }
+        else {
+          val parts = top(0).getString(0).split(" ", 2)
+          val (a, b, f) = (parts(0), parts(1), top(0).getLong(1))
+          merges += ((a, b, f))
+          val (la, lb, lab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
+          // nested IF, not AND: the outer guard must short-circuit so
+          // element_at never sees an empty array under ANSI mode
+          val next = vocab.withColumn("syms", expr(
+            s"""aggregate(syms, cast(array() AS array<string>), (acc, x) ->
+               |  IF(size(acc) = 0, array(x),
+               |     IF(element_at(acc, -1) = $la AND x = $lb,
+               |        concat(slice(acc, 1, size(acc) - 1), array($lab)),
+               |        concat(acc, array(x)))))""".stripMargin)).persist()
+          next.count()
+          vocab.unpersist()
+          vocab = next
+          round += 1
+        }
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
+  /** Segment each document's words with a fixed merge list (the BPE
+    * ENCODER half, applied merge-by-merge in training order — exact, not
+    * the estimator [[graft.core.TextKernels]] ships for cheap counting)
+    * and emit per-document subword statistics:
+    *   (idCol, n_words, n_subwords, n_single_chars)
+    * n_subwords is the real token count under this tokenizer; a
+    * high n_single_chars/n_subwords ratio marks out-of-distribution text
+    * (the merges never fire on it). Narrow per-row work; the merge list is
+    * a compiled expression, not a join.
+    */
+  def bpeSegmentStats(df: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val folded = merges.foldLeft("transform(sequence(1, length(x), 1), i -> substring(x, i, 1))") {
+      case (inner, (a, b)) =>
+        val (la, lb, lab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
+        s"""aggregate($inner, cast(array() AS array<string>), (acc, x2) ->
+           |  IF(size(acc) = 0, array(x2),
+           |     IF(element_at(acc, -1) = $la AND x2 = $lb,
+           |        concat(slice(acc, 1, size(acc) - 1), array($lab)),
+           |        concat(acc, array(x2)))))""".stripMargin
+    }
+    words(df, idCol, textCol)
+      .withColumn("_segs", expr(s"transform(_w, x -> $folded)"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        coalesce(expr("aggregate(_segs, 0L, (acc, s) -> acc + size(s))"), lit(0L))
+          .as("n_subwords"),
+        coalesce(expr(
+          "aggregate(_segs, 0L, (acc, s) -> acc + size(filter(s, y -> length(y) = 1)))"),
+          lit(0L)).as("n_single_chars"))
+  }
+
+  /** Linear classifier inference over a sparse feature table — the
+    * fastText-style quality/topic gate: score(doc) = sum over the doc's
+    * feature buckets of value * weight, label = score > 0. `features` is
+    * (idCol, bucketCol, valueCol) as produced by
+    * [[Relevance.hashedFeatures]]; `weights` is (bucketCol, weightCol),
+    * model-sized. `ids` is the full document set so featureless docs
+    * score 0 rather than vanish.
+    *
+    * Scale shape: the weight table is a few thousand to a few million
+    * rows regardless of corpus size — broadcast by construction, so the
+    * scoring pass adds NO shuffle beyond the feature aggregate itself,
+    * and the per-doc reduce is map-side combined.
+    */
+  def linearScore(ids: DataFrame, features: DataFrame, weights: DataFrame,
+                  idCol: String, bucketCol: String = "bucket",
+                  valueCol: String = "value",
+                  weightCol: String = "weight"): DataFrame = {
+    val scored = features.join(broadcast(weights), Seq(bucketCol))
+      .groupBy(col(idCol))
+      .agg(sum(col(valueCol) * col(weightCol)).as("_sc"))
+    ids.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_sc"), lit(0L)).as("score"),
+        (coalesce(col("_sc"), lit(0L)) > 0L).as("label"))
+  }
+}

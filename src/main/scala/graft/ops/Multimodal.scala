@@ -254,6 +254,53 @@ object Multimodal {
     }
   }
 
+  final case class PixelStats(
+      media_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, ok: Boolean)
+
+  /** REAL image feature extraction (no stub in this path): decode the full
+    * pixel raster via javax.imageio and emit exact integer channel sums —
+    * the decode-verify / brightness signals a curation pipeline derives
+    * from image payloads. For LOSSLESS formats (PNG) the raster is
+    * bit-exact by spec, so an external oracle recomputes the sums
+    * CLOSED-FORM from the generator's fill function without consulting the
+    * engine; JPEG rasters are decoder-dependent, so drivers pin PNG and
+    * specs exercise JPEG structurally (ok + dimensions). Undecodable
+    * payloads emit ok=false zeros rather than failing the stage.
+    *
+    * Scale shape: row-local mapPartitions work — one decoded raster in
+    * memory per task at a time, no shuffle; pair with
+    * [[repartitionByBytes]] upstream so blob-size skew doesn't serialize
+    * the stage.
+    */
+  def imagePixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { row =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        if (img == null) throw new java.io.IOException("undecodable image")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = img.getRGB(x, y)
+            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        PixelStats(row.media_id, img.getWidth, img.getHeight,
+          img.getWidth.toLong * img.getHeight, sr, sg, sb, ok = true)
+      } catch {
+        case _: Exception =>
+          PixelStats(row.media_id, 0, 0, 0L, 0L, 0L, 0L, ok = false)
+      }
+    }
+  }
+
   /** Deterministic real-container fixtures (tests + driver oracles): actual
     * PNG/JPEG streams from javax.imageio over a fixed pixel pattern, and a
     * hand-assembled canonical 44-byte-header PCM WAV. Dimensions, channel

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramFluency: self-scored add-one bigram LM, hand-computed") {
+    val df = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x")
+    ).toDF("id", "text")
+    // c2: "a b"->3, "b a"->1, "b c"->1; c1: a->3, b->2; V = |{a,b,c,x}| = 4
+    // p("a b") = 4000000 div 7 = 571428; p("b a") = p("b c") = 2000000 div 6 = 333333
+    val r = Lm.bigramFluency(df, "id", "text").orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 3L, 2L * 571428 + 333333, 333333L, 0L))
+    assert(r(1).toSeq == Seq(2L, 2L, 571428L + 333333, 333333L, 0L))
+    assert(r(2).toSeq == Seq(3L, 0L, 0L, 0L, 0L))
+  }
+
+  test("bigramFluency: separate LM corpus exercises unseen bigram AND unseen context") {
+    val lm = Seq((10L, "a b")).toDF("id", "text")   // c2: "a b"->1; c1: a->1; V=2
+    val df = Seq((1L, "a z b")).toDF("id", "text")
+    // "a z": unseen bigram, seen context: (1e6*1) div (1+2) = 333333
+    // "z b": unseen bigram, unseen context: (1e6*1) div (0+2) = 500000
+    val r = Lm.bigramFluency(df, "id", "text", lmDf = Some(lm),
+      rareBelow = 400000L).orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 2L, 833333L, 333333L, 1L))
+  }
+
+  test("bpePairStats: corpus-frequency-weighted adjacent symbol pairs") {
+    val df = Seq((1L, "aab aab"), (2L, "ab")).toDF("id", "text")
+    // wf: aab->2, ab->1; pairs: aab contributes (a a)x1,(a b)x1 per occurrence
+    val r = Lm.bpePairStats(df, "text").orderBy("pair").collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("a a", 2L), Seq("a b", 3L)))
+  }
+
+  test("bpeTrain: greedy left-to-right merge, no overlap re-use") {
+    val df = Seq((1L, "aaa aaa")).toDF("id", "text")
+    // wf: aaa->2. round 1: pair "a a" freq 4 -> merge (a,a).
+    // "aaa" folds to [aa, a] (the third 'a' must NOT merge with the new
+    // 'aa' symbol). round 2: pair "aa a" freq 2 -> merge (aa,a).
+    val merges = Lm.bpeTrain(df, "text", nMerges = 2)
+    assert(merges == Seq(("a", "a", 4L), ("aa", "a", 2L)))
+  }
+
+  test("bpeTrain: frequency ties break by pair text ascending") {
+    val df = Seq((1L, "ab cd"), (2L, "ab cd")).toDF("id", "text")
+    val merges = Lm.bpeTrain(df, "text", nMerges = 1)
+    assert(merges == Seq(("a", "b", 2L)))
+  }
+
+  test("bpeTrain: minFreq stops the loop early") {
+    val df = Seq((1L, "ab")).toDF("id", "text")
+    assert(Lm.bpeTrain(df, "text", nMerges = 5, minFreq = 2L).isEmpty)
+  }
+
+  test("bpeSegmentStats: chained merges and greedy fold semantics") {
+    val df = Seq((1L, "aaa aaaa"), (2L, ""), (3L, "xy")).toDF("id", "text")
+    val merges = Seq(("a", "a"), ("aa", "a"))
+    // "aaa": [a,a,a] -> [aa,a] -> [aaa]           (1 subword, 0 singles)
+    // "aaaa": [a,a,a,a] -> [aa,aa] -> [aa,aa]     (2 subwords, 0 singles)
+    // "xy": merges never fire                     (2 singles)
+    val r = Lm.bpeSegmentStats(df, "id", "text", merges).orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 2L, 3L, 0L))
+    assert(r(1).toSeq == Seq(2L, 0L, 0L, 0L))
+    assert(r(2).toSeq == Seq(3L, 1L, 2L, 2L))
+  }
+
+  test("linearScore: weighted dot product, featureless docs score zero") {
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val feats = Seq((1L, 0L, 2L), (1L, 1L, -1L), (2L, 9L, 5L))
+      .toDF("id", "bucket", "value")
+    val weights = Seq((0L, 3L), (1L, 4L)).toDF("bucket", "weight")
+    val r = Lm.linearScore(ids, feats, weights, "id").orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 2L, true))   // 2*3 + (-1)*4
+    assert(r(1).toSeq == Seq(2L, 0L, false))  // bucket 9 has no weight
+    assert(r(2).toSeq == Seq(3L, 0L, false))  // no features at all
+  }
+}

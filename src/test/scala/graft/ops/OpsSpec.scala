@@ -393,4 +393,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!r(2).ok, "corrupt png must yield a structured failure row")
     assert(r(3).ok, "unrecognized container falls back to the stub")
   }
+
+  test("imagePixelStats: exact channel sums from the real raster; JPEG structural; corrupt ok=false") {
+    import Multimodal.MediaGen
+    // closed-form expectation from the generator fill (x*31 + y*17) & 0xffffff
+    def sums(w: Int, h: Int): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      (sr, sg, sb)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaGen.pngBytes(17, 9)),
+      Multimodal.MediaRow(2L, "image", MediaGen.pngBytes(8, 6, alpha = true)),
+      Multimodal.MediaRow(3L, "image", MediaGen.pngBytes(2200, 3)), // red binds
+      Multimodal.MediaRow(4L, "image", MediaGen.jpegBytes(24, 16)),
+      Multimodal.MediaRow(5L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0))).toDS()
+    val r = Multimodal.imagePixelStats(rows).collect().sortBy(_.media_id)
+    for ((i, w, h) <- Seq((0, 17, 9), (1, 8, 6), (2, 2200, 3))) {
+      val (sr, sg, sb) = sums(w, h)
+      assert(r(i).ok && r(i).width == w && r(i).height == h
+        && r(i).n_pixels == w.toLong * h
+        && (r(i).sum_r, r(i).sum_g, r(i).sum_b) == ((sr, sg, sb)),
+        s"png $w x $h raster mismatch: ${r(i)}")
+    }
+    assert(r(2).sum_r > 0L, "2200-wide image must exercise the red channel")
+    // JPEG decodes (dims exact) but the raster is decoder-dependent:
+    // structural checks only
+    assert(r(3).ok && r(3).width == 24 && r(3).height == 16 && r(3).n_pixels == 384L)
+    assert(!r(4).ok && r(4).n_pixels == 0L)
+  }
 }

@@ -120,4 +120,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text#")),
       s"document text rides a shuffle:\n$plan")
   }
+
+  test("bigramFluency: V broadcast; raw text never rides an exchange") {
+    val df = Seq.tabulate(40)(i => (i.toLong, s"alpha beta tok$i words here"))
+      .toDF("id", "text")
+    val plan = Lm.bigramFluency(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"vocab scalar is not broadcast:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text rides a shuffle:\n$plan")
+  }
+
+  test("linearScore: the weight table joins by BROADCAST — scoring adds no shuffle beyond the feature aggregate") {
+    val ids = Seq.tabulate(40)(i => i.toLong).toDF("id")
+    val feats = Seq.tabulate(40)(i => (i.toLong, (i % 8).toLong, 1L))
+      .toDF("id", "bucket", "value")
+    val weights = Seq.tabulate(8)(b => (b.toLong, b.toLong - 4L)).toDF("bucket", "weight")
+    val plan = Lm.linearScore(ids, feats, weights, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weight join is not broadcast:\n$plan")
+  }
 }
