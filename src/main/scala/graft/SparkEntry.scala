@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 117 queries spanning every implemented operator family
+/** Driver contract — 119 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -117,7 +117,11 @@ import graft.temporal.{AsOfJoin, Windows}
   * left-to-right encoder fold; merges chosen with disjoint alphabets so
   * the oracle can replay fires as non-overlapping regex counts), q116
   * fastText-style linear classifier inference (signed hashed features x
-  * broadcast weight table, integer dot product).
+  * broadcast weight table, integer dot product), q117 real pixel-raster
+  * decode (exact channel sums, closed-form PNG oracle), q118
+  * exact-integer BM25 top-k (saturation + length normalization as one
+  * decimal(38,0) rational), q119 UT1-style phrase blocklist
+  * (token-boundary L-gram matching, broadcast phrase table).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2296,6 +2300,26 @@ object SparkEntry {
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
           col("ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- q118: exact-integer BM25 top-k — tf-saturation + length
+    //      normalization as one decimal(38,0) rational (the idf LOG stays
+    //      caller-side, q83 precedent); the oracle replays the identical
+    //      HUGEINT arithmetic. ----
+    "q118_bm25" -> ((s, dir) => {
+      graft.ops.Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- q119: UT1-style phrase blocklist — token-boundary L-gram
+    //      matching (no substring false positives), mixed 1-word and
+    //      2-word phrases, broadcast phrase table, threshold gate. ----
+    "q119_blocklist" -> ((s, dir) => {
+      graft.ops.Curation.blocklistHits(t(s, dir, "documents"), "doc_id",
+          "text", Seq("slow", "batch batch", "merge slow", "nosuch phrase"),
+          blockAt = 3L)
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4175,7 +4199,50 @@ object SparkEntry {
         |FROM agg
         |UNION ALL
         |SELECT 4, 0, 0, 0, 0, 0, 0, false
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+
+    // q118: identical HUGEINT arithmetic — num = tf*2200*1000*T,
+    // den = tf*1e6*T + 300000*T + 900000*dl*N, idf = (1e6*(2N-2df+1))//(2df+1)
+    "q118_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |               (SELECT sum(tf) FROM tf) AS t_tokens),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfq.df,
+        |         (((1000000::HUGEINT * (2*n_docs - 2*df + 1)) // (2*df + 1))
+        |           * tf.tf::HUGEINT * 2200 * 1000 * t_tokens)
+        |         //
+        |         (tf.tf::HUGEINT * 1000000 * t_tokens
+        |           + 300000::HUGEINT * t_tokens
+        |           + 900000::HUGEINT * dl.dl * n_docs) AS score_fp
+        |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_fp DESC, term ASC) AS rank FROM sc)
+        |SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(dl AS bigint) AS dl,
+        |  cast(df AS bigint) AS df, cast(score_fp AS bigint) AS score_fp,
+        |  cast(rank AS bigint) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // q119: L-gram joins replayed per phrase length (1 and 2); the 2-grams
+    // are the same list_transform window q93 uses
+    "q119_blocklist" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+        |           FROM documents),
+        |g1 AS (SELECT doc_id, unnest(ws) AS p FROM w),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS p FROM w WHERE len(ws) >= 2),
+        |hits AS (SELECT doc_id, p FROM g1 WHERE p IN ('slow')
+        |         UNION ALL
+        |         SELECT doc_id, p FROM g2 WHERE p IN ('batch batch', 'merge slow', 'nosuch phrase')),
+        |pd AS (SELECT doc_id, count(*) AS n, count(DISTINCT p) AS d
+        |       FROM hits GROUP BY doc_id)
+        |SELECT w.doc_id, cast(coalesce(n, 0) AS bigint) AS n_hits,
+        |  cast(coalesce(d, 0) AS bigint) AS n_distinct_phrases,
+        |  coalesce(n, 0) >= 3 AS blocked
+        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -796,4 +796,50 @@ object Curation {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("imp_sum"), lit(0L)).cast("long").as("imp_sum"))
   }
+
+  /** UT1-style phrase-blocklist gate: count occurrences of each blocklist
+    * phrase in each document and flag documents at `blockAt` or more total
+    * hits. Phrases are sequences of tokens in the corpus's shared grammar
+    * (lowercased `[a-z0-9_']+`); a phrase of L words matches a document's
+    * token L-grams EXACTLY — token-boundary-safe by construction, no
+    * substring false positives ("ass" never matches "class"), no
+    * regex-overlap undercounting.
+    *
+    * Output: one row per input row — (idCol, n_hits, n_distinct_phrases,
+    * blocked).
+    *
+    * Scale shape: the blocklist is model-sized (UT1 is ~4M entries; far
+    * below executor memory as (ngram, length) pairs) and BROADCAST; the
+    * document side explodes one L-gram stream per DISTINCT phrase length
+    * (typically 1-3), each a narrow projection of the token array —
+    * text shuffles never, and the per-doc reduce is map-side combined.
+    */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+                    phrases: Seq[String], blockAt: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = phrases.map(_.toLowerCase.split("\\s+").toSeq)
+      .filter(_.nonEmpty).map(ws => (ws.mkString(" "), ws.length)).distinct
+    require(normed.nonEmpty, "blocklist must contain at least one phrase")
+    val phraseTable = normed.toDF("_phrase", "_len")
+    val words = df.select(col(idCol),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0))
+        .as("_w"))
+    val hits = normed.map(_._2).distinct.sorted.map { len =>
+      words.where(size(col("_w")) >= len)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(0, size(_w) - $len), i -> array_join(slice(_w, i + 1, $len), ' '))"))
+          .as("_phrase"))
+        .join(broadcast(phraseTable.where(col("_len") === len)), Seq("_phrase"))
+        .select(col(idCol), col("_phrase"))
+    }.reduce(_ unionByName _)
+    val perDoc = hits.groupBy(col(idCol)).agg(
+      count(lit(1)).as("_n"),
+      count_distinct(col("_phrase")).as("_d"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_hits"),
+        coalesce(col("_d"), lit(0L)).as("n_distinct_phrases"),
+        (coalesce(col("_n"), lit(0L)) >= blockAt).as("blocked"))
+  }
 }

@@ -180,6 +180,69 @@ object Relevance {
       .agg(sum(col("_hf_sign")).as("value"))
   }
 
+  /** Top-`k` terms per document by EXACT-INTEGER BM25 (Robertson/Spärck
+    * Jones): the tf-saturation and length-normalization structure is
+    * computed exactly as one fixed-point rational; only the idf LOG is
+    * left to callers (the same deviation [[tfidfTopK]] documents — `ln`
+    * is not correctly-rounded across libms, so the emitted idf_fp keeps
+    * the exact BM25 idf ARGUMENT (2N-2df+1)/(2df+1), i.e.
+    * (N-df+0.5)/(df+0.5) doubled through).
+    *
+    * With k1 = k1Milli/1000, b = bMilli/1000, avgdl = T/N (T = total
+    * corpus tokens, N = corpus docs), the classic
+    *
+    *   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *
+    * multiplied through by 10^6*T becomes the integer ratio
+    *
+    *   num = tf * (1000+k1Milli) * 1000 * T
+    *   den = tf * 10^6 * T + k1Milli*(1000-bMilli)*T + k1Milli*bMilli*dl*N
+    *
+    * and score_fp = (idf_fp * num) div den, all in decimal(38,0) — at
+    * N ~ 10^12, T ~ 10^14 the largest product is ~10^33, inside 38 digits.
+    *
+    * Output: (idCol, term, tf, dl, df, score_fp, rank), rank 1..k by
+    * (score_fp desc, term asc). Scale shape: tf is the one
+    * map-side-combined aggregate over the slim token stream; dl and df
+    * both derive FROM the tf table; N and T ride a broadcast 1-row
+    * aggregate; the top-k window partitions by document over its distinct
+    * terms only.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+               k1Milli: Long = 1200L, bMilli: Long = 750L,
+               scale: Long = Scale): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("t_tokens")))
+    val d38 = "decimal(38,0)"
+    val scored = tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_fp", expr(
+        s"(cast($scale AS $d38) * cast(2*n_docs - 2*df + 1 AS $d38)) div cast(2*df + 1 AS $d38)"))
+      .withColumn("score_fp", expr(
+        s"""(cast(idf_fp AS $d38)
+           |  * cast(tf AS $d38) * cast(${1000L + k1Milli} AS $d38)
+           |  * cast(1000 AS $d38) * cast(t_tokens AS $d38))
+           |div
+           |(cast(tf AS $d38) * cast(1000000 AS $d38) * cast(t_tokens AS $d38)
+           |  + cast(${k1Milli * (1000L - bMilli)} AS $d38) * cast(t_tokens AS $d38)
+           |  + cast(${k1Milli * bMilli} AS $d38) * cast(dl AS $d38) * cast(n_docs AS $d38))"""
+          .stripMargin))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
+        col("score_fp").cast("long").as("score_fp"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def postingsBlocks(df: DataFrame, idCol: String, textCol: String,
                      blockSpan: Long = 1L << 20): DataFrame = {
     require(blockSpan > 0, "blockSpan must be positive")

@@ -443,4 +443,22 @@ class CurationSpec extends SparkSpec {
     val kept = Curation.upsampleByWeight(df, "id", "w", seed = "lln").count()
     assert(math.abs(kept - 2000L) < 150, s"0.5x of 4000 kept $kept")
   }
+
+  test("blocklistHits: token-boundary L-gram matching, mixed phrase lengths, threshold") {
+    val df = Seq(
+      (1L, "bad word here bad word"),     // "bad"x2 + "bad word"x2 = 4 hits
+      (2L, "nothing wrong classy stuff"), // substring 'ass' must NOT match
+      (3L, "bad bad bad"),                // "bad"x3; "bad bad" not listed
+      (4L, ""),
+      (5L, "one bad apple")               // 1 hit, below blockAt=3
+    ).toDF("id", "text")
+    val r = Curation.blocklistHits(df, "id", "text",
+        Seq("bad word", "BAD", "evil twin", "ass"), blockAt = 3L)
+      .orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 4L, 2L, true))
+    assert(r(1).toSeq == Seq(2L, 0L, 0L, false))
+    assert(r(2).toSeq == Seq(3L, 3L, 1L, true))
+    assert(r(3).toSeq == Seq(4L, 0L, 0L, false))
+    assert(r(4).toSeq == Seq(5L, 1L, 1L, false))
+  }
 }

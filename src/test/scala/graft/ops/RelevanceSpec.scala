@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class RelevanceSpec extends SparkSpec {
@@ -138,5 +139,36 @@ class RelevanceSpec extends SparkSpec {
       ("banana", 0L, 1L, 1L, Seq((0L, 1L))),
       ("banana", 1L, 1L, 2L, Seq((5L, 2L))),
       ("cherry", 0L, 1L, 1L, Seq((1L, 1L)))))
+  }
+
+  test("bm25TopK: hand-computed fixed-point saturation + length normalization") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    // N=2, T=5; df: a->2, b->1, c->1; dl: d1=3, d2=2
+    // idf_fp: a = (1e6*1) div 5 = 200000; b = c = (1e6*3) div 3 = 1000000
+    // num = tf*2200*1000*5 = tf*11e6
+    // den = tf*5e6 + 1200*250*5 + 900000*dl*2
+    val r = Relevance.bm25TopK(df, "id", "text", k = 5)
+      .orderBy(col("id"), col("rank")).collect()
+    assert(r.map(_.toSeq).toSeq == Seq(
+      // d1: b = (1e6*11e6) div (5e6+1.5e6+5.4e6) = 924369; a(tf=2) = 260355
+      Seq(1L, "b", 1L, 3L, 1L, 924369L, 1L),
+      Seq(1L, "a", 2L, 3L, 2L, 260355L, 2L),
+      // d2: c = (1e6*11e6) div (5e6+1.5e6+3.6e6) = 1089108; a = 217821
+      Seq(2L, "c", 1L, 2L, 1L, 1089108L, 1L),
+      Seq(2L, "a", 1L, 2L, 2L, 217821L, 2L)))
+  }
+
+  test("bm25TopK: rarer term outranks frequent term; k cuts deterministically") {
+    val df = Seq(
+      (1L, "common rare common other"),
+      (2L, "common other common"),
+      (3L, "common thing")
+    ).toDF("id", "text")
+    val r = Relevance.bm25TopK(df, "id", "text", k = 1)
+      .orderBy(col("id")).collect()
+    // every doc emits exactly its single best term
+    assert(r.length == 3)
+    assert(r(0).getString(1) == "rare")   // df=1 beats common (df=3) at tf 2
+    assert(r.forall(_.getLong(6) == 1L))
   }
 }
