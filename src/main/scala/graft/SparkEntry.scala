@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 119 queries spanning every implemented operator family
+/** Driver contract — 120 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -121,7 +121,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * decode (exact channel sums, closed-form PNG oracle), q118
   * exact-integer BM25 top-k (saturation + length normalization as one
   * decimal(38,0) rational), q119 UT1-style phrase blocklist
-  * (token-boundary L-gram matching, broadcast phrase table).
+  * (token-boundary L-gram matching, broadcast phrase table), q120 the
+  * ML-ready feature-matrix assembly (five operator families composed in
+  * one DAG; one wide row per document).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2320,6 +2322,44 @@ object SparkEntry {
           "text", Seq("slow", "batch batch", "merge slow", "nosuch phrase"),
           blockAt = 3L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q120: ML-ready FEATURE-MATRIX assembly — five operator families
+    //      composed in ONE DAG (split assignment, LM fluency, hashed-
+    //      feature norms, classifier inference, blocklist gate) into one
+    //      wide row per document: the export a training pipeline hands to
+    //      the trainer. Every column integer/boolean/string; the oracle
+    //      stitches the same five (individually proven) relational blocks. ----
+    "q120_feature_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = graft.ops.Curation.assignSplit(docs, "source",
+          Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+        .select(col("doc_id"), col("split"))
+      val fluency = graft.ops.Lm.bigramFluency(docs, "doc_id", "text",
+          lmDf = Some(docs.where(col("lang") === "en")))
+        .select(col("doc_id"), col("n_bigrams"), col("p_sum"))
+      val feats = graft.ops.Relevance.hashedFeatures(docs, "doc_id", "text",
+        dim = 64)
+      val norms = feats.groupBy(col("doc_id")).agg(
+        sum(abs(col("value"))).as("_l1"), count(lit(1)).as("_nb"))
+      val weights = s.range(64).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 2001L - 1000L)
+          .as("weight"))
+      val clf = graft.ops.Lm.linearScore(docs, feats, weights, "doc_id")
+      val gate = graft.ops.Curation.blocklistHits(docs, "doc_id", "text",
+          Seq("slow", "batch batch"), blockAt = 3L)
+        .select(col("doc_id"), col("blocked"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(split, Seq("doc_id")).join(fluency, Seq("doc_id"))
+        .join(norms, Seq("doc_id"), "left")
+        .join(clf, Seq("doc_id")).join(gate, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("n_bigrams"), col("p_sum"),
+          coalesce(col("_l1"), lit(0L)).as("feat_l1"),
+          coalesce(col("_nb"), lit(0L)).as("n_feat_buckets"),
+          col("score"), col("label"), col("blocked"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4242,7 +4282,62 @@ object SparkEntry {
         |SELECT w.doc_id, cast(coalesce(n, 0) AS bigint) AS n_hits,
         |  cast(coalesce(d, 0) AS bigint) AS n_distinct_phrases,
         |  coalesce(n, 0) >= 3 AS blocked
-        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin)
+        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+
+    // q120: the five proven blocks (q111 split, q113 fluency, q112-derived
+    // L1 norm, q116 classifier, q119 gate) stitched into one wide row
+    "q120_feature_matrix" ->
+      """WITH lmw AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+        |             FROM documents WHERE lang = 'en'),
+        |lmbg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |         FROM lmw WHERE len(w) >= 2),
+        |c2 AS (SELECT b, count(*) AS c2 FROM lmbg GROUP BY b),
+        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM lmw)),
+        |dbg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, b, count(*) AS n FROM
+        |          (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |           FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents)
+        |           WHERE len(w) >= 2)
+        |        GROUP BY 1, 2, 3),
+        |flsc AS (SELECT doc_id, n,
+        |           (1000000 * (coalesce(c2.c2, 0) + 1)) // (coalesce(c1.c1, 0) + v.v) AS p_fp
+        |         FROM dbg LEFT JOIN c2 USING (b) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |fl AS (SELECT doc_id, sum(n) AS nb, sum(n * p_fp) AS ps FROM flsc GROUP BY doc_id),
+        |h AS (SELECT doc_id, md5(tok) AS hx FROM
+        |    (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tok
+        |     FROM documents)),
+        |f AS (SELECT doc_id,
+        |        cast(('0x' || substr(hx, 1, 8))::UBIGINT % 64 AS bigint) AS bucket,
+        |        cast(sum(CASE WHEN ('0x' || substr(hx, 9, 1))::UBIGINT % 2 = 0
+        |                     THEN 1 ELSE -1 END) AS bigint) AS value
+        |      FROM h GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sum(abs(value)) AS l1, count(*) AS nbk FROM f GROUP BY doc_id),
+        |wts AS (SELECT b AS bucket,
+        |          ('0x' || substr(md5('w' || cast(b AS varchar)), 1, 8))::BIGINT % 2001 - 1000 AS weight
+        |        FROM range(64) t(b)),
+        |clf AS (SELECT doc_id, sum(value * weight) AS score FROM f JOIN wts USING (bucket) GROUP BY doc_id),
+        |gw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws FROM documents),
+        |ghits AS (SELECT doc_id, p FROM (SELECT doc_id, unnest(ws) AS p FROM gw) WHERE p = 'slow'
+        |          UNION ALL
+        |          SELECT doc_id, p FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |            i -> ws[i] || ' ' || ws[i+1])) AS p FROM gw WHERE len(ws) >= 2)
+        |          WHERE p = 'batch batch'),
+        |gt AS (SELECT doc_id, count(*) AS n FROM ghits GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN ('0x' || substr(md5(d.source), 1, 8))::UBIGINT % 10 < 8 THEN 'train'
+        |       WHEN ('0x' || substr(md5(d.source), 1, 8))::UBIGINT % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  cast(coalesce(fl.nb, 0) AS bigint) AS n_bigrams,
+        |  cast(coalesce(fl.ps, 0) AS bigint) AS p_sum,
+        |  cast(coalesce(nrm.l1, 0) AS bigint) AS feat_l1,
+        |  cast(coalesce(nrm.nbk, 0) AS bigint) AS n_feat_buckets,
+        |  cast(coalesce(clf.score, 0) AS bigint) AS score,
+        |  coalesce(clf.score, 0) > 0 AS label,
+        |  coalesce(gt.n, 0) >= 3 AS blocked
+        |FROM documents d
+        |LEFT JOIN fl USING (doc_id) LEFT JOIN nrm USING (doc_id)
+        |LEFT JOIN clf USING (doc_id) LEFT JOIN gt USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).
