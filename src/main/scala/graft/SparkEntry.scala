@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 120 queries spanning every implemented operator family
+/** Driver contract — 122 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2360,6 +2360,40 @@ object SparkEntry {
           coalesce(col("_nb"), lit(0L)).as("n_feat_buckets"),
           col("score"), col("label"), col("blocked"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q121: rebalance to a TARGET language mixture under a token
+    //      budget (DoReMi-lite with given shares): per-domain fixed-point
+    //      weights from the corpus's own token counts, realized with the
+    //      q94 md5 coin. es/fr carry no target share and drop; the weight
+    //      table is domain-sized and broadcast. ----
+    "q121_mixture_target" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          token_count(trim(col("text"))).as("n_tokens"))
+      graft.ops.Curation.mixtureToTarget(docs, "doc_id", "lang", "n_tokens",
+          Seq(("en", 500L), ("zh", 300L), ("de", 200L)),
+          budgetTokens = 20000L, seed = "mixT")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("w_raw_milli"), col("w_milli"), col("copy_no"))
+        .orderBy(col("doc_id"), col("copy_no"))
+    }),
+
+    // ---- q122: TOKENIZER-AWARE sequence packing — q46's per-shard
+    //      prefix-sum packer driven by q115's exact BPE subword counts
+    //      instead of the whitespace estimator: bins measured in REAL
+    //      tokens under the trained merges. ----
+    "q122_pack_subwords" -> ((s, dir) => {
+      val segs = graft.ops.Lm.bpeSegmentStats(
+          t(s, dir, "documents").where(length(col("text")) > 0),
+          "doc_id", "text", Seq(("t", "h"), ("e", "r"), ("o", "n")))
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          col("n_subwords"))
+      graft.ops.Curation.packSequences(segs, "shard", "doc_id",
+          "n_subwords", 2048L)
+        .select(col("doc_id"), col("shard"), col("n_subwords"),
+          col("pack_tokens_before"), col("pack_bin"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4337,7 +4371,50 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN fl USING (doc_id) LEFT JOIN nrm USING (doc_id)
         |LEFT JOIN clf USING (doc_id) LEFT JOIN gt USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q121: per-language token totals, fixed-point target weights
+    // ((share*budget) div T_lang, capped at 100000), q94's md5 coin, and
+    // a range() fan-out — the realized mixture replayed end to end
+    "q121_mixture_target" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS n_tokens
+        |  FROM documents WHERE length(text) > 0),
+        |tdom AS (SELECT lang, sum(n_tokens) AS t_dom FROM d GROUP BY lang),
+        |tgt AS (SELECT * FROM (VALUES ('en', 500), ('zh', 300), ('de', 200))
+        |        AS t(lang, share_milli)),
+        |w AS (SELECT tdom.lang,
+        |        CASE WHEN t_dom > 0 THEN (share_milli * 20000) // t_dom ELSE 0 END AS w_raw_milli,
+        |        least(CASE WHEN t_dom > 0 THEN (share_milli * 20000) // t_dom ELSE 0 END,
+        |              100000) AS w_milli
+        |      FROM tdom JOIN tgt USING (lang)),
+        |c AS (SELECT d.doc_id, d.lang, d.n_tokens, w.w_raw_milli, w.w_milli,
+        |        w_milli // 1000 + CASE WHEN
+        |          ('0x' || substr(md5('mixT' || cast(doc_id AS varchar)), 1, 8))::BIGINT % 1000
+        |          < w_milli % 1000 THEN 1 ELSE 0 END AS copies
+        |      FROM d JOIN w USING (lang))
+        |SELECT doc_id, lang, n_tokens, cast(w_raw_milli AS bigint) AS w_raw_milli,
+        |  cast(w_milli AS bigint) AS w_milli,
+        |  unnest(range(cast(copies AS bigint))) AS copy_no
+        |FROM c ORDER BY doc_id, copy_no""".stripMargin,
+
+    // q122: q115's exact subword count (regex fire replay, disjoint merge
+    // alphabets) feeding q46's per-shard prefix-sum window
+    "q122_pack_subwords" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+        |           FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, doc_id % 8 AS shard,
+        |        cast(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+        |          - coalesce(list_sum(list_transform(ws, x ->
+        |              len(regexp_extract_all(x, 'th')) + len(regexp_extract_all(x, 'er'))
+        |              + len(regexp_extract_all(x, 'on')))), 0) AS bigint) AS n_subwords
+        |      FROM w),
+        |p AS (SELECT *, cast(coalesce(sum(n_subwords) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS pack_tokens_before
+        |      FROM f)
+        |SELECT doc_id, shard, n_subwords, pack_tokens_before,
+        |  pack_tokens_before // 2048 AS pack_bin
+        |FROM p ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

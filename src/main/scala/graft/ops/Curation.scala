@@ -797,6 +797,56 @@ object Curation {
         coalesce(col("imp_sum"), lit(0L)).cast("long").as("imp_sum"))
   }
 
+  /** Rebalance the corpus to a TARGET domain mixture under a token budget
+    * (the data-mixing step a training run starts from — DoReMi-lite with
+    * given target shares): for each target domain d with share s_d (milli,
+    * shares sum to 1000) and corpus token count T_d, the per-document
+    * sampling weight is the fixed-point
+    *
+    *   w_raw_milli(d) = (s_d * budgetTokens) div T_d
+    *
+    * so the realized expected tokens from d are ~ s_d/1000 * budgetTokens
+    * regardless of how over- or under-represented d is in the corpus.
+    * Realization uses [[upsampleByWeight]]'s md5 coin — the output corpus
+    * is a pure function of (seed, id). Domains absent from `targets` are
+    * DROPPED (share 0); scarce domains upsample, abundant ones downsample.
+    *
+    * `maxWeightMilli` caps runaway upsampling of tiny domains; the cap is
+    * NOT silent — both `w_raw_milli` and the applied `w_milli` are emitted
+    * so capped domains are visible in the output (and the realized mixture
+    * check can attribute the shortfall).
+    *
+    * Output: input columns + w_raw_milli + w_milli + copy_no.
+    *
+    * Scale shape: one slim (domain, tokens) aggregate over the corpus; the
+    * weight table is domain-count-sized and BROADCAST back; realization is
+    * a narrow flatMap. No corpus-sized shuffle anywhere.
+    */
+  def mixtureToTarget(df: DataFrame, idCol: String, domainCol: String,
+                      tokensCol: String, targets: Seq[(String, Long)],
+                      budgetTokens: Long, seed: String,
+                      maxWeightMilli: Long = 100000L): DataFrame = {
+    require(targets.nonEmpty && targets.map(_._2).sum == 1000L,
+      "target shares (milli) must sum to 1000")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate target domain")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF(domainCol, "_share_milli")
+    val domTok = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).as("_t_dom"))
+    val weights = domTok.join(broadcast(tgt), Seq(domainCol))
+      // a target domain whose corpus has zero tokens gets weight 0 (its
+      // rows drop) rather than a division error — the emitted w_raw_milli
+      // makes the unmet target visible
+      .withColumn("w_raw_milli", expr(
+        s"IF(_t_dom > 0, (_share_milli * ${budgetTokens}L) div _t_dom, 0L)"))
+      .withColumn("w_milli", least(col("w_raw_milli"), lit(maxWeightMilli)))
+      .select(col(domainCol), col("w_raw_milli"), col("w_milli"))
+    upsampleByWeight(df.join(broadcast(weights), Seq(domainCol)),
+      idCol, "w_milli", seed)
+  }
+
   /** UT1-style phrase-blocklist gate: count occurrences of each blocklist
     * phrase in each document and flag documents at `blockAt` or more total
     * hits. Phrases are sequences of tokens in the corpus's shared grammar

@@ -444,6 +444,38 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept - 2000L) < 150, s"0.5x of 4000 kept $kept")
   }
 
+  test("mixtureToTarget: exact weights, visible cap, zero-token target, untargeted drop") {
+    val df = Seq(
+      (1L, "A", 100L), (2L, "A", 100L), // T_A = 200
+      (3L, "B", 50L),                   // T_B = 50
+      (4L, "C", 10L),                   // T_C = 10 -> cap binds
+      (5L, "E", 0L),                    // zero-token target domain
+      (6L, "D", 500L)                   // not in targets -> dropped
+    ).toDF("id", "dom", "n_tokens")
+    val r = Curation.mixtureToTarget(df, "id", "dom", "n_tokens",
+        Seq(("A", 350L), ("B", 300L), ("C", 250L), ("E", 100L)),
+        budgetTokens = 1000L, seed = "mix", maxWeightMilli = 10000L)
+      .select(col("id"), col("dom"), col("w_raw_milli"), col("w_milli"), col("copy_no"))
+      .collect().map(_.toSeq).groupBy(_.head.asInstanceOf[Long])
+    // B: (300*1000) div 50 = 6000 -> exactly 6 copies
+    assert(r(3L).length == 6 && r(3L).forall(x => x(2) == 6000L && x(3) == 6000L))
+    // C: raw 25000 capped to 10000 -> 10 copies, raw stays visible
+    assert(r(4L).length == 10 && r(4L).forall(x => x(2) == 25000L && x(3) == 10000L))
+    // A: 1750 -> 1 copy + md5 coin; replicate the coin exactly
+    def rank(id: Long): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(("mix" + id).getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hx, 16) % 1000
+    }
+    for (id <- Seq(1L, 2L)) {
+      val want = 1 + (if (rank(id) < 750) 1 else 0)
+      assert(r(id).length == want, s"doc $id expected $want copies")
+    }
+    // zero-token and untargeted domains emit nothing
+    assert(!r.contains(5L) && !r.contains(6L))
+  }
+
   test("blocklistHits: token-boundary L-gram matching, mixed phrase lengths, threshold") {
     val df = Seq(
       (1L, "bad word here bad word"),     // "bad"x2 + "bad word"x2 = 4 hits
