@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 122 queries spanning every implemented operator family
+/** Driver contract — 124 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2394,6 +2394,41 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("n_subwords"),
           col("pack_tokens_before"), col("pack_bin"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q123: SemDeDup — semantic dedup bounded by embedding clusters.
+    //      q20's scaled-copy corpus (every vector + a 1.001x twin) through
+    //      the cluster-then-pairwise path: the twin co-clusters with its
+    //      original (cosine is scale-invariant) and the only >=0.999 pairs
+    //      are the twin pairs, so the output is closed-form checkable and
+    //      the oracle replays assignment + pairing + keep policy exactly.
+    //      Codebook = the four seed embeddings (bounded driver collect —
+    //      the given-codebook contract, same as q124). ----
+    "q123_semdedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val scaled = vecs.select((col("id") + 100000L).as("id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val seeds = vecs.where(col("id") < 4).orderBy(col("id")).collect()
+        .map(_.getSeq[Float](1).toArray)
+      graft.ops.Similarity.semDedup(vecs.unionByName(scaled), "id", "embedding",
+          seeds, threshold = 0.999)
+        .orderBy(col("id"))
+    }),
+
+    // ---- q124: product quantization — each 64-dim vector becomes 8
+    //      sub-codes against per-subspace codebooks sliced from the same
+    //      four seed embeddings; pq_packed is the exact-integer bucket key.
+    //      Encoding is a zero-shuffle narrow map (codebooks ride inside
+    //      the expression). ----
+    "q124_pq_encode" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val seeds = vecs.where(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(_.getSeq[Float](1).toArray)
+      val codebooks = Array.tabulate(8)(m => seeds.map(_.slice(m * 8, m * 8 + 8)))
+      graft.ops.Similarity.pqEncode(vecs, "vec_id", "embedding", codebooks)
+        .orderBy(col("vec_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4414,7 +4449,44 @@ object SparkEntry {
         |      FROM f)
         |SELECT doc_id, shard, n_subwords, pack_tokens_before,
         |  pack_tokens_before // 2048 AS pack_bin
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q123: full SemDeDup replay — argmax-cosine assignment to the four
+    // seed centroids (ties -> smallest cid), within-cluster >=0.999 pairs,
+    // min-id dominance keep policy
+    "q123_semdedup" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS REAL) AS REAL)) FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |a AS (SELECT u.id, u.v, c.cid,
+        |        row_number() OVER (PARTITION BY u.id
+        |          ORDER BY list_cosine_similarity(u.v, c.cv) DESC, c.cid) AS rn
+        |      FROM u, c QUALIFY rn = 1),
+        |d AS (SELECT r.id AS id, min(l.id) AS dup_of
+        |      FROM a l JOIN a r ON l.cid = r.cid AND l.id < r.id
+        |      WHERE list_cosine_similarity(l.v, r.v) >= 0.999
+        |      GROUP BY r.id)
+        |SELECT a.id, cast(a.cid AS bigint) AS cluster_id, d.dup_of,
+        |  d.dup_of IS NULL AS kept
+        |FROM a LEFT JOIN d USING (id) ORDER BY id""".stripMargin,
+
+    // q124: per-subspace argmax over the sliced seed codebooks; packed key
+    // via exact integer shifts (K=4 -> multiplier 4^m = 1 << 2m)
+    "q124_pq_encode" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+        |m AS (SELECT unnest(range(8)) AS m),
+        |s AS (SELECT e.vec_id, m.m, c.cid,
+        |        list_cosine_similarity(e.embedding[m.m*8+1 : m.m*8+8],
+        |                               c.cv[m.m*8+1 : m.m*8+8]) AS sim
+        |      FROM embeddings e CROSS JOIN m CROSS JOIN c),
+        |a AS (SELECT vec_id, m, cid,
+        |        row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, cid) AS rn
+        |      FROM s QUALIFY rn = 1)
+        |SELECT vec_id, list(cid ORDER BY m) AS pq_code,
+        |  cast(sum(cid * (1::BIGINT << (2*m))) AS bigint) AS pq_packed
+        |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -217,4 +217,78 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023): cluster the
+    * embedding space coarsely, then drop documents that have a more-senior
+    * semantic twin WITHIN their cluster — pairwise cosine is only ever
+    * computed inside a cluster, never across the corpus, which is the whole
+    * point of the method (the quadratic term is bounded by the largest
+    * cluster, not by |corpus|).
+    *
+    * Keep policy is deterministic min-id dominance: a row is dropped iff
+    * SOME lower-id row in its cluster is within `threshold`; `dup_of` is
+    * the smallest such id (which may itself be dropped — the greedy chain
+    * semantics of the published method). q99's scored canonical selection
+    * is the pluggable alternative when seniority should be quality-based.
+    *
+    * Output: (id, cluster_id, dup_of nullable, kept).
+    *
+    * Scale shape: assignment is the zero-shuffle [[graft.functions.nearest_centroid]]
+    * narrow map; the self-join shuffles ONCE on cluster_id; dup_of is a
+    * slim (id, min) aggregate joined back on id. Cluster-size skew is the
+    * operator's known hazard — pick nCentroids so clusters stay bounded
+    * (the paper uses |corpus|/k ~ 10^4) and watch the AQE skew-join
+    * counters; a pathological mega-cluster degrades to q20's capped LSH.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Float]], threshold: Double): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("cluster_id", nearest_centroid(col("_v"), centroids))
+    val l = assigned.select(col("id").as("_lid"), col("_v").as("_lv"), col("cluster_id"))
+    val r = assigned.select(col("id").as("_rid"), col("_v").as("_rv"), col("cluster_id"))
+    val dupOf = l.join(r, Seq("cluster_id"))
+      .where(col("_lid") < col("_rid") &&
+        cosine_similarity(col("_lv"), col("_rv")) >= threshold)
+      .groupBy(col("_rid").as("id"))
+      .agg(min(col("_lid")).as("dup_of"))
+    assigned.join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("cluster_id").cast("long").as("cluster_id"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
+  /** Product quantization (Jégou et al. 2011): split each vector into M
+    * contiguous sub-vectors and quantize each against its own small
+    * codebook — the memory side of IVF-PQ ANN (a 64-dim float vector
+    * becomes M bytes). Spherical variant: sub-assignment is argmax COSINE
+    * (ties -> smallest code), matching the coarse quantizer, which is the
+    * standard choice for normalized text embeddings.
+    *
+    * `codebooks(m)` is the K x subDim codebook of subspace m; subspaces
+    * partition the dimension in order (m covers [m*subDim, (m+1)*subDim)).
+    * Output: (id, pq_code array<long> length M, pq_packed = sum code_m *
+    * K^m) — the packed form is the group/bucket key (rows with equal
+    * packed code reconstruct identically).
+    *
+    * Scale shape: the codebooks ride inside the expression (M*K*subDim
+    * floats, a few KB) — encoding is a pure narrow map over the scan, zero
+    * shuffles, and the output drops the raw vector (that's the compression).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    val k = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(cb => cb.length == k && cb.forall(_.length == subDim)),
+      "all codebooks must share K and subDim")
+    val codes = codebooks.indices.map { m =>
+      nearest_centroid(slice(col(vecCol), m * subDim + 1, subDim), codebooks(m))
+        .cast("long")
+    }
+    // exact integer multipliers K^m (iterated multiply, not float pow)
+    val mults = Seq.iterate(1L, codebooks.length)(_ * k)
+    val packed = codes.zip(mults)
+      .map { case (c, mult) => c * lit(mult) }
+      .reduce(_ + _)
+    df.select(col(idCol), array(codes: _*).as("pq_code"), packed.as("pq_packed"))
+  }
 }

@@ -246,6 +246,67 @@ class SimilaritySpec extends SparkSpec {
     assert(hashOnQuery, s"expected the only shuffle to be the top-k window:\n$plan")
     assert(shuffles == 1, s"expected 1 shuffle (top-k window), got $shuffles:\n$plan")
   }
+
+  test("semDedup: co-clustered twins drop by min-id dominance; cross-cluster twins survive") {
+    // hand-built 2-dim space: cluster axes e0=(1,0), e1=(0,1)
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val df = Seq(
+      (1L, Seq(10f, 0.1f)),  // cluster 0
+      (2L, Seq(10.1f, 0.1f)),// cluster 0, twin of 1 -> dropped, dup_of=1
+      (3L, Seq(9.9f, 0.11f)),// cluster 0, twin of 1 AND 2 -> dup_of=min=1
+      (4L, Seq(0.1f, 5f)),   // cluster 1, direction ~ twin of 1 but OTHER
+                             // cluster -> never paired, kept
+      (5L, Seq(7f, 7.1f))    // cluster 1 (barely), no twin there
+    ).toDF("id", "embedding")
+    // 4's vector is NOT near 1 in cosine, so make the cross-cluster claim
+    // real: (0.1,5) vs (10,0.1) cosine ~ 0.03 — the pair predicate itself
+    // fails; the cluster fence is exercised by 5 vs 4 (same cluster, cosine
+    // ~ 0.72 < threshold)
+    val r = Similarity.semDedup(df, "id", "embedding", cents, threshold = 0.999)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), Option(x.get(2)), x.getBoolean(3))).toMap
+    assert(r(1L) == ((0L, None, true)))
+    assert(r(2L) == ((0L, Some(1L), false)))
+    assert(r(3L) == ((0L, Some(1L), false)))
+    assert(r(4L)._1 == 1L && r(4L)._3)
+    assert(r(5L)._1 == 1L && r(5L)._3)
+  }
+
+  test("semDedup never compares across clusters even for identical directions") {
+    // identical direction, forced into different clusters by construction:
+    // assignment fences the pair out entirely
+    val cents = Array(Array(1f, 0f, 0f), Array(0.9f, 0.1f, 0f))
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)),       // argmax -> centroid 0 (cos=1)
+      (2L, Seq(0.9f, 0.1f, 0f))    // argmax -> centroid 1 (cos=1)
+    ).toDF("id", "embedding")
+    val r = Similarity.semDedup(df, "id", "embedding", cents, threshold = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    // cosine(1,2) ~ 0.994 >= 0.5 but the rows live in different clusters
+    assert(r(1L) && r(2L), "cross-cluster pair must not be compared")
+  }
+
+  test("pqEncode: codes equal per-slice argmax; packed key exact; zero-shuffle plan") {
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val seeds = (0L until 4L).map(all).toArray // K=4 codebook rows
+    val m = 3; val sub = 8                      // 24-dim -> 3 subspaces of 8
+    val codebooks = Array.tabulate(m)(i => seeds.map(_.slice(i * sub, i * sub + sub)))
+    val got = Similarity.pqEncode(vecs, "vec_id", "embedding", codebooks)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ encode must be a narrow map:\n$plan")
+    val rows = got.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    for ((id, v) <- all) {
+      val expect = (0 until m).map { i =>
+        val s = v.slice(i * sub, i * sub + sub)
+        codebooks(i).zipWithIndex
+          .map { case (c, ci) => (TextKernels.cosine(s, c), ci) }
+          .maxBy { case (sim, ci) => (sim, -ci) }._2.toLong
+      }
+      val packed = expect.zipWithIndex.map { case (c, i) => c * math.pow(4, i).toLong }.sum
+      assert(rows(id)._1 == expect, s"vec $id codes")
+      assert(rows(id)._2 == packed, s"vec $id packed")
+    }
+  }
 }
 
 class SimHashMd5Spec extends SparkSpec {
