@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 124 queries spanning every implemented operator family
+/** Driver contract — 126 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2429,6 +2429,42 @@ object SparkEntry {
       val codebooks = Array.tabulate(8)(m => seeds.map(_.slice(m * 8, m * 8 + 8)))
       graft.ops.Similarity.pqEncode(vecs, "vec_id", "embedding", codebooks)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- q125: hybrid retrieval — the BM25 candidate list (exact-integer
+    //      scores, q118's statistics) and the ANN candidate list (cosine
+    //      to doc 0's embedding) fused with exact-integer reciprocal-rank
+    //      fusion. Each list is capped at 100 candidates, so a doc can sit
+    //      in one or both lists (n_lists distinguishes). ----
+    "q125_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = graft.ops.Relevance.bm25QueryScores(
+          t(s, dir, "documents"), "doc_id", "text", Seq("merge", "slow"))
+        .withColumn("query_id", lit(0L))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_fp").desc, col("doc_id").asc)).cast("long"))
+        .where(col("rank") <= 100)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vecs = t(s, dir, "embeddings")
+      val ann = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0L),
+          vecs, "vec_id", "vec_id", "embedding", "embedding", k = 100)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      graft.ops.Relevance.rrfFuse(Seq(bm, ann), "query_id", "doc_id", "rank")
+        .select(col("query_id"), col("doc_id"), col("n_lists"),
+          col("rrf_fp"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- q126: blocked edit-distance fuzzy join over part names —
+    //      lossless length-bucket blocking (width d+1, explode {b-1,b,b+1}
+    //      on one side only, so each pair meets exactly once), thresholded
+    //      banded levenshtein verify. ----
+    "q126_fuzzy_join" -> ((s, dir) => {
+      val parts = t(s, dir, "part").where(col("p_partkey") < 500)
+      Dedup.fuzzyPairs(parts, "p_partkey", "p_name", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4486,7 +4522,56 @@ object SparkEntry {
         |      FROM s QUALIFY rn = 1)
         |SELECT vec_id, list(cid ORDER BY m) AS pq_code,
         |  cast(sum(cid * (1::BIGINT << (2*m))) AS bigint) AS pq_packed
-        |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // q125: q118's exact-integer BM25 scaffold summed over the two query
+    // terms -> ranked list; cosine list to doc 0's embedding; RRF fusion
+    // with integer contributions 10^9 // (60 + rank)
+    "q125_rrf_hybrid" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |               (SELECT sum(tf) FROM tf) AS t_tokens),
+        |sc AS (SELECT tf.doc_id,
+        |         (((1000000::HUGEINT * (2*n_docs - 2*df + 1)) // (2*df + 1))
+        |           * tf.tf::HUGEINT * 2200 * 1000 * t_tokens)
+        |         //
+        |         (tf.tf::HUGEINT * 1000000 * t_tokens
+        |           + 300000::HUGEINT * t_tokens
+        |           + 900000::HUGEINT * dl.dl * n_docs) AS score_fp
+        |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot
+        |       WHERE tf.term IN ('merge', 'slow')),
+        |bm AS (SELECT 0::BIGINT AS query_id, doc_id, sum(score_fp) AS score
+        |       FROM sc GROUP BY 2),
+        |bmr AS (SELECT query_id, doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |        FROM bm QUALIFY rank <= 100),
+        |ann AS (SELECT 0::BIGINT AS query_id, b.vec_id AS doc_id,
+        |          row_number() OVER (ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |        FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id != 0
+        |        QUALIFY rank <= 100),
+        |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM bmr
+        |      UNION ALL SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM ann),
+        |f AS (SELECT query_id, doc_id, count(*) AS n_lists, sum(c) AS rrf_fp
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_lists, cast(rrf_fp AS bigint) AS rrf_fp,
+        |  cast(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_fp DESC, doc_id) AS bigint) AS rank
+        |FROM f ORDER BY rank""".stripMargin,
+
+    // q126: the blocking is lossless, so the oracle is the PLAIN predicate
+    // — every pair within 3 edits (length prune is implied by the
+    // predicate, added only to keep the oracle quadratic term cheap)
+    "q126_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  cast(levenshtein(a.s, b.s) AS bigint) AS dist
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(length(a.s) - length(b.s)) <= 3 AND levenshtein(a.s, b.s) <= 3
+        |ORDER BY 1, 2""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -614,4 +614,43 @@ object Dedup {
         when(col("kept"), lit("kept")).otherwise(lit("shard_dup")).as("status"),
         when(col("kept"), lit(null)).otherwise(col("cluster_id")).as("dup_of")))
   }
+
+  /** Blocked edit-distance fuzzy pairs: all (id_a < id_b) pairs whose
+    * strings are within `maxDist` Levenshtein edits — record-linkage over
+    * titles / product names / URLs without an all-pairs pass.
+    *
+    * Blocking is LOSSLESS by construction: `levenshtein(a,b) <= d` implies
+    * `|len(a)-len(b)| <= d`, so with bucket width `d+1` a matching pair's
+    * length buckets differ by at most one. The left side explodes to its
+    * three candidate buckets {b-1, b, b+1}, the right side keeps its one
+    * real bucket — each pair meets EXACTLY once (the right bucket is a
+    * single value) and no pair is missed. Output: (id_a, id_b, dist).
+    *
+    * The verify predicate uses Spark's thresholded levenshtein (banded
+    * O(d*n) instead of O(n^2) per pair, exact for dist <= maxDist).
+    *
+    * Scale shape: one shuffle on the length bucket; candidate fanout is
+    * sum over buckets of |bucket| x |adjacent|, bounded by the length
+    * histogram, never |corpus|^2. Length blocking alone leaves hot buckets
+    * when lengths concentrate — compose with a cheap second key (e.g.
+    * first token) passed via `extraKey` to split them.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int,
+                 extraKey: Option[Column] = None): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val width = maxDist + 1
+    val base = df.select(col(idCol).as("_fid"), col(strCol).as("_fs"),
+      floor(length(col(strCol)) / lit(width)).cast("long").as("_fb"),
+      extraKey.getOrElse(lit(0)).as("_fk"))
+    val l = base.select(col("_fid").as("_lid"), col("_fs").as("_ls"), col("_fk"),
+      explode(array(col("_fb") - 1, col("_fb"), col("_fb") + 1)).as("_fb"))
+    val r = base.select(col("_fid").as("_rid"), col("_fs").as("_rs"),
+      col("_fk"), col("_fb"))
+    l.join(r, Seq("_fk", "_fb"))
+      .where(col("_lid") < col("_rid"))
+      .withColumn("dist", levenshtein(col("_ls"), col("_rs"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("_lid").as("id_a"), col("_rid").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
 }

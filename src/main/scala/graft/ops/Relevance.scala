@@ -212,6 +212,21 @@ object Relevance {
                k1Milli: Long = 1200L, bMilli: Long = 750L,
                scale: Long = Scale): DataFrame = {
     require(k > 0, "k must be positive")
+    val scored = bm25TermScores(df, idCol, textCol, k1Milli, bMilli, scale)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
+        col("score_fp").cast("long").as("score_fp"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** The exact-integer per-(document, term) BM25 table [[bm25TopK]] ranks —
+    * shared with [[bm25QueryScores]] so both read the identical score. */
+  private def bm25TermScores(df: DataFrame, idCol: String, textCol: String,
+                             k1Milli: Long, bMilli: Long,
+                             scale: Long): DataFrame = {
     val toks = df.select(col(idCol),
       explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)))
         .as("term"))
@@ -234,13 +249,62 @@ object Relevance {
            |  + cast(${k1Milli * (1000L - bMilli)} AS $d38) * cast(t_tokens AS $d38)
            |  + cast(${k1Milli * bMilli} AS $d38) * cast(dl AS $d38) * cast(n_docs AS $d38))"""
           .stripMargin))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score_fp").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
-        col("score_fp").cast("long").as("score_fp"),
-        col("rank").cast("long").as("rank"))
+    scored
+  }
+
+  /** Per-document BM25 retrieval scores for a bag of query terms: the sum
+    * over matching terms of the same exact-integer per-(doc, term) score
+    * [[bm25TopK]] ranks (identical df/dl/avgdl statistics — they come from
+    * the one shared corpus pass). Documents containing NO query term emit
+    * no row, i.e. the output is the match set a retriever returns, not the
+    * corpus.
+    *
+    * Scale shape: the query-term filter is a literal `isin` pushed against
+    * the slim (doc, term) score table, so the output is bounded by
+    * |matching docs| x |query terms| long before any ranking happens.
+    */
+  def bm25QueryScores(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String],
+                      k1Milli: Long = 1200L, bMilli: Long = 750L,
+                      scale: Long = Scale): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    bm25TermScores(df, idCol, textCol, k1Milli, bMilli, scale)
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(sum(col("score_fp")).cast("long").as("score_fp"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of per-query candidate
+    * rankings — the standard glue of hybrid retrieval (BM25 list + ANN
+    * list -> one list). Exact-integer: each list contributes
+    * `scale div (kRrf + rank)` and a document absent from a list simply
+    * contributes nothing (the published semantics), so the fused score is
+    * engine-independent.
+    *
+    * Each input carries (queryCol, idCol, rankCol); output is
+    * (queryCol, idCol, n_lists, rrf_fp, rank) ranked per query by
+    * (rrf_fp desc, id asc).
+    *
+    * Scale shape: inputs are CANDIDATE lists (bounded per query by each
+    * retriever's k, never corpus-sized); fusion is one union + one
+    * (query, id) aggregate with map-side combine + a per-query window over
+    * at most sum-of-k candidates.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, kRrf: Long = 60L,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map { r =>
+      r.select(col(queryCol), col(idCol),
+        expr(s"cast($scale AS bigint) div (cast($kRrf AS bigint) + cast($rankCol AS bigint))")
+          .as("_rrf_c"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col(queryCol), col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("_rrf_c")).as("rrf_fp"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_fp").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   def postingsBlocks(df: DataFrame, idCol: String, textCol: String,

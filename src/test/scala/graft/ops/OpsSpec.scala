@@ -119,6 +119,41 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("fuzzyPairs: equals the all-pairs predicate (lossless blocking), each pair once") {
+    // strings spanning length-bucket boundaries (width 4: lengths 7/8 are
+    // buckets 1/2) so adjacent-bucket meeting is actually exercised
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strs = Seq(
+      (1L, "widget"), (2L, "widgets"), (3L, "gadget"), (4L, "wídget"),
+      (5L, "completely"), (6L, "complete"), (7L, "deplete"), (8L, "a"))
+    val df = strs.toDF("id", "s")
+    val got = Dedup.fuzzyPairs(df, "id", "s", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    // exactly once per pair
+    assert(got.map(_._1).distinct.length == got.length, "pair emitted twice")
+    val expect = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got.toMap == expect, s"got ${got.toSeq} expected $expect")
+  }
+
+  test("fuzzyPairs: extraKey splits hot buckets without changing within-key results") {
+    val df = Seq((1L, "abcd"), (2L, "abce"), (3L, "xbcd")).toDF("id", "s")
+    val keyed = Dedup.fuzzyPairs(df, "id", "s", maxDist = 1,
+        extraKey = Some(org.apache.spark.sql.functions.substring(col("s"), 1, 1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocking on first char fences 3 away from 1 even though lev=1 —
+    // the documented approximation when callers add a non-lossless key
+    assert(keyed == Set((1L, 2L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

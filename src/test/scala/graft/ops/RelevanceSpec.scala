@@ -171,4 +171,34 @@ class RelevanceSpec extends SparkSpec {
     assert(r(0).getString(1) == "rare")   // df=1 beats common (df=3) at tf 2
     assert(r.forall(_.getLong(6) == 1L))
   }
+
+  test("bm25QueryScores: sum of the exact per-term scores, non-matching docs absent") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "zzz only")).toDF("id", "text")
+    val perTerm = Relevance.bm25TopK(df, "id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(5)).toMap
+    val r = Relevance.bm25QueryScores(df, "id", "text", Seq("a", "b"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((perTerm((1L, "a")) + perTerm((1L, "b")), 2L)))
+    assert(r(2L) == ((perTerm((2L, "a")), 1L)))
+    assert(!r.contains(3L), "doc without any query term must emit no row")
+  }
+
+  test("rrfFuse: exact integer contributions, absent-from-list semantics, rank tie-break") {
+    val listA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("q", "id", "rank")
+    val listB = Seq((0L, 11L, 1L), (0L, 13L, 2L)).toDF("q", "id", "rank")
+    val r = Relevance.rrfFuse(Seq(listA, listB), "q", "id", "rank")
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val c = (rk: Long) => 1000000000L / (60L + rk)
+    assert(r(11L) == ((2L, c(2) + c(1), 1L)))  // both lists -> top
+    assert(r(10L) == ((1L, c(1), 2L)))
+    assert(r(13L) == ((1L, c(2), 3L)))
+    assert(r(12L) == ((1L, c(3), 4L)))
+  }
+
+  test("rrfFuse: fuses per query independently") {
+    val listA = Seq((0L, 10L, 1L), (7L, 10L, 2L)).toDF("q", "id", "rank")
+    val r = Relevance.rrfFuse(Seq(listA), "q", "id", "rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(4)).toMap
+    assert(r((0L, 10L)) == 1L && r((7L, 10L)) == 1L)
+  }
 }
