@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 126 queries spanning every implemented operator family
+/** Driver contract — 128 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2465,6 +2465,46 @@ object SparkEntry {
       val parts = t(s, dir, "part").where(col("p_partkey") < 500)
       Dedup.fuzzyPairs(parts, "p_partkey", "p_name", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- q127: REAL PCM sample decode — RIFF chunk walk + PCM16LE sample
+    //      stream to exact integer loudness stats. PCM is lossless, so the
+    //      oracle replays the generator's sample function (i*257 mod 32768)
+    //      over range() without touching the engine. Mono, stereo, and a
+    //      truncated-garbage payload (ok=false channel). ----
+    "q127_audio_pcm" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "audio", M.MediaGen.wavBytes(1, 8000, 8000)),
+        M.MediaRow(2L, "audio", M.MediaGen.wavBytes(2, 16000, 4000)),
+        M.MediaRow(3L, "audio", "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")))
+      M.audioPcmStats(rows.toDS()).toDF()
+        .select(col("media_id"), col("channels").cast("long").as("channels"),
+          col("sample_rate"), col("n_samples"), col("peak_abs"),
+          col("sum_abs"), col("sum_sq"), col("ok"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- q128: perceptual dHash over the real decoded raster — integer
+    //      box-cell downscale to 9x8, row-difference bits, emitted as two
+    //      32-bit halves. PNG is bit-exact, so the oracle recomputes the
+    //      full hash closed-form from the generator fill function
+    //      ((x*31+y*17) & 0xffffff). A sub-9x8 thumbnail exercises the
+    //      ok=false channel. ----
+    "q128_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "image", M.MediaGen.pngBytes(64, 64)),
+        M.MediaRow(2L, "image", M.MediaGen.pngBytes(65, 64)),
+        M.MediaRow(3L, "image", M.MediaGen.pngBytes(17, 9)),
+        M.MediaRow(4L, "image", M.MediaGen.pngBytes(8, 6)))
+      M.imageDHash(rows.toDS()).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("dhash_hi"), col("dhash_lo"), col("ok"))
+        .orderBy(col("media_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4571,7 +4611,52 @@ object SparkEntry {
         |  cast(levenshtein(a.s, b.s) AS bigint) AS dist
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE abs(length(a.s) - length(b.s)) <= 3 AND levenshtein(a.s, b.s) <= 3
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q127: the generator writes sample i = (i*257) mod 32768 (PCM16LE);
+    // stats replayed exactly over range(); media 3 is the ok=false row
+    "q127_audio_pcm" ->
+      """WITH cfg AS (SELECT * FROM (VALUES (1, 1, 8000, 4000), (2, 2, 16000, 2000))
+        |             AS t(media_id, ch, rate, n)),
+        |s AS (SELECT media_id, ch, rate, n, (x.r * 257) % 32768 AS v
+        |      FROM cfg JOIN range(4000) x(r) ON x.r < n)
+        |SELECT cast(media_id AS bigint) AS media_id, cast(ch AS bigint) AS channels,
+        |  cast(rate AS bigint) AS sample_rate, cast(n AS bigint) AS n_samples,
+        |  cast(max(v) AS bigint) AS peak_abs, cast(sum(v) AS bigint) AS sum_abs,
+        |  cast(sum(v::HUGEINT * v) AS bigint) AS sum_sq, true AS ok
+        |FROM s GROUP BY 1, 2, 3, 4
+        |UNION ALL SELECT 3, 0, 0, 0, 0, 0, 0, false
+        |ORDER BY media_id""".stripMargin,
+
+    // q128: gray = (r+g+b) div 3 over the fill (x*31+y*17) & 0xffffff,
+    // cell = (x*9 div W, y*8 div H), bit(cy*8+cx) = avg(cx) > avg(cx+1),
+    // packed as two 32-bit halves; media 4 (8x6) is below 9x8 -> ok=false
+    "q128_image_dhash" ->
+      """WITH dims AS (SELECT * FROM (VALUES (1, 64, 64), (2, 65, 64), (3, 17, 9))
+        |              AS t(media_id, w, h)),
+        |px AS (SELECT media_id, w, h, x.r % w AS x, x.r // w AS y,
+        |         ((x.r % w) * 31 + (x.r // w) * 17) % 16777216 AS v
+        |       FROM dims JOIN range(4225) x(r) ON x.r < w * h),
+        |g AS (SELECT media_id, w, h, (x * 9) // w AS cx, (y * 8) // h AS cy,
+        |        ((v // 65536) + ((v // 256) % 256) + (v % 256)) // 3 AS gray
+        |      FROM px),
+        |cell AS (SELECT media_id, w, h, cx, cy, sum(gray) // count(*) AS avg
+        |         FROM g GROUP BY 1, 2, 3, 4, 5),
+        |bits AS (SELECT l.media_id, l.w, l.h, l.cy * 8 + l.cx AS idx
+        |         FROM cell l JOIN cell r ON l.media_id = r.media_id
+        |           AND l.cy = r.cy AND r.cx = l.cx + 1
+        |         WHERE l.cx < 8 AND l.avg > r.avg),
+        |packed AS (SELECT d.media_id, d.w, d.h,
+        |    coalesce(sum(CASE WHEN idx >= 32 THEN 1::BIGINT << (idx - 32) ELSE 0 END), 0) AS hi,
+        |    coalesce(sum(CASE WHEN idx < 32 THEN 1::BIGINT << idx ELSE 0 END), 0) AS lo
+        |  FROM dims d LEFT JOIN bits b USING (media_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT cast(media_id AS bigint) AS media_id, cast(w AS bigint) AS width,
+        |  cast(h AS bigint) AS height, cast(hi AS bigint) AS dhash_hi,
+        |  cast(lo AS bigint) AS dhash_lo, true AS ok
+        |FROM packed
+        |UNION ALL SELECT 4, 0, 0, 0, 0, false
+        |ORDER BY media_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

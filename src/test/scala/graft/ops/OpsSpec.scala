@@ -521,4 +521,81 @@ class MultimodalSpec extends SparkSpec {
     assert(r(3).ok && r(3).width == 24 && r(3).height == 16 && r(3).n_pixels == 384L)
     assert(!r(4).ok && r(4).n_pixels == 0L)
   }
+
+  test("audioPcmStats: exact sample stats vs the generator's closed form; corrupt ok=false") {
+    import Multimodal.MediaGen
+    def stats(n: Int): (Long, Long, Long) = {
+      var (peak, sa, sq) = (0L, 0L, 0L)
+      for (i <- 0 until n) {
+        val s = ((i * 257) % 32768).toLong // always fits positive int16
+        if (s > peak) peak = s
+        sa += s; sq += s * s
+      }
+      (peak, sa, sq)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", MediaGen.wavBytes(1, 8000, 8000)),
+      Multimodal.MediaRow(2L, "audio", MediaGen.wavBytes(2, 16000, 4000)),
+      Multimodal.MediaRow(3L, "audio", "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")),
+      Multimodal.MediaRow(4L, "audio", MediaGen.pngBytes(9, 8))).toDS()
+    val r = Multimodal.audioPcmStats(rows).collect().sortBy(_.media_id)
+    val (p1, a1, q1) = stats(4000)
+    assert(r(0) == Multimodal.AudioStats(1L, 1, 8000L, 4000L, p1, a1, q1, ok = true))
+    val (p2, a2, q2) = stats(2000)
+    assert(r(1) == Multimodal.AudioStats(2L, 2, 16000L, 2000L, p2, a2, q2, ok = true))
+    assert(!r(2).ok && !r(3).ok, "garbage RIFF and a PNG payload must both fail safe")
+  }
+
+  test("audioPcmStats: negative samples decode signed (peak/L1/L2 use |s|)") {
+    import spark.implicits._
+    // hand-build a 3-sample PCM16LE wav: 1000, -2000, -32768
+    val bb = java.nio.ByteBuffer.allocate(50).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(42).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(6)
+      .putShort(1000).putShort(-2000).putShort(-32768)
+    val r = Multimodal.audioPcmStats(
+        Seq(Multimodal.MediaRow(7L, "audio", bb.array().take(50))).toDS())
+      .collect().head
+    assert(r.ok && r.n_samples == 3L && r.peak_abs == 32768L)
+    assert(r.sum_abs == 1000L + 2000L + 32768L)
+    assert(r.sum_sq == 1000L * 1000 + 2000L * 2000 + 32768L * 32768)
+  }
+
+  test("imageDHash: matches an independent recompute; near dims stay near; sub-9x8 fails safe") {
+    import Multimodal.MediaGen
+    // independent recompute straight from the decoded raster definition
+    def expect(w: Int, h: Int): (Long, Long) = {
+      val sums = Array.ofDim[Long](9, 8); val counts = Array.ofDim[Long](9, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        val gray = (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+        sums(x * 9 / w)(y * 8 / h) += gray; counts(x * 9 / w)(y * 8 / h) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sums(cx)(cy) / counts(cx)(cy) > sums(cx + 1)(cy) / counts(cx + 1)(cy)) {
+          val idx = cy * 8 + cx
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+      (hi, lo)
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaGen.pngBytes(64, 64)),
+      Multimodal.MediaRow(2L, "image", MediaGen.pngBytes(65, 64)),
+      Multimodal.MediaRow(3L, "image", MediaGen.pngBytes(8, 6))).toDS()
+    val r = Multimodal.imageDHash(rows).collect().sortBy(_.media_id)
+    val (h1, l1) = expect(64, 64)
+    val (h2, l2) = expect(65, 64)
+    assert(r(0).ok && (r(0).dhash_hi, r(0).dhash_lo) == ((h1, l1)))
+    assert(r(1).ok && (r(1).dhash_hi, r(1).dhash_lo) == ((h2, l2)))
+    assert((h1, l1) != ((0L, 0L)), "gradient fill must set some bits")
+    // the synthetic fill oscillates with period ~8px in gray, the worst
+    // case for box-downscale aliasing — a one-column resize still moves
+    // far fewer bits than the ~32 two unrelated hashes differ by
+    val ham = java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    assert(ham < 24, s"one-column resize moved $ham of 64 bits — not perceptual")
+    assert(!r(2).ok, "8x6 thumbnail must fail safe")
+  }
 }
