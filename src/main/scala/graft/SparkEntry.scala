@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 128 queries spanning every implemented operator family
+/** Driver contract — 129 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2505,6 +2505,17 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("dhash_hi"), col("dhash_lo"), col("ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- q129: robust per-language length outliers via MAD — discrete-
+    //      quantile median and deviation (actual group elements, integer
+    //      arithmetic end to end), the heavy-tail-safe curation gate. ----
+    "q129_mad_outliers" -> ((s, dir) => {
+      graft.ops.Stats.madOutliers(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", k = 2L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+          col("abs_dev"), col("mad"), col("is_outlier"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4656,7 +4667,22 @@ object SparkEntry {
         |  cast(lo AS bigint) AS dhash_lo, true AS ok
         |FROM packed
         |UNION ALL SELECT 4, 0, 0, 0, 0, false
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+
+    // q129: quantile_disc is DuckDB's name for the same discrete rule
+    // (element at ceil(q*n)); med/mad stay integers so the k*mad boundary
+    // is exact
+    "q129_mad_outliers" ->
+      """WITH med AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+        |             FROM documents GROUP BY lang),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars, med.med,
+        |          abs(d.n_chars - med.med) AS abs_dev
+        |        FROM documents d JOIN med USING (lang)),
+        |mad AS (SELECT lang, quantile_disc(abs_dev, 0.5) AS mad
+        |        FROM dev GROUP BY lang)
+        |SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, dev.abs_dev,
+        |  mad.mad, dev.abs_dev > 2 * mad.mad AS is_outlier
+        |FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

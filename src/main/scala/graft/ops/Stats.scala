@@ -81,4 +81,39 @@ object Stats {
       .withColumn(s"${valCol}_bin", bin)
       .drop(qs.indices.map(i => s"_th$i"): _*)
   }
+
+  /** Robust per-key outlier flagging via median absolute deviation — the
+    * curation gate for length/score anomalies that survives the heavy
+    * tails where mean±stddev drowns (one 100 MB page moves a domain's mean
+    * arbitrarily; it moves the median not at all). Entirely in the
+    * DISCRETE-quantile rule of [[quantilesDisc]], so med and mad are
+    * actual group elements (integers stay integers) and the flag
+    *
+    *   is_outlier = |value - med| > k * mad
+    *
+    * is bit-exact across engines — no interpolated float boundary. The
+    * classic k for "beyond ~3 sigma if the data were normal" is 4 (k ≈
+    * 3/0.6745); callers pick. Degenerate groups where mad = 0 (over half
+    * the group shares one value) flag EVERY deviating row — the correct
+    * reading of "the group has no spread".
+    *
+    * Output: input columns + med + abs_dev + mad + is_outlier.
+    *
+    * Scale shape: two slim per-key sort windows (the quantilesDisc cost,
+    * run per partition key at production scale) + two broadcast joins of
+    * key-count-sized tables; the payload never shuffles.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
+                  k: Long = 4L): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val keys = keyCols.map(col)
+    val med = quantilesDisc(df, keyCols, valCol, Seq(0.5))
+      .select(keys :+ col(s"${valCol}_q").as("med"): _*)
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("abs_dev", abs(col(valCol) - col("med")))
+    val mad = quantilesDisc(dev, keyCols, "abs_dev", Seq(0.5))
+      .select(keys :+ col("abs_dev_q").as("mad"): _*)
+    dev.join(broadcast(mad), keyCols)
+      .withColumn("is_outlier", col("abs_dev") > lit(k) * col("mad"))
+  }
 }

@@ -70,4 +70,38 @@ class StatsSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("madOutliers: hand-checked med/mad, robust to the heavy tail, k boundary strict") {
+    // group a: values [10,10,12,14,1000] -> med=12 (pos ceil(2.5)=3),
+    // absdev sorted [0,2,2,2,988] -> mad=2; k=2 -> boundary 4:
+    // 1000 (dev 988) flags; 10/14 (dev 2) do not; 12 (dev 0) does not
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 12L),
+      ("a", 4L, 14L), ("a", 5L, 1000L),
+      // group b: all equal -> mad=0, no row deviates, none flag
+      ("b", 6L, 7L), ("b", 7L, 7L),
+      // group c: mad=0 with ONE deviator -> it must flag (no-spread rule)
+      ("c", 8L, 5L), ("c", 9L, 5L), ("c", 10L, 6L)).toDF("k", "id", "v")
+    val r = Stats.madOutliers(df, Seq("k"), "v", k = 2L)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("med"), x.getAs[Long]("abs_dev"), x.getAs[Long]("mad"),
+          x.getAs[Boolean]("is_outlier"))).toMap
+    assert(r(5L) == ((12L, 988L, 2L, true)))
+    assert(r(1L) == ((12L, 2L, 2L, false)) && r(4L) == ((12L, 2L, 2L, false)))
+    assert(r(3L) == ((12L, 0L, 2L, false)))
+    assert(r(6L) == ((7L, 0L, 0L, false)) && r(7L) == ((7L, 0L, 0L, false)))
+    assert(r(10L) == ((5L, 1L, 0L, true)), "mad=0 group must flag any deviation")
+    // the median itself is untouched by the 1000 outlier (robustness claim)
+    assert(r(5L)._1 == 12L)
+  }
+
+  test("madOutliers: carries input columns and is partitioning-independent") {
+    val df = Seq.tabulate(40)(i => (s"k${i % 3}", i.toLong, (i * i).toLong % 23, s"p$i"))
+      .toDF("k", "id", "v", "payload")
+    val a = Stats.madOutliers(df, Seq("k"), "v").orderBy("id").collect().toSeq
+    val b = Stats.madOutliers(df.repartition(11), Seq("k"), "v")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.head.schema.fieldNames.toSeq ==
+      Seq("k", "id", "v", "payload", "med", "abs_dev", "mad", "is_outlier"))
+  }
 }
