@@ -2516,6 +2516,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
           col("abs_dev"), col("mad"), col("is_outlier"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q130: dataset-card rollup — every prefix granularity of
+    //      (lang, source) in ONE aggregate pass (Spark rollup grouping
+    //      sets; map-side expansion, one shuffle), grouping()-selected
+    //      '(all)' sentinels so null dim values never masquerade as
+    //      subtotals. ----
+    "q130_dataset_card" -> ((s, dir) => {
+      graft.ops.Reporting.datasetCard(t(s, dir, "documents"),
+          Seq("lang", "source"), Seq(("n_chars", "sum_chars")))
+        .select(col("lang"), col("source"), col("gid").cast("long").as("gid"),
+          col("n_rows"), col("sum_chars"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // ---- q131: largest-remainder crawl-budget apportionment — integer
+    //      Hamilton quotas over per-source corpus mass; the allocation
+    //      sums EXACTLY to the (prime) budget, remainders break ties to
+    //      the smaller key. Host-aggregate-sized input; the corpus pass
+    //      is the upstream groupBy. ----
+    "q131_crawl_budget" -> ((s, dir) => {
+      val hosts = t(s, dir, "documents").groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("w"))
+      graft.ops.Reporting.apportionBudget(hosts, "source", "w",
+          budget = 99991L)
+        .select(col("source"), col("w"), col("base"), col("rem"), col("alloc"))
+        .orderBy(col("source"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4682,7 +4709,31 @@ object SparkEntry {
         |        FROM dev GROUP BY lang)
         |SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, dev.abs_dev,
         |  mad.mad, dev.abs_dev > 2 * mad.mad AS is_outlier
-        |FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""".stripMargin)
+        |FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id""".stripMargin,
+
+    // q130: GROUP BY ROLLUP with the same grouping bitmask convention
+    // (first dim = high bit) and grouping()-guarded sentinels
+    "q130_dataset_card" ->
+      """SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+        |  cast(GROUPING(lang, source) AS bigint) AS gid,
+        |  count(*) AS n_rows, cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    // q131: Hamilton quotas replayed — base = (B*w) div W, the
+    // sum(base) shortfall distributed to the largest remainders
+    "q131_crawl_budget" ->
+      """WITH h AS (SELECT source, sum(n_chars) AS w FROM documents GROUP BY 1),
+        |t AS (SELECT (SELECT sum(w) FROM h) AS tw),
+        |b AS (SELECT h.source, h.w, (99991 * h.w) // tw AS base,
+        |        (99991 * h.w) % tw AS rem FROM h, t),
+        |sb AS (SELECT sum(base) AS spent FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM b)
+        |SELECT source, cast(w AS bigint) AS w, cast(base AS bigint) AS base,
+        |  cast(rem AS bigint) AS rem,
+        |  cast(base + CASE WHEN rr <= 99991 - spent THEN 1 ELSE 0 END AS bigint) AS alloc
+        |FROM r, sb ORDER BY source""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ReportingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("datasetCard: rollup cells hand-checked at every granularity") {
+    val df = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      ("de", "web", 7L)).toDF("lang", "source", "n")
+    val r = Reporting.datasetCard(df, Seq("lang", "source"), Seq(("n", "sum_n")))
+      .orderBy("gid", "lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      // gid=0: finest (lang, source) cells
+      ("de", "web", 0L, 1L, 7L),
+      ("en", "book", 0L, 1L, 5L),
+      ("en", "web", 0L, 2L, 30L),
+      // gid=1: source rolled up (low bit = last dim)
+      ("de", "(all)", 1L, 1L, 7L),
+      ("en", "(all)", 1L, 3L, 35L),
+      // gid=3: grand total
+      ("(all)", "(all)", 3L, 4L, 42L)))
+  }
+
+  test("datasetCard: a genuinely-null dim value is NOT confused with a subtotal") {
+    val df = Seq(("en", Some("web"), 1L), ("en", None, 2L))
+      .toDF("lang", "source", "n")
+    val r = Reporting.datasetCard(df, Seq("lang", "source"), Seq(("n", "sum_n")))
+      .where(col("gid") === 0)
+      .orderBy("source")
+      .collect().map(x => (Option(x.getString(1)), x.getLong(4)))
+    // the null-source row stays null at gid=0 (not relabeled '(all)')
+    assert(r.toSeq == Seq((None, 2L), (Some("web"), 1L)))
+    // and the source subtotal for lang=en exists separately with gid=1
+    val sub = Reporting.datasetCard(df, Seq("lang", "source"), Seq(("n", "sum_n")))
+      .where(col("gid") === 1).collect()
+    assert(sub.length == 1 && sub(0).getString(1) == "(all)" &&
+      sub(0).getLong(4) == 3L)
+  }
+
+  test("apportionBudget: quotas sum exactly to the budget, hand-checked remainders") {
+    // W=10, budget=7: base = floor(7w/10) -> a:2(rem1) b:0(rem7) c:4(rem2)
+    // spent=6, leftover=1 -> goes to b (largest remainder)
+    val df = Seq(("a", 3L), ("b", 1L), ("c", 6L)).toDF("k", "w")
+    val r = Reporting.apportionBudget(df, "k", "w", budget = 7L)
+      .orderBy("k")
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq == Seq(("a", 2L, 1L, 2L), ("b", 0L, 7L, 1L), ("c", 4L, 2L, 4L)))
+    assert(r.map(_._4).sum == 7L)
+  }
+
+  test("apportionBudget: remainder ties break to the smaller key; total always exact") {
+    // W=4, budget=6: base = floor(6w/4): each w=1 -> base 1 rem 2 (all tied)
+    // spent=4, leftover=2 -> first two keys alphabetically get +1
+    val df = Seq(("d", 1L), ("b", 1L), ("c", 1L), ("a", 1L)).toDF("k", "w")
+    val r = Reporting.apportionBudget(df, "k", "w", budget = 6L)
+      .orderBy("k").collect().map(x => (x.getString(0), x.getLong(4)))
+    assert(r.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L), ("d", 1L)))
+  }
+
+  test("apportionBudget: zero budget and zero-weight keys") {
+    val df = Seq(("a", 5L), ("z", 0L)).toDF("k", "w")
+    val r0 = Reporting.apportionBudget(df, "k", "w", budget = 0L)
+      .agg(sum("alloc")).collect()(0).getLong(0)
+    assert(r0 == 0L)
+    val r = Reporting.apportionBudget(df, "k", "w", budget = 9L)
+      .orderBy("k").collect().map(x => (x.getString(0), x.getLong(4)))
+    assert(r.toSeq == Seq(("a", 9L), ("z", 0L)))
+  }
+}
