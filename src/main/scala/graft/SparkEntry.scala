@@ -2543,6 +2543,67 @@ object SparkEntry {
           budget = 99991L)
         .select(col("source"), col("w"), col("base"), col("rem"), col("alloc"))
         .orderBy(col("source"))
+    }),
+
+    // ---- q132: per-HOST boilerplate line removal — a deterministic
+    //      multi-line page corpus (shared nav/footer lines injected per
+    //      source, body lines carved from the document text) runs through
+    //      the CCNet-style host-template stripper: lines on >= 50% of a
+    //      host's pages go, unique body lines stay, original order kept. ----
+    "q132_host_boilerplate" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat_ws("\n", lit("nav: home | about | contact"),
+          regexp_replace(col("text"), lit(" value "), lit("\n")),
+          concat(lit("(c) 2026 "), col("source"))).as("page_text"))
+      graft.ops.Curation.stripHostBoilerplate(pages, "doc_id", "source",
+          "page_text", fracMilli = 500L, minPages = 2L)
+        .select(col("doc_id"), col("source"), col("text_clean"),
+          col("n_lines_removed"), col("n_lines_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q133: Gopher n-gram repetition signals — most-frequent word
+    //      bigram (ties to the smallest, via min over (-cnt, gram) struct
+    //      ordering), its char fraction, and the duplicated-bigram char
+    //      mass; all fractions single int/int double divisions. ----
+    "q133_ngram_repetition" -> ((s, dir) => {
+      graft.ops.Curation.ngramRepetition(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q134: k-anonymity release gate — QI = (lang, n_chars mod 499);
+    //      groups under k=3 rows get their QI masked to '*', group size
+    //      and decision exported for audit. Null-safe join-back so a null
+    //      QI combination masks like any other rare group. ----
+    "q134_k_anonymize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"), pmod(col("n_chars"), lit(499L)).as("len_b"))
+      graft.ops.Reporting.kAnonymize(d, Seq("lang", "len_b"), k = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q135: Simpson source-diversity per language — exact int64
+    //      parts (n_total, n_dims, sum of squared source counts) plus the
+    //      derived concentration / effective-source-count doubles; the
+    //      entropy-free diversity metric an external engine reproduces
+    //      bit-for-bit. ----
+    "q135_diversity" -> ((s, dir) => {
+      graft.ops.Reporting.simpsonDiversity(t(s, dir, "documents"),
+          "lang", "source")
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q136: Flesch reading-ease — words/sentences/vowel-group
+    //      syllable counts as exact integers, score as fixed-order
+    //      row-local double arithmetic. ----
+    "q136_readability" -> ((s, dir) => {
+      graft.ops.Curation.readability(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4733,7 +4794,87 @@ object SparkEntry {
         |SELECT source, cast(w AS bigint) AS w, cast(base AS bigint) AS base,
         |  cast(rem AS bigint) AS rem,
         |  cast(base + CASE WHEN rr <= 99991 - spent THEN 1 ELSE 0 END AS bigint) AS alloc
-        |FROM r, sb ORDER BY source""".stripMargin)
+        |FROM r, sb ORDER BY source""".stripMargin,
+
+    // q132: same injected page corpus, line doc-frequency per host,
+    // >= 50%-of-pages lines stripped, order-preserving reassembly
+    "q132_host_boilerplate" ->
+      """WITH pg AS (SELECT doc_id, source,
+        |    concat_ws(chr(10), 'nav: home | about | contact',
+        |      regexp_replace(text, ' value ', chr(10), 'g'),
+        |      concat('(c) 2026 ', source)) AS page_text FROM documents),
+        |ls AS (SELECT doc_id, source, string_split(page_text, chr(10)) AS ll FROM pg),
+        |lines AS (SELECT doc_id, source, i - 1 AS line_no, ll[i] AS line
+        |          FROM ls, unnest(range(1, len(ll) + 1)) AS u(i)),
+        |docline AS (SELECT DISTINCT source, trim(line) AS t, doc_id
+        |            FROM lines WHERE trim(line) <> ''),
+        |pages AS (SELECT source, count(DISTINCT doc_id) AS pages FROM pg GROUP BY 1),
+        |bad AS (SELECT d.source, d.t
+        |        FROM (SELECT source, t, count(*) AS df FROM docline GROUP BY 1,2) d
+        |        JOIN pages USING (source)
+        |        WHERE pages >= 2 AND d.df * 1000 >= 500 * pages)
+        |SELECT l.doc_id, l.source,
+        |  coalesce(string_agg(CASE WHEN b.t IS NULL THEN l.line END,
+        |                      chr(10) ORDER BY l.line_no), '') AS text_clean,
+        |  cast(sum(CASE WHEN b.t IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_lines_removed,
+        |  cast(sum(CASE WHEN b.t IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_lines_kept
+        |FROM lines l LEFT JOIN bad b ON l.source = b.source AND trim(l.line) = b.t
+        |GROUP BY 1, 2 ORDER BY l.doc_id""".stripMargin,
+
+    // q133: bigram counts per doc; top = min over (-cnt, gram) struct,
+    // duplicated mass = occurrence-weighted chars of cnt>=2 grams
+    "q133_ngram_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS chars,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, chars, array_to_string(ws[i:i+1], ' ') AS gram
+        |      FROM w, unnest(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, chars, gram, count(*) AS cnt FROM g GROUP BY 1,2,3),
+        |p AS (SELECT doc_id, chars, min(struct_pack(nc := -cnt, g := gram)) AS m,
+        |        sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup
+        |      FROM c GROUP BY 1,2)
+        |SELECT d.doc_id, p.m.g AS top_ngram,
+        |  cast(coalesce(-p.m.nc, 0) AS bigint) AS top_cnt,
+        |  coalesce(cast(-p.m.nc * length(p.m.g) AS double) / p.chars, 0.0)
+        |    AS top_ngram_char_frac,
+        |  coalesce(cast(p.dup AS double) / p.chars, 0.0) AS dup_ngram_char_frac
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q134: QI group sizes joined back; groups under k=3 masked to '*'
+    "q134_k_anonymize" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars % 499 AS len_b FROM documents),
+        |c AS (SELECT lang, len_b, count(*) AS k_group_n FROM d GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CASE WHEN k_group_n < 3 THEN '*' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN k_group_n < 3 THEN '*' ELSE cast(len_b AS varchar) END AS len_b,
+        |  cast(k_group_n AS bigint) AS k_group_n,
+        |  k_group_n < 3 AS k_suppressed
+        |FROM d JOIN c USING (lang, len_b) ORDER BY doc_id""".stripMargin,
+
+    // q135: Simpson parts in exact integers; doubles are single divisions
+    "q135_diversity" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT lang, cast(sum(n) AS bigint) AS n_total,
+        |  count(*) AS n_dims, cast(sum(n * n) AS bigint) AS sum_sq,
+        |  cast(sum(n * n) AS double) / cast(sum(n) * sum(n) AS double) AS simpson,
+        |  cast(sum(n) * sum(n) AS double) / cast(sum(n * n) AS double) AS inv_simpson
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q136: identical regex runs counted, score in the same double op order
+    "q136_readability" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS n_words,
+        |  cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS bigint) AS n_sentences,
+        |  cast(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS bigint) AS n_syllables,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |    206.835::double
+        |      - 1.015::double * (len(regexp_extract_all(text, '\S+'))::double
+        |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::double)
+        |      - 84.6::double * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::double
+        |          / len(regexp_extract_all(text, '\S+'))::double)
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -892,4 +892,139 @@ object Curation {
         coalesce(col("_d"), lit(0L)).as("n_distinct_phrases"),
         (coalesce(col("_n"), lit(0L)) >= blockAt).as("blocked"))
   }
+
+  /** PER-HOST boilerplate line removal (the CCNet-style complement of the
+    * corpus-global line dedup in [[Dedup]]): a line is boilerplate for a
+    * host when it appears on at least `fracMilli`/1000 of that host's pages
+    * (document frequency, not occurrence count — a line repeated inside ONE
+    * page is repetition, not boilerplate) and the host has at least
+    * `minPages` pages (tiny hosts can't establish a template). Matching is
+    * on the trimmed line; blank/whitespace-only lines are structure and are
+    * never removed. The threshold compare is pure int64
+    * (`1000 * docFreq >= fracMilli * pages`) — no float ceil ambiguity.
+    *
+    * Output: (idCol, hostCol, text_clean, n_lines_removed, n_lines_kept)
+    * with surviving lines rejoined in original order.
+    *
+    * Scale shape: the boilerplate set is host-template-sized (lines
+    * crossing a 50%-of-pages bar), so the heavy side is the exploded line
+    * stream: one distinct+groupBy on slim (host, line-hash-sized) rows for
+    * the df counts, a join of exploded lines against the small bad set,
+    * and one groupBy(id) reassembly. The full text never shuffles — only
+    * its lines, which are the same bytes partitioned finer.
+    */
+  def stripHostBoilerplate(df: DataFrame, idCol: String, hostCol: String,
+                           textCol: String, fracMilli: Long = 500L,
+                           minPages: Long = 2L): DataFrame = {
+    require(fracMilli > 0 && fracMilli <= 1000, "fracMilli in (0, 1000]")
+    val lines = df.select(col(idCol), col(hostCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val docLine = lines.where(trim(col("line")) =!= "")
+      .select(col(hostCol), trim(col("line")).as("_t"), col(idCol)).distinct()
+    val pages = df.groupBy(col(hostCol))
+      .agg(count_distinct(col(idCol)).as("_pages"))
+    val bad = docLine.groupBy(col(hostCol), col("_t"))
+      .agg(count(lit(1)).as("_df"))
+      .join(pages, Seq(hostCol))
+      .where(col("_pages") >= minPages &&
+        col("_df") * 1000L >= lit(fracMilli) * col("_pages"))
+      .select(col(hostCol).as("_bh"), col("_t"), lit(true).as("_bad"))
+    // rename the bad-set's join keys (_bh/_t): lines and bad both descend
+    // from df, and same-named refs trip Spark's ambiguous-self-join check
+    lines.join(bad, col(hostCol) === col("_bh") &&
+        trim(col("line")) === col("_t"), "left")
+      .select(col(idCol), col(hostCol), col("line_no"), col("line"),
+        coalesce(col("_bad"), lit(false)).as("_bad"))
+      .groupBy(col(idCol), col(hostCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(!col("_bad"), struct(col("line_no"), col("line"))))),
+          s => s("line")), "\n").as("text_clean"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_lines_removed"),
+        sum(when(!col("_bad"), 1L).otherwise(0L)).as("n_lines_kept"))
+  }
+
+  /** Gopher-style n-gram repetition signals, per document:
+    *
+    *  - `top_ngram` / `top_cnt`: the most frequent word n-gram (ties to the
+    *    lexicographically smallest — deterministic) and its count
+    *  - `top_ngram_char_frac`: chars claimed by its occurrences,
+    *    `top_cnt * length(top_ngram) / length(text)` — the "fraction of
+    *    characters in the most common n-gram" rule
+    *  - `dup_ngram_char_frac`: `sum over ngrams with cnt >= 2 of
+    *    cnt * length(ngram) / length(text)` — the duplicated-n-gram mass
+    *    (occurrence-weighted; overlaps counted per occurrence, the cheap
+    *    upper-bound variant of Gopher's position-coverage rule, documented
+    *    as such)
+    *
+    * Words are lowercased non-empty `\s+` splits; n-grams join with single
+    * spaces, so every char count is an exact integer and the fractions are
+    * single int/int double divisions (oracle-stable). Docs with fewer than
+    * n words emit top_cnt = 0 and zero fractions.
+    *
+    * Scale shape: one explode of the n-gram stream (same bytes as the
+    * text, n× replicated) into a (id, ngram) combiner groupBy, then a
+    * map-side-combined groupBy(id) reduce — two slim shuffles, the
+    * payload text itself never moves.
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    // sequence(0, size-n) DESCENDS when size < n — guard short docs to an
+    // empty gram array (explode drops them; the join-back below restores
+    // the row with zeros)
+    val grams = df.select(col(idCol), length(col(textCol)).as("_chars"),
+      filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("_w"))
+      .select(col(idCol), col("_chars"), explode(expr(
+        s"""CASE WHEN size(_w) >= $n
+           |THEN transform(sequence(0, size(_w) - $n),
+           |               i -> array_join(slice(_w, i + 1, $n), ' '))
+           |ELSE array() END""".stripMargin)).as("_g"))
+    val counted = grams.groupBy(col(idCol), col("_chars"), col("_g"))
+      .agg(count(lit(1)).as("_cnt"))
+    // top gram = min over (-cnt, gram): struct comparison is field-wise
+    // lexicographic, so this is max count with ties to the SMALLEST gram
+    val perDoc = counted.groupBy(col(idCol), col("_chars")).agg(
+      min(struct((-col("_cnt")).as("_nc"), col("_g"))).as("_m"),
+      sum(when(col("_cnt") >= 2, col("_cnt") * length(col("_g")))
+        .otherwise(0L)).as("_dupchars"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_m")("_g").as("top_ngram"),
+        coalesce(-col("_m")("_nc"), lit(0L)).as("top_cnt"),
+        coalesce((-col("_m")("_nc")) * length(col("_m")("_g"))
+          / col("_chars"), lit(0.0)).as("top_ngram_char_frac"),
+        coalesce(col("_dupchars") / col("_chars"), lit(0.0))
+          .as("dup_ngram_char_frac"))
+  }
+
+  /** Flesch reading-ease from three regexp counts — the classical
+    * readability gate (low = academic/dense, high = simple prose; garbage
+    * text lands far outside [0, 100] in either direction):
+    *
+    *   206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+    *
+    * with words = `\S+` runs, sentences = `[.!?]+` runs (min 1), syllables
+    * approximated as `[aeiouy]+` vowel-group runs in the lowercased text
+    * (min 1) — the standard cheap heuristic; all three are exact integer
+    * counts and the score is row-local double arithmetic, so any regex
+    * engine agreeing on the counts reproduces the score bit-for-bit.
+    * Zero-word rows emit null score.
+    *
+    * Scale shape: narrow per-row map over the scan, fully codegen'd, zero
+    * shuffles.
+    */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = regexp_count(t, lit("\\S+"))
+    val s = greatest(regexp_count(t, lit("[.!?]+")), lit(1))
+    val y = greatest(regexp_count(lower(t), lit("[aeiouy]+")), lit(1))
+    df.withColumn("n_words", w.cast("long"))
+      .withColumn("n_sentences", s.cast("long"))
+      .withColumn("n_syllables", y.cast("long"))
+      .withColumn("flesch",
+        when(w > 0, lit(206.835)
+          - lit(1.015) * (w.cast("double") / s.cast("double"))
+          - lit(84.6) * (y.cast("double") / w.cast("double"))))
+  }
 }

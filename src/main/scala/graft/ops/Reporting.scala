@@ -86,4 +86,67 @@ object Reporting {
         col("base") + when(col("_rr") <= lit(budget) - col("_SB"), 1L).otherwise(0L))
       .drop("_W", "_SB", "_rr")
   }
+
+  /** k-anonymity suppression over quasi-identifier columns — the release
+    * gate a corpus with user-linked metadata passes before publication:
+    * every row whose QI combination is shared by fewer than `k` rows gets
+    * its QI values masked to `*` (null QI values mask too — null is itself
+    * an identifying combination), so every published QI combination is
+    * carried by >= k rows or fully redacted. Non-QI columns pass through;
+    * `k_group_n` (pre-masking group size) and `k_suppressed` make the
+    * decision auditable.
+    *
+    * Scale shape: one slim groupBy over the QI projection (map-side
+    * combined), joined back on the QI keys — the payload shuffles once for
+    * the join; with corpus-bounded QI cardinality the count side is small
+    * and AQE broadcasts it.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    // null-SAFE join back: groupBy put null QI values in their own group,
+    // and an equi-join would drop them — letting exactly the rare-null
+    // rows (the most identifying ones) escape masking
+    val counts = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k_group_n"))
+      .select(qiCols.map(c => col(c).as(s"_qi_$c")) :+ col("k_group_n"): _*)
+    val cond = qiCols.map(c => df(c) <=> col(s"_qi_$c")).reduce(_ && _)
+    val masked = col("k_group_n") < k
+    df.join(counts, cond, "left").select(df.columns.map { c =>
+      if (qiCols.contains(c)) when(masked, lit("*"))
+        .otherwise(col(c).cast("string")).as(c)
+      else df(c)
+    } :+ col("k_group_n") :+ masked.as("k_suppressed"): _*)
+  }
+
+  /** Simpson concentration/diversity of a categorical dimension per key —
+    * the "is this language dominated by one source?" dataset-card metric.
+    * Emitted as EXACT int64 parts plus the derived doubles:
+    *
+    *   n_total   = rows in the key
+    *   n_dims    = distinct dimension values
+    *   sum_sq    = sum over dims of count^2
+    *   simpson   = sum_sq / n_total^2      (concentration; 1 = monoculture)
+    *   inv_simpson = n_total^2 / sum_sq    ("effective number of sources")
+    *
+    * Because the parts are pure integers and the doubles are single
+    * int/int divisions, any engine reproduces every value bit-for-bit —
+    * unlike Shannon entropy, whose float fold order is engine-specific.
+    *
+    * Scale shape: two chained slim aggregates ((key, dim) then key), both
+    * map-side combined; the payload never moves.
+    */
+  def simpsonDiversity(df: DataFrame, keyCol: String,
+                       dimCol: String): DataFrame = {
+    val cell = df.groupBy(col(keyCol), col(dimCol))
+      .agg(count(lit(1)).as("_n"))
+    cell.groupBy(col(keyCol)).agg(
+        sum(col("_n")).as("n_total"),
+        count(lit(1)).as("n_dims"),
+        sum(col("_n") * col("_n")).as("sum_sq"))
+      .select(col(keyCol), col("n_total"), col("n_dims"), col("sum_sq"),
+        (col("sum_sq").cast("double") / (col("n_total") * col("n_total")))
+          .as("simpson"),
+        ((col("n_total") * col("n_total")).cast("double") / col("sum_sq"))
+          .as("inv_simpson"))
+  }
 }

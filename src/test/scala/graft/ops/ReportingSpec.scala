@@ -63,6 +63,47 @@ class ReportingSpec extends SparkSpec {
     assert(r.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 1L), ("d", 1L)))
   }
 
+  test("kAnonymize: small QI groups masked to '*', large ones pass; null QI masks too") {
+    val df = Seq(
+      (1L, Some("en"), "x"), (2L, Some("en"), "y"), (3L, Some("en"), "z"),
+      (4L, Some("de"), "w"),
+      (5L, None, "v")).toDF("id", "lang", "payload")
+    val r = Reporting.kAnonymize(df, Seq("lang"), k = 2L)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, "en", "x", 3L, false), (2L, "en", "y", 3L, false),
+      (3L, "en", "z", 3L, false),
+      (4L, "*", "w", 1L, true),
+      // the single null-lang row is the MOST identifying — it must mask
+      (5L, "*", "v", 1L, true)))
+  }
+
+  test("kAnonymize: multi-column QI — the COMBINATION must clear k, not each column") {
+    val df = Seq((1L, "en", "a"), (2L, "en", "a"), (3L, "en", "b"))
+      .toDF("id", "lang", "region")
+    val r = Reporting.kAnonymize(df, Seq("lang", "region"), k = 2L)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getBoolean(4)))
+    // lang=en appears 3x but (en, b) only once -> row 3 masks both QI cols
+    assert(r.toSeq == Seq((1L, "en", "a", false), (2L, "en", "a", false),
+      (3L, "*", "*", true)))
+  }
+
+  test("simpsonDiversity: integer parts hand-checked; monoculture reads 1.0") {
+    val df = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"),
+      ("de", "s1")).toDF("lang", "source")
+    val r = Reporting.simpsonDiversity(df, "lang", "source")
+      .orderBy("lang")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4), x.getDouble(5)))
+    // en: counts 2,1 -> n=3, sumsq=5, simpson=5/9, inv=9/5
+    assert(r.toSeq == Seq(
+      ("de", 1L, 1L, 1L, 1.0, 1.0),
+      ("en", 3L, 2L, 5L, 5.0 / 9, 9.0 / 5)))
+  }
+
   test("apportionBudget: zero budget and zero-weight keys") {
     val df = Seq(("a", 5L), ("z", 0L)).toDF("k", "w")
     val r0 = Reporting.apportionBudget(df, "k", "w", budget = 0L)

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripHostBoilerplate: host-template lines go, unique body lines stay, order kept") {
+    val df = Seq(
+      (1L, "h1", "nav\nbody one\n(c) h1"),
+      (2L, "h1", "nav\nbody two\n(c) h1"),
+      (3L, "h1", "nav\nbody three\n(c) h1"),
+      (4L, "h2", "nav\nsolo page")) // h2 has ONE page: below minPages, kept
+      .toDF("id", "host", "text")
+    val r = Curation.stripHostBoilerplate(df, "id", "host", "text")
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "body one", 2L, 1L),
+      (2L, "body two", 2L, 1L),
+      (3L, "body three", 2L, 1L),
+      (4L, "nav\nsolo page", 0L, 2L)))
+  }
+
+  test("stripHostBoilerplate: threshold is doc frequency, repeats inside one page don't count") {
+    // 'dup' appears twice in page 1 but on only 1 of 3 pages -> df=1 of 3
+    // pages = 33% < 50% -> NOT boilerplate; 'shared' is on 2 of 3 -> 66% -> goes
+    val df = Seq(
+      (1L, "h", "dup\ndup\nshared\na"),
+      (2L, "h", "shared\nb"),
+      (3L, "h", "c")).toDF("id", "host", "text")
+    val r = Curation.stripHostBoilerplate(df, "id", "host", "text")
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(2)))
+    assert(r.toSeq == Seq((1L, "dup\ndup\na"), (2L, "b"), (3L, "c")))
+  }
+
+  test("stripHostBoilerplate: blank lines are structure — never stripped; all-boilerplate doc survives empty") {
+    val df = Seq(
+      (1L, "h", "x\n\ny"),
+      (2L, "h", "x\n\ny")).toDF("id", "host", "text")
+    val r = Curation.stripHostBoilerplate(df, "id", "host", "text")
+      .orderBy("id").collect().map(x => (x.getString(2), x.getLong(3), x.getLong(4)))
+    // x and y are on 2/2 pages -> both go; the blank middle line stays
+    assert(r.toSeq == Seq(("", 2L, 1L), ("", 2L, 1L)))
+  }
+
+  test("ngramRepetition: hand-checked bigram counts, tie to smallest gram, short docs zeroed") {
+    // doc 1: words [a b a b a] -> bigrams: "a b"x2, "b a"x2 (tie -> "a b")
+    //   chars = len("a b a b a") = 9; top frac = 2*3/9; dup = (2*3+2*3)/9
+    // doc 2: one word -> no bigrams -> zeros
+    val df = Seq((1L, "a b a b a"), (2L, "hello")).toDF("id", "text")
+    val r = Curation.ngramRepetition(df, "id", "text", n = 2)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1L, Some("a b"), 2L, 6.0 / 9, 12.0 / 9),
+      (2L, None, 0L, 0.0, 0.0)))
+  }
+
+  test("ngramRepetition: case-folded, whitespace runs collapse, unique grams contribute no dup mass") {
+    val df = Seq((1L, "The  THE the x")).toDF("id", "text")
+    // words: [the, the, the, x]; bigrams: "the the"x2, "the x"x1
+    val r = Curation.ngramRepetition(df, "id", "text", n = 2).collect()(0)
+    assert(r.getString(1) == "the the" && r.getLong(2) == 2L)
+    // dup mass counts only "the the": 2 * 7 chars / 14 text chars
+    assert(r.getDouble(4) == 14.0 / 14)
+  }
+
+  test("readability: exact counts and the Flesch formula; empty text yields null score") {
+    val df = Seq(
+      (1L, "The cat sat. It was happy!"),
+      (2L, "")).toDF("id", "text")
+    val r = Curation.readability(df, "text").orderBy("id").collect()
+    // words: 6; sentences: 2 ('.', '!'); syllable groups in
+    // "the cat sat. it was happy!": e,a,a,i,a,a,y -> the(1) cat(1) sat(1)
+    // it(1) was(1) happy(2 runs: a, y) = 7
+    assert(r(0).getLong(2) == 6L && r(0).getLong(3) == 2L && r(0).getLong(4) == 7L)
+    val expected = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0)
+    assert(r(0).getDouble(5) == expected)
+    assert(r(1).getLong(2) == 0L && r(1).isNullAt(5))
+  }
+}
