@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 131 queries spanning every implemented operator family
+/** Driver contract — 136 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2604,6 +2604,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_sentences"),
           col("n_syllables"), col("flesch"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q137: lexical diversity — exact token/type/hapax counts per doc
+    //      plus single-division TTR and hapax fraction. ----
+    "q137_lexical_diversity" -> ((s, dir) => {
+      graft.ops.Curation.lexicalDiversity(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q138: encoding-artifact gate — deterministic corpus with
+    //      mojibake / U+FFFD / control bytes injected on doc_id residues
+    //      (the synthetic text is clean, so the defect is constructed
+    //      identically on both sides); counts are exact regexp-run
+    //      integers, suspect is a pure int64 threshold compare. ----
+    "q138_encoding_artifacts" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7L)) === 0L,
+            lit(" Ã©lÃ©gant â€” caffÃ¨ 10Â°")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0L,
+            lit(" �lost")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11L)) === 0L,
+            lit("\u0001")).otherwise(lit(""))).as("text"))
+      graft.ops.Curation.encodingArtifacts(d, "text", perMilli = 5L)
+        .select(col("doc_id"), col("n_mojibake"), col("n_replacement"),
+          col("n_ctrl"), col("suspect"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4874,7 +4903,45 @@ object SparkEntry {
         |      - 84.6::double * (greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)::double
         |          / len(regexp_extract_all(text, '\S+'))::double)
         |  END AS flesch
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q137: word-frequency table per doc; tokens/types/hapax exact,
+    // fractions single divisions, wordless docs all-zero
+    "q137_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, ws[i] AS w FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |c AS (SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |p AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+        |        sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |      FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  cast(coalesce(p.n_tokens, 0) AS bigint) AS n_tokens,
+        |  cast(coalesce(p.n_types, 0) AS bigint) AS n_types,
+        |  cast(coalesce(p.n_hapax, 0) AS bigint) AS n_hapax,
+        |  coalesce(cast(p.n_types AS double) / p.n_tokens, 0.0) AS ttr,
+        |  coalesce(cast(p.n_hapax AS double) / p.n_types, 0.0) AS hapax_frac
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q138: same residue-injected corpus, same literal-alternation regex
+    // counts, same int64 threshold compare
+    "q138_encoding_artifacts" ->
+      """WITH d AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 7 = 0 THEN ' Ã©lÃ©gant â€” caffÃ¨ 10Â°' ELSE '' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN ' �lost' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã³|Ã¡|Ã§|â€™|â€œ|â€“|â€”|Â°|Â»|Â«')) AS nm,
+        |    len(regexp_extract_all(text, '�')) AS nr,
+        |    len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS nc,
+        |    length(text) AS chars
+        |  FROM d)
+        |SELECT doc_id, cast(nm AS bigint) AS n_mojibake,
+        |  cast(nr AS bigint) AS n_replacement, cast(nc AS bigint) AS n_ctrl,
+        |  (nm + nr + nc > 0) AND ((nm + nr + nc) * 1000 >= 5 * chars) AS suspect
+        |FROM c ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -1027,4 +1027,82 @@ object Curation {
           - lit(1.015) * (w.cast("double") / s.cast("double"))
           - lit(84.6) * (y.cast("double") / w.cast("double"))))
   }
+
+  /** Lexical-diversity signals per document — the vocabulary-richness
+    * complement of the repetition gates (machine-generated spam shows LOW
+    * type/token ratio at normal length; keyword-stuffed pages show high
+    * hapax mass of gibberish):
+    *
+    *   n_tokens    = lowercased non-empty `\s+` word occurrences
+    *   n_types     = distinct words
+    *   n_hapax     = words occurring exactly once
+    *   ttr         = n_types / n_tokens        (type/token ratio)
+    *   hapax_frac  = n_hapax / n_types
+    *
+    * Counts are exact integers; the two fractions are single int/int double
+    * divisions (oracle-stable). Wordless docs emit all-zero counts and 0.0
+    * fractions.
+    *
+    * Scale shape: one explode of the word stream into a (id, word)
+    * combiner groupBy, then a map-side-combined groupBy(id) reduce — two
+    * slim shuffles of word-sized rows; the document text never moves.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("_w"))
+    val typed = words.groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_cnt"))
+    val perDoc = typed.groupBy(col(idCol)).agg(
+      sum(col("_cnt")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("_cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("n_types").cast("double") / col("n_tokens"), lit(0.0)).as("ttr"),
+        coalesce(col("n_hapax").cast("double") / col("n_types"), lit(0.0)).as("hapax_frac"))
+  }
+
+  /** Mojibake tokens detected by [[encodingArtifacts]]: the UTF-8 bytes of
+    * common non-ASCII chars re-decoded as Latin-1 — the classic
+    * double-encoding crawl defect. Every alternative is a fixed literal and
+    * no alternative is a prefix of another, so leftmost-first (Java regex)
+    * and leftmost-longest (RE2) engines count identical non-overlapping
+    * matches.
+    */
+  val MojibakePattern: String =
+    "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã³|Ã¡|Ã§|â€™|â€œ|â€“|â€”|Â°|Â»|Â«"
+
+  /** Encoding-artifact detection — the "was this page decoded with the
+    * wrong charset?" gate of web-corpus cleaning. Three exact integer
+    * counts plus an int64-threshold flag:
+    *
+    *   n_mojibake    = occurrences of [[MojibakePattern]] literals
+    *   n_replacement = U+FFFD replacement characters (decoder gave up)
+    *   n_ctrl        = C0 control chars other than tab/newline/CR
+    *   suspect       = sum > 0 AND 1000 * sum >= perMilli * n_chars
+    *                   (pure int64 compare — no float threshold ambiguity;
+    *                    clean and empty docs are never suspect, even at
+    *                    perMilli = 0)
+    *
+    * Scale shape: narrow per-row regexp counting over the scan, fully
+    * codegen'd, zero shuffles.
+    */
+  def encodingArtifacts(df: DataFrame, textCol: String,
+                        perMilli: Long = 5L): DataFrame = {
+    require(perMilli >= 0, "perMilli >= 0")
+    val t = col(textCol)
+    val moji = regexp_count(t, lit(MojibakePattern)).cast("long")
+    val repl = regexp_count(t, lit("�")).cast("long")
+    val ctrl = regexp_count(t,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    df.withColumn("n_mojibake", moji)
+      .withColumn("n_replacement", repl)
+      .withColumn("n_ctrl", ctrl)
+      .withColumn("suspect", {
+        val total = col("n_mojibake") + col("n_replacement") + col("n_ctrl")
+        total > 0L && total * 1000L >= lit(perMilli) * length(t).cast("long")
+      })
+  }
 }

@@ -81,4 +81,41 @@ class TextSignalsSpec extends SparkSpec {
     assert(r(0).getDouble(5) == expected)
     assert(r(1).getLong(2) == 0L && r(1).isNullAt(5))
   }
+
+  test("lexicalDiversity: tokens/types/hapax hand-checked, case-folded, wordless doc all-zero") {
+    val df = Seq(
+      (1L, "a b A c"),   // tokens 4, types 3 (a,b,c), hapax 2 (b,c)
+      (2L, "  \t "),     // wordless
+      (3L, "x x x")).toDF("id", "text")
+    val r = Curation.lexicalDiversity(df, "id", "text").orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 3L, 2L, 3.0 / 4, 2.0 / 3),
+      (2L, 0L, 0L, 0L, 0.0, 0.0),
+      (3L, 3L, 1L, 0L, 1.0 / 3, 0.0)))
+  }
+
+  test("encodingArtifacts: mojibake literals, U+FFFD, control chars; suspect gates on total>0") {
+    val df = Seq(
+      (1L, "caffÃ¨ is Ã©lÃ©gant â€” yes"), // Ã¨ + 2x Ã© + â€” = 4
+      (2L, "bad�byte\u0001x"),          // 1 replacement + 1 ctrl
+      (3L, "clean ascii text, long enough to be sure"),
+      (4L, "")).toDF("id", "text")
+    val r = Curation.encodingArtifacts(df, "text", perMilli = 5L).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getBoolean(5)))
+    // doc 1: 4 artifacts over 27 chars -> 4000 >= 135 -> suspect
+    assert(r.toSeq == Seq(
+      (1L, 4L, 0L, 0L, true),
+      (2L, 0L, 1L, 1L, true),
+      (3L, 0L, 0L, 0L, false),
+      (4L, 0L, 0L, 0L, false)))
+  }
+
+  test("encodingArtifacts: tab/newline/CR are NOT control artifacts") {
+    val df = Seq((1L, "a\tb\nc\rd")).toDF("id", "text")
+    val r = Curation.encodingArtifacts(df, "text").collect()(0)
+    assert(r.getLong(4) == 0L && !r.getBoolean(5))
+  }
 }
