@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 136 queries spanning every implemented operator family
+/** Driver contract — 143 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2633,6 +2633,64 @@ object SparkEntry {
         .select(col("doc_id"), col("n_mojibake"), col("n_replacement"),
           col("n_ctrl"), col("suspect"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q139: exact-integer exponentially-decayed rolling sum (EWMA
+    //      family) — base-1/2 per revisit step, 8-step tail, int64
+    //      fixed-point; the oracle unrolls the same 8 lag terms. Tie-break
+    //      on event_id makes the per-user order total. ----
+    "q139_decayed_value" -> ((s, dir) => {
+      Windows.decayedSum(t(s, dir, "events"), Seq("user_id"), "ts", "value",
+          k = 8, scale = 100L, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value_decayed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- q140: Zipf rank-frequency table of the corpus vocabulary —
+    //      exact counts, total (freq desc, word) order at the top-N
+    //      boundary, rank*freq int64, freq_ratio a single division. ----
+    "q140_zipf_table" -> ((s, dir) => {
+      graft.ops.Stats.zipfTable(t(s, dir, "documents"), "text", topN = 200)
+        .orderBy(col("rank"))
+    }),
+
+    // ---- q141: exact-integer HITS over the same deterministic 50-node
+    //      link graph as q74 — per-iteration max-rescale keeps everything
+    //      int64; the oracle unrolls 3 synchronous iterations. ----
+    "q141_hits" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 1) % 50).as("dst"))
+      val e2 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 2) % 50).as("dst"))
+      graft.ops.Graph.hitsInt(e1.unionByName(e2), "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // ---- q142: DLT priority sampling — weighted (by n_chars) top-k with
+    //      a deterministic md5-derived 60-bit uniform and integer-division
+    //      priorities; no float pow whose ulp could flip the boundary. ----
+    "q142_priority_sample" -> ((s, dir) => {
+      graft.ops.Curation.prioritySample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 100)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q143: schema-on-read JSON sidecar ingestion — from_json over the
+    //      events props column with an explicit DDL schema (the Spark-native
+    //      path; no UDF, codegen'd JsonToStructs), then an exact-count
+    //      histogram by (event_type, k). ----
+    "q143_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("k"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -4941,7 +4999,60 @@ object SparkEntry {
         |SELECT doc_id, cast(nm AS bigint) AS n_mojibake,
         |  cast(nr AS bigint) AS n_replacement, cast(nc AS bigint) AS n_ctrl,
         |  (nm + nr + nc > 0) AND ((nm + nr + nc) * 1000 >= 5 * chars) AS suspect
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q139: the same 8 lag terms, same fixed-point floor, same weights
+    "q139_decayed_value" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    cast(floor(value * 100) AS bigint) AS fx
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  (fx * 128
+        |   + coalesce(lag(fx, 1) OVER w, 0) * 64
+        |   + coalesce(lag(fx, 2) OVER w, 0) * 32
+        |   + coalesce(lag(fx, 3) OVER w, 0) * 16
+        |   + coalesce(lag(fx, 4) OVER w, 0) * 8
+        |   + coalesce(lag(fx, 5) OVER w, 0) * 4
+        |   + coalesce(lag(fx, 6) OVER w, 0) * 2
+        |   + coalesce(lag(fx, 7) OVER w, 0)) AS value_decayed
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // q140: same tokenization as q137, total (freq desc, word) order at
+    // the top-200 cut, rank*freq exact int64, freq_ratio single division
+    "q140_zipf_table" ->
+      """WITH w AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT ws[i] AS word FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |c AS (SELECT word, count(*) AS freq FROM t GROUP BY 1),
+        |top AS (SELECT word, freq FROM c ORDER BY freq DESC, word LIMIT 200),
+        |r AS (SELECT word, freq,
+        |        row_number() OVER (ORDER BY freq DESC, word) AS rank
+        |      FROM top)
+        |SELECT rank, word, freq, rank * freq AS rank_x_freq,
+        |  cast(freq AS double) / max(freq) OVER () AS freq_ratio
+        |FROM r ORDER BY rank""".stripMargin,
+
+    "q141_hits" -> hitsOracleSql,
+
+    // q142: identical 60-bit md5 uniform, identical integer division,
+    // identical (priority, doc_id) cut
+    "q142_priority_sample" ->
+      """SELECT doc_id, weight, priority FROM (
+        |  SELECT doc_id, cast(greatest(n_chars, 1) AS bigint) AS weight,
+        |    cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::UBIGINT
+        |         // greatest(n_chars, 1) AS bigint) AS priority
+        |  FROM documents
+        |  ORDER BY priority, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q143: same JSON pointer, same int cast, exact counts
+    "q143_json_props" ->
+      """SELECT event_type, cast(json_extract(props, '$.k') AS int) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).
@@ -5042,5 +5153,38 @@ object SparkEntry {
        |r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank_int FROM nodes),
        |$iters
        |SELECT node, rank_int FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** q141's oracle: Graph.hitsInt's 3 synchronous iterations unrolled as
+    * CTEs — auth from previous hubs, then hubs from the fresh auths, each
+    * side max-rescaled to 1e6 with integer division, exactly the engine's
+    * arithmetic.
+    */
+  private def hitsOracleSql: String = {
+    val iters = (1 to 3).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""ar$k AS (SELECT e.dst AS node, sum(h.hub) AS s
+         |  FROM edges e JOIN $prevH h ON e.src = h.node GROUP BY e.dst),
+         |am$k AS (SELECT greatest(max(s), 1) AS m FROM ar$k),
+         |a$k AS (SELECT n.node,
+         |  (1000000 * coalesce(r.s, 0)) // (SELECT m FROM am$k) AS auth
+         |  FROM nodes n LEFT JOIN ar$k r USING (node)),
+         |hr$k AS (SELECT e.src AS node, sum(a.auth) AS s
+         |  FROM edges e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |hm$k AS (SELECT greatest(max(s), 1) AS m FROM hr$k),
+         |h$k AS (SELECT n.node,
+         |  (1000000 * coalesce(r.s, 0)) // (SELECT m FROM hm$k) AS hub
+         |  FROM nodes n LEFT JOIN hr$k r USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id % 50, (doc_id * 3 + 2) % 50 FROM documents),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, cast(1000000 AS bigint) AS hub FROM nodes),
+       |$iters
+       |SELECT h3.node, cast(h3.hub AS bigint) AS hub_int,
+       |  cast(a3.auth AS bigint) AS auth_int
+       |FROM h3 JOIN a3 USING (node) ORDER BY h3.node""".stripMargin
   }
 }

@@ -1089,6 +1089,38 @@ object Curation {
     * Scale shape: narrow per-row regexp counting over the scan, fully
     * codegen'd, zero shuffles.
     */
+  /** WEIGHTED sampling via priority sampling (Duffield-Lund-Thorup): each
+    * row draws a deterministic 60-bit uniform integer u from md5(id) and
+    * gets priority u div weight (int64 division); the k smallest priorities
+    * are the sample. P(selected) is approximately proportional to weight
+    * (exactly the DLT priority-sampling scheme with integer-quantized
+    * uniforms), the draw is a pure function of the id — reproducible
+    * run-to-run, engine-to-engine, resume-safe — and unlike float
+    * u^(1/w) exponential races there is no transcendental whose last ulp
+    * could flip a boundary row between engines. Ties (same priority) break
+    * on id, so the cut is total.
+    *
+    * Weights are clamped to >= 1 (a zero/negative weight would divide by
+    * zero or invert the order); rows keep (id, weight, priority) so the
+    * caller can audit the threshold tau = (k+1)-th priority if needed.
+    *
+    * Scale shape: a narrow per-row projection (md5 + integer div) then
+    * orderBy(...).limit(k) — Spark executes TakeOrdered (per-partition
+    * top-k, merge on the driver of k-sized heaps), never a global sort.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val w = greatest(col(weightCol).cast("long"), lit(1L))
+    df.select(col(idCol), w.as("weight"), u.as("_u"))
+      .withColumn("priority", expr("_u div weight"))
+      .drop("_u")
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   def encodingArtifacts(df: DataFrame, textCol: String,
                         perMilli: Long = 5L): DataFrame = {
     require(perMilli >= 0, "perMilli >= 0")

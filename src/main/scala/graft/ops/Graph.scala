@@ -119,4 +119,84 @@ object Graph {
     nodes.unpersist()
     ranks
   }
+
+  /** Deterministic EXACT-INTEGER HITS (hubs & authorities) — the companion
+    * structure signal to [[pageRankInt]]: PageRank measures endorsement
+    * flow, HITS separates pages that ARE good sources (authorities) from
+    * pages that POINT at good sources (hubs) — link-directory spam scores
+    * high hub / low authority, scraped link-farm targets the reverse.
+    *
+    * Classic HITS normalizes by an L2 norm (sqrt — not reproducible in
+    * integer arithmetic). This variant rescales each side to a fixed-point
+    * MAX of `scale` per iteration, which preserves the ranking and the
+    * relative magnitudes (HITS scores are defined up to a constant factor
+    * per side) while keeping every operation int64 multiply / integer-div
+    * / sum — partition-, fold-order- and engine-independent, so an external
+    * SQL oracle reproduces it bit-for-bit by unrolling the iterations.
+    * Per iteration (auth first, from the PREVIOUS hubs, as in the classic
+    * synchronous schedule):
+    *
+    *   auth'(v) = (scale * sum_{(u,v) in E} hub(u))  div max_w auth_raw(w)
+    *   hub'(u)  = (scale * sum_{(u,v) in E} auth'(v)) div max_w hub_raw(w)
+    *
+    * Nodes with no in-edges (resp. out-edges) get authority (resp. hub) 0.
+    * Overflow headroom: raw sums are <= maxInDegree * scale, and the
+    * rescale multiply <= maxInDegree * scale^2 — int64-safe for
+    * maxDegree * scale^2 < 9.2e18 (default scale 1e6 supports degree to
+    * ~9e6; at web scale lower `scale` accordingly).
+    *
+    * Scale shape: per iteration, one edges->scores join + one slim
+    * aggregate per side, plus a single-scalar max computed by a tiny agg
+    * and attached via broadcast crossJoin (node-table-sized work; the
+    * corpus never shuffles). Lineage is truncated via localCheckpoint
+    * every 5 iterations, same discipline as [[pageRankInt]].
+    *
+    * Returns (node, hub_int, auth_int).
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1, "need iters >= 1, scale >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    // rescale raw scores so the max becomes `scale` (empty graph guard: 1)
+    def rescaled(raw: DataFrame, outCol: String): DataFrame = {
+      val m = raw.agg(greatest(max(col("_s")), lit(1L)).as("_m"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("node"),
+          expr(s"(${scale}L * coalesce(_s, 0L)) div _m").as(outCol))
+    }
+    var hubs = nodes.withColumn("hub_int", lit(scale))
+    var auths: DataFrame = null
+    var persistedH: DataFrame = null
+    var persistedA: DataFrame = null
+    for (i <- 0 until iters) {
+      val rawAuth = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_int")).as("_s"))
+      val nextAuth = rescaled(rawAuth, "auth_int").persist()
+      nextAuth.count()
+      if (persistedA != null) persistedA.unpersist()
+      persistedA = nextAuth
+      auths = nextAuth
+      val rawHub = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth_int")).as("_s"))
+      val next = rescaled(rawHub, "hub_int")
+      val nextHub = (if (i % 5 == 4) next.localCheckpoint() else next).persist()
+      nextHub.count()
+      if (persistedH != null) persistedH.unpersist()
+      persistedH = nextHub
+      hubs = nextHub
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("hub_int"), col("auth_int"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

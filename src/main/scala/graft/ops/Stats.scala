@@ -116,4 +116,45 @@ object Stats {
     dev.join(broadcast(mad), keyCols)
       .withColumn("is_outlier", col("abs_dev") > lit(k) * col("mad"))
   }
+
+  /** Zipf rank-frequency table of the corpus vocabulary — the
+    * "is this corpus natural language?" fingerprint: human text follows
+    * rank x freq ~ const (Zipf's law); machine-generated spam, templated
+    * boilerplate, and synthetic corpora bend the curve visibly. Emitting
+    * the exact table (not a fitted float slope, whose log-sums would not
+    * be bit-reproducible across engines) keeps every value
+    * oracle-verifiable:
+    *
+    *   rank        = 1-based position by (freq desc, word asc)
+    *   freq        = exact corpus occurrence count
+    *   rank_x_freq = rank * freq (int64 — flat for Zipfian text)
+    *   freq_ratio  = freq / freq(rank 1), a single int/int double division
+    *
+    * Words are lowercased non-empty `\s+` runs (the same convention as the
+    * lexical-diversity and repetition gates). The (freq desc, word asc)
+    * order is total, so the top-N cut is deterministic at the boundary.
+    *
+    * Scale shape: one explode into a map-side-combined groupBy(word) —
+    * the only corpus-sized shuffle, and it moves (word, count) pairs, not
+    * text — then an orderBy(...).limit(topN) which Spark executes as
+    * TakeOrdered (per-partition top-N, no global sort), and a row_number
+    * window over the N surviving rows (single tiny partition by
+    * construction — N is a constant).
+    */
+  def zipfTable(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val words = df.select(explode(
+      filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("word"))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("word").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank_x_freq", col("rank") * col("freq"))
+      .withColumn("freq_ratio",
+        col("freq").cast("double") / max(col("freq")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rank"), col("word"), col("freq"), col("rank_x_freq"),
+        col("freq_ratio"))
+  }
 }

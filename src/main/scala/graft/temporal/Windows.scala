@@ -124,6 +124,49 @@ object Windows {
       .drop("_sim", "_prev_sim")
   }
 
+  /** EXACT-INTEGER exponentially-decayed rolling sum — the recency-weighted
+    * revisit-intensity feature (EWMA family) of a crawl feature store, in
+    * arithmetic an external engine reproduces bit-for-bit. Classic EWMA is
+    * a float recurrence whose value depends on summation order; this
+    * operator fixes base lambda = 1/2 PER REVISIT STEP, truncates the tail
+    * at `k` steps (weights below 2^-k contribute < 1 fixed-point unit
+    * anyway), and evaluates
+    *
+    *   decayed_n = sum_{j=0..k-1} fix(v_{n-j}) * 2^(k-1-j)
+    *
+    * where fix(v) = floor(v * scale) is int64 fixed-point (floor of one
+    * IEEE double multiply — identical in any IEEE engine). The result is in
+    * units of 1/(scale * 2^(k-1)): the current revisit carries weight 1,
+    * one revisit back 1/2, and so on. All adds/multiplies are int64 —
+    * partition- and fold-order independent.
+    *
+    * Leakage shape: the only cross-row reads are lag(j), j >= 0, over
+    * (keys, ts asc, tieBreak asc) — strictly no future rows. `tieBreak`
+    * must make the order total when ts can repeat within a key, or the
+    * lag values (hence the feature) are nondeterministic.
+    *
+    * Overflow headroom: |decayed| <= 2^k * scale * max|v|; with k=8,
+    * scale=100 that is safe for |v| up to ~3.6e14.
+    *
+    * Cost: k lag terms over ONE window — a single (key-partition, ts-sort)
+    * exchange shared with every other operator in this module, then
+    * per-row integer arithmetic, fully codegen'd.
+    */
+  def decayedSum(df: DataFrame, keys: Seq[String], ts: String, valueCol: String,
+                 k: Int = 8, scale: Long = 100L,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= 1 && k <= 62, "need 1 <= k <= 62")
+    require(scale >= 1, "scale must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts).asc +: tieBreak.map(col(_).asc)): _*)
+    val fixed = floor(col(valueCol) * scale).cast("long")
+    val terms = (0 until k).map { j =>
+      val v = if (j == 0) fixed else coalesce(lag(fixed, j).over(w), lit(0L))
+      v * lit(1L << (k - 1 - j))
+    }
+    df.withColumn(s"${valueCol}_decayed", terms.reduce(_ + _))
+  }
+
   /** SCD2-style validity intervals: each snapshot is valid from its own ts
     * until (exclusive) the key's next snapshot; the newest snapshot has
     * `valid_to` null (open interval). Materializing intervals once turns

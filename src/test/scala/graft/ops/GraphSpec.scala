@@ -47,4 +47,30 @@ class GraphSpec extends SparkSpec {
     assert(r(9L) > r(2L) && r(1L) > r(9L))
     assert(r(2L) == r(3L)) // symmetric nodes tie exactly (integer arithmetic)
   }
+
+  test("hitsInt: star graph, hand-computed integer hub/auth after one iteration") {
+    // A(0)->B(1), A->C(2), D(3)->B.  h0 = 1e6 everywhere.
+    // auth raw: B = 2e6, C = 1e6; max 2e6 -> a1: B = 1e6, C = 5e5, A = D = 0.
+    // hub raw:  A = 1.5e6, D = 1e6; max 1.5e6 -> h1: A = 1e6,
+    //           D = (1e6 * 1e6) div 1.5e6 = 666666, B = C = 0.
+    val r = Graph.hitsInt(Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("src", "dst"),
+        "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      0L -> ((1000000L, 0L)), 1L -> ((0L, 1000000L)),
+      2L -> ((0L, 500000L)), 3L -> ((666666L, 0L))))
+  }
+
+  test("hitsInt: partitioning-independent, duplicate-edge-insensitive, max side at scale") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.hitsInt(d, "src", "dst", iters = 3)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val base = run(edges.toDF("src", "dst"))
+    assert(run(edges.toDF("src", "dst").repartition(7)) == base)
+    assert(run((edges ++ edges).toDF("src", "dst")) == base)
+    // each side's max is exactly the fixed-point scale after rescaling
+    assert(base.values.map(_._1).max == 1000000L)
+    assert(base.values.map(_._2).max == 1000000L)
+  }
 }

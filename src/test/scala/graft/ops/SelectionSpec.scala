@@ -231,4 +231,33 @@ class SelectionSpec extends SparkSpec {
       k = 4, windowW = 5, minShared = 1, maxFpDf = 1000)
     assert(full.count() === (12L * 11L) / 2L)
   }
+
+  test("prioritySample: matches an independent JVM md5 recomputation of the DLT cut") {
+    val rows = (1L to 60L).map(id => (id, (id * 37 % 19) + 1)) // weights 1..19
+    val got = Curation.prioritySample(rows.toDF("id", "w"), "id", "w", k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent recomputation: u = first 15 hex chars of md5(id), pri = u / w
+    def pri(id: Long, w: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) / math.max(w, 1L)
+    }
+    val expected = rows.map { case (id, w) => (id, w, pri(id, w)) }
+      .sortBy { case (id, _, p) => (p, id) }.take(7).toSet
+    assert(got == expected)
+  }
+
+  test("prioritySample: zero/negative weights clamp to 1; exactly k rows; repartition-stable") {
+    val df = Seq((1L, 0L), (2L, -5L), (3L, 100L), (4L, 1L), (5L, 50L))
+      .toDF("id", "w")
+    val r = Curation.prioritySample(df, "id", "w", k = 3).collect()
+    assert(r.length == 3)
+    val weights = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    weights.get(1L).foreach(w => assert(w == 1L))
+    weights.get(2L).foreach(w => assert(w == 1L))
+    val again = Curation.prioritySample(df.repartition(4), "id", "w", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(again == r.map(x => (x.getLong(0), x.getLong(2))).toSet)
+  }
 }

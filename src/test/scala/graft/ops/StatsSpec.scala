@@ -104,4 +104,26 @@ class StatsSpec extends SparkSpec {
     assert(a.head.schema.fieldNames.toSeq ==
       Seq("k", "id", "v", "payload", "med", "abs_dev", "mad", "is_outlier"))
   }
+
+  test("zipfTable: exact counts, (freq desc, word asc) rank order, ratio to rank-1") {
+    val df = Seq("x y", "y X", "z", "x").toDF("text") // x=3 (case-fold), y=2, z=1
+    val r = Stats.zipfTable(df, "text", topN = 3).orderBy("rank")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1L, "x", 3L, 3L, 1.0),
+      (2L, "y", 2L, 4L, 2.0 / 3),
+      (3L, "z", 1L, 3L, 1.0 / 3)))
+  }
+
+  test("zipfTable: topN cut is deterministic on frequency ties (word asc)") {
+    val df = Seq("b a", "a b", "c").toDF("text") // a=2, b=2, c=1
+    val r = Stats.zipfTable(df, "text", topN = 2)
+      .select("rank", "word").as[(Long, String)].collect().toSeq.sorted
+    assert(r == Seq((1L, "a"), (2L, "b")))
+    // repartition-stable
+    val r2 = Stats.zipfTable(df.repartition(5), "text", topN = 2)
+      .select("rank", "word").as[(Long, String)].collect().toSeq.sorted
+    assert(r2 == r)
+  }
 }

@@ -277,4 +277,32 @@ class WindowsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(3))).toMap
     assert(strict("u") === 2L)
   }
+
+  test("decayedSum: hand-computed int64 fixed-point, trailing-only, negative floor") {
+    // k=3, scale=10: weights current*4, lag1*2, lag2*1; fix = floor(v*10)
+    val df = Seq(
+      ("u", ts(1), 1L, 1.0),   // fix 10  -> 10*4                 = 40
+      ("u", ts(2), 2L, 2.5),   // fix 25  -> 25*4 + 10*2          = 120
+      ("u", ts(3), 3L, -0.31), // fix -4  -> -4*4 + 25*2 + 10*1   = 44
+      ("v", ts(9), 4L, 7.0)    // fix 70  -> 70*4                 = 280 (no cross-key read)
+    ).toDF("url", "t", "eid", "x")
+    val r = Windows.decayedSum(df, Seq("url"), "t", "x", k = 3, scale = 10L,
+        tieBreak = Seq("eid"))
+      .orderBy("eid").select("x_decayed").as[Long].collect()
+    assert(r.toSeq == Seq(40L, 120L, 44L, 280L))
+  }
+
+  test("decayedSum: tie-break makes equal timestamps deterministic; repartition-stable") {
+    val df = Seq(
+      ("u", ts(5), 1L, 1.0), ("u", ts(5), 2L, 100.0), ("u", ts(5), 3L, 2.0))
+      .toDF("url", "t", "eid", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Windows.decayedSum(d, Seq("url"), "t", "x", k = 2, scale = 1L,
+          tieBreak = Seq("eid"))
+        .orderBy("eid").select("x_decayed").as[Long].collect().toSeq
+    // order by eid: fix = 1, 100, 2; weights current*2, lag1*1
+    val expected = Seq(2L, 201L, 104L)
+    assert(run(df) == expected)
+    assert(run(df.repartition(7)) == expected)
+  }
 }
