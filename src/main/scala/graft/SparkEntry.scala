@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 143 queries spanning every implemented operator family
+/** Driver contract — 146 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2691,6 +2691,47 @@ object SparkEntry {
         .groupBy(col("event_type"), col("k"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("k"))
+    }),
+
+    // ---- q144: bucketed RANGE JOIN — 120 deterministic integer bands
+    //      (some overlapping), probe values from doc_id arithmetic; the
+    //      engine equi-joins on buckets + residual BETWEEN, the oracle is
+    //      the plain theta-join. All integers. ----
+    "q144_range_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val iv = d.select((col("doc_id") % 120).as("iv_id")).distinct()
+        .withColumn("lo", col("iv_id") * 40)
+        .withColumn("hi", col("iv_id") * 40 + (col("iv_id") % 3) * 25 + 30)
+      val probe = d.select(col("doc_id"), ((col("doc_id") * 13) % 5000).as("v"))
+      graft.ops.RangeJoin.bucketed(probe, iv, "v", "lo", "hi",
+          bucketWidth = 32)
+        .select(col("doc_id"), col("v"), col("iv_id"), col("lo"), col("hi"))
+        .orderBy(col("doc_id"), col("iv_id"))
+    }),
+
+    // ---- q145: exact triangle counts + local clustering coefficient over
+    //      a deterministic 40-node undirected graph — integer parts plus
+    //      one double division per row. ----
+    "q145_triangles" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * 7 + 1) % 40).as("dst"))
+      val e2 = d.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * 11 + 3) % 40).as("dst"))
+      graft.ops.Graph.triangleStats(e1.unionByName(e2), "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+    // ---- q146: percentile-rank normalization of doc length per language
+    //      — row_number with doc_id tie-break (total order), pct = rank/n
+    //      single division. ----
+    "q146_percentile_rank" -> ((s, dir) => {
+      graft.ops.Stats.percentileRank(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars", tieBreak = Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"),
+          col("n"), col("pct_rank"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5052,7 +5093,57 @@ object SparkEntry {
     "q143_json_props" ->
       """SELECT event_type, cast(json_extract(props, '$.k') AS int) AS k,
         |  count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q144: the bucketed equi-join + residual filter must equal the plain
+    // theta-join — the oracle IS the theta-join
+    "q144_range_join" ->
+      """WITH iv AS (SELECT DISTINCT doc_id % 120 AS iv_id FROM documents),
+        |i2 AS (SELECT iv_id, iv_id * 40 AS lo,
+        |         iv_id * 40 + (iv_id % 3) * 25 + 30 AS hi FROM iv),
+        |p AS (SELECT doc_id, (doc_id * 13) % 5000 AS v FROM documents)
+        |SELECT p.doc_id, p.v, i2.iv_id, i2.lo, i2.hi
+        |FROM p JOIN i2 ON p.v BETWEEN i2.lo AND i2.hi
+        |ORDER BY p.doc_id, i2.iv_id""".stripMargin,
+
+    // q145: same canonicalization (a<b, loops dropped, dups collapsed),
+    // same ordered wedge join, same single division
+    "q145_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 40 AS src, (doc_id * 7 + 1) % 40 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 40, (doc_id * 11 + 3) % 40 FROM documents),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |pn AS (SELECT node, count(*) AS triangles FROM (
+        |         SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri
+        |         UNION ALL SELECT tc FROM tri)
+        |       GROUP BY node)
+        |SELECT n.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE cast(coalesce(pn.triangles, 0) AS double) * 2.0
+        |            / cast(d.degree * (d.degree - 1) AS double)
+        |  END AS clustering_coeff
+        |FROM nodes n JOIN deg d USING (node) LEFT JOIN pn USING (node)
+        |ORDER BY n.node""".stripMargin,
+
+    // q146: row_number with total tie-break, pct = rank / n
+    "q146_percentile_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  cast(row_number() OVER w AS bigint) AS rank,
+        |  cast(count(*) OVER (PARTITION BY lang) AS bigint) AS n,
+        |  cast(row_number() OVER w AS double)
+        |    / count(*) OVER (PARTITION BY lang) AS pct_rank
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -199,4 +199,65 @@ object Graph {
     nodes.unpersist()
     out
   }
+
+  /** Exact per-node triangle count + local clustering coefficient over the
+    * UNDIRECTED simple graph induced by an edge list — the link-farm
+    * detector PageRank misses: a farm's members densely interlink
+    * (clustering coefficient near 1 at high degree), while organically
+    * popular pages have sparse neighborhoods.
+    *
+    * Edges are canonicalized to (a, b) with a < b (direction and
+    * duplicates collapse; self-loops drop). Triangles are enumerated once
+    * each via the ordered wedge join (a < b < c):
+    *
+    *   (a,b) join (b,c) join (a,c)
+    *
+    * Output per node: (node, degree, triangles, clustering_coeff) with
+    * clustering_coeff = 2*T / (d*(d-1)) — integer parts, one double
+    * division, 0.0 for degree < 2. Every node of the graph appears.
+    *
+    * Scale shape: the wedge join shuffles edge-sized rows on single-node
+    * keys; its output is wedge-count-sized, which the (a,c) probe
+    * immediately filters back to triangle-count-sized. High-degree hubs
+    * skew the wedge key (a d-degree node contributes d^2/2 wedges) — at
+    * web scale cap degree upstream (a 10^6-degree page's neighborhood is
+    * boilerplate, not signal) or let AQE skew-split the join; the ordered
+    * (a < b < c) form already halves wedge count vs the naive direction.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    // no persist: the canonical-edge distinct() is an identical subplan in
+    // all five uses below, so Catalyst's ReuseExchange materializes its
+    // shuffle once — a cache here would pin edge-sized data for the session
+    val e = edges.where(s =!= d)
+      .select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .distinct()
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .distinct()
+    val deg = nodes.join(
+        e.select(col("a").as("node"))
+          .unionByName(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree")),
+        Seq("node"))
+    // ordered wedges a < b < c, closed by the (a, c) edge
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val perNode = tri.select(col("ta").as("node"))
+      .unionByName(tri.select(col("tb").as("node")))
+      .unionByName(tri.select(col("tc").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("clustering_coeff"))
+    out
+  }
 }

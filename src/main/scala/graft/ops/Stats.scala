@@ -157,4 +157,36 @@ object Stats {
       .select(col("rank"), col("word"), col("freq"), col("rank_x_freq"),
         col("freq_ratio"))
   }
+
+  /** Percentile-rank normalization of a score column within each key group
+    * — the rank-based feature scaling that makes heterogeneous quality
+    * scores mixable (FineWeb-style "keep the top X% per language" gates
+    * threshold THIS, not the raw score, so a recalibrated classifier
+    * doesn't shift the cut). Adds:
+    *
+    *   rank     = 1-based position by (value asc, tieBreak asc) in the group
+    *   n        = group size
+    *   pct_rank = rank / n, a single int/int double division in (0, 1]
+    *
+    * row_number with a TOTAL tie-break (not SQL percent_rank's shared-rank
+    * (rank-1)/(n-1)) so equal scores still get distinct, deterministic,
+    * engine-independent percentiles — the selection `pct_rank > 1 - x`
+    * then keeps an exact per-group count.
+    *
+    * Scale shape: one (key-partition, value-sort) exchange shared by both
+    * window functions. Pass real partition keys (language, domain, day):
+    * an empty `keyCols` funnels the corpus into ONE sort partition — fine
+    * for group-bounded tables, wrong for the raw corpus (same caveat as
+    * every exact operator in this module).
+    */
+  def percentileRank(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     tieBreak: Seq[String]): DataFrame = {
+    require(tieBreak.nonEmpty,
+      "tieBreak must make the order total (e.g. the row id)")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val w = part.orderBy((col(valCol).asc +: tieBreak.map(col(_).asc)): _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("pct_rank", col("rank").cast("double") / col("n"))
+  }
 }

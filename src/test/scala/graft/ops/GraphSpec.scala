@@ -73,4 +73,30 @@ class GraphSpec extends SparkSpec {
     assert(base.values.map(_._1).max == 1000000L)
     assert(base.values.map(_._2).max == 1000000L)
   }
+
+  test("triangleStats: K4 is all-triangles, a path has none") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val r = Graph.triangleStats(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size == 4)
+    r.values.foreach(v => assert(v == ((3L, 3L, 1.0))))
+    val path = Graph.triangleStats(
+        Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(path(0L) == ((1L, 0L, 0.0))) // degree 1: coeff defined as 0
+    assert(path(1L) == ((2L, 0L, 0.0)))
+  }
+
+  test("triangleStats: direction- and duplicate-insensitive; self-loops dropped") {
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val base = Graph.triangleStats(tri.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(base == (0L to 2L).map(n => (n, 2L, 1L, 1.0)).toSet)
+    val messy = tri ++ tri.map(_.swap) ++ Seq((0L, 0L), (1L, 1L)) ++ tri
+    val r = Graph.triangleStats(messy.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(r == base)
+  }
 }

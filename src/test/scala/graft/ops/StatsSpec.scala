@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
@@ -103,6 +104,30 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.head.schema.fieldNames.toSeq ==
       Seq("k", "id", "v", "payload", "med", "abs_dev", "mad", "is_outlier"))
+  }
+
+  test("percentileRank: hand-checked ranks per group, ties broken by id, pct = rank/n") {
+    val df = Seq(("en", 1L, 30L), ("en", 2L, 10L), ("en", 3L, 30L), ("en", 4L, 20L),
+      ("de", 5L, 7L)).toDF("lang", "id", "len")
+    val r = Stats.percentileRank(df, Seq("lang"), "len", tieBreak = Seq("id"))
+      .orderBy("id")
+      .collect().map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getDouble(5)))
+    // en sorted (len, id): (10,2) (20,4) (30,1) (30,3) -> ranks 1..4
+    assert(r.toSeq == Seq(
+      (1L, 3L, 4L, 0.75), (2L, 1L, 4L, 0.25), (3L, 4L, 4L, 1.0),
+      (4L, 2L, 4L, 0.5), (5L, 1L, 1L, 1.0)))
+  }
+
+  test("percentileRank: repartition-stable; top-x selection keeps an exact count") {
+    val df = (1L to 40L).map(i => ("k", i, (i * 17) % 23)).toDF("g", "id", "v")
+    val a = Stats.percentileRank(df, Seq("g"), "v", Seq("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toSet
+    val b = Stats.percentileRank(df.repartition(7), Seq("g"), "v", Seq("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    val kept = Stats.percentileRank(df, Seq("g"), "v", Seq("id"))
+      .where(col("pct_rank") > 0.75).count()
+    assert(kept == 10L) // exactly the top quarter, despite value ties
   }
 
   test("zipfTable: exact counts, (freq desc, word asc) rank order, ratio to rank-1") {
