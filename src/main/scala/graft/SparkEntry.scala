@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 146 queries spanning every implemented operator family
+/** Driver contract — 152 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -2732,6 +2732,72 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"),
           col("n"), col("pct_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q147: ordered funnel view -> click -> purchase over the event
+    //      log — greedy earliest-reach (== SQL chained min(ts) WHERE
+    //      ts > prev), strict ordering; integer user counts plus two
+    //      single divisions per step. ----
+    "q147_funnel" -> ((s, dir) => {
+      graft.ops.Behavior.funnelReach(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step_no"))
+    }),
+
+    // ---- q148: weekly cohort retention — cohort = Monday-start week of
+    //      the user's first event; distinct-(user, week) activity. ----
+    "q148_cohort_retention" -> ((s, dir) => {
+      graft.ops.Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // ---- q149: first-order Markov transition matrix of event types within
+    //      each user's (ts, event_id)-ordered stream. ----
+    "q149_transitions" -> ((s, dir) => {
+      graft.ops.Behavior.transitionMatrix(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // ---- q150: declarative data-quality gate — every metric an exact
+    //      int/int division or an exact min cast, so the doubles reproduce
+    //      bit-for-bit in any engine. ----
+    "q150_constraints" -> ((s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      graft.ops.Reporting.constraintReport(t(s, dir, "documents"), Seq(
+        ("text_complete",
+          count(col("text")).cast("double") / count(lit(1)),
+          (m: org.apache.spark.sql.Column) => m === 1.0),
+        ("doc_id_unique",
+          count_distinct(col("doc_id")).cast("double") / count(lit(1)),
+          (m: org.apache.spark.sql.Column) => m === 1.0),
+        ("n_chars_min", min(col("n_chars")).cast("double"),
+          (m: org.apache.spark.sql.Column) => m >= 1.0),
+        ("lang_domain",
+          sum(col("lang").isin(langs.map(lit): _*).cast("long")).cast("double") /
+            count(lit(1)),
+          (m: org.apache.spark.sql.Column) => m === 1.0)))
+    }),
+
+    // ---- q151: salted shuffle join == plain equi-join (the oracle IS the
+    //      plain join) — probe salt from doc_id, build side replicated
+    //      across 8 salt buckets. ----
+    "q151_salted_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val build = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_docs"))
+      graft.ops.Skew.saltedJoin(d.select(col("doc_id"), col("lang")), build,
+          Seq("lang"), "doc_id", salt = 8)
+        .select(col("doc_id"), col("lang"), col("lang_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q152: exact contingency table source x lang with an explicit,
+    //      deterministic column set. ----
+    "q152_crosstab" -> ((s, dir) => {
+      graft.ops.Reporting.crosstab(t(s, dir, "documents"), "source", "lang",
+          Seq("de", "en", "es", "fr", "zh"))
+        .orderBy(col("source"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5143,7 +5209,97 @@ object SparkEntry {
         |    / count(*) OVER (PARTITION BY lang) AS pct_rank
         |FROM documents
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q147: greedy earliest-reach == chained "earliest event of the next
+    // type strictly after the previous reach time"
+    "q147_funnel" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > r1.t1 GROUP BY 1),
+        |r3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN r2 ON e.user_id = r2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > r2.t2 GROUP BY 1),
+        |c AS (SELECT 1 AS step_no, 'view' AS step,
+        |        (SELECT count(*) FROM r1) AS users
+        |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM r2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM r3))
+        |SELECT cast(step_no AS bigint) AS step_no, step, users,
+        |  CASE WHEN step_no = 1 THEN cast(1.0 AS double)
+        |       ELSE cast(users AS double) / lag(users) OVER (ORDER BY step_no)
+        |  END AS conversion,
+        |  cast(users AS double) / first_value(users) OVER (ORDER BY step_no)
+        |    AS overall
+        |FROM c ORDER BY step_no""".stripMargin,
+
+    // q148: cohort = Monday-start week of first event; offsets are exact
+    // multiples of 7 days so the integer division is lossless
+    "q148_cohort_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |                  cast(date_trunc('week', ts) AS timestamp) AS week
+        |                FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1),
+        |counts AS (SELECT c.cohort_week,
+        |             cast(date_diff('day', c.cohort_week, w.week) // 7 AS bigint)
+        |               AS week_offset,
+        |             count(*) AS users
+        |           FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        |           GROUP BY 1, 2),
+        |base AS (SELECT cohort_week, users AS base_users FROM counts
+        |         WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.users,
+        |  cast(c.users AS double) / b.base_users AS retention
+        |FROM counts c JOIN base b ON c.cohort_week = b.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q149: lag over the same (user, ts, event_id) total order
+    "q149_transitions" ->
+      """WITH p AS (SELECT lag(event_type) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |           event_type AS to_type FROM events),
+        |n AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM n GROUP BY 1)
+        |SELECT n.from_type, n.to_type, n.n,
+        |  cast(n.n AS double) / t.tot AS p
+        |FROM n JOIN t ON n.from_type = t.from_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q150: every metric is an exact int/int division (or an exact min
+    // cast), so the doubles match bit-for-bit
+    "q150_constraints" ->
+      """WITH m AS (SELECT
+        |    cast(count(text) AS double) / count(*) AS m0,
+        |    cast(count(DISTINCT doc_id) AS double) / count(*) AS m1,
+        |    cast(min(n_chars) AS double) AS m2,
+        |    cast(sum(CASE WHEN lang IN ('en','de','fr','es','zh')
+        |                  THEN 1 ELSE 0 END) AS double) / count(*) AS m3
+        |  FROM documents)
+        |SELECT 'text_complete' AS "constraint", m0 AS metric, m0 = 1.0 AS passed FROM m
+        |UNION ALL SELECT 'doc_id_unique', m1, m1 = 1.0 FROM m
+        |UNION ALL SELECT 'n_chars_min', m2, m2 >= 1.0 FROM m
+        |UNION ALL SELECT 'lang_domain', m3, m3 = 1.0 FROM m""".stripMargin,
+
+    // q151: the salted join must equal the plain equi-join — the oracle IS
+    // the plain join
+    "q151_salted_join" ->
+      """SELECT d.doc_id, d.lang, c.lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY 1) c
+        |  ON d.lang = c.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q152: pivot == conditional sums with the same explicit column set
+    "q152_crosstab" ->
+      """SELECT source,
+        |  cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS bigint) AS de,
+        |  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS en,
+        |  cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS bigint) AS es,
+        |  cast(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS bigint) AS fr,
+        |  cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS bigint) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event log (user_id, ts, event_type) — the
+  * funnel / cohort / transition toolkit a crawl-or-product event stream is
+  * actually queried with. All three operators are exact and deterministic
+  * (integer counts plus single double divisions), so every value is
+  * oracle-verifiable by an external engine.
+  */
+object Behavior {
+
+  /** Ordered funnel: how many users perform `steps(0)`, then STRICTLY
+    * later `steps(1)`, then strictly later `steps(2)`, ... Earliest-reach
+    * (greedy) semantics: the reach time of step i+1 is the earliest event
+    * of that type strictly after the reach time of step i — provably
+    * equivalent to "exists a strictly increasing subsequence through the
+    * steps" (the greedy exchange argument), which is what chained
+    * `min(ts) WHERE ts > prev` computes in SQL.
+    *
+    * Output: one row per step —
+    *   (step_no 1-based, step, users, conversion = users_i/users_{i-1},
+    *    overall = users_i/users_1) — conversion is 1.0 for step 1.
+    * Steps with zero reach still appear (users = 0).
+    *
+    * Scale shape: events are pre-filtered to the step types, then ONE
+    * groupBy(user) shuffle of slim (ts, id, step_idx) structs; the per-user
+    * fold is an array HOF over the sorted list (no UDF, no iterative
+    * joins — a k-step funnel via join-chaining would be k shuffles). The
+    * per-user list is bounded by that user's step-typed events; cap
+    * upstream if a bot user can hold millions (standard event-log
+    * hygiene). The step rollup itself is k rows — constant.
+    *
+    * @param idCol unique event id: makes the sorted order total, so
+    *              equal-timestamp events fold identically on every run
+    */
+  def funnelReach(df: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      "steps must be non-empty and distinct")
+    val k = steps.size
+    // step index lookup as a literal CASE — steps is a tiny constant list
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    val evs = df.where(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol).as("_u"),
+        struct(col(tsCol).cast("timestamp").as("ts"),
+          col(idCol).as("id"), stepIdx.as("idx")).as("_e"))
+    val emptyReach = array(Seq.fill(k)(lit(null).cast("timestamp")): _*)
+    val perUser = evs.groupBy(col("_u"))
+      .agg(sort_array(collect_list(col("_e"))).as("_evs"))
+      .select(col("_u"), aggregate(col("_evs"), emptyReach, (acc, e) =>
+        transform(acc, (t, i) => {
+          // element_at is 1-based and ANSI-errors on index 0, and `or` does
+          // not short-circuit — clamp the index so the i==0 arm (where the
+          // looked-up value is irrelevant) can never touch index 0
+          val prev = element_at(acc, greatest(i, lit(1)))
+          when(t.isNotNull, t)
+            .when(e.getField("idx") === i &&
+              (i === 0 || (prev.isNotNull && e.getField("ts") > prev)),
+              e.getField("ts"))
+            .otherwise(lit(null).cast("timestamp"))
+        })).as("_reach"))
+    // k rows total from here on — constant-sized rollup
+    val counts = perUser
+      .select(posexplode(col("_reach")).as(Seq("_i", "_t")))
+      .groupBy(col("_i")).agg(count(col("_t")).as("users"))
+    val stepName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, i)) => when(col("_i") === i, lit(s)).otherwise(acc)
+    }
+    val w = Window.orderBy(col("step_no")) // k rows: single tiny partition by construction
+    counts
+      .select((col("_i") + 1).cast("long").as("step_no"), stepName.as("step"),
+        col("users"))
+      .withColumn("conversion",
+        when(col("step_no") === 1, lit(1.0))
+          .otherwise(col("users").cast("double") / lag(col("users"), 1).over(w)))
+      .withColumn("overall",
+        col("users").cast("double") /
+          first(col("users")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week
+    * (Monday-start `date_trunc week`) of their FIRST event; retention at
+    * offset k counts distinct users of that cohort active in cohort_week
+    * + k weeks. Output: (cohort_week, week_offset, users, retention =
+    * users/users_at_offset_0). Every cohort has an offset-0 row by
+    * construction, so the division is total.
+    *
+    * Scale shape: activity collapses to distinct (user, week) FIRST — the
+    * only event-volume shuffle, and it moves two columns; the cohort table
+    * (one row per user) and the rollup both ride user-sized data. The
+    * cohort join is plain equi on user_id (broadcastable when the user
+    * dimension is small; AQE decides).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekly = df.select(col(userCol).as("_u"),
+      date_trunc("week", col(tsCol)).as("week")).distinct()
+    val cohort = weekly.groupBy(col("_u")).agg(min(col("week")).as("cohort_week"))
+    val counts = weekly.join(cohort, "_u")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("users")) // (user, week) is distinct already
+    val base = counts.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("users").as("_base"))
+    counts.join(base, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("users"),
+        (col("users").cast("double") / col("_base")).as("retention"))
+  }
+
+  /** First-order Markov transition matrix of event types within a user's
+    * ordered stream: for each consecutive pair (prev_type -> type) by
+    * (ts, id) order, the exact count and the row-stochastic probability
+    * p = n / total-outgoing(prev_type). A user's first event has no
+    * predecessor and contributes no pair.
+    *
+    * Output: (from_type, to_type, n, p).
+    *
+    * Scale shape: one (user-partition, ts-sort) exchange for the lag, then
+    * a map-side-combined groupBy over (from, to) — the result is
+    * |types|^2-bounded, so the per-from total rides a tiny self-join, not
+    * a second event-sized pass.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_from", lag(col(typeCol), 1).over(w))
+      .where(col("_from").isNotNull)
+      .groupBy(col("_from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("_tot")).as("p"))
+  }
+}

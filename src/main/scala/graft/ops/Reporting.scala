@@ -149,4 +149,55 @@ object Reporting {
         ((col("n_total") * col("n_total")).cast("double") / col("sum_sq"))
           .as("inv_simpson"))
   }
+
+  /** Declarative data-quality gate (the Deequ-style publish check a
+    * pipeline runs before promoting a corpus snapshot): each check is
+    * (name, metric, pass) where `metric` is any AGGREGATE expression over
+    * the table (completeness = avg(c.isNotNull.cast double), uniqueness =
+    * count_distinct/count, bounds = min/max, containment = avg(isin...))
+    * and `pass` judges the resulting scalar. Output: one row per check —
+    * (constraint, metric double, passed boolean) — small enough to assert
+    * on, log, or block a promotion.
+    *
+    * Scale shape: ALL metrics compute in ONE aggregation pass over the
+    * table (partial-combined, single global reduce of one row per metric
+    * set); the report explode is driver-trivial. N checks do not cost N
+    * scans — the reason the API takes the whole suite at once.
+    */
+  def constraintReport(df: DataFrame,
+                       checks: Seq[(String, org.apache.spark.sql.Column,
+                         org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val aggs = checks.zipWithIndex.map { case ((_, m, _), i) =>
+      m.cast("double").as(s"_m$i")
+    }
+    val entries = checks.zipWithIndex.map { case ((n, _, p), i) =>
+      struct(lit(n).as("constraint"), col(s"_m$i").as("metric"),
+        p(col(s"_m$i")).as("passed"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("_c"))
+      .select(col("_c.constraint"), col("_c.metric"), col("_c.passed"))
+  }
+
+  /** Exact contingency table (crosstab): counts of `colCol` values per
+    * `rowCol`, one output column per entry of `values`, zero-filled. The
+    * value list is EXPLICIT by design: schema stays deterministic across
+    * runs/engines and Spark skips the extra distinct-discovery job its
+    * value-less pivot would run. Unlisted values are ignored (pivot
+    * semantics) — pass the full domain, or gate upstream.
+    *
+    * Scale shape: a pivot with literal values is ONE map-side-combined
+    * aggregation shuffling |rowCol domain| x |values| cells — the payload
+    * never moves; no per-value scans.
+    */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String,
+               values: Seq[String]): DataFrame = {
+    require(values.nonEmpty && values.distinct.size == values.size,
+      "values must be non-empty and distinct")
+    df.groupBy(col(rowCol)).pivot(colCol, values).agg(count(lit(1)))
+      .na.fill(0L, values)
+  }
 }

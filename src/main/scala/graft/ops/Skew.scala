@@ -46,6 +46,30 @@ object Skew {
     merge(partials.drop("_salt").groupBy(keys.map(col): _*))
   }
 
+  /** Salted shuffle JOIN for skewed keys when BOTH sides are too big to
+    * broadcast: the probe side gets a deterministic per-row salt (derived
+    * from `probeIdCol`, NOT rand() — reruns and resume must land rows on
+    * the same reducer), the build side replicates each row into all `salt`
+    * buckets, and the join runs on (keys..., salt). Semantically identical
+    * to `probe.join(build, keys)` — a hot key's probe rows now spread
+    * across `salt` reducers instead of piling on one.
+    *
+    * Cost: build side × salt replication — use for the "millions of probe
+    * rows per key against a per-key band/dimension table" shape, where
+    * build is orders of magnitude smaller but above the broadcast
+    * threshold. (AQE's skew-join split handles moderate skew on its own;
+    * this is the explicit tool for the pathological key. For aggregation
+    * skew use [[saltedAgg]]; a broadcastable build side needs neither.)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 probeIdCol: String, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val p = probe.withColumn("_salt", saltCol(salt, col(probeIdCol)))
+    // sequence(int, int) is already array<int>, matching saltCol's type
+    val b = build.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    p.join(b, keys :+ "_salt").drop("_salt")
+  }
+
   /** Convenience: salted distinct-count + row-count per key (the common
     * hot-domain profile query).
     */

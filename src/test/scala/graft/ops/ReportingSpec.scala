@@ -104,6 +104,31 @@ class ReportingSpec extends SparkSpec {
       ("en", 3L, 2L, 5L, 5.0 / 9, 9.0 / 5)))
   }
 
+  test("constraintReport: one row per check, exact metrics, pass verdicts") {
+    val df = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, None, 30L),
+      (3L, Some("d"), 40L)).toDF("id", "txt", "n")
+    val r = Reporting.constraintReport(df, Seq(
+        ("txt_complete", avg(col("txt").isNotNull.cast("double")), (m: org.apache.spark.sql.Column) => m === 1.0),
+        ("id_unique", count_distinct(col("id")).cast("double") / count(lit(1)), (m: org.apache.spark.sql.Column) => m === 1.0),
+        ("n_min", min(col("n")).cast("double"), (m: org.apache.spark.sql.Column) => m >= 1.0),
+        ("n_max", max(col("n")).cast("double"), (m: org.apache.spark.sql.Column) => m <= 35.0)))
+      .collect().map(x => (x.getString(0), x.getDouble(1), x.getBoolean(2))).toSeq
+    assert(r == Seq(
+      ("txt_complete", 0.75, false),
+      ("id_unique", 0.75, false),
+      ("n_min", 10.0, true),
+      ("n_max", 40.0, false)))
+  }
+
+  test("crosstab: explicit value columns, zero-filled, exact counts") {
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
+      .toDF("source", "lang")
+    val r = Reporting.crosstab(df, "source", "lang", Seq("en", "de", "fr"))
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("s1", 2L, 1L, 0L), ("s2", 1L, 0L, 0L)))
+  }
+
   test("apportionBudget: zero budget and zero-weight keys") {
     val df = Seq(("a", 5L), ("z", 0L)).toDF("k", "w")
     val r0 = Reporting.apportionBudget(df, "k", "w", budget = 0L)

@@ -31,6 +31,22 @@ class SkewSpec extends SparkSpec {
     assert(buckets >= 12, s"hot key only hit $buckets of 16 salt buckets")
   }
 
+  test("saltedJoin equals the plain equi-join; hot key spreads across salts") {
+    val probe = skewed.withColumnRenamed("v", "pid") // (key, pid, x)
+    val build = (Seq(("hot", 100L)) ++ (0 until 50).map(k => (s"cold$k", k.toLong)))
+      .toDF("key", "dim")
+    val plain = probe.join(build, Seq("key"))
+      .select($"key", $"pid", $"dim")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(probe, build, Seq("key"), "pid", salt = 8)
+      .select($"key", $"pid", $"dim")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain && plain.nonEmpty)
+    val spread = probe.where($"key" === "hot")
+      .select(Skew.saltCol(8, $"pid").as("s")).distinct().count()
+    assert(spread == 8L, s"hot probe rows hit only $spread of 8 salts")
+  }
+
   test("keyProfile reports hot keys") {
     val profile = Skew.keyProfile(skewed, Seq("key"), "v").collect()
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("rows"))).toMap
