@@ -2798,6 +2798,26 @@ object SparkEntry {
       graft.ops.Reporting.crosstab(t(s, dir, "documents"), "source", "lang",
           Seq("de", "en", "es", "fr", "zh"))
         .orderBy(col("source"))
+    }),
+
+    // ---- q153: mergeable log2-histogram quantile sketch — p50/p90/p99 of
+    //      n_chars per language plus a '*' row whose sketch is the MERGE of
+    //      the per-language sketches (coarser rollups without rescanning
+    //      data — the quantile member of the q87/q89/q90 sketch family).
+    //      The bucket grammar (s=5 sub-bucket bits) and the permille rank
+    //      targets are pure integer arithmetic, so the oracle replays every
+    //      bucket index and the cumulative rank walk exactly. ----
+    "q153_quantile_sketch" -> ((s, dir) => {
+      val sketches = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(qsketch_agg(col("n_chars"), 5).as("_sk"))
+      val star = sketches.agg(qsketch_merge(col("_sk")).as("_sk"))
+        .select(lit("*").as("lang"), col("_sk"))
+      sketches.unionByName(star)
+        .select(col("lang"), qsketch_count(col("_sk")).as("n_values"),
+          qsketch_quantile(col("_sk"), lit(500)).as("p50"),
+          qsketch_quantile(col("_sk"), lit(900)).as("p90"),
+          qsketch_quantile(col("_sk"), lit(990)).as("p99"))
+        .orderBy(col("lang"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5299,7 +5319,41 @@ object SparkEntry {
         |  cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS bigint) AS es,
         |  cast(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS bigint) AS fr,
         |  cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS bigint) AS zh
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q153: the log2-histogram replayed in SQL — bucket index via a pow2
+    // table join + integer division (s=5: exact buckets below 64, then
+    // (h-5)*32 + v // 2^(h-5)), quantile = lower bound of the first bucket
+    // whose cumulative count reaches ceil(n*q/1000) as (n*q+999)//1000,
+    // the '*' row over the whole corpus (merge of counter sums == sums
+    // over the union)
+    "q153_quantile_sketch" ->
+      """WITH pow2 AS (SELECT e, cast(pow(2, e) AS BIGINT) AS p FROM range(0, 63) t(e)),
+        |v0 AS (SELECT lang, n_chars AS v FROM documents
+        |       UNION ALL SELECT '*' AS lang, n_chars AS v FROM documents),
+        |b AS (SELECT lang, v, (SELECT max(e) FROM pow2 WHERE p <= v) AS h FROM v0),
+        |idx AS (SELECT lang, CASE WHEN v < 64 THEN v
+        |          ELSE (h - 5) * 32 + v // (SELECT p FROM pow2 WHERE e = h - 5) END AS i
+        |        FROM b),
+        |hist AS (SELECT lang, i, count(*) AS c FROM idx GROUP BY 1, 2),
+        |cum AS (SELECT lang, i, c,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY i) AS cc,
+        |          sum(c) OVER (PARTITION BY lang) AS n
+        |        FROM hist),
+        |q AS (SELECT lang, n, qp,
+        |        min(CASE WHEN cc >= (n * qp + 999) // 1000 THEN i END) AS qi
+        |      FROM cum CROSS JOIN (VALUES (500), (900), (990)) t(qp)
+        |      GROUP BY lang, n, qp),
+        |rep AS (SELECT lang, n, qp,
+        |        CASE WHEN qi < 64 THEN qi
+        |             ELSE (qi - ((qi // 32) - 1) * 32) *
+        |                  (SELECT p FROM pow2 WHERE e = (qi // 32) - 1) END AS qv
+        |        FROM q)
+        |SELECT lang, cast(n AS bigint) AS n_values,
+        |  cast(max(CASE WHEN qp = 500 THEN qv END) AS bigint) AS p50,
+        |  cast(max(CASE WHEN qp = 900 THEN qv END) AS bigint) AS p90,
+        |  cast(max(CASE WHEN qp = 990 THEN qv END) AS bigint) AS p99
+        |FROM rep GROUP BY lang, n ORDER BY lang""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

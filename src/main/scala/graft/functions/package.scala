@@ -158,6 +158,24 @@ package object functions {
   /** Merge stored Bloom filters (bitwise OR; shapes must agree). */
   def bloom_merge(c: Column): Column =
     GraftShim.column(BloomMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Log2-histogram quantile sketch aggregate over a non-negative integral
+    * column (binary; merge = counter sum; <= 2^-s relative value error).
+    */
+  def qsketch_agg(c: Column, s: Int = 5): Column =
+    GraftShim.column(QSketchAgg(GraftShim.expression(c), s).toAggregateExpression())
+
+  /** Merge stored quantile sketches (resolutions must agree). */
+  def qsketch_merge(c: Column): Column =
+    GraftShim.column(QSketchMergeAgg(GraftShim.expression(c)).toAggregateExpression())
+
+  /** Quantile from a sketch; `qPermille` in [1,1000] (500 = median). */
+  def qsketch_quantile(sketch: Column, qPermille: Column): Column =
+    GraftShim.column(QSketchQuantile(GraftShim.expression(sketch),
+      GraftShim.expression(qPermille)))
+
+  /** Exact total value count folded into a sketch. */
+  def qsketch_count(c: Column): Column = col1(QSketchCount(_))(c)
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -253,7 +271,16 @@ object GraftExtensions {
       BloomAgg(args(0), intLit("bloom_agg mBits", args(1)),
         intLit("bloom_agg k", args(2))).toAggregateExpression()
     },
-    "bloom_contains" -> { args => require(args.length == 2); BloomContains(args(0), args(1)) })
+    "bloom_contains" -> { args => require(args.length == 2); BloomContains(args(0), args(1)) },
+    "qsketch_agg" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "qsketch_agg expects (value) or (value, subBucketBits)")
+      val s = if (args.length == 2) intLit("qsketch_agg subBucketBits", args(1)) else 5
+      QSketchAgg(args.head, s).toAggregateExpression()
+    },
+    unary("qsketch_merge")(QSketchMergeAgg(_).toAggregateExpression()),
+    "qsketch_quantile" -> { args => require(args.length == 2); QSketchQuantile(args(0), args(1)) },
+    unary("qsketch_count")(QSketchCount(_)))
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -551,3 +551,246 @@ case class HllEstimate(child: Expression) extends UnaryExpression with CodegenFa
   override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
 }
+
+/** Log2-histogram quantile sketch — the rank/quantile member of the
+  * mergeable-sketch family (HLL = distinct, CMS = frequency, Bloom =
+  * membership). An exact quantile at 100 TB is a global sort; Spark's
+  * built-in approx_percentile is a Greenwald-Khanna variant whose result
+  * depends on merge order, so no external engine can replay it. This
+  * sketch trades both problems for a FIXED bucket grammar in the spirit of
+  * HdrHistogram/DDSketch, chosen so every step is integer-exact and an
+  * external oracle reproduces the answer bit-for-bit:
+  *
+  *  - values are non-negative int64s (lengths, token counts, latencies —
+  *    curation metrics are counts; real-valued inputs pre-scale to a
+  *    fixed-point grid);
+  *  - bucket index for v with sub-bucket resolution `s` bits
+  *    (h = floor(log2 v)): `v` itself while v < 2^(s+1) (exact buckets),
+  *    else `(h-s)*2^s + (v >> (h-s))` — relative bucket width 2^-s,
+  *    i.e. a guaranteed <= 2^-s relative rank-value error (s=5 -> 3.2%);
+  *  - merge = elementwise counter sum (associative/commutative, so
+  *    partial aggregation and cross-shard rollup are lossless);
+  *  - quantile(q permille) = lower bound of the first bucket whose
+  *    cumulative count reaches ceil(n*q/1000), computed with integer
+  *    arithmetic only (q is passed in PERMILLE precisely so the rank
+  *    target never touches a float: 0.9*n rounds differently across
+  *    engines, (n*900 + 999) div 1000 nowhere).
+  *
+  * In SQL the bucket index replays as a pow2-table join + integer
+  * division, the quantile as a windowed cumulative sum — see q153's
+  * oracle. Layout: [s:int][numBuckets:int][count:long x numBuckets],
+  * big-endian; numBuckets = (64-s)*2^s covers the full int64 range.
+  */
+object QSketch {
+  def requireS(s: Int): Unit =
+    require(s >= 1 && s <= 8, s"qsketch sub-bucket bits must be in [1,8], got $s")
+
+  def numBuckets(s: Int): Int = (64 - s) << s
+
+  /** Bucket index of non-negative v (0 maps to bucket 0 exactly). */
+  def bucketOf(v: Long, s: Int): Int = {
+    require(v >= 0L, s"qsketch values must be non-negative, got $v")
+    val h = 63 - java.lang.Long.numberOfLeadingZeros(v | 1L)
+    if (h <= s) v.toInt
+    else (((h - s) << s) + (v >>> (h - s))).toInt
+  }
+
+  /** Lower bound (the deterministic representative) of bucket i. */
+  def lowerBound(i: Int, s: Int): Long = {
+    if (i < (1 << (s + 1))) i.toLong
+    else {
+      val t = (i >>> s) - 1
+      (i.toLong - (t.toLong << s)) << t
+    }
+  }
+
+  /** quantile(q permille) over a counter array; None when empty. */
+  def quantile(counts: Array[Long], s: Int, qPermille: Int): Option[Long] = {
+    require(qPermille >= 1 && qPermille <= 1000,
+      s"quantile permille must be in [1,1000], got $qPermille")
+    var n = 0L
+    var i = 0
+    while (i < counts.length) { n += counts(i); i += 1 }
+    if (n == 0L) return None
+    val target = (n * qPermille + 999L) / 1000L
+    var cum = 0L
+    i = 0
+    while (i < counts.length) {
+      cum += counts(i)
+      if (cum >= target) return Some(lowerBound(i, s))
+      i += 1
+    }
+    None // unreachable: cum == n >= target at the last non-empty bucket
+  }
+
+  def encode(s: Int, counts: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + counts.length * 8)
+    bb.putInt(s).putInt(counts.length)
+    counts.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def decode(bytes: Array[Byte]): (Int, Array[Long]) = {
+    require(bytes.length >= 8, s"malformed qsketch (len=${bytes.length})")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = bb.getInt; val nb = bb.getInt
+    require(s >= 1 && s <= 8 && nb == numBuckets(s) &&
+      bytes.length == 8 + nb * 8,
+      s"malformed qsketch (s=$s buckets=$nb len=${bytes.length})")
+    val counts = new Array[Long](nb)
+    var i = 0
+    while (i < counts.length) { counts(i) = bb.getLong; i += 1 }
+    (s, counts)
+  }
+}
+
+/** Aggregate: long column -> log2-histogram quantile sketch (binary). */
+case class QSketchAgg(child: Expression, s: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  QSketch.requireS(s)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](QSketch.numBuckets(s))
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) buffer(QSketch.bucketOf(toLong(v), s)) += 1L
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = QSketch.encode(s, buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    QSketch.encode(s, buffer)
+  override def deserialize(storage: Array[Byte]): Array[Long] =
+    QSketch.decode(storage)._2
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"qsketch_agg expects an integral column, got ${t.simpleString}")
+  }
+  // integral widths narrower than long arrive as their own JVM types
+  private lazy val toLong: Any => Long = child.dataType match {
+    case LongType => _.asInstanceOf[Long]
+    case IntegerType => _.asInstanceOf[Int].toLong
+    case ShortType => _.asInstanceOf[Short].toLong
+    case _ => _.asInstanceOf[Byte].toLong
+  }
+  override def prettyName: String = "qsketch_agg"
+  override def withNewMutableAggBufferOffset(newOffset: Int): QSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QSketchAgg =
+    copy(child = newChild)
+}
+
+/** Aggregate: merge stored qsketches (elementwise sum; `s` must agree). */
+case class QSketchMergeAgg(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeInto(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other.clone()
+    else {
+      val (sb, cb) = QSketch.decode(buffer)
+      val (so, co) = QSketch.decode(other)
+      require(sb == so,
+        s"cannot merge qsketches of different resolution (s=$sb vs s=$so)")
+      var i = 0
+      while (i < cb.length) { cb(i) += co(i); i += 1 }
+      QSketch.encode(sb, cb)
+    }
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buffer else mergeInto(buffer, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    mergeInto(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"qsketch_merge expects a binary sketch column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "qsketch_merge"
+  override def withNewMutableAggBufferOffset(newOffset: Int): QSketchMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QSketchMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QSketchMergeAgg =
+    copy(child = newChild)
+}
+
+/** Scalar: (sketch, q permille) -> quantile value (bucket lower bound). */
+case class QSketchQuantile(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "qsketch_quantile"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | NullType, IntegerType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"qsketch_quantile expects (binary sketch, int permille), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  protected override def nullSafeEval(sk: Any, q: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) null
+    else {
+      val (s, counts) = QSketch.decode(bytes)
+      QSketch.quantile(counts, s, q.asInstanceOf[Int]).orNull
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QSketchQuantile =
+    copy(left = l, right = r)
+}
+
+/** Scalar: sketch -> total count (exact; counters are exact). */
+case class QSketchCount(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"qsketch_count expects a binary sketch column, got ${t.simpleString}")
+  }
+  override def prettyName: String = "qsketch_count"
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) 0L
+    else {
+      val (_, counts) = QSketch.decode(bytes)
+      var n = 0L; var i = 0
+      while (i < counts.length) { n += counts(i); i += 1 }
+      n
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): QSketchCount =
+    copy(child = newChild)
+}

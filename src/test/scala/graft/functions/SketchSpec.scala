@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.functions.{bloom_agg, bloom_contains, bloom_merge, cms_merge, cms_query, cms_sketch, hll_distinct, hll_estimate, hll_merge, hll_sketch}
+import graft.functions.{bloom_agg, bloom_contains, bloom_merge, cms_merge, cms_query, cms_sketch, hll_distinct, hll_estimate, hll_merge, hll_sketch, qsketch_agg, qsketch_count, qsketch_merge, qsketch_quantile}
 
 class SketchSpec extends SparkSpec {
   import spark.implicits._
@@ -211,5 +211,92 @@ class SketchSpec extends SparkSpec {
     val messages = Iterator.iterate[Throwable](ex)(_.getCause)
       .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
     assert(messages.exists(_.contains("malformed bloom filter")), messages.mkString(" | "))
+  }
+
+  // ---- log2-histogram quantile sketch ----
+
+  test("qsketch bucket grammar: exact below 2^(s+1), then (h-s)*2^s + v>>(h-s); lowerBound inverts") {
+    val s = 5
+    // exact region: every value is its own bucket
+    for (v <- 0L until 64L) assert(QSketch.bucketOf(v, s) == v.toInt)
+    // first log region boundary
+    assert(QSketch.bucketOf(64L, s) == 64)   // h=6: (6-5)*32 + 64>>1 = 32+32
+    assert(QSketch.bucketOf(65L, s) == 64)   // 65>>1 = 32 -> same bucket
+    assert(QSketch.bucketOf(127L, s) == 95)  // 32 + 63
+    assert(QSketch.bucketOf(128L, s) == 96)  // h=7: 64 + 32
+    // lowerBound is the true lower edge of every bucket the values map to
+    for (v <- Seq(1L, 63L, 64L, 65L, 100L, 1000L, 123456L, Long.MaxValue)) {
+      val i = QSketch.bucketOf(v, s)
+      val lb = QSketch.lowerBound(i, s)
+      assert(lb <= v, s"lowerBound($i)=$lb > $v")
+      assert(QSketch.bucketOf(lb, s) == i, s"lowerBound($i)=$lb not in bucket $i")
+      // relative value error bound 2^-s
+      assert(v - lb <= math.max(1L, lb >> s), s"v=$v lb=$lb exceeds 2^-s width")
+    }
+  }
+
+  test("qsketch quantile: rank target is ceil(n*q/1000) over bucket lower bounds") {
+    val s = 5
+    val counts = new Array[Long](QSketch.numBuckets(s))
+    // values 1..100 once each: quantiles are exact below 64, bucketed above
+    for (v <- 1L to 100L) counts(QSketch.bucketOf(v, s)) += 1
+    assert(QSketch.quantile(counts, s, 500).contains(50L))   // rank 50 -> value 50
+    assert(QSketch.quantile(counts, s, 10).contains(1L))     // rank 1
+    assert(QSketch.quantile(counts, s, 1000).contains(100L)) // rank 100 -> bucket lb of 100
+    assert(QSketch.quantile(new Array[Long](QSketch.numBuckets(s)), s, 500).isEmpty)
+  }
+
+  test("qsketch merge of per-shard sketches is BIT-IDENTICAL to the whole-corpus sketch") {
+    val df = spark.range(5000).select(($"id" % 7).as("shard"), ($"id" * 37 % 9001).as("v"))
+    val whole = df.agg(qsketch_agg($"v", 5)).as[Array[Byte]].head()
+    val merged = df.groupBy($"shard").agg(qsketch_agg($"v", 5).as("sk"))
+      .agg(qsketch_merge($"sk")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(whole, merged))
+  }
+
+  test("qsketch quantile error is within the 2^-s relative bound vs exact percentiles") {
+    val n = 20000L
+    val df = spark.range(n).select((($"id" * 2654435761L) % 1000003L).as("v"))
+    val sk = df.agg(qsketch_agg($"v", 5)).as[Array[Byte]].head()
+    val exact = df.selectExpr("percentile(v, array(0.5, 0.9, 0.99))")
+      .as[Seq[Double]].head()
+    for ((qp, ex) <- Seq(500, 900, 990).zip(exact)) {
+      val (s, counts) = QSketch.decode(sk)
+      val est = QSketch.quantile(counts, s, qp).get
+      // lower bound of the true value's bucket: est <= true < est * (1 + 2^-s) + 1
+      assert(est <= ex + 1, s"q$qp: est $est above exact $ex")
+      assert(ex <= est * (1.0 + 1.0 / 32) + 1, s"q$qp: est $est too far below exact $ex")
+    }
+  }
+
+  test("qsketch is partitioning-independent and duplicate-stable counters") {
+    val df = spark.range(10000).select((($"id" % 997) + 1).as("v"))
+    val a = df.agg(qsketch_agg($"v", 5)).as[Array[Byte]].head()
+    val b = df.repartition(13).agg(qsketch_agg($"v", 5)).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("qsketch SQL registry path + negative value and resolution-mismatch errors") {
+    spark.range(100).select(($"id" + 1).as("v")).createOrReplaceTempView("qsk_t")
+    val row = spark.sql(
+      """SELECT qsketch_quantile(qsketch_agg(v, 5), 500) AS p50,
+        |       qsketch_count(qsketch_agg(v, 5)) AS n FROM qsk_t""".stripMargin).head()
+    assert(row.getLong(0) == 50L && row.getLong(1) == 100L)
+    val neg = intercept[Exception] {
+      spark.range(3).select(($"id" - 1).as("v")).agg(qsketch_agg($"v", 5)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](neg)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("non-negative")), msgs.mkString(" | "))
+    val mix = intercept[Exception] {
+      spark.range(100)
+        .select(($"id" % 2).as("g"), ($"id" + 1).as("v"))
+        .groupBy($"g")
+        .agg((when($"g" === 0, qsketch_agg($"v", 4)).otherwise(qsketch_agg($"v", 5))).as("sk"))
+        .agg(qsketch_merge($"sk")).collect()
+    }
+    val mmsgs = Iterator.iterate[Throwable](mix)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(mmsgs.exists(_.contains("different resolution")), mmsgs.mkString(" | "))
   }
 }
