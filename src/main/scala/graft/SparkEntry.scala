@@ -2818,6 +2818,29 @@ object SparkEntry {
           qsketch_quantile(col("_sk"), lit(900)).as("p90"),
           qsketch_quantile(col("_sk"), lit(990)).as("p99"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- q154: Z-order layout key — events keyed by the Morton interleave
+    //      of (user_id mod 1024, crawl-day mod 512), then bucketed into
+    //      2^10-wide z-ranges (the file-assignment rule of a zorder-written
+    //      table). Per-bucket min/max of BOTH dimensions is the
+    //      data-skipping index the layout exists for: every bucket's a-span
+    //      and b-span are <= 32 (5 low bits of each dimension per z-range),
+    //      so scans filtered on either dimension prune buckets. The
+    //      interleave is fully codegen'd (doGenCode, no CodegenFallback)
+    //      and the oracle replays it as pow2 arithmetic. ----
+    "q154_zorder_layout" -> ((s, dir) => {
+      val e = t(s, dir, "events").selectExpr(
+        "user_id % 1024 AS a",
+        // ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+        // cast is the identity epoch mapping and matches DuckDB's epoch_ms
+        "(unix_millis(cast(ts AS timestamp)) div 86400000) % 512 AS b")
+      e.select(col("a"), col("b"), zorder_key(col("a"), col("b")).as("zkey"))
+        .groupBy(shiftright(col("zkey"), 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+        .orderBy(col("bucket"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5353,7 +5376,23 @@ object SparkEntry {
         |  cast(max(CASE WHEN qp = 500 THEN qv END) AS bigint) AS p50,
         |  cast(max(CASE WHEN qp = 900 THEN qv END) AS bigint) AS p90,
         |  cast(max(CASE WHEN qp = 990 THEN qv END) AS bigint) AS p99
-        |FROM rep GROUP BY lang, n ORDER BY lang""".stripMargin)
+        |FROM rep GROUP BY lang, n ORDER BY lang""".stripMargin,
+
+    // q154: the Morton interleave replayed as pow2 arithmetic — bit i of a
+    // lands at position 2i (weight p*p for p = 2^i), bit i of b at 2i+1
+    // (weight 2*p*p); bucket = zkey div 2^10
+    "q154_zorder_layout" ->
+      """WITH pow2 AS (SELECT e, cast(pow(2, e) AS BIGINT) AS p FROM range(0, 10) t(e)),
+        |d AS (SELECT user_id % 1024 AS a, (epoch_ms(ts) // 86400000) % 512 AS b
+        |      FROM events),
+        |k AS (SELECT a, b,
+        |        (SELECT sum(((a // p) % 2) * p * p + ((b // p) % 2) * 2 * p * p)
+        |         FROM pow2) AS zkey
+        |      FROM d)
+        |SELECT cast(zkey // 1024 AS bigint) AS bucket,
+        |  cast(count(*) AS bigint) AS n,
+        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) interleave — the multi-dimensional clustering key for
+  * 100-TB table LAYOUT. Sorting/range-partitioning a corpus by one column
+  * gives data skipping on that column only; writing it ordered by the
+  * Z-order key of two columns gives bounded min/max spans in BOTH
+  * dimensions per file, so scans filtered on either dimension (or both)
+  * prune files — the same trick Iceberg/Delta expose as `zorder by`.
+  * Here it is a plain deterministic expression, so the layout is portable:
+  * any engine can recompute the key and verify which file a row belongs
+  * to (q154's oracle replays the interleave as pow2 arithmetic in SQL).
+  *
+  * Bit semantics: both inputs must be in [0, 2^31) (callers scale/clamp
+  * their dimensions first — a layout key wants uniform-ish buckets, so
+  * dimension scaling is a conscious modelling step, not something to hide
+  * in the expression); the key interleaves the low 31 bits of each, `a`
+  * on even bit positions and `b` on odd, yielding a non-negative long
+  * < 2^62. Out-of-range input is an error, not a silent wrap: a wrapped
+  * dimension would silently destroy the locality the layout exists for.
+  *
+  * Unlike the kernel expressions (which are CodegenFallback with a
+  * reasoned note), this one implements doGenCode — it sits in the write
+  * path's hot projection, and the O(log w) mask-spread trick is exactly
+  * the kind of branch-free straight-line code whole-stage codegen fuses
+  * well.
+  */
+object ZOrder {
+  final val MaxDim: Long = (1L << 31) - 1
+
+  /** Spread the low 31 bits of x so bit i lands at position 2i. */
+  def spread(x: Long): Long = {
+    var v = x & 0x7fffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  def interleave(a: Long, b: Long): Long = {
+    require(a >= 0L && a <= MaxDim && b >= 0L && b <= MaxDim,
+      s"zorder_key dimensions must be in [0, 2^31), got ($a, $b)")
+    spread(a) | (spread(b) << 1)
+  }
+}
+
+/** (a, b) -> Morton-interleaved long key; see [[ZOrder]]. */
+case class ZOrderKey(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType | NullType, LongType | IntegerType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zorder_key expects two integral columns, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.asInstanceOf[Long]
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(asLong(a), asLong(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (x, y) = (ctx.freshName("zx"), ctx.freshName("zy"))
+      // the same O(log w) mask spread as ZOrder.spread, inlined as
+      // straight-line branch-free code inside the fused stage
+      def spreadCode(v: String, in: String): String =
+        s"""long $v = $in & 0x7fffffffL;
+           |$v = ($v | ($v << 16)) & 0x0000ffff0000ffffL;
+           |$v = ($v | ($v << 8)) & 0x00ff00ff00ff00ffL;
+           |$v = ($v | ($v << 4)) & 0x0f0f0f0f0f0f0f0fL;
+           |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+           |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
+      s"""long ${x}in = (long) $a;
+         |long ${y}in = (long) $b;
+         |if (${x}in < 0L || ${x}in > ${ZOrder.MaxDim}L ||
+         |    ${y}in < 0L || ${y}in > ${ZOrder.MaxDim}L) {
+         |  // message kept free of unbalanced brackets: Spark's codegen
+         |  // CodeFormatter tracks parens inside string literals too
+         |  throw new IllegalArgumentException(
+         |    "zorder_key dimensions must be in [0, 2^31 - 1]; got " +
+         |      ${x}in + " / " + ${y}in);
+         |}
+         |${spreadCode(x, s"${x}in")}
+         |${spreadCode(y, s"${y}in")}
+         |${ev.value} = $x | ($y << 1);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
+    copy(left = l, right = r)
+}

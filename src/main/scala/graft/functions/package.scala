@@ -176,6 +176,10 @@ package object functions {
 
   /** Exact total value count folded into a sketch. */
   def qsketch_count(c: Column): Column = col1(QSketchCount(_))(c)
+
+  /** Z-order (Morton) layout key of two dimensions in [0, 2^31). */
+  def zorder_key(a: Column, b: Column): Column =
+    GraftShim.column(ZOrderKey(GraftShim.expression(a), GraftShim.expression(b)))
 }
 
 /** SQL registration via SparkSessionExtensions — enable with
@@ -280,7 +284,8 @@ object GraftExtensions {
     },
     unary("qsketch_merge")(QSketchMergeAgg(_).toAggregateExpression()),
     "qsketch_quantile" -> { args => require(args.length == 2); QSketchQuantile(args(0), args(1)) },
-    unary("qsketch_count")(QSketchCount(_)))
+    unary("qsketch_count")(QSketchCount(_)),
+    "zorder_key" -> { args => require(args.length == 2); ZOrderKey(args(0), args(1)) })
 
   /** Register into an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
