@@ -2841,6 +2841,21 @@ object SparkEntry {
           min(col("a")).as("a_min"), max(col("a")).as("a_max"),
           min(col("b")).as("b_min"), max(col("b")).as("b_max"))
         .orderBy(col("bucket"))
+    }),
+
+    // ---- q155: exact-integer classifier evaluation — Mann-Whitney AUC
+    //      with tie handling plus fixed-width calibration bins over a
+    //      deterministic scored/labelled corpus (scores deliberately
+    //      coarse so tied groups dominate and the averaged-rank path is
+    //      what's being verified). Every output is an integer or a PPM
+    //      ratio of exact integers. ----
+    "q155_classifier_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        ((col("n_chars") % 40) +
+          when(col("doc_id") % 3 === 0, 15).otherwise(0)).as("score"),
+        (col("doc_id") % 3 === 0).cast("int").as("label"))
+      graft.ops.Stats.binaryEval(d, "score", "label", binWidth = 10)
+        .orderBy(col("bin"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5392,7 +5407,36 @@ object SparkEntry {
         |SELECT cast(zkey // 1024 AS bigint) AS bucket,
         |  cast(count(*) AS bigint) AS n,
         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q155: the doubled rank-sum AUC and the PPM calibration ratios
+    // replayed in HUGEINT — 2U = sum_s pos_s*(2*below_s + cnt_s + 1)
+    // - nPos*(nPos+1); auc_ppm = 2U * 10^6 // (2*nPos*nNeg)
+    "q155_classifier_eval" ->
+      """WITH d AS (SELECT (n_chars % 40) +
+        |    (CASE WHEN doc_id % 3 = 0 THEN 15 ELSE 0 END) AS score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |ps AS (SELECT score, count(*)::HUGEINT AS cnt, sum(label)::HUGEINT AS pos
+        |       FROM d GROUP BY score),
+        |cb AS (SELECT score, cnt, pos,
+        |         coalesce(sum(cnt) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |       FROM ps),
+        |tot AS (SELECT sum(pos * (2 * below + cnt + 1)) AS rs2,
+        |               sum(pos) AS np, sum(cnt) AS n FROM cb),
+        |auc AS (SELECT cast((rs2 - np * (np + 1)) * 1000000
+        |          // (2 * np * (n - np)) AS bigint) AS auc_ppm,
+        |        cast(np AS bigint) AS n_pos_total,
+        |        cast(n - np AS bigint) AS n_neg_total FROM tot),
+        |bins AS (SELECT score // 10 AS bin, cast(sum(cnt) AS bigint) AS n,
+        |        cast(sum(pos) AS bigint) AS n_pos,
+        |        cast(sum(score * cnt) * 1000000 // sum(cnt) AS bigint) AS mean_score_ppm,
+        |        cast(sum(pos) * 1000000 // sum(cnt) AS bigint) AS pos_rate_ppm
+        |      FROM ps GROUP BY 1)
+        |SELECT b.bin, b.n, b.n_pos, b.mean_score_ppm, b.pos_rate_ppm,
+        |  a.auc_ppm, a.n_pos_total, a.n_neg_total
+        |FROM bins b CROSS JOIN auc a ORDER BY b.bin""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -189,4 +189,61 @@ object Stats {
       .withColumn("n", count(lit(1)).over(part))
       .withColumn("pct_rank", col("rank").cast("double") / col("n"))
   }
+
+  /** Exact-integer binary-classifier evaluation: Mann-Whitney AUC (with
+    * tie handling) plus fixed-width calibration bins. This closes the
+    * curation loop: quality classifiers (see q116's inference) gate what
+    * a corpus keeps, and an AUC computed with float rank sums is
+    * unverifiable across engines — here every output is an integer or a
+    * fixed-point PPM ratio of exact integers, replayed bit-for-bit by the
+    * oracle.
+    *
+    * Tie handling doubles everything to stay integral: a tied group at
+    * score s (cnt_s rows, pos_s positive, cumBelow_s rows strictly below)
+    * gives each positive the average rank cumBelow_s + (cnt_s+1)/2, so
+    *   2U = sum_s pos_s * (2*cumBelow_s + cnt_s + 1) - nPos*(nPos+1)
+    *   auc_ppm = 2U * 10^6 div (2 * nPos * nNeg).
+    *
+    * Scale shape: ONE aggregate by score value, then a window over the
+    * aggregated table — the single-partition window is bounded by SCORE
+    * CARDINALITY (scores are quantized ints by contract), never corpus
+    * size. Rank-sum products are decimal(38,0): pos*cumBelow reaches
+    * ~n^2, past int64 at corpus scale. Output: one row per calibration
+    * bin (`bin` = floor(score/binWidth), exact for negative scores too)
+    * with n / n_pos / mean_score_ppm / pos_rate_ppm, plus the global
+    * auc_ppm / n_pos_total / n_neg_total replicated on every row.
+    */
+  def binaryEval(df: DataFrame, scoreCol: String, labelCol: String,
+                 binWidth: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val dec = "decimal(38,0)"
+    val perScore = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = perScore
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val ppm = s"cast(1000000 AS $dec)"
+    val auc = withBelow.agg(
+        sum(col("pos").cast(dec) *
+          (col("below").cast(dec) * 2 + col("cnt").cast(dec) + 1)).as("rs2"),
+        sum(col("pos")).cast(dec).as("np"),
+        sum(col("cnt")).cast(dec).as("n"))
+      .selectExpr(
+        s"((rs2 - np * (np + 1)) * $ppm) div (np * (n - np) * 2) AS auc_ppm",
+        "cast(np AS long) AS n_pos_total",
+        "cast(n - np AS long) AS n_neg_total")
+    // floor division valid for negative scores: trunc((x - W + 1) / W)
+    val bin = when(col("score") >= 0, expr(s"score div $binWidth"))
+      .otherwise(expr(s"(score - ${binWidth - 1}) div $binWidth"))
+    val bins = perScore.groupBy(bin.as("bin"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score").cast(dec) * col("cnt").cast(dec)).as("ssum"),
+        sum(col("pos")).cast(dec).as("posd"),
+        sum(col("cnt")).cast(dec).as("cntd"))
+      .selectExpr("bin", "n", "n_pos",
+        s"(ssum * $ppm) div cntd AS mean_score_ppm",
+        s"(posd * $ppm) div cntd AS pos_rate_ppm")
+    bins.crossJoin(broadcast(auc))
+  }
 }

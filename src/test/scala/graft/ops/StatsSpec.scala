@@ -151,4 +151,62 @@ class StatsSpec extends SparkSpec {
       .select("rank", "word").as[(Long, String)].collect().toSeq.sorted
     assert(r2 == r)
   }
+
+  // ---- exact-integer binary-classifier evaluation ----
+
+  /** Brute-force pair-counting AUC in PPM (floor), the textbook
+    * definition binaryEval's rank-sum must agree with.
+    */
+  private def bruteAucPpm(rows: Seq[(Long, Int)]): Long = {
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    var num2 = BigInt(0) // doubled: 2 per concordant pair, 1 per tie
+    for (p <- pos; n <- neg) {
+      if (p > n) num2 += 2 else if (p == n) num2 += 1
+    }
+    ((num2 * 1000000) / (BigInt(2) * pos.size * neg.size)).toLong
+  }
+
+  test("binaryEval: AUC equals brute-force pair counting under heavy ties") {
+    val rows = (0 until 300).map { i =>
+      val label = if (i % 3 == 0) 1 else 0
+      val score = (i * 7 % 40).toLong + (if (label == 1) 15 else 0)
+      (score, label)
+    }
+    val df = rows.toDF("score", "label")
+    val r = Stats.binaryEval(df, "score", "label", binWidth = 10)
+    val aucPpm = r.select("auc_ppm").head().getLong(0)
+    assert(aucPpm == bruteAucPpm(rows), s"rank-sum $aucPpm vs brute force")
+    // calibration bins: replay one bin by hand
+    val b0 = r.where(col("bin") === 0)
+      .select("n", "n_pos", "mean_score_ppm", "pos_rate_ppm").head()
+    val in0 = rows.filter(_._1 < 10)
+    assert(b0.getLong(0) == in0.size)
+    assert(b0.getLong(1) == in0.count(_._2 == 1))
+    assert(b0.getLong(2) ==
+      (BigInt(in0.map(_._1).sum) * 1000000 / in0.size).toLong)
+    assert(b0.getLong(3) ==
+      (BigInt(in0.count(_._2 == 1)) * 1000000 / in0.size).toLong)
+  }
+
+  test("binaryEval: perfect separation -> 1.0; label-independent scores with all ties -> 0.5") {
+    val perfect = (0 until 100).map(i => (if (i < 50) 10L else 20L, if (i < 50) 0 else 1))
+    assert(Stats.binaryEval(perfect.toDF("score", "label"), "score", "label", 10)
+      .select("auc_ppm").head().getLong(0) == 1000000L)
+    val flat = (0 until 100).map(i => (7L, i % 2))
+    assert(Stats.binaryEval(flat.toDF("score", "label"), "score", "label", 10)
+      .select("auc_ppm").head().getLong(0) == 500000L)
+  }
+
+  test("binaryEval: partitioning-independent and floor bins for negative scores") {
+    val rows = (0 until 200).map(i => ((i % 30).toLong - 10, if (i % 4 == 0) 1 else 0))
+    val a = Stats.binaryEval(rows.toDF("score", "label"), "score", "label", 10)
+      .orderBy("bin").collect().toSeq
+    val b = Stats.binaryEval(rows.toDF("score", "label").repartition(17),
+        "score", "label", 10)
+      .orderBy("bin").collect().toSeq
+    assert(a == b)
+    // scores -10..-1 -> bin -1; 0..9 -> 0; 10..19 -> 1 (floor, not trunc)
+    assert(a.map(_.getLong(0)) == Seq(-1L, 0L, 1L))
+  }
 }
