@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 152 queries spanning every implemented operator family
+/** Driver contract — 155 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -123,7 +123,17 @@ import graft.temporal.{AsOfJoin, Windows}
   * decimal(38,0) rational), q119 UT1-style phrase blocklist
   * (token-boundary L-gram matching, broadcast phrase table), q120 the
   * ML-ready feature-matrix assembly (five operator families composed in
-  * one DAG; one wide row per document).
+  * one DAG; one wide row per document), q121-q152 the extended curation/
+  * analytics families (mixture targeting, tokenizer-aware packing,
+  * SemDeDup, PQ, RRF fusion, fuzzy join, real PCM/pixel decode, robust
+  * stats, boilerplate/repetition/k-anonymity/diversity/readability
+  * gates, Zipf, integer HITS, priority sampling, JSON ingest, range
+  * join, graph clustering stats, funnel/cohort/transition analytics,
+  * constraint gate, salted join, crosstab — per-query comments below),
+  * q153 the mergeable log2-histogram quantile sketch, q154 the Z-order
+  * layout key (codegen'd Morton interleave + per-z-range skipping
+  * index), q155 exact-integer classifier evaluation (rank-sum AUC +
+  * calibration bins).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
