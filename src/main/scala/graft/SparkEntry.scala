@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 155 queries spanning every implemented operator family
+/** Driver contract — 156 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -133,7 +133,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * q153 the mergeable log2-histogram quantile sketch, q154 the Z-order
   * layout key (codegen'd Morton interleave + per-z-range skipping
   * index), q155 exact-integer classifier evaluation (rank-sum AUC +
-  * calibration bins).
+  * calibration bins), q156 the quantile sketch as streaming state
+  * (per-day percentiles merging across micro-batches).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2866,6 +2867,42 @@ object SparkEntry {
         (col("doc_id") % 3 === 0).cast("int").as("label"))
       graft.ops.Stats.binaryEval(d, "score", "label", binWidth = 10)
         .orderBy(col("bin"))
+    }),
+
+    // ---- q156: the quantile sketch as STRUCTURED STREAMING STATE — per-
+    //      UTC-day p50/p90/p99 of event value (quantized to cents:
+    //      floor(value*100) is the same IEEE double op in every engine)
+    //      where the counter buffer lives in the state store and merges
+    //      across four micro-batches. The streaming dual of q153, as q95
+    //      is of q87. ----
+    "q156_stream_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // collect() is the REPLAY HARNESS (builds the MemoryStream feed) —
+      // windowedQuantileSketch consumes any unbounded source
+      val rows = t(s, dir, "events")
+        .selectExpr("cast(floor(value * 100) AS long) AS v",
+          "cast(ts AS timestamp) AS ts")
+        .orderBy(col("ts"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      val mem = MemoryStream[(Long, java.sql.Timestamp)](
+        org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp)],
+        s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val agg = graft.streaming.Streaming.windowedQuantileSketch(
+        mem.toDF().toDF("v", "ts"), "ts", "v", "1 day", subBucketBits = 5,
+        watermarkDelay = None)
+      val sink = "q156_qsk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result.orderBy(col("window_start"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5446,7 +5483,38 @@ object SparkEntry {
         |      FROM ps GROUP BY 1)
         |SELECT b.bin, b.n, b.n_pos, b.mean_score_ppm, b.pos_rate_ppm,
         |  a.auc_ppm, a.n_pos_total, a.n_neg_total
-        |FROM bins b CROSS JOIN auc a ORDER BY b.bin""".stripMargin)
+        |FROM bins b CROSS JOIN auc a ORDER BY b.bin""".stripMargin,
+
+    // q156: the q153 bucket replay per UTC-day window — cents quantization
+    // via floor(value*100) (identical IEEE double op), window bounds from
+    // epoch-floored microseconds as in q95
+    "q156_stream_quantile_sketch" ->
+      """WITH pow2 AS (SELECT e, cast(pow(2, e) AS BIGINT) AS p FROM range(0, 63) t(e)),
+        |ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS wus,
+        |              cast(floor(value * 100) AS BIGINT) AS v FROM events),
+        |b AS (SELECT wus, v, (SELECT max(e) FROM pow2 WHERE p <= v) AS h FROM ev),
+        |idx AS (SELECT wus, CASE WHEN v < 64 THEN v
+        |          ELSE (h - 5) * 32 + v // (SELECT p FROM pow2 WHERE e = h - 5) END AS i
+        |        FROM b),
+        |hist AS (SELECT wus, i, count(*) AS c FROM idx GROUP BY 1, 2),
+        |cum AS (SELECT wus, i, sum(c) OVER (PARTITION BY wus ORDER BY i) AS cc,
+        |               sum(c) OVER (PARTITION BY wus) AS n FROM hist),
+        |q AS (SELECT wus, n, qp,
+        |        min(CASE WHEN cc >= (n * qp + 999) // 1000 THEN i END) AS qi
+        |      FROM cum CROSS JOIN (VALUES (500), (900), (990)) t(qp)
+        |      GROUP BY wus, n, qp),
+        |rep AS (SELECT wus, n, qp,
+        |        CASE WHEN qi < 64 THEN qi
+        |             ELSE (qi - ((qi // 32) - 1) * 32) *
+        |                  (SELECT p FROM pow2 WHERE e = (qi // 32) - 1) END AS qv
+        |        FROM q)
+        |SELECT make_timestamp(wus) AS window_start,
+        |  make_timestamp(wus + 86400000000) AS window_end,
+        |  cast(n AS bigint) AS n_values,
+        |  cast(max(CASE WHEN qp = 500 THEN qv END) AS bigint) AS p500,
+        |  cast(max(CASE WHEN qp = 900 THEN qv END) AS bigint) AS p900,
+        |  cast(max(CASE WHEN qp = 990 THEN qv END) AS bigint) AS p990
+        |FROM rep GROUP BY wus, n ORDER BY window_start""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -60,6 +60,28 @@ object Streaming {
         col("events"))
   }
 
+  /** Per-window quantile sketch as STREAMING STATE — the qsketch dual of
+    * [[windowedDistinctSketch]]: the counter buffer lives in the state
+    * store and merges across micro-batches with the same elementwise sum
+    * that merges shards in batch, so per-window p50/p90/p99 stream
+    * incrementally with O(buckets) state per window instead of a
+    * per-window sort. Quantile columns are named p<permille>.
+    */
+  def windowedQuantileSketch(events: DataFrame, tsCol: String, valCol: String,
+                             window: String, subBucketBits: Int = 5,
+                             qPermilles: Seq[Int] = Seq(500, 900, 990),
+                             watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.map(d => events.withWatermark(tsCol, d)).getOrElse(events)
+    val base = src
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.functions.qsketch_agg(col(valCol), subBucketBits).as("_sk"))
+    val qCols = qPermilles.map(q =>
+      graft.functions.qsketch_quantile(col("_sk"), lit(q)).as(s"p$q"))
+    base.select(Seq(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      graft.functions.qsketch_count(col("_sk")).as("n_values")) ++ qCols: _*)
+  }
+
   /** Generic gap-session aggregation over any (key, ts) stream — the
     * streaming dual of the batch Windows.sessionize. session_window merges
     * events whose [ts, ts+gap) windows overlap, so a session SPLITS exactly

@@ -144,4 +144,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
     assert(streamed.length == 2 && streamed.forall(_.getLong(2) > 0))
   }
+
+  test("windowedQuantileSketch: counter state merges across micro-batches == one batch pass") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L // mid-day UTC; events land in two day-windows
+    val events = (0 until 300).map { i =>
+      ((i * 13 % 500).toLong, new Timestamp(t0 + (i % 2) * 86400000L + i * 1000L))
+    }
+    val input = MemoryStream[(Long, Timestamp)]
+    events.grouped(100).foreach(b => input.addData(b))
+    val q = Streaming.windowedQuantileSketch(
+        input.toDF().toDF("v", "ts"), "ts", "v", "1 day")
+      .writeStream.format("memory").queryName("wqs").outputMode(OutputMode.Complete).start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("wqs").orderBy("window_start").collect() }
+      finally q.stop()
+    val batch = Streaming.windowedQuantileSketch(
+        events.toDF("v", "ts"), "ts", "v", "1 day")
+      .orderBy("window_start").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed.length == 2 && streamed.forall(_.getLong(2) == 150L))
+    // p500 column present and within the day's value range
+    streamed.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) < 500L))
+  }
 }
