@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 156 queries spanning every implemented operator family
+/** Driver contract — 158 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -134,7 +134,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * layout key (codegen'd Morton interleave + per-z-range skipping
   * index), q155 exact-integer classifier evaluation (rank-sum AUC +
   * calibration bins), q156 the quantile sketch as streaming state
-  * (per-day percentiles merging across micro-batches).
+  * (per-day percentiles merging across micro-batches), q157 last-touch
+  * attribution (one window pass, no inequality self-join), q158
+  * trailing-window burst detection (cross-multiplied integer flag).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -2903,6 +2905,29 @@ object SparkEntry {
         java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
       s.catalog.dropTempView(sink)
       result.orderBy(col("window_start"))
+    }),
+
+    // ---- q157: last-touch attribution — each purchase attributed to the
+    //      user's most recent click within 6 hours, in ONE window pass
+    //      (running latest-touch via last(...ignoreNulls) over a ROWS
+    //      frame) instead of the quadratic inequality self-join; epoch-ms
+    //      integers throughout. ----
+    "q157_last_touch" -> ((s, dir) => {
+      graft.ops.Behavior.lastTouch(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          touchType = "click", convType = "purchase",
+          maxGapMs = 6L * 3600 * 1000)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- q158: trailing-window burst detection — per (event_type, day)
+    //      counts flagged against 7x the trailing 7-day baseline by
+    //      cross-multiplied integers (no float mean), empty baseline
+    //      bursts iff active. ----
+    "q158_burst_days" -> ((s, dir) => {
+      graft.ops.Behavior.burstDays(t(s, dir, "events"),
+          "event_type", "ts", baselineDays = 7, factor = 2)
+        .orderBy(col("key"), col("day"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5514,7 +5539,39 @@ object SparkEntry {
         |  cast(max(CASE WHEN qp = 500 THEN qv END) AS bigint) AS p500,
         |  cast(max(CASE WHEN qp = 900 THEN qv END) AS bigint) AS p900,
         |  cast(max(CASE WHEN qp = 990 THEN qv END) AS bigint) AS p990
-        |FROM rep GROUP BY wus, n ORDER BY window_start""".stripMargin)
+        |FROM rep GROUP BY wus, n ORDER BY window_start""".stripMargin,
+
+    // q157: the running latest-touch replayed with IGNORE NULLS over the
+    // same (ts, event_id)-ordered ROWS frame; 6h attribution window in ms
+    "q157_last_touch" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, ts,
+        |    epoch_ms(ts) AS ms FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |ann AS (SELECT event_id, user_id, event_type, ms AS conv_ms,
+        |    last_value(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS)
+        |      OVER w AS t_ms,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS t_id
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, conv_ms,
+        |  CASE WHEN conv_ms - t_ms <= 21600000 THEN t_id END AS touch_event_id,
+        |  CASE WHEN conv_ms - t_ms <= 21600000 THEN t_ms END AS touch_ms,
+        |  CASE WHEN conv_ms - t_ms <= 21600000 THEN conv_ms - t_ms END AS gap_ms
+        |FROM ann WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // q158: daily counts + integer RANGE frame baseline, the burst flag as
+    // the same cross-multiplied comparison (n * 7 > base_n * 2)
+    "q158_burst_days" ->
+      """WITH daily AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT key, day, n,
+        |  coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS base_n,
+        |  n * 7 > coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) * 2 AS is_burst
+        |FROM daily ORDER BY key, day""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

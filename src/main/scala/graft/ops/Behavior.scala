@@ -140,4 +140,81 @@ object Behavior {
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("_tot")).as("p"))
   }
+
+  /** Last-touch attribution: for each `convType` event, the user's most
+    * recent `touchType` event at-or-before it (by (ts, id) order — the id
+    * tie-break makes equal-timestamp streams fold identically on every
+    * run), attributed only when the gap is within `maxGapMs`; conversions
+    * with no in-window touch keep NULL touch columns (they are still rows —
+    * unattributed conversions are a metric, not noise).
+    *
+    * Output: (event_id, user_id, conv_ms, touch_event_id, touch_ms,
+    * gap_ms) — all epoch-millisecond integers, so an external engine
+    * reproduces every value exactly.
+    *
+    * Scale shape: the textbook formulation is an inequality self-join
+    * (conversions x touches per user — quadratic in a bot user's events);
+    * this is instead ONE (user-partition, ts-sort) exchange over events
+    * pre-filtered to the two types, with the running latest-touch carried
+    * by last(..., ignoreNulls) over a ROWS frame — the same single
+    * window pass sessionize takes, linear per user.
+    */
+  def lastTouch(df: DataFrame, userCol: String, tsCol: String,
+                idCol: String, typeCol: String, touchType: String,
+                convType: String, maxGapMs: Long): DataFrame = {
+    require(touchType != convType, "touch and conversion types must differ")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    val annotated = df
+      .where(col(typeCol).isin(touchType, convType))
+      .select(col(idCol).as("event_id"), col(userCol).as("user_id"),
+        ms.as("conv_ms"), col(typeCol).as("_ty"),
+        last(when(col(typeCol) === touchType,
+            struct(ms.as("ms"), col(idCol).as("id"))),
+          ignoreNulls = true).over(w).as("_touch"))
+    val inWindow = col("_touch").isNotNull &&
+      (col("conv_ms") - col("_touch.ms")) <= maxGapMs
+    annotated.where(col("_ty") === convType)
+      .select(col("event_id"), col("user_id"), col("conv_ms"),
+        when(inWindow, col("_touch.id")).as("touch_event_id"),
+        when(inWindow, col("_touch.ms")).as("touch_ms"),
+        when(inWindow, col("conv_ms") - col("_touch.ms")).as("gap_ms"))
+  }
+
+  /** Trailing-window burst detection over a keyed daily count series: a
+    * (key, day) is a burst when its count exceeds `factor` times its
+    * trailing `baselineDays`-day mean — compared in cross-multiplied
+    * integers (`cnt * baselineDays > factor * base_cnt`), so the flag is
+    * exact and engine-reproducible (no float mean). Days with an empty
+    * baseline (key's first activity) burst iff cnt > 0 — a key appearing
+    * from nothing IS the anomaly this exists to catch (crawler traps,
+    * spam floods, event-storm hosts).
+    *
+    * Output: (key, day (epoch days), n, base_n, is_burst); only days with
+    * activity appear (a zero-count day can't burst and would densify the
+    * series to keys x days).
+    *
+    * Scale shape: events collapse to per-(key, day) counts FIRST (the only
+    * event-volume shuffle, map-side combined); the trailing window is a
+    * RANGE frame over the integer day index on the day-granular series —
+    * per-key data is <= days-of-history rows, so the sort is trivial and
+    * no key is hot regardless of event skew.
+    */
+  def burstDays(df: DataFrame, keyCol: String, tsCol: String,
+                baselineDays: Int, factor: Int): DataFrame = {
+    require(baselineDays > 0 && factor > 0, "baselineDays and factor must be positive")
+    // SQL `div` = exact integer division (a double `/` + cast would be
+    // exact too for post-epoch millis, but why carry the proof obligation)
+    val day = expr(
+      s"unix_millis(cast(`$tsCol` as timestamp)) div 86400000").as("day")
+    val daily = df.select(col(keyCol).as("key"), day)
+      .groupBy(col("key"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rangeBetween(-baselineDays, -1)
+    daily
+      .withColumn("base_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("is_burst",
+        col("n") * baselineDays > col("base_n") * factor)
+  }
 }

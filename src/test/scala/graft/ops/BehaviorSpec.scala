@@ -119,4 +119,81 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
     assert(r.toSeq == Seq(("A", "B", 1L)))
   }
+
+  test("lastTouch: most recent in-window touch wins; out-of-window and no-touch stay null") {
+    val evs = Seq(
+      // u1: two clicks then a purchase — the LATER click attributes
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      // u2: click 7h before purchase — outside the 6h window -> null
+      (2L, ts("2024-01-01 03:00:00"), 4L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "purchase"),
+      // u3: purchase with no click at all -> null, row still present
+      (3L, ts("2024-01-01 10:00:00"), 6L, "purchase"),
+      // u4: click AFTER the purchase must not attribute backwards
+      (4L, ts("2024-01-01 10:00:00"), 7L, "purchase"),
+      (4L, ts("2024-01-01 11:00:00"), 8L, "click"),
+      // noise type is ignored entirely
+      (1L, ts("2024-01-01 11:30:00"), 9L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Behavior.lastTouch(evs, "user_id", "ts", "event_id", "event_type",
+        "click", "purchase", maxGapMs = 6L * 3600 * 1000)
+      .orderBy("event_id")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(5)) -1L else x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (3L, 1L, 2L, 3600000L), // later click (id 2), 1h gap
+      (5L, 2L, -1L, -1L),     // 7h gap > 6h window
+      (6L, 3L, -1L, -1L),     // no touch
+      (7L, 4L, -1L, -1L)))    // only a later click
+  }
+
+  test("lastTouch: same-timestamp touch attributes, ties fold by event_id") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "purchase") // id order: click first
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Behavior.lastTouch(evs, "user_id", "ts", "event_id", "event_type",
+        "click", "purchase", maxGapMs = 1000L).collect()
+    assert(r.length == 1 && r(0).getLong(3) == 1L && r(0).getLong(5) == 0L)
+  }
+
+  test("burstDays: integer baseline comparison, empty-baseline burst, window excludes current day") {
+    // key k: days 0..6 have 2/day (base builds up), day 7 has 10 (burst:
+    // 10*7=70 > 2*12=24? baseline over days 0..6 = 12 (days 1..7 window is
+    // -7..-1 relative to day 7 => days 0..6, sum 14)
+    def at(day: Long, n: Int) = (0 until n).map(i =>
+      ("k", new Timestamp(day * 86400000L + i * 1000L), day * 100 + i))
+    val evs = (
+      (0L to 6L).flatMap(d => at(d, 2)) ++ at(7L, 10) ++
+      at(20L, 1) // isolated day far from any baseline -> empty-baseline burst
+    ).toDF("event_type", "ts", "event_id")
+    val r = Behavior.burstDays(evs, "event_type", "ts", baselineDays = 7, factor = 2)
+      .orderBy("day")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    // day 0: base 0, n 2 -> burst (2*7 > 0). day 1: base 2, 2*7=14 > 2*2=4 -> burst.
+    // day 2: base 4, 14 > 8 -> burst. day 3: base 6, 14 > 12 -> burst.
+    // day 4: base 8, 14 > 16 false. day 5: base 10 false. day 6: base 12 false.
+    // day 7: base 14 (days 0..6), 10*7=70 > 14*2=28 -> burst.
+    // day 20: base 0 -> burst.
+    assert(r.toSeq == Seq(
+      (0L, 2L, 0L, true), (1L, 2L, 2L, true), (2L, 2L, 4L, true),
+      (3L, 2L, 6L, true), (4L, 2L, 8L, false), (5L, 2L, 10L, false),
+      (6L, 2L, 12L, false), (7L, 10L, 14L, true), (20L, 1L, 0L, true)))
+  }
+
+  test("burstDays: baseline is per-key (another key's volume never leaks in)") {
+    val evs = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L),
+      ("a", ts("2024-01-02 10:00:00"), 2L),
+      ("b", ts("2024-01-02 10:00:00"), 3L)
+    ).toDF("event_type", "ts", "event_id")
+    val r = Behavior.burstDays(evs, "event_type", "ts", 7, 2)
+      .orderBy("key", "day")
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("a", 1L, 0L), ("a", 1L, 1L), ("b", 1L, 0L)))
+  }
 }
