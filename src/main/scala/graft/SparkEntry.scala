@@ -2928,6 +2928,20 @@ object SparkEntry {
       graft.ops.Behavior.burstDays(t(s, dir, "events"),
           "event_type", "ts", baselineDays = 7, factor = 2)
         .orderBy(col("key"), col("day"))
+    }),
+
+    // ---- exact Jaccard pairs via LOSSLESS prefix filtering (SSJoin) —
+    //      same predicate as q37 but the index holds only canonical-order
+    //      prefixes (rare shingles), no df cap to tune; threshold 0.6
+    //      exercises the longer-prefix regime ----
+    "q159_prefix_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      Dedup.prefixJaccardPairs(docs.unionByName(mutated), "id", "text",
+        n = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5571,7 +5585,26 @@ object SparkEntry {
         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS base_n,
         |  n * 7 > coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) * 2 AS is_burst
-        |FROM daily ORDER BY key, day""".stripMargin)
+        |FROM daily ORDER BY key, day""".stripMargin,
+
+    // q159: prefix filtering is lossless, so the oracle is the plain
+    // brute-force Jaccard predicate (same shingle grammar as q37, t=0.6)
+    "q159_prefix_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text FROM documents),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM docs),
+        |sh AS (SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM words WHERE len(w) >= 3)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  cast(len(s_common) AS double) /
+        |  cast(len(a.s) + len(b.s) - len(s_common) AS double) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE len(s_common) > 0 AND
+        |  cast(len(s_common) AS double) / cast(len(a.s) + len(b.s) - len(s_common) AS double) >= 0.6
+        |ORDER BY 1, 2""".stripMargin
+        .replace("s_common", "list_intersect(a.s, b.s)"))
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -284,6 +284,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (SSJoin, Chaudhuri et
+    * al. ICDE'06; the candidate stage of PPJoin, Xiao et al. WWW'08) — the
+    * LOSSLESS scale path next to [[ngramJaccardPairs]]'s df cap, which
+    * prunes hot shingles and can lose pairs. Principle: order every
+    * document's shingle set by one global canonical order (ascending
+    * document frequency, shingle as tie-break — rarest first); if
+    * J(x,y) >= t then x and y must share a shingle inside each one's first
+    * `|x| - ceil(t*|x|) + 1` shingles, so only that prefix needs indexing.
+    * Because the canonical order puts RARE shingles in the prefix, the
+    * postings lists being self-joined are the short ones — the Zipf head
+    * that forces q37's cap never enters the index here at all.
+    *
+    * The prefix length uses `|x| - floor(t*|x|) + 1` (floor, not ceil):
+    * one shingle longer than canonical, so float dust in `t*|x|` can only
+    * ADD candidates, never drop a qualifying pair. Candidates are verified
+    * exactly (`array_intersect` on the full sets), so the output equals
+    * the brute-force Jaccard predicate.
+    *
+    * Shape for 100 TB: df is one combiner-friendly aggregate; the
+    * canonical per-doc sort is doc-local (`sort_array` after a
+    * collect_list bounded by the doc's own shingle count); the self-join
+    * touches only prefix postings of rare shingles; verification joins
+    * carry the two shingle arrays only for candidate ids (candidate-bounded,
+    * never corpus-quadratic). No driver materialization, no windows.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val sh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+      .where(col("_size") > 0)
+    val posted = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+    val dfTab = posted.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    // canonical order + per-doc prefix: sort (df, shingle) pairs doc-locally,
+    // keep the first size - floor(t*size) + 1 (clamped to size)
+    val prefixed = posted.join(dfTab, "_g")
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_g")))).as("_ord"))
+      .select(col("_id"),
+        slice(expr("transform(_ord, x -> x._g)"), lit(1),
+          least(size(col("_ord")),
+            size(col("_ord")) - floor(lit(threshold) * size(col("_ord"))).cast("int") + 1))
+          .as("_pref"))
+      .select(col("_id"), explode(col("_pref")).as("_g"))
+    // candidate pairs: share >= 1 prefix shingle (distinct collapses multi-
+    // shingle agreement before the verify joins)
+    val cands = prefixed.as("x").join(prefixed.as("y"), col("x._g") === col("y._g"))
+      .where(col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .distinct()
+    // exact verify: join the full sets back, intersect row-locally
+    val full = sh.select(col("_id"), col("_sh"), col("_size"))
+    cands
+      .join(full.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+        col("_size").as("_sa")), "id_a")
+      .join(full.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+        col("_size").as("_sb")), "id_b")
+      .withColumn("_common", size(array_intersect(col("_sha"), col("_shb"))))
+      .select(col("id_a"), col("id_b"),
+        (col("_common").cast("double") /
+          (col("_sa") + col("_sb") - col("_common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: hyperplane-LSH buckets (multi-probe via
     * `tables` independent hash tables), exact cosine verify.
     *

@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"df must be a combinable aggregate:\n$plan")
   }
 
+  test("prefix jaccard pairs: output equals brute-force predicate") {
+    // lossless contract: same pairs AND same scores as the un-capped
+    // inverted-index path (whose output is the exact predicate)
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text", n = 5, threshold = 0.5,
+        maxShingleDf = 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pref = Dedup.prefixJaccardPairs(docs, "id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pref == exact, s"prefix=$pref exact=$exact")
+    assert(pref.contains((10L, 11L)) && pref((10L, 11L)) == 1.0)
+  }
+
+  test("prefix jaccard: index holds only canonical prefixes, no windows") {
+    val q = Dedup.prefixJaccardPairs(docs, "id", "text", n = 5, threshold = 0.5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"prefix selection must be doc-local:\n$plan")
+    assert(plan.contains("HashAggregate"), s"df must be a combinable aggregate:\n$plan")
+    // low threshold -> long prefixes; high threshold -> strictly fewer or
+    // equal candidate postings (sanity on the prefix-length formula)
+    val lo = Dedup.prefixJaccardPairs(docs, "id", "text", n = 5, threshold = 0.1).count()
+    val hi = Dedup.prefixJaccardPairs(docs, "id", "text", n = 5, threshold = 0.9).count()
+    assert(lo >= hi)
+  }
+
   test("clusters: min-label propagation groups transitively") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
