@@ -2942,7 +2942,13 @@ object SparkEntry {
         n = 3, threshold = 0.6)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
-    }))
+    }),
+
+    // ---- one-row key-skew diagnostic (exact Gini from the count-of-counts
+    //      histogram — the oracle derives the same number via the naive
+    //      per-key rank formula, an independent derivation) ----
+    "q160_skew_report" -> ((s, dir) =>
+      graft.ops.Skew.skewReport(t(s, dir, "events"), Seq("event_type"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5604,7 +5610,24 @@ object SparkEntry {
         |WHERE len(s_common) > 0 AND
         |  cast(len(s_common) AS double) / cast(len(a.s) + len(b.s) - len(s_common) AS double) >= 0.6
         |ORDER BY 1, 2""".stripMargin
-        .replace("s_common", "list_intersect(a.s, b.s)"))
+        .replace("s_common", "list_intersect(a.s, b.s)"),
+
+    // q160: the naive formulation — rank every key ascending by count and
+    // take G = 2*sum(rank*n)/(K*T) - (K+1)/K; ties permute freely inside
+    // the rank-weighted sum, so this equals the engine's count-of-counts
+    // derivation exactly
+    "q160_skew_report" ->
+      """WITH pk AS (SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT key, n, row_number() OVER (ORDER BY n, key) AS rk FROM pk),
+        |agg AS (SELECT cast(sum(n) AS bigint) AS t, count(*) AS k,
+        |        cast(sum(rk * n) AS bigint) AS s FROM r),
+        |top AS (SELECT key AS max_key, n AS max_n FROM pk
+        |        ORDER BY n DESC, key DESC LIMIT 1)
+        |SELECT t AS n_rows, k AS n_keys, max_key, max_n,
+        |  cast(max_n AS double) / cast(t AS double) AS top_share,
+        |  (2.0 * s) / cast(k * t AS double) - (k + 1.0) / cast(k AS double) AS gini,
+        |  (max_n * k + t - 1) // t AS suggested_salt
+        |FROM agg, top""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -81,4 +81,49 @@ object Skew {
       merge = g => g.agg(
         sum(col("_rows")).as("rows"),
         sum(col("_adist")).as("approx_distinct_upper")))
+
+  /** One-row key-skew diagnostic: the "should this groupBy be salted?"
+    * report an operator runs BEFORE committing a partitioning at 100 TB.
+    * Emits n_rows, n_keys, the heaviest key + its count, its share of all
+    * rows, the exact Gini coefficient of the per-key count distribution,
+    * and `suggested_salt` = ceil(max_n * n_keys / n_rows) — the smallest
+    * split factor that brings the hottest key down to the mean reducer load
+    * (1 = no salting needed).
+    *
+    * Exactness at scale without sorting the key set: Gini needs ranked
+    * counts, but ranks within ties are interchangeable, so it is computed
+    * from the COUNT-OF-COUNTS histogram — groupBy(key) (combiner-friendly),
+    * then groupBy(count) (tiny: one row per DISTINCT count value), and the
+    * rank window runs over that histogram, never over the keys. A block of
+    * m keys of count c occupying ascending-rank positions p+1..p+m
+    * contributes c*(m*p + m*(m+1)/2) to the rank-weighted sum S, and
+    * G = 2S/(K*T) - (K+1)/K. The heaviest key is a max(struct) aggregate
+    * (deterministic: largest key string breaks count ties). No window ever
+    * sees more rows than there are distinct count VALUES.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyStr = concat_ws("", keys.map(col): _*)
+    val perKey = df.groupBy(keyStr.as("_key")).agg(count(lit(1)).as("_n"))
+    val top = perKey.agg(
+      max(struct(col("_n"), col("_key"))).as("_top"),
+      count(lit(1)).as("_k"))
+    val coc = perKey.groupBy(col("_n")).agg(count(lit(1)).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_n"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val s = coc
+      .withColumn("_p", coalesce(sum(col("_m")).over(w), lit(0L)))
+      // all-bigint rank-weighted sum (m*(m+1) is even, `div` is exact)
+      .agg(
+        sum(expr("_n * (_m * _p + (_m * (_m + 1)) div 2)")).as("_s"),
+        sum(col("_n") * col("_m")).as("_t"))
+    s.crossJoin(top).select(
+      col("_t").as("n_rows"),
+      col("_k").as("n_keys"),
+      col("_top._key").as("max_key"),
+      col("_top._n").as("max_n"),
+      (col("_top._n").cast("double") / col("_t").cast("double")).as("top_share"),
+      ((lit(2.0) * col("_s")) / (col("_k") * col("_t")).cast("double") -
+        (col("_k") + lit(1.0)) / col("_k").cast("double")).as("gini"),
+      expr("(_top._n * _k + _t - 1) div _t").as("suggested_salt"))
+  }
 }

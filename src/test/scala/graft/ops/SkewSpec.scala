@@ -52,4 +52,27 @@ class SkewSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("rows"))).toMap
     assert(profile("hot") == 10000L && profile("cold0") == 10L)
   }
+
+  test("skewReport: hand-computed Gini, top key, suggested salt") {
+    // counts a=4 b=2 c=1 d=1: T=8 K=4, ranked-asc S = 1+2+6+16 = 25,
+    // G = 50/32 - 5/4 = 0.3125; salt = ceil(4*4/8) = 2
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val r = Skew.skewReport(df, Seq("k")).collect().head
+    assert(r.getLong(r.fieldIndex("n_rows")) == 8L)
+    assert(r.getLong(r.fieldIndex("n_keys")) == 4L)
+    assert(r.getString(r.fieldIndex("max_key")) == "a")
+    assert(r.getLong(r.fieldIndex("max_n")) == 4L)
+    assert(r.getDouble(r.fieldIndex("top_share")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("gini")) == 0.3125)
+    assert(r.getLong(r.fieldIndex("suggested_salt")) == 2L)
+  }
+
+  test("skewReport: uniform counts give Gini 0 and salt 1") {
+    // the tied-count block path: one count-of-counts row carries all keys
+    val df = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val r = Skew.skewReport(df, Seq("k")).collect().head
+    assert(r.getDouble(r.fieldIndex("gini")) == 0.0)
+    assert(r.getLong(r.fieldIndex("suggested_salt")) == 1L)
+    assert(r.getString(r.fieldIndex("max_key")) == "c") // largest key breaks ties
+  }
 }
