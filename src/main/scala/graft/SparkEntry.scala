@@ -2948,7 +2948,17 @@ object SparkEntry {
     //      histogram — the oracle derives the same number via the naive
     //      per-key rank formula, an independent derivation) ----
     "q160_skew_report" -> ((s, dir) =>
-      graft.ops.Skew.skewReport(t(s, dir, "events"), Seq("event_type"))))
+      graft.ops.Skew.skewReport(t(s, dir, "events"), Seq("event_type"))),
+
+    // ---- PSI drift monitor between two corpus snapshots (even/odd doc_id
+    //      halves as the two "crawl days"; lang as the monitored mix) ----
+    "q161_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Diff.psiDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "lang")
+        .orderBy(col("category"))
+    }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5627,7 +5637,30 @@ object SparkEntry {
         |  cast(max_n AS double) / cast(t AS double) AS top_share,
         |  (2.0 * s) / cast(k * t AS double) - (k + 1.0) / cast(k AS double) AS gini,
         |  (max_n * k + t - 1) // t AS suggested_salt
-        |FROM agg, top""".stripMargin)
+        |FROM agg, top""".stripMargin,
+
+    // q161: add-one-smoothed PSI; the total is the same left-to-right fold
+    // over category-sorted terms the engine uses (list_reduce with a 0.0
+    // seed), never an order-free float sum
+    "q161_psi_drift" ->
+      """WITH r AS (SELECT lang AS category, count(*) AS n_ref FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT lang AS category, count(*) AS n_cur FROM documents
+        |      WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(r.category, c.category) AS category,
+        |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |tot AS (SELECT cast(sum(n_ref) AS bigint) AS tr,
+        |        cast(sum(n_cur) AS bigint) AS tc, count(*) AS k FROM j),
+        |t AS (SELECT category, n_ref, n_cur,
+        |        cast(n_ref + 1 AS double) / cast(tr + k AS double) AS p_ref,
+        |        cast(n_cur + 1 AS double) / cast(tc + k AS double) AS p_cur
+        |      FROM j, tot),
+        |t2 AS (SELECT *, (p_ref - p_cur) * ln(p_ref / p_cur) AS psi_term FROM t),
+        |psi AS (SELECT list_reduce([cast(0.0 AS double)] ||
+        |          list(psi_term ORDER BY category), (a, b) -> a + b) AS psi FROM t2)
+        |SELECT category, n_ref, n_cur, p_ref, p_cur, psi_term, psi
+        |FROM t2, psi ORDER BY category""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -33,4 +33,45 @@ object Diff {
           .when(col("old_key") === col("new_key"), lit("unchanged"))
           .otherwise(lit("changed")).as("diff_status"))
   }
+
+  /** Population Stability Index between two snapshots of a categorical
+    * column — the standard "did the crawl mix drift?" monitor run between
+    * crawl days or training-mix versions. One row per category in the
+    * UNION of both snapshots: raw counts, add-one-smoothed shares
+    * (p = (n+1)/(T+K), K = union category count — keeps every term finite
+    * and the arithmetic a pure function of integer counts), the PSI term
+    * `(p_ref - p_cur) * ln(p_ref / p_cur)`, and the total `psi` repeated on
+    * each row (rule of thumb: < 0.1 stable, > 0.25 drifted).
+    *
+    * Scale shape: one combiner-friendly aggregate per side, a full-outer
+    * join on the category table (category-bounded, not corpus-bounded),
+    * and a single-row totals aggregate broadcast back by crossJoin. The
+    * corpus itself is never joined or windowed.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_cur")).as("_tc"), count(lit(1)).as("_k"))
+    val pRef = (col("n_ref") + 1).cast("double") / (col("_tr") + col("_k")).cast("double")
+    val pCur = (col("n_cur") + 1).cast("double") / (col("_tc") + col("_k")).cast("double")
+    val withTerm = joined.crossJoin(tot)
+      .withColumn("p_ref", pRef)
+      .withColumn("p_cur", pCur)
+      .withColumn("psi_term",
+        (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+    // the total is a LEFT-TO-RIGHT fold over category-sorted terms, not a
+    // float sum (whose value would depend on partition merge order)
+    val psiTotal = withTerm.agg(
+      expr("""aggregate(sort_array(collect_list(struct(category, psi_term))),
+             |cast(0.0 as double), (acc, x) -> acc + x.psi_term)""".stripMargin)
+        .as("psi"))
+    withTerm.crossJoin(psiTotal)
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"), col("psi"))
+  }
 }

@@ -18,4 +18,25 @@ class DiffSpec extends SparkSpec {
     assert(keys(0).getString(0) != null && keys(0).isNullAt(1)) // removed
     assert(keys(3).isNullAt(0) && keys(3).getString(1) != null) // added
   }
+
+  test("psiDrift: add-one smoothed terms and deterministic total") {
+    // ref {a:3, b:1}, cur {a:1, b:2, c:1}; K=3 union categories, T=4 each;
+    // p = (n+1)/7: a 4/7 vs 2/7, b 2/7 vs 3/7, c 1/7 vs 2/7
+    val ref = Seq("a", "a", "a", "b").toDF("lang")
+    val cur = Seq("a", "b", "b", "c").toDF("lang")
+    val rows = Diff.psiDrift(ref, cur, "lang").orderBy("category").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 1L), (1L, 2L), (0L, 1L)))
+    def term(p: Double, q: Double) = (p - q) * math.log(p / q)
+    val exp = Seq(term(4.0/7, 2.0/7), term(2.0/7, 3.0/7), term(1.0/7, 2.0/7))
+    rows.zip(exp).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(r.fieldIndex("psi_term")) - e) < 1e-14) }
+    // total = left-to-right fold over category order, identical on each row
+    val psi = rows.map(_.getDouble(rows.head.fieldIndex("psi"))).distinct
+    assert(psi.length == 1)
+    assert(math.abs(psi.head - ((0.0 + exp(0)) + exp(1) + exp(2))) < 1e-14)
+    // every PSI term is non-negative by construction
+    assert(rows.forall(_.getDouble(rows.head.fieldIndex("psi_term")) >= 0.0))
+  }
 }
