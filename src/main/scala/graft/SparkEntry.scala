@@ -2958,6 +2958,16 @@ object SparkEntry {
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "lang")
         .orderBy(col("category"))
+    }),
+
+    // ---- sorted-neighborhood candidate pairs over (text-prefix, doc_id)
+    //      order: window 4 positions, global rank built from range
+    //      partitions + offsets (never a single-partition window) ----
+    "q162_sorted_neighbors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"))
+      Dedup.sortedNeighborPairs(docs, "doc_id", "blk", window = 4)
+        .orderBy(col("rank_a"), col("rank_b"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5660,7 +5670,17 @@ object SparkEntry {
         |psi AS (SELECT list_reduce([cast(0.0 AS double)] ||
         |          list(psi_term ORDER BY category), (a, b) -> a + b) AS psi FROM t2)
         |SELECT category, n_ref, n_cur, p_ref, p_cur, psi_term, psi
-        |FROM t2, psi ORDER BY category""".stripMargin)
+        |FROM t2, psi ORDER BY category""".stripMargin,
+
+    // q162: the naive global-window formulation — one rank over the total
+    // order, pairs within 4 positions
+    "q162_sorted_neighbors" ->
+      """WITH r AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY substr(text, 1, 20), doc_id) AS rk
+        |  FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b, a.rk AS rank_a, b.rk AS rank_b
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+        |ORDER BY 3, 4""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

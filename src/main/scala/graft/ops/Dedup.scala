@@ -717,4 +717,51 @@ object Dedup {
       .select(col("_lid").as("id_a"), col("_rid").as("id_b"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95): sort the
+    * corpus by a blocking key and emit every pair of rows within `window`
+    * POSITIONS of each other in that global order — the classic
+    * record-linkage candidate generator for keys where edit-distance
+    * buckets don't apply (names, normalized titles, URL paths). Output:
+    * (id_a, id_b, rank_a, rank_b) with rank_b - rank_a in [1, window] over
+    * the total order (sortKey, id) — ties are deterministic.
+    *
+    * The global rank is computed WITHOUT a single-partition window — the
+    * usual scale-killer for this operator: range-repartition on
+    * (sortKey, id) gives a distributed sort whose partitions tile the total
+    * order; ranks are per-partition row_numbers (parallel window over
+    * spark_partition_id) plus cumulative partition-size offsets (one tiny
+    * aggregate — rows per PARTITION, broadcast back). Pairing is then a
+    * block-adjacent equi-join: with block = (rank-1) div window, any pair
+    * within `window` positions lies in the same or adjacent block, so each
+    * left row joins exactly blocks {b, b+1} — fanout 2, no distinct needed.
+    * Output size is corpus x window, by construction.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, sortCol: String,
+                          window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df.select(col(idCol).as("_id"), col(sortCol).as("_k"))
+      .repartitionByRange(col("_k"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val local = sorted.withColumn("_r",
+      row_number().over(Window.partitionBy(col("_pid"))
+        .orderBy(col("_k"), col("_id"))))
+    // partition-size table: one row per range partition; the cumulative
+    // offset window is over THAT table, never over the corpus
+    val sizes = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    val offs = sizes.withColumn("_off",
+      coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val ranked = local.join(broadcast(offs), "_pid")
+      .select(col("_id"), (col("_off") + col("_r")).as("_rank"))
+      .withColumn("_b", expr(s"(_rank - 1) div $window"))
+    val left = ranked.select(col("_id").as("id_a"), col("_rank").as("rank_a"),
+      explode(array(col("_b"), col("_b") + 1)).as("_b"))
+    val right = ranked.select(col("_id").as("id_b"), col("_rank").as("rank_b"), col("_b"))
+    left.join(right, "_b")
+      .where((col("rank_b") - col("rank_a")).between(1, window))
+      .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"))
+  }
 }

@@ -115,6 +115,34 @@ class DedupSpec extends SparkSpec {
     assert(lo >= hi)
   }
 
+  test("sortedNeighborPairs equals the global-window brute force") {
+    // heavy key ties (id % 10) so the (key, id) tie-break and partition
+    // boundaries are both exercised; 100 rows over 32 range partitions
+    // means nearly every neighbor pair crosses a partition edge
+    val rows = (0L until 100L).map(i => (i, i % 10))
+    val df = rows.toDF("id", "k")
+    val got = Dedup.sortedNeighborPairs(df, "id", "k", window = 3)
+      .select("id_a", "id_b", "rank_a", "rank_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val order = rows.sortBy { case (id, k) => (k, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) } // (id, 1-based rank)
+    val exp = (for {
+      (ia, ra) <- order; (ib, rb) <- order
+      if rb - ra >= 1 && rb - ra <= 3
+    } yield (ia, ib, ra, rb)).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+  }
+
+  test("sortedNeighborPairs: no single-partition window over the corpus") {
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("id", "k")
+    val plan = Dedup.sortedNeighborPairs(df, "id", "k", window = 3)
+      .queryExecution.executedPlan.toString
+    // every Window must be partitioned (corpus rank windows carry _pid;
+    // the offsets window runs over the partition-size table only)
+    assert(plan.contains("rangepartitioning"),
+      s"global order must come from a range exchange:\n$plan")
+  }
+
   test("clusters: min-label propagation groups transitively") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
     val r = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
