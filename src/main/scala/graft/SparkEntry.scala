@@ -2968,7 +2968,30 @@ object SparkEntry {
         .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"))
       Dedup.sortedNeighborPairs(docs, "doc_id", "blk", window = 4)
         .orderBy(col("rank_a"), col("rank_b"))
-    }))
+    }),
+
+    // ---- OLAP CUBE rollup: crawl volume by (event_type, day) at all four
+    //      aggregation levels in one pass; gid derived from the rolled-up
+    //      NULLs (columns are never null in data, so it's unambiguous and
+    //      engine-agnostic) ----
+    "q163_volume_cube" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"),
+        col("user_id"))
+      ev.cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("users"))
+        .withColumn("gid",
+          (col("event_type").isNull.cast("int") * 2 +
+            col("day").isNull.cast("int")).cast("bigint"))
+        .orderBy(col("gid"), col("event_type"), col("day"))
+    }),
+
+    // ---- directional association rules over (user, event_type) baskets:
+    //      exact integer counts, ratios as single double divisions ----
+    "q164_assoc_rules" -> ((s, dir) =>
+      graft.ops.Behavior.associationRules(
+          t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("antecedent"), col("consequent"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5680,7 +5703,34 @@ object SparkEntry {
         |  FROM documents)
         |SELECT a.id AS id_a, b.id AS id_b, a.rk AS rank_a, b.rk AS rank_b
         |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
-        |ORDER BY 3, 4""".stripMargin)
+        |ORDER BY 3, 4""".stripMargin,
+
+    // q163: GROUP BY CUBE with the same NULL-derived grouping id
+    "q163_volume_cube" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |           user_id FROM events)
+        |SELECT event_type, day, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  cast(2 * cast(event_type IS NULL AS int) +
+        |       cast(day IS NULL AS int) AS bigint) AS gid
+        |FROM e GROUP BY CUBE (event_type, day)
+        |ORDER BY gid, event_type, day""".stripMargin,
+
+    // q164: brute-force basket self-join; every ratio the same single
+    // double division of integer products
+    "q164_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS bk, event_type AS it FROM events),
+        |ic AS (SELECT it, count(*) AS n FROM b GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT bk) AS nb FROM b),
+        |p AS (SELECT a.it AS antecedent, c.it AS consequent, count(*) AS n_ab
+        |      FROM b a JOIN b c ON a.bk = c.bk WHERE a.it <> c.it GROUP BY 1, 2)
+        |SELECT antecedent, consequent, ia.n AS n_a, ib.n AS n_b, n_ab,
+        |  cast(n_ab AS double) / cast(nb AS double) AS support,
+        |  cast(n_ab AS double) / cast(ia.n AS double) AS confidence,
+        |  cast(n_ab * nb AS double) / cast(ia.n * ib.n AS double) AS lift
+        |FROM p JOIN ic ia ON ia.it = antecedent
+        |       JOIN ic ib ON ib.it = consequent, tot
+        |ORDER BY 1, 2""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

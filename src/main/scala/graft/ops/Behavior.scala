@@ -217,4 +217,42 @@ object Behavior {
       .withColumn("is_burst",
         col("n") * baselineDays > col("base_n") * factor)
   }
+
+  /** Directional association rules A -> B over (basket, item) rows — the
+    * market-basket view of behavior ("users who trigger A also trigger B"),
+    * with exact integer counts: n_a/n_b = baskets holding the item,
+    * n_ab = baskets holding both, support = n_ab/N, confidence = n_ab/n_a,
+    * lift = (n_ab*N)/(n_a*n_b) — every ratio a single double division of
+    * integer products, so an external engine reproduces it bit-exactly.
+    * Rules with n_ab < minCount are dropped (noise floor).
+    *
+    * Scale shape: baskets collapse to DISTINCT (basket, item) pairs first
+    * (one combiner aggregate over event volume); pair counting is a
+    * self-join on basket — fanout is per-basket item count squared, which
+    * is bounded by the catalog size, not event volume (and a degenerate
+    * basket is capped upstream by the caller if catalogs are huge). Item
+    * marginals join in by item (tiny) and the basket total broadcasts via
+    * crossJoin of a one-row aggregate.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long = 1L): DataFrame = {
+    val baskets = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    val itemCnt = baskets.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val tot = baskets.agg(count_distinct(col("_bk")).as("_nb"))
+    val pairs = baskets.as("a").join(baskets.as("b"), "_bk")
+      .where(col("a._it") =!= col("b._it"))
+      .groupBy(col("a._it").as("antecedent"), col("b._it").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(itemCnt.select(col("_it").as("antecedent"), col("_n").as("n_a")), "antecedent")
+      .join(itemCnt.select(col("_it").as("consequent"), col("_n").as("n_b")), "consequent")
+      .crossJoin(tot)
+      .select(col("antecedent"), col("consequent"),
+        col("n_a"), col("n_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("_nb").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("_nb")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

@@ -196,4 +196,28 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3)))
     assert(r.toSeq == Seq(("a", 1L, 0L), ("a", 1L, 1L), ("b", 1L, 0L)))
   }
+
+  test("associationRules: hand-computed support/confidence/lift") {
+    // baskets: u1 {x,y}, u2 {x,y}, u3 {x}, u4 {y,z}; N=4
+    // n_x=3 n_y=3 n_z=1; x->y n_ab=2; z->y n_ab=1; duplicate rows collapse
+    val evs = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // dup (1,x) must not double-count
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "z")
+    ).toDF("user_id", "event_type")
+    val r = Behavior.associationRules(evs, "user_id", "event_type")
+      .orderBy("antecedent", "consequent").collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6), x.getDouble(7)))).toMap
+    assert(r.keySet == Set(("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")))
+    assert(r(("x", "y")) == ((3L, 3L, 2L, 0.5, 2.0 / 3.0, 8.0 / 9.0)))
+    assert(r(("z", "y")) == ((1L, 3L, 1L, 0.25, 1.0, 4.0 / 3.0)))
+    // minCount filters the tail
+    val filtered = Behavior.associationRules(evs, "user_id", "event_type", minCount = 2L)
+      .select("antecedent", "consequent").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(filtered == Set(("x", "y"), ("y", "x")))
+  }
 }
