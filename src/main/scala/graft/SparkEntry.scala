@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -2991,7 +2991,29 @@ object SparkEntry {
     "q164_assoc_rules" -> ((s, dir) =>
       graft.ops.Behavior.associationRules(
           t(s, dir, "events"), "user_id", "event_type")
-        .orderBy(col("antecedent"), col("consequent"))))
+        .orderBy(col("antecedent"), col("consequent"))),
+
+    // ---- Kendall-tau ranking churn between the even-day and odd-day
+    //      top-20 user rankings (exact concordant/discordant integers) ----
+    "q165_rank_churn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+      def top20(half: Column => Column): DataFrame =
+        ev.where(half(col("day"))).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+          .where(col("rnk") <= 20).select(col("user_id"), col("rnk"))
+      graft.ops.Stats.kendallTau(
+        top20(d => d % 2 === 0), top20(d => d % 2 === 1), "user_id", "rnk")
+    }),
+
+    // ---- weekly-rhythm detector: lag-7 autocorrelation of daily counts
+    //      per event_type (all Pearson sums exact bigints) ----
+    "q166_lag_autocorr" -> ((s, dir) =>
+      graft.ops.Stats.lagAutocorr(t(s, dir, "events"), "event_type", "ts", 7)
+        .orderBy(col("key"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5730,7 +5752,48 @@ object SparkEntry {
         |  cast(n_ab * nb AS double) / cast(ia.n * ib.n AS double) AS lift
         |FROM p JOIN ic ia ON ia.it = antecedent
         |       JOIN ic ib ON ib.it = consequent, tot
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q165: same two rankings, naive pair enumeration
+    "q165_rank_churn" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |ra AS (SELECT user_id,
+        |       row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |       FROM e WHERE day % 2 = 0 GROUP BY user_id QUALIFY rnk <= 20),
+        |rb AS (SELECT user_id,
+        |       row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |       FROM e WHERE day % 2 = 1 GROUP BY user_id QUALIFY rnk <= 20),
+        |c AS (SELECT ra.user_id AS k, ra.rnk AS r1, rb.rnk AS r2
+        |      FROM ra JOIN rb ON ra.user_id = rb.user_id),
+        |p AS (SELECT CASE WHEN (x.r1 - y.r1 > 0) = (x.r2 - y.r2 > 0)
+        |             THEN 1 ELSE 0 END AS conc
+        |      FROM c x JOIN c y ON x.k < y.k),
+        |agg AS (SELECT cast(sum(conc) AS bigint) AS concordant,
+        |        cast(sum(1 - conc) AS bigint) AS discordant FROM p),
+        |n AS (SELECT count(*) AS n_common FROM c)
+        |SELECT n_common, concordant, discordant,
+        |  cast(concordant - discordant AS double) /
+        |  cast((n_common * (n_common - 1)) // 2 AS double) AS tau
+        |FROM agg, n""".stripMargin,
+
+    // q166: exact-bigint Pearson sums over day-aligned (d, d-7) pairs
+    "q166_lag_autocorr" ->
+      """WITH d AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS day,
+        |           count(*) AS n FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.key, a.n AS x, b.n AS y FROM d a JOIN d b
+        |      ON a.key = b.key AND a.day = b.day + 7),
+        |s AS (SELECT key, count(*) AS n_pairs,
+        |      cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+        |      cast(sum(x*y) AS bigint) AS sxy,
+        |      cast(sum(x*x) AS bigint) AS sxx,
+        |      cast(sum(y*y) AS bigint) AS syy FROM j GROUP BY 1)
+        |SELECT key, n_pairs,
+        |  CASE WHEN n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0 THEN
+        |    cast(n_pairs*sxy - sx*sy AS double) /
+        |    (sqrt(cast(n_pairs*sxx - sx*sx AS double)) *
+        |     sqrt(cast(n_pairs*syy - sy*sy AS double)))
+        |  END AS r
+        |FROM s ORDER BY key""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

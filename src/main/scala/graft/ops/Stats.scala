@@ -246,4 +246,70 @@ object Stats {
         s"(posd * $ppm) div cntd AS pos_rate_ppm")
     bins.crossJoin(broadcast(auc))
   }
+
+  /** Kendall tau-a ranking-churn monitor between two snapshots of a ranked
+    * list (e.g. yesterday's vs today's top-k hosts by PageRank): one row
+    * with the common-key count, concordant/discordant pair counts (exact
+    * integers) and tau = (C - D) / (n(n-1)/2). Restricted to keys present
+    * in BOTH lists; rank values must be unique per list (they are ranks).
+    *
+    * INTENDED FOR TOP-K LISTS: pair enumeration is the k^2/2 self-join of
+    * the common keys — bounded by the list length, never by the corpus the
+    * ranks were computed from. Feed it rankings, not raw tables.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame, keyCol: String,
+                 rankCol: String): DataFrame = {
+    val l = a.select(col(keyCol).as("_k"), col(rankCol).as("_ra"))
+    val r = b.select(col(keyCol).as("_k"), col(rankCol).as("_rb"))
+    val common = l.join(r, "_k")
+    val pairs = common.as("x").join(common.as("y"), col("x._k") < col("y._k"))
+      .select((((col("x._ra") - col("y._ra")) > 0) ===
+        ((col("x._rb") - col("y._rb")) > 0)).as("_conc"))
+    val counts = pairs.agg(
+      sum(when(col("_conc"), 1L).otherwise(0L)).as("concordant"),
+      sum(when(col("_conc"), 0L).otherwise(1L)).as("discordant"))
+    counts.crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_common"), col("concordant"), col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          expr("cast((n_common * (n_common - 1)) div 2 as double)")).as("tau"))
+  }
+
+  /** Lag-k autocorrelation of day-granular counts per key — the
+    * seasonality detector for crawl/traffic volumes (lag 7 = weekly
+    * rhythm). Daily counts are integers, so every Pearson sum (sx, sy,
+    * sxy, sxx, syy) is an exact bigint and r is a pure function of them:
+    * r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)) —
+    * IEEE sqrt is correctly rounded, so an external engine reproduces r
+    * bit-exactly. Pairs align by EXACT day offset (a self-join on
+    * (key, day - lagDays)), not by row position, so missing days never
+    * shift the alignment. Keys with zero variance on either side emit
+    * NULL r (flat series have no correlation). Output per key:
+    * (key, n_pairs, r).
+    *
+    * Scale shape: events collapse to per-(key, day) counts first (the only
+    * event-volume shuffle, map-side combined); everything after runs on
+    * day-granular series bounded by days-of-history per key.
+    */
+  def lagAutocorr(df: DataFrame, keyCol: String, tsCol: String,
+                  lagDays: Int): DataFrame = {
+    require(lagDays >= 1, "lagDays must be >= 1")
+    val daily = df.select(col(keyCol).as("key"),
+        expr(s"unix_millis(cast(`$tsCol` as timestamp)) div 86400000").as("_d"))
+      .groupBy(col("key"), col("_d")).agg(count(lit(1)).as("_n"))
+    val x = daily.select(col("key"), col("_d"), col("_n").as("_x"))
+    val y = daily.select(col("key"), (col("_d") + lagDays).as("_d"), col("_n").as("_y"))
+    val sums = x.join(y, Seq("key", "_d"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val varX = (col("n_pairs") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val varY = (col("n_pairs") * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    sums.select(col("key"), col("n_pairs"),
+      when(varX > 0 && varY > 0,
+        (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (sqrt(varX) * sqrt(varY))).as("r"))
+  }
 }

@@ -209,4 +209,35 @@ class StatsSpec extends SparkSpec {
     // scores -10..-1 -> bin -1; 0..9 -> 0; 10..19 -> 1 (floor, not trunc)
     assert(a.map(_.getLong(0)) == Seq(-1L, 0L, 1L))
   }
+
+  test("kendallTau: hand-computed pair counts over the common keys") {
+    // a ranks A,B,C = 1,2,3; b ranks B,A,C = 1,2,3; D only in a, E only in b
+    val a = Seq(("A", 1), ("B", 2), ("C", 3), ("D", 4)).toDF("k", "rnk")
+    val b = Seq(("B", 1), ("A", 2), ("C", 3), ("E", 4)).toDF("k", "rnk")
+    val r = Stats.kendallTau(a, b, "k", "rnk").collect().head
+    // common {A,B,C}: (A,B) discordant, (A,C)+(B,C) concordant
+    assert(r.getLong(r.fieldIndex("n_common")) == 3L)
+    assert(r.getLong(r.fieldIndex("concordant")) == 2L)
+    assert(r.getLong(r.fieldIndex("discordant")) == 1L)
+    assert(r.getDouble(r.fieldIndex("tau")) == 1.0 / 3.0)
+  }
+
+  test("lagAutocorr: exact +1/-1 on aligned rhythms, null on flat series") {
+    def events(key: String, dayCounts: Seq[(Int, Int)]) =
+      dayCounts.flatMap { case (d, n) =>
+        Seq.fill(n)((key, new java.sql.Timestamp(d * 86400000L))) }
+    // a: x=[1,2] vs y=[1,2] -> r=1; b: x=[2,1] vs y=[1,2] -> r=-1;
+    // c: single pair, zero variance -> null
+    val df = (events("a", Seq(0 -> 1, 1 -> 2, 7 -> 1, 8 -> 2)) ++
+      events("b", Seq(0 -> 1, 1 -> 2, 7 -> 2, 8 -> 1)) ++
+      events("c", Seq(0 -> 1, 7 -> 1))).toDF("key", "ts")
+    val r = Stats.lagAutocorr(df, "key", "ts", 7).orderBy("key").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(r(0).getDouble(2) == 1.0 && r(1).getDouble(2) == -1.0)
+    assert(r(2).isNullAt(2) && r(2).getLong(1) == 1L)
+    // day-EXACT alignment: a gap day must not shift pairs (no day-6 pair)
+    val gap = events("g", Seq(0 -> 1, 2 -> 3, 7 -> 5)).toDF("key", "ts")
+    val g = Stats.lagAutocorr(gap, "key", "ts", 7).collect().head
+    assert(g.getLong(1) == 1L) // only (7, 0) aligns at lag 7
+  }
 }
