@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 162 queries spanning every implemented operator family
+/** Driver contract — 166 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -136,7 +136,13 @@ import graft.temporal.{AsOfJoin, Windows}
   * calibration bins), q156 the quantile sketch as streaming state
   * (per-day percentiles merging across micro-batches), q157 last-touch
   * attribution (one window pass, no inequality self-join), q158
-  * trailing-window burst detection (cross-multiplied integer flag).
+  * trailing-window burst detection (cross-multiplied integer flag),
+  * q159 lossless prefix-filtered set-similarity join, q160 key-skew
+  * diagnostic (exact Gini from count-of-counts), q161 PSI drift
+  * monitor, q162 sorted-neighborhood blocking (distributed global
+  * rank), q163 OLAP CUBE volume rollup, q164 market-basket association
+  * rules, q165 Kendall-tau ranking churn, q166 lag-7 daily
+  * autocorrelation (exact-bigint Pearson sums).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
