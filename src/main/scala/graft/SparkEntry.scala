@@ -3019,7 +3019,22 @@ object SparkEntry {
     //      per event_type (all Pearson sums exact bigints) ----
     "q166_lag_autocorr" -> ((s, dir) =>
       graft.ops.Stats.lagAutocorr(t(s, dir, "events"), "event_type", "ts", 7)
-        .orderBy(col("key"))))
+        .orderBy(col("key"))),
+
+    // ---- volume-trend detector: per event_type OLS slope of daily counts
+    //      (day rebased to the key's first day; all sums exact bigints) ----
+    "q167_linear_trend" -> ((s, dir) =>
+      graft.ops.Stats.linearTrend(t(s, dir, "events"), "event_type", "ts")
+        .orderBy(col("key"))),
+
+    // ---- chi-squared independence: event mix vs weekday over the full
+    //      R x C grid, fold-ordered total + dof ----
+    "q168_chi2_weekday" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (expr("unix_millis(cast(ts as timestamp)) div 86400000") % 7).as("dow"))
+      graft.ops.Stats.chiSquared(ev, "event_type", "dow")
+        .orderBy(col("row_cat"), col("col_cat"))
+    }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5799,7 +5814,61 @@ object SparkEntry {
         |    (sqrt(cast(n_pairs*sxx - sx*sx AS double)) *
         |     sqrt(cast(n_pairs*syy - sy*sy AS double)))
         |  END AS r
-        |FROM s ORDER BY key""".stripMargin)
+        |FROM s ORDER BY key""".stripMargin,
+
+    // q167: identical OLS sums over first-day-rebased day indices; slope,
+    // intercept and r2 written with the engine's exact double-op order
+    "q167_linear_trend" ->
+      """WITH d AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS day,
+        |           count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT key, day - min(day) OVER (PARTITION BY key) AS x, n FROM d),
+        |s AS (SELECT key, count(*) AS nd,
+        |      cast(sum(x) AS bigint) AS sx, cast(sum(n) AS bigint) AS sy,
+        |      cast(sum(x*n) AS bigint) AS sxy,
+        |      cast(sum(x*x) AS bigint) AS sxx,
+        |      cast(sum(n*n) AS bigint) AS syy FROM b GROUP BY 1)
+        |SELECT key, nd AS n_days,
+        |  CASE WHEN nd*sxx - sx*sx > 0 THEN
+        |    cast(nd*sxy - sx*sy AS double) / cast(nd*sxx - sx*sx AS double)
+        |  END AS slope,
+        |  CASE WHEN nd*sxx - sx*sx > 0 THEN
+        |    (cast(sy AS double) -
+        |     (cast(nd*sxy - sx*sy AS double) / cast(nd*sxx - sx*sx AS double))
+        |       * cast(sx AS double)) / cast(nd AS double)
+        |  END AS intercept,
+        |  CASE WHEN nd*sxx - sx*sx > 0 AND nd*syy - sy*sy > 0 THEN
+        |    (cast(nd*sxy - sx*sy AS double) / cast(nd*sxx - sx*sx AS double)) *
+        |    (cast(nd*sxy - sx*sy AS double) / cast(nd*syy - sy*sy AS double))
+        |  END AS r2
+        |FROM s ORDER BY key""".stripMargin,
+
+    // q168: full R x C grid (zero cells included), expected = nr*nc/N as a
+    // single double division, total chi2 as the same (row,col)-sorted fold
+    "q168_chi2_weekday" ->
+      """WITH e AS (SELECT event_type AS row_cat,
+        |           (epoch_ms(ts) // 86400000) % 7 AS col_cat FROM events),
+        |cells AS (SELECT row_cat, col_cat, count(*) AS n FROM e GROUP BY 1, 2),
+        |rt AS (SELECT row_cat, cast(sum(n) AS bigint) AS nr FROM cells GROUP BY 1),
+        |ct AS (SELECT col_cat, cast(sum(n) AS bigint) AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT cast(sum(n) AS bigint) AS nt,
+        |        count(DISTINCT row_cat) AS r, count(DISTINCT col_cat) AS c
+        |        FROM cells),
+        |grid AS (SELECT rt.row_cat, ct.col_cat, nr, nc,
+        |         cast(coalesce(cells.n, 0) AS bigint) AS n
+        |         FROM rt CROSS JOIN ct
+        |         LEFT JOIN cells ON cells.row_cat = rt.row_cat
+        |                        AND cells.col_cat = ct.col_cat),
+        |t AS (SELECT row_cat, col_cat, n,
+        |      cast(nr*nc AS double) / cast(nt AS double) AS expected, r, c
+        |      FROM grid, tot),
+        |t2 AS (SELECT *, (cast(n AS double) - expected) *
+        |       (cast(n AS double) - expected) / expected AS chi2_term FROM t),
+        |f AS (SELECT list_reduce([cast(0.0 AS double)] ||
+        |      list(chi2_term ORDER BY row_cat, col_cat), (a, b) -> a + b)
+        |      AS chi2 FROM t2)
+        |SELECT row_cat, col_cat, n, expected, chi2_term, chi2,
+        |  (r - 1) * (c - 1) AS dof
+        |FROM t2, f ORDER BY row_cat, col_cat""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

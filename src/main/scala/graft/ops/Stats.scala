@@ -312,4 +312,91 @@ object Stats {
         (col("n_pairs") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
           (sqrt(varX) * sqrt(varY))).as("r"))
   }
+
+  /** Per-key OLS trend of daily event counts — "is this domain's crawl
+    * volume growing or shrinking, and how fast?" Day indices are REBASED
+    * to each key's first observed day before the sums (slope is
+    * shift-invariant; intercept becomes the fitted count at the key's
+    * first day), so every OLS sum is a small exact bigint: with x ≤ 2^15
+    * (90 years of daily history) and per-(key,day) counts ≤ ~10^8 the
+    * largest product n_days*sxy stays under 2^63. slope = num/den, r² =
+    * (num/den)*(num/var_y) — each a pure function of the bigint sums with
+    * a FIXED double-op order, so an external engine reproduces them
+    * bit-exactly. Keys with a single day (or all counts equal AND flat x)
+    * emit NULL slope/intercept; r² additionally NULL when var_y = 0.
+    *
+    * Scale shape: events collapse to per-(key, day) counts in ONE
+    * map-side-combined aggregate (the only event-volume shuffle); the
+    * rebase window and OLS sums run on the day-granular table, bounded by
+    * keys × days-of-history.
+    */
+  def linearTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol).as("key"),
+        expr(s"unix_millis(cast(`$tsCol` as timestamp)) div 86400000").as("_d"))
+      .groupBy(col("key"), col("_d")).agg(count(lit(1)).as("_n"))
+    val based = daily.withColumn("_x",
+      col("_d") - min(col("_d")).over(Window.partitionBy(col("key"))))
+    val sums = based.groupBy(col("key")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("_x")).as("_sx"), sum(col("_n")).as("_sy"),
+      sum(col("_x") * col("_n")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_n") * col("_n")).as("_syy"))
+    val num  = col("n_days") * col("_sxy") - col("_sx") * col("_sy")
+    val den  = col("n_days") * col("_sxx") - col("_sx") * col("_sx")
+    val varY = col("n_days") * col("_syy") - col("_sy") * col("_sy")
+    val slope = num.cast("double") / den.cast("double")
+    sums.select(col("key"), col("n_days"),
+      when(den > 0, slope).as("slope"),
+      when(den > 0,
+        (col("_sy").cast("double") - slope * col("_sx").cast("double")) /
+          col("n_days").cast("double")).as("intercept"),
+      when(den > 0 && varY > 0,
+        slope * (num.cast("double") / varY.cast("double"))).as("r2"))
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns — "does the event mix depend on the weekday?", "is language
+    * independent of the source domain class?". Emits the FULL R×C grid
+    * (zero-observed cells included — they contribute their expected count
+    * to the statistic), each cell's observed n (exact integer), expected
+    * count n_r*n_c/N (one double division of exact bigints), chi² term
+    * (n-e)²/e, and the total chi² + degrees of freedom (R-1)(C-1) repeated
+    * per row. The total is a LEFT-TO-RIGHT fold over (row, col)-sorted
+    * terms — never an order-free float sum — so an external engine
+    * replays it bit-exactly.
+    *
+    * Scale shape: one combiner-friendly aggregate collapses the corpus to
+    * observed cells; marginals, the R×C grid (a cross join of the two
+    * category tables — category-bounded, NOT corpus-bounded) and the fold
+    * all run on category-sized data. Callers own the sanity of R×C (a
+    * chi² over two high-cardinality ID columns is statistically
+    * meaningless before it is expensive).
+    */
+  def chiSquared(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("row_cat"), col(colCol).as("col_cat"))
+      .agg(count(lit(1)).as("n"))
+    val rt = cells.groupBy(col("row_cat")).agg(sum(col("n")).as("_nr"))
+    val ct = cells.groupBy(col("col_cat")).agg(sum(col("n")).as("_nc"))
+    val tot = cells.agg(sum(col("n")).as("_nt"),
+      count_distinct(col("row_cat")).as("_r"),
+      count_distinct(col("col_cat")).as("_c"))
+    val grid = rt.crossJoin(ct)
+      .join(cells, Seq("row_cat", "col_cat"), "left")
+      .select(col("row_cat"), col("col_cat"), col("_nr"), col("_nc"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(tot)
+    val expected = (col("_nr") * col("_nc")).cast("double") / col("_nt").cast("double")
+    val dev = col("n").cast("double") - col("expected")
+    val withTerm = grid.withColumn("expected", expected)
+      .withColumn("chi2_term", dev * dev / col("expected"))
+    val total = withTerm.agg(
+      expr("""aggregate(sort_array(collect_list(struct(row_cat, col_cat, chi2_term))),
+             |cast(0.0 as double), (acc, x) -> acc + x.chi2_term)""".stripMargin)
+        .as("chi2"))
+    withTerm.crossJoin(total)
+      .select(col("row_cat"), col("col_cat"), col("n"), col("expected"),
+        col("chi2_term"), col("chi2"),
+        ((col("_r") - 1) * (col("_c") - 1)).as("dof"))
+  }
 }

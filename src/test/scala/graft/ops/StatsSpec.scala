@@ -240,4 +240,50 @@ class StatsSpec extends SparkSpec {
     val g = Stats.lagAutocorr(gap, "key", "ts", 7).collect().head
     assert(g.getLong(1) == 1L) // only (7, 0) aligns at lag 7
   }
+
+  test("linearTrend: exact line, rebased flat series, noisy hand-check, single day") {
+    def events(key: String, dayCounts: Seq[(Int, Int)]) =
+      dayCounts.flatMap { case (d, n) =>
+        Seq.fill(n)((key, new java.sql.Timestamp(d * 86400000L))) }
+    // a: perfect line counts 2,3,4 on days 0,1,2 -> slope 1, icpt 2, r2 1
+    // b: flat 5,5,5 on days 100..102 (rebase!) -> slope 0, icpt 5, r2 null
+    // c: single day -> all null
+    // d: days 0,1,2 counts 1,3,2 -> sums n=3 sx=3 sy=6 sxy=7 sxx=5 syy=14
+    //    num=3 den=6 -> slope .5, icpt (6-.5*3)/3=1.5, r2=.5*(3/6)=.25
+    val df = (events("a", Seq(0 -> 2, 1 -> 3, 2 -> 4)) ++
+      events("b", Seq(100 -> 5, 101 -> 5, 102 -> 5)) ++
+      events("c", Seq(9 -> 4)) ++
+      events("d", Seq(0 -> 1, 1 -> 3, 2 -> 2))).toDF("key", "ts")
+    val r = Stats.linearTrend(df, "key", "ts").orderBy("key").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b", "c", "d"))
+    assert(r(0).getDouble(2) == 1.0 && r(0).getDouble(3) == 2.0 &&
+      r(0).getDouble(4) == 1.0)
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) == 5.0 &&
+      r(1).isNullAt(4)) // zero count-variance: r2 undefined, slope exact 0
+    assert(r(2).isNullAt(2) && r(2).isNullAt(3) && r(2).isNullAt(4) &&
+      r(2).getLong(1) == 1L)
+    assert(r(3).getDouble(2) == 0.5 && r(3).getDouble(3) == 1.5 &&
+      r(3).getDouble(4) == 0.25)
+  }
+
+  test("chiSquared: independent table gives 0; zero cells enter the grid") {
+    // independent 2x2: counts (a,0)=2 (a,1)=4 (b,0)=3 (b,1)=6 -> chi2=0
+    val ind = (Seq.fill(2)(("a", 0L)) ++ Seq.fill(4)(("a", 1L)) ++
+      Seq.fill(3)(("b", 0L)) ++ Seq.fill(6)(("b", 1L))).toDF("r", "c")
+    val r1 = Stats.chiSquared(ind, "r", "c").orderBy("row_cat", "col_cat").collect()
+    assert(r1.length == 4 && r1.forall(_.getDouble(5) == 0.0) &&
+      r1.forall(_.getLong(6) == 1L))
+    assert(r1.map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+      x.getDouble(3))).toSeq ==
+      Seq(("a", 0L, 2L, 2.0), ("a", 1L, 4L, 4.0),
+          ("b", 0L, 3L, 3.0), ("b", 1L, 6L, 6.0)))
+    // diagonal 2x2 with zero off-cells: every e=0.5, every term 0.5, chi2=2
+    val diag = Seq(("a", 0L), ("b", 1L)).toDF("r", "c")
+    val r2 = Stats.chiSquared(diag, "r", "c").orderBy("row_cat", "col_cat").collect()
+    assert(r2.length == 4) // the two zero-observed cells are present
+    assert(r2.forall(_.getDouble(3) == 0.5) && r2.forall(_.getDouble(4) == 0.5))
+    assert(r2.forall(_.getDouble(5) == 2.0))
+    assert(r2.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq(("a", 0L, 1L), ("a", 1L, 0L), ("b", 0L, 0L), ("b", 1L, 1L)))
+  }
 }
