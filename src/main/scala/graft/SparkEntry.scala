@@ -3034,6 +3034,29 @@ object SparkEntry {
         (expr("unix_millis(cast(ts as timestamp)) div 86400000") % 7).as("dow"))
       graft.ops.Stats.chiSquared(ev, "event_type", "dow")
         .orderBy(col("row_cat"), col("col_cat"))
+    }),
+
+    // ---- crawl depth from seed nodes: multi-source BFS over the q74 link
+    //      graph, frontier-expansion rounds (first discovery = shortest) ----
+    "q169_bfs_depth" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val edges = d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 1) % 50).as("dst"))
+        .unionByName(d.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 3 + 2) % 50).as("dst")))
+      val seeds = s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("node")
+      graft.ops.Graph.bfsDepth(edges, "src", "dst", seeds, "node", maxDepth = 6)
+        .orderBy(col("node"))
+    }),
+
+    // ---- exact heavy hitters in two passes (per-partition Misra-Gries
+    //      candidates + exact verify); output = plain HAVING n >= 200 ----
+    "q170_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      graft.ops.Stats.frequentItems(toks, "tok", minCount = 200L, summaryK = 64)
+        .orderBy(col("value"))
     }))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
@@ -5868,7 +5891,33 @@ object SparkEntry {
         |      AS chi2 FROM t2)
         |SELECT row_cat, col_cat, n, expected, chi2_term, chi2,
         |  (r - 1) * (c - 1) AS dof
-        |FROM t2, f ORDER BY row_cat, col_cat""".stripMargin)
+        |FROM t2, f ORDER BY row_cat, col_cat""".stripMargin,
+
+    // q169: recursive-CTE shortest path with the same depth cap; min(depth)
+    // = first-discovery depth because levels advance one hop per step
+    "q169_bfs_depth" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst
+        |  FROM documents
+        |  UNION
+        |  SELECT doc_id % 50, (doc_id * 3 + 2) % 50 FROM documents),
+        |bfs(node, depth) AS (
+        |  SELECT cast(node AS bigint), cast(depth AS bigint)
+        |  FROM (VALUES (0, 0), (1, 0)) AS s(node, depth)
+        |  UNION
+        |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.depth < 6)
+        |SELECT node, min(depth) AS depth FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q170: the definitional form — the engine's MG prefilter is lossless
+    // (verified exact), so plain HAVING reproduces it
+    "q170_heavy_hitters" ->
+      """WITH w AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT ws[i] AS value FROM w, unnest(range(1, len(ws) + 1)) AS u(i))
+        |SELECT value, count(*) AS n FROM t GROUP BY 1
+        |HAVING count(*) >= 200 ORDER BY 1""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

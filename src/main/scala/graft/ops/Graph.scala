@@ -260,4 +260,57 @@ object Graph {
           .as("clustering_coeff"))
     out
   }
+
+  /** Multi-source BFS hop distance from a seed set over the link graph —
+    * "how many clicks from the seed hosts is this page?", the classic
+    * crawl-depth / frontier-scheduling signal (seed-near pages are
+    * higher-trust in most curation schemes).
+    *
+    * Frontier-expansion rounds: each round joins the CURRENT frontier
+    * (only the nodes discovered last round — frontier-sized, never
+    * graph-sized) against the edge table, anti-joins out everything
+    * already visited, and unions the new layer into the visited set at
+    * depth d. A node's first discovery round IS its shortest distance, so
+    * no min-aggregate is ever needed. Rounds are bounded by `maxDepth`
+    * and the loop early-exits on an empty frontier — the materializing
+    * count() each round doubles as the convergence check (no separate
+    * blocking job, the lesson from the CC operator). Lineage is truncated
+    * via localCheckpoint every 4 rounds, same discipline as
+    * [[pageRankInt]].
+    *
+    * Scale shape: per round, one frontier-edges equi-join (frontier side
+    * naturally small early and late; AQE picks broadcast when it fits) +
+    * one |V|-bounded anti-join on payload-free (node, depth) rows. The
+    * corpus never enters the loop. Returns (node, depth), reachable nodes
+    * only — left-join it back to the page table for the feature column.
+    */
+  def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
+               seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().persist()
+    var visited = frontier.withColumn("depth", lit(0L)).persist()
+    visited.count()
+    var depth = 0L
+    var done = depth >= maxDepth
+    while (!done) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+      val nf = (if (depth % 4 == 0) next.localCheckpoint() else next).persist()
+      if (nf.count() == 0L) { nf.unpersist(); done = true }
+      else {
+        val nv = visited.unionByName(nf.withColumn("depth", lit(depth))).persist()
+        nv.count()
+        visited.unpersist(); frontier.unpersist()
+        visited = nv; frontier = nf
+        done = depth >= maxDepth
+      }
+    }
+    e.unpersist(); frontier.unpersist()
+    visited
+  }
 }

@@ -399,4 +399,86 @@ object Stats {
         col("chi2_term"), col("chi2"),
         ((col("_r") - 1) * (col("_c") - 1)).as("dof"))
   }
+
+  /** EXACT heavy hitters (all values with global count >= minCount) in two
+    * passes, without ever shuffling the full distinct-value set — the
+    * scale answer to `groupBy(value).count().where(n >= T)`, whose
+    * exchange carries one row per distinct value per map partition (for
+    * Zipf-tailed token data, almost the whole corpus).
+    *
+    * Pass 1 runs a Misra-Gries summary (`summaryK` counters, bounded
+    * memory) inside each partition — one of the rare genuinely imperative
+    * per-partition kernels, so mapPartitions is the right vehicle — and
+    * emits only (value, count, decrementRounds) survivors. A value absent
+    * from a partition's summary occurred there at most d_p times (its
+    * insertions minus <= d_p decrements would otherwise have survived),
+    * and a present value is undercounted by at most d_p, so
+    * true(v) <= sum_present(cnt) + D with D = sum_p d_p: candidates =
+    * survivors with cnt_sum + D >= minCount are a LOSSLESS superset of
+    * the true heavy hitters, bounded by partitions x summaryK. Pass 2
+    * exact-counts ONLY the candidates (a candidate semi-join prunes the
+    * corpus before its one combiner-friendly shuffle) and keeps
+    * n >= minCount — so the OUTPUT is exact and deterministic even though
+    * MG eviction order is not.
+    *
+    * Soundness guard: when D >= minCount the summaries cannot certify
+    * that an ABSENT value is not a heavy hitter, so the candidate
+    * prefilter would silently drop true hitters. D is read back as one
+    * driver-side scalar (a bounded action); if it breaches, the operator
+    * falls back to the naive exact aggregate — always-correct output,
+    * with the pruning a pure optimization. Size summaryK ≳ a few x
+    * n_partition/minCount to stay on the pruned path.
+    *
+    * Returns (value, n) — exactly `HAVING count(*) >= minCount`.
+    */
+  def frequentItems(df: DataFrame, valCol: String, minCount: Long,
+                    summaryK: Int = 4096): DataFrame = {
+    require(minCount >= 1 && summaryK >= 1, "need minCount >= 1, summaryK >= 1")
+    val vals = df.select(col(valCol).cast("string").as("value"))
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val summaries = vals.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](summaryK * 2)
+      var rounds = 0L
+      it.foreach { v =>
+        if (counts.containsKey(v)) {
+          counts.put(v, counts.get(v) + 1L)
+        } else if (counts.size < summaryK) {
+          counts.put(v, 1L)
+        } else { // decrement-all round: k counters + the arriving value
+          rounds += 1L
+          val iter = counts.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+      counts.forEach((v, c) => out += ((pid, v, c, rounds)))
+      if (out.isEmpty && rounds > 0L) out += ((pid, null, 0L, rounds))
+      out.iterator
+    }.toDF("_pid", "value", "_cnt", "_dp").persist()
+    val totalErr = summaries.select(col("_pid"), col("_dp")).distinct()
+      .agg(coalesce(sum(col("_dp")), lit(0L))).collect()(0).getLong(0)
+    val exact =
+      if (totalErr >= minCount) {
+        // summaries can't certify absence — prune nothing (see scaladoc)
+        vals.groupBy(col("value")).agg(count(lit(1)).as("n"))
+      } else {
+        // candidates are (partitions x summaryK)-bounded: localCheckpoint
+        // materializes them eagerly and cuts the lineage back to pass 1,
+        // so the summaries cache can drop and pass 2 never re-runs MG
+        val candidates = summaries.where(col("value").isNotNull)
+          .groupBy(col("value")).agg(sum(col("_cnt")).as("_lo"))
+          .where(col("_lo") + totalErr >= minCount)
+          .select(col("value"))
+          .localCheckpoint()
+        vals.join(candidates, Seq("value"))
+          .groupBy(col("value")).agg(count(lit(1)).as("n"))
+      }
+    summaries.unpersist()
+    exact.where(col("n") >= minCount)
+  }
 }

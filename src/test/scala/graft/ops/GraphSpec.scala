@@ -99,4 +99,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSet
     assert(r == base)
   }
+
+  test("bfsDepth: multi-source shortest hops, depth cap, cycles, early exit") {
+    // two components: 1->2->3->4 (+ back-edge 4->1) and 5->6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("s")
+    val full = Graph.bfsDepth(edges, "src", "dst", seeds, "s", maxDepth = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // early exit: the cycle back-edge must not re-discover node 1
+    assert(full == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 3L))
+    val capped = Graph.bfsDepth(edges, "src", "dst", seeds, "s", maxDepth = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(capped == full - 4L) // node 4 is 3 hops out
+    val zero = Graph.bfsDepth(edges, "src", "dst", seeds, "s", maxDepth = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(zero == Map(1L -> 0L, 5L -> 0L))
+    // unreachable seeds-only graph: nodes with no out-edges from seeds
+    val iso = Graph.bfsDepth(edges, "src", "dst", Seq(6L).toDF("s"), "s", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(iso == Map(6L -> 0L))
+  }
 }

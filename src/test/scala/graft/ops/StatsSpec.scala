@@ -286,4 +286,23 @@ class StatsSpec extends SparkSpec {
     assert(r2.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq ==
       Seq(("a", 0L, 1L), ("a", 1L, 0L), ("b", 0L, 0L), ("b", 1L, 1L)))
   }
+
+  test("frequentItems: equals brute-force HAVING under any partitioning and tiny summaries") {
+    // Zipf-ish multiset: value i appears 200/i times for i in 1..40
+    val rows = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"v$i"))
+    val brute = rows.groupBy(identity).collect {
+      case (v, xs) if xs.size >= 25 => (v, xs.size.toLong) }.toSet
+    assert(brute.nonEmpty && brute.size < 40)
+    for (parts <- Seq(1, 7, 32); k <- Seq(4, 64)) {
+      val df = rows.toDF("tok").repartition(parts)
+      val got = Stats.frequentItems(df, "tok", minCount = 25L, summaryK = k)
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(got == brute, s"parts=$parts summaryK=$k")
+    }
+    // exact boundary: a value with count == minCount is kept
+    val edge = Stats.frequentItems(
+      (Seq.fill(5)("hit") ++ Seq.fill(4)("miss")).toDF("tok"), "tok", 5L, 2)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(edge == Set(("hit", 5L)))
+  }
 }
