@@ -3057,7 +3057,46 @@ object SparkEntry {
         .where(col("tok") =!= "")
       graft.ops.Stats.frequentItems(toks, "tok", minCount = 200L, summaryK = 64)
         .orderBy(col("value"))
-    }))
+    }),
+
+    // ---- stream-static enrichment: per-micro-batch broadcast left join
+    //      against a static severity dimension; 'error' is deliberately
+    //      missing from the dimension (NULL passthrough, rows never drop) ----
+    "q171_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // collect() is the REPLAY HARNESS (builds the MemoryStream feed),
+      // not part of the operator — production points readStream here
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val mem = MemoryStream[(Long, Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        s.sqlContext)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+      val dim = s.createDataFrame(Seq(
+          ("click", 1L), ("view", 2L), ("signup", 3L), ("purchase", 4L)))
+        .toDF("event_type", "severity")
+      val enriched = graft.streaming.Streaming.enrichStatic(
+        mem.toDF().toDF("event_id", "user_id", "event_type"),
+        dim, Seq("event_type"))
+      val sink = "q171_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val query = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result.orderBy(col("event_id"))
+    }),
+
+    // ---- exact trailing 7-day active users per observed day, via
+    //      contribution explosion (fanout 7) over distinct (user, day) ----
+    "q172_sliding_distinct" -> ((s, dir) =>
+      graft.ops.Behavior.slidingDistinct(t(s, dir, "events"), "ts", "user_id", 7)
+        .orderBy(col("day"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5917,7 +5956,25 @@ object SparkEntry {
         |  FROM documents),
         |t AS (SELECT ws[i] AS value FROM w, unnest(range(1, len(ws) + 1)) AS u(i))
         |SELECT value, count(*) AS n FROM t GROUP BY 1
-        |HAVING count(*) >= 200 ORDER BY 1""".stripMargin)
+        |HAVING count(*) >= 200 ORDER BY 1""".stripMargin,
+
+    // q171: the batch equivalent of the stream-static left join — a CASE
+    // over the same four-row dimension, NULL for the missing 'error' type
+    "q171_stream_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |       WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 END AS severity
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q172: identical contribution explosion over distinct (user, day)
+    "q172_sliding_distinct" ->
+      """WITH p AS (SELECT DISTINCT user_id AS id,
+        |           epoch_ms(ts) // 86400000 AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM p),
+        |c AS (SELECT DISTINCT id, d + i AS day
+        |      FROM p, unnest(range(0, 7)) AS u(i))
+        |SELECT day, count(*) AS n_distinct FROM c JOIN days USING (day)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -218,6 +218,34 @@ object Behavior {
         col("n") * baselineDays > col("base_n") * factor)
   }
 
+  /** EXACT distinct actors per trailing `windowDays`-day window, for every
+    * day present in the data — "7-day active users", the retention-report
+    * staple that approx sketches usually swallow. The scale path is
+    * CONTRIBUTION EXPLOSION, not a per-day self-join: events collapse to
+    * distinct (id, day) pairs (one combiner aggregate), each pair fans out
+    * to the `windowDays` window-end days it contributes to (bounded
+    * fanout), the fanout is re-deduped to distinct (id, window-day) and
+    * counted — every shuffle is distinct-pair-sized, never event-volume-
+    * sized, and no day is ever joined against the raw corpus. Window days
+    * with no events of their own are dropped (the report is per OBSERVED
+    * day; a calendar join would re-add them if wanted).
+    *
+    * Returns (day, n_distinct) ordered-free; day = epoch-day integer.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, idCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pairs = df.select(col(idCol).as("_id"),
+        expr(s"unix_millis(cast(`$tsCol` as timestamp)) div 86400000").as("_d"))
+      .distinct()
+    val days = pairs.select(col("_d").as("day")).distinct()
+    val contrib = pairs.select(col("_id"),
+        explode(sequence(col("_d"), col("_d") + (windowDays - 1))).as("day"))
+      .distinct()
+    contrib.join(days, Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_distinct"))
+  }
+
   /** Directional association rules A -> B over (basket, item) rows — the
     * market-basket view of behavior ("users who trigger A also trigger B"),
     * with exact integer counts: n_a/n_b = baskets holding the item,

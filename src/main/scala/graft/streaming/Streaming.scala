@@ -124,6 +124,20 @@ object Streaming {
       extractStream(pages).where(col("status") === "ok"),
       "warc_ts", watermarkDelay, "url", "instance_id")
 
+  /** Stream-static enrichment join: every micro-batch of the stream is
+    * LEFT-joined against a static dimension table (host metadata, crawl
+    * policies, language codes). Stateless — no watermark, no streaming
+    * state: Spark re-plans the join per batch, and the `broadcast` hint
+    * keeps the stream side shuffle-free (the dimension ships to the
+    * executors once per plan; the unbounded side never exchanges).
+    * Unmatched rows survive with NULL dimension columns — dropping them
+    * silently is how curation pipelines lose data when a dimension table
+    * lags the stream.
+    */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   // ---- custom state via flatMapGroupsWithState ----
 
   final case class UrlState(lastInstanceId: String, revisits: Long, changes: Long)

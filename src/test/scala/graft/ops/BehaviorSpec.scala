@@ -220,4 +220,22 @@ class BehaviorSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getString(1))).toSet
     assert(filtered == Set(("x", "y"), ("y", "x")))
   }
+
+  test("slidingDistinct: trailing-window distinct, observed days only, dups collapse") {
+    def ev(uid: Long, day: Int) = (uid, new java.sql.Timestamp(day * 86400000L))
+    // u1 active days 0,1; u2 day 1 (twice); u3 day 9
+    val df = Seq(ev(1, 0), ev(1, 1), ev(2, 1), ev(2, 1), ev(3, 9))
+      .toDF("user_id", "ts")
+    val r = Behavior.slidingDistinct(df, "ts", "user_id", windowDays = 3)
+      .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // observed days: 0, 1, 9. window [d-2, d]:
+    //   day 0 -> {u1}; day 1 -> {u1, u2}; day 9 -> {u3}
+    // days 2,3,10,11 would carry trailing mass but are NOT observed
+    assert(r.toSeq == Seq((0L, 1L), (1L, 2L), (9L, 1L)))
+    // a user active on several window days counts once
+    val multi = Seq(ev(7, 0), ev(7, 1), ev(7, 2), ev(8, 2)).toDF("user_id", "ts")
+    val m = Behavior.slidingDistinct(multi, "ts", "user_id", windowDays = 3)
+      .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(m.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 2L)))
+  }
 }

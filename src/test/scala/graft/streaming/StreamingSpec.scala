@@ -168,4 +168,24 @@ class StreamingSpec extends SparkSpec {
     // p500 column present and within the day's value range
     streamed.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) < 500L))
   }
+
+  test("enrichStatic: per-batch broadcast left join == batch join; unmatched rows survive") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = (0 until 60).map(i => (i.toLong, Seq("a", "b", "zzz")(i % 3)))
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("k", "meta") // no 'zzz'
+    val input = MemoryStream[(Long, String)]
+    rows.grouped(20).foreach(b => input.addData(b))
+    val q = Streaming.enrichStatic(input.toDF().toDF("id", "k"), dim, Seq("k"))
+      .writeStream.format("memory").queryName("ses").outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("ses").orderBy("id").collect() }
+      finally q.stop()
+    val batch = Streaming.enrichStatic(rows.toDF("id", "k"), dim, Seq("k"))
+      .orderBy("id").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    assert(streamed.length == 60) // left join: nothing dropped
+    assert(streamed.filter(_.getString(0) == "zzz").forall(_.isNullAt(2)))
+    spark.catalog.dropTempView("ses")
+  }
 }
