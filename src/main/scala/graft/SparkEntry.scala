@@ -3096,7 +3096,26 @@ object SparkEntry {
     //      contribution explosion (fanout 7) over distinct (user, day) ----
     "q172_sliding_distinct" -> ((s, dir) =>
       graft.ops.Behavior.slidingDistinct(t(s, dir, "events"), "ts", "user_id", 7)
-        .orderBy(col("day"))))
+        .orderBy(col("day"))),
+
+    // ---- feature-redundancy screen: exact Pearson matrix over per-user
+    //      event-type count features (all moments exact bigints, one pass) ----
+    "q173_corr_matrix" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(tp =>
+        sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"n_$tp"))
+      val perUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+      graft.ops.Stats.corrMatrix(perUser, types.map("n_" + _))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
+    // ---- epsilon-DP published counts with SEEDED (replayable) Laplace
+    //      noise: u from a 32-bit md5 rank, one ln() per key ----
+    "q174_dp_counts" -> ((s, dir) =>
+      graft.ops.Reporting.dpCounts(t(s, dir, "events"), Seq("event_type"),
+          epsNum = 1L, epsDen = 1L, seed = "dp2026")
+        .orderBy(col("event_type"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -5974,7 +5993,24 @@ object SparkEntry {
         |c AS (SELECT DISTINCT id, d + i AS day
         |      FROM p, unnest(range(0, 7)) AS u(i))
         |SELECT day, count(*) AS n_distinct FROM c JOIN days USING (day)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q173: generated pair-by-pair from the same moment sums (see
+    // corrMatrixOracleSql below) — every r the engine's exact expression
+    "q173_corr_matrix" -> corrMatrixOracleSql,
+
+    // q174: same md5-seeded uniform, same Laplace inverse CDF; sign/negate
+    // steps are rounding-free so the single ln() is the only libm call
+    "q174_dp_counts" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n,
+        |  ((('0x' || substr(md5(event_type || chr(1) || 'dp2026'), 1, 8))::UBIGINT
+        |    + 0.5) / 4294967296.0) AS u FROM c)
+        |SELECT event_type, n,
+        |  cast(n AS double) -
+        |    ((1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5))) AS n_noisy,
+        |  1.0 AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).
@@ -6056,6 +6092,38 @@ object SparkEntry {
     * engine's int64 `div` exactly; all values are non-negative, so DuckDB's
     * floor `//` and Spark's truncating `div` agree.
     */
+  /** q173's oracle, generated pair-by-pair: one moments CTE (count, per-
+    * column sums, upper-triangle product sums — all exact bigints over the
+    * per-user count features), then one SELECT per (i <= j) pair computing
+    * r with the engine's exact double-op order.
+    */
+  private def corrMatrixOracleSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map("n_" + _)
+    val caseCols = types.map(tp =>
+      s"cast(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS bigint) AS n_$tp")
+      .mkString(", ")
+    val moments = (cols.map(c => s"cast(sum($c) AS bigint) AS s_$c") ++
+      (for { i <- cols.indices; j <- i until cols.size }
+        yield s"cast(sum(${cols(i)} * ${cols(j)}) AS bigint) AS p_${i}_$j"))
+      .mkString(", ")
+    val pairSelects = (for { i <- cols.indices; j <- i until cols.size } yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = s"(n * p_${i}_$j - s_$a * s_$b)"
+      val vi = s"(n * p_${i}_$i - s_$a * s_$a)"
+      val vj = s"(n * p_${j}_$j - s_$b * s_$b)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN $vi > 0 AND $vj > 0 THEN
+         |    cast($num AS double) /
+         |    (sqrt(cast($vi AS double)) * sqrt(cast($vj AS double)))
+         |  END AS r FROM s""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT user_id, $caseCols FROM events GROUP BY 1),
+       |s AS (SELECT count(*) AS n, $moments FROM u)
+       |$pairSelects
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   private def pageRankOracleSql: String = {
     val iters = (1 to 4).map { k =>
       val prev = if (k == 1) "r0" else s"r${k - 1}"

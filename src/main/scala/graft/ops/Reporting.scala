@@ -200,4 +200,43 @@ object Reporting {
     df.groupBy(col(rowCol)).pivot(colCol, values).agg(count(lit(1)))
       .na.fill(0L, values)
   }
+
+  /** Differentially-private group counts with SEEDED Laplace noise — the
+    * publishable companion to [[kAnonymize]]: per-key counts plus
+    * Laplace(1/epsilon) noise (count queries have sensitivity 1) satisfy
+    * epsilon-DP, and because the noise draw is a pure function of
+    * (key, seed) — a 32-bit md5 rank mapped through the Laplace inverse
+    * CDF — the "random" release is deterministic: re-running the report
+    * reproduces it bit-for-bit, an external engine can replay it, and
+    * nobody can average away the noise by re-querying (the classic DP
+    * deployment failure; rotate `seed` only when the underlying corpus
+    * epoch changes). epsilon is passed as an exact rational
+    * epsNum/epsDen so the scale b = epsDen/epsNum is one double division.
+    * u = (md5rank + 0.5) / 2^32 keeps the draw strictly inside (0, 1) and
+    * every arithmetic step before the single ln() call is dyadic-exact.
+    *
+    * Scale shape: one combiner-friendly aggregate; the noise is a row-
+    * local expression over the (key-bounded) count table. Returns
+    * (keys..., n, n_noisy, epsilon).
+    */
+  def dpCounts(df: DataFrame, keys: Seq[String], epsNum: Long, epsDen: Long,
+               seed: String): DataFrame = {
+    require(keys.nonEmpty && epsNum > 0 && epsDen > 0,
+      "need keys and a positive rational epsilon")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("\u0001",
+      keys.map(c => col(c).cast("string")) :+ lit(seed): _*)
+    val rank = conv(substring(md5(keyStr.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (rank.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val b = lit(epsDen.toDouble) / lit(epsNum.toDouble)
+    val centered = u - lit(0.5)
+    // Laplace inverse CDF: -b * sign(u-1/2) * ln(1 - 2|u-1/2|); the sign
+    // product and negation are rounding-free, so op grouping is immaterial
+    val noise = (b * signum(centered)) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    counts
+      .withColumn("n_noisy", col("n").cast("double") - noise)
+      .withColumn("epsilon", lit(epsNum.toDouble) / lit(epsDen.toDouble))
+  }
 }

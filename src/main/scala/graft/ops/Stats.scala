@@ -481,4 +481,43 @@ object Stats {
     summaries.unpersist()
     exact.where(col("n") >= minCount)
   }
+
+  /** Exact Pearson correlation matrix over INTEGER-valued feature columns
+    * (counts, flags, integer scores) — the feature-redundancy screen run
+    * before training a quality classifier: a |r| ~ 1 pair means one
+    * column is noise-free linear baggage. All F + F(F+1)/2 moment sums
+    * are exact bigints computed in ONE map-side-combined aggregate over a
+    * single corpus pass (no per-pair jobs, no shuffle beyond the one-row
+    * aggregate); each r is then a pure function of the sums with the same
+    * fixed double-op order as [[lagAutocorr]], so an external engine
+    * reproduces every cell bit-exactly. Zero-variance columns yield NULL
+    * r (including their diagonal). Overflow headroom: n * sum(x*y) must
+    * stay under 2^63 — fine for count-valued features (say |x| <= 10^4)
+    * up to ~10^10 rows; rescale upstream features, not this operator.
+    *
+    * Returns the upper triangle incl. diagonal: (col_a, col_b, n, r) for
+    * a <= b in `cols` order — F(F+1)/2 rows from one aggregate row.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val c = cols.map(n => col(n).cast("long"))
+    val firstAgg = count(lit(1)).as("_n")
+    val sumAggs = cols.indices.map(i => sum(c(i)).as(s"_s$i"))
+    val prodAggs = for { i <- cols.indices; j <- i until cols.size }
+      yield sum(c(i) * c(j)).as(s"_p${i}_$j")
+    val agged = df.agg(firstAgg, (sumAggs ++ prodAggs): _*)
+    def variance(i: Int) =
+      col("_n") * col(s"_p${i}_$i") - col(s"_s$i") * col(s"_s$i")
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield {
+      val num = col("_n") * col(s"_p${i}_$j") - col(s"_s$i") * col(s"_s$j")
+      val r = when(variance(i) > 0 && variance(j) > 0,
+        num.cast("double") /
+          (sqrt(variance(i).cast("double")) * sqrt(variance(j).cast("double"))))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"), r.as("r"))
+    }
+    agged.select(col("_n").as("n"), explode(array(pairs: _*)).as("_pair"))
+      .select(col("_pair.col_a").as("col_a"), col("_pair.col_b").as("col_b"),
+        col("n"), col("_pair.r").as("r"))
+  }
 }

@@ -138,4 +138,32 @@ class ReportingSpec extends SparkSpec {
       .orderBy("k").collect().map(x => (x.getString(0), x.getLong(4)))
     assert(r.toSeq == Seq(("a", 9L), ("z", 0L)))
   }
+
+  test("dpCounts: seeded Laplace noise replays bit-exactly from (key, seed)") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(5)("b")).toDF("k")
+    val got = Reporting.dpCounts(df, Seq("k"), epsNum = 1L, epsDen = 2L,
+        seed = "s1").orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    // independent replay of the whole chain in plain JVM arithmetic
+    def expected(key: String, n: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((key + "\u0001" + "s1").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val rank = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val u = (rank.toDouble + 0.5) / 4294967296.0
+      val b = 2.0 / 1.0
+      val noise = (b * math.signum(u - 0.5)) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      n.toDouble - noise
+    }
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq(("a", 3L), ("b", 5L)))
+    assert(got(0)._3 == expected("a", 3L) && got(1)._3 == expected("b", 5L))
+    assert(got.forall(_._4 == 0.5)) // epsilon = 1/2
+    // determinism: a second run is identical; a new seed moves the noise
+    val again = Reporting.dpCounts(df, Seq("k"), 1L, 2L, "s1").orderBy("k")
+      .collect().map(_.getDouble(2))
+    assert(again.toSeq == got.map(_._3).toSeq)
+    val reseeded = Reporting.dpCounts(df, Seq("k"), 1L, 2L, "s2").orderBy("k")
+      .collect().map(_.getDouble(2))
+    assert(reseeded.toSeq != got.map(_._3).toSeq)
+  }
 }

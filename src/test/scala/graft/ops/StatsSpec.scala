@@ -305,4 +305,24 @@ class StatsSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(1))).toSet
     assert(edge == Set(("hit", 5L)))
   }
+
+  test("corrMatrix: +1/-1 on linear columns, NULL on zero variance, full triangle") {
+    // x = 1..4, y = 2x (r=1), z = 5-x (r=-1), w = 7 (zero variance)
+    val df = (1 to 4).map(x => (x.toLong, 2L * x, 5L - x, 7L))
+      .toDF("x", "y", "z", "w")
+    val r = Stats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .orderBy("col_a", "col_b").collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    assert(r.size == 10) // 4*5/2 upper-triangle cells
+    assert(r.forall(_._2._1 == 4L))
+    def near(p: (String, String), v: Double) =
+      assert(math.abs(r(p)._2.get - v) < 1e-12, s"$p -> ${r(p)._2}")
+    near(("x", "x"), 1.0); near(("x", "y"), 1.0); near(("x", "z"), -1.0)
+    near(("y", "y"), 1.0); near(("y", "z"), -1.0); near(("z", "z"), 1.0)
+    // every pair touching the constant column is NULL, diagonal included
+    Seq(("w", "w"), ("x", "w"), ("y", "w"), ("z", "w")).foreach { p =>
+      assert(r(p)._2.isEmpty, s"$p should be NULL")
+    }
+  }
 }
