@@ -142,4 +142,44 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"weight join is not broadcast:\n$plan")
   }
+
+  test("corrMatrix: ONE exchange (the single-row aggregate); payload pruned") {
+    val df = Seq.tabulate(64)(i => (i.toLong, (i % 7).toLong, s"payload$i"))
+      .toDF("x", "y", "payload")
+    val plan = Stats.corrMatrix(df, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected one shuffle:\n$plan")
+    assert(!plan.contains("payload"), s"payload leaked into the moments scan:\n$plan")
+  }
+
+  test("dpCounts: one exchange (the count groupBy); noise is row-local") {
+    val df = Seq.tabulate(64)(i => (s"k${i % 5}", s"payload$i")).toDF("k", "text")
+    val plan = Reporting.dpCounts(df, Seq("k"), 1L, 1L, "s")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected one shuffle:\n$plan")
+    assert(!plan.contains("text#") ||
+      !plan.split("\n").filter(_.contains("Exchange")).exists(_.contains("text#")),
+      s"payload rides the count shuffle:\n$plan")
+  }
+
+  test("enrichStatic (batch form): dimension joins by BROADCAST, stream side never exchanges") {
+    val stream = Seq.tabulate(64)(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
+    val dim = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "meta")
+    val plan = graft.streaming.Streaming.enrichStatic(stream, dim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join is not broadcast:\n$plan")
+    assert(shuffles(plan) == 0, s"stream side shuffled:\n$plan")
+  }
+
+  test("frequentItems pruned path: pass 2 aggregates AFTER the candidate join") {
+    val rows = (1 to 30).flatMap(i => Seq.fill(90 / i)(s"v$i"))
+    val df = rows.toDF("tok").repartition(4)
+    val out = Stats.frequentItems(df, "tok", minCount = 40L, summaryK = 256)
+    val plan = out.queryExecution.executedPlan.toString
+    // the exact count joins the corpus against the (checkpointed) candidate
+    // set before aggregating — the join must be present and broadcast-able
+    assert(plan.contains("Join"), s"no candidate join in pass 2:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small candidate set did not broadcast:\n$plan")
+  }
 }
