@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 166 queries spanning every implemented operator family
+/** Driver contract — 174 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -142,7 +142,14 @@ import graft.temporal.{AsOfJoin, Windows}
   * monitor, q162 sorted-neighborhood blocking (distributed global
   * rank), q163 OLAP CUBE volume rollup, q164 market-basket association
   * rules, q165 Kendall-tau ranking churn, q166 lag-7 daily
-  * autocorrelation (exact-bigint Pearson sums).
+  * autocorrelation (exact-bigint Pearson sums), q167 per-key OLS volume
+  * trend, q168 chi-squared independence (full grid + fold-ordered
+  * total), q169 multi-source BFS crawl depth, q170 exact two-pass heavy
+  * hitters (Misra-Gries candidates + exact verify), q171 stream-static
+  * broadcast enrichment, q172 trailing-window distinct actors
+  * (contribution explosion), q173 exact Pearson correlation matrix
+  * (one-pass bigint moments), q174 seeded differentially-private counts
+  * (replayable Laplace).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
