@@ -3122,7 +3122,44 @@ object SparkEntry {
     "q174_dp_counts" -> ((s, dir) =>
       graft.ops.Reporting.dpCounts(t(s, dir, "events"), Seq("event_type"),
           epsNum = 1L, epsDen = 1L, seed = "dp2026")
-        .orderBy(col("event_type"))))
+        .orderBy(col("event_type"))),
+
+    // ---- tokenizer-vocabulary sizing: exact token-mass coverage at
+    //      candidate vocab sizes (TakeOrdered top-k, never a full sort) ----
+    "q175_vocab_coverage" -> ((s, dir) =>
+      graft.ops.Lm.vocabCoverage(t(s, dir, "documents"), "text", Seq(4, 16, 64))
+        .orderBy(col("vocab_size"))),
+
+    // ---- did mean doc length move between en and de? Welch's unequal-
+    //      variance t from six exact bigints in one pass ----
+    "q176_welch_ttest" -> ((s, dir) =>
+      graft.ops.Stats.welchTest(t(s, dir, "documents"), "lang", "n_chars",
+        "en", "de")),
+
+    // ---- IR ranking metrics per query (lang): the EXACT dyadic columns
+    //      (RBP p=1/2, reciprocal rank, P@k) — nDCG stays JVM-internal
+    //      (StrictMath ln is 1 ulp off libm; see Relevance scaladoc) ----
+    "q177_ranking_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val run = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .where(col("rank") <= 10)
+        .withColumn("rel", col("doc_id") % 3)
+      graft.ops.Relevance.rankingMetrics(run, "lang", "rank", "rel", k = 10)
+        .select(col("query"), col("rbp"), col("rr"), col("p_at_k"))
+        .orderBy(col("query"))
+    }),
+
+    // ---- exact join-size preflight: per-key n_l*n_r products over the
+    //      two key aggregates, top contributors + '*' total ----
+    "q178_join_preflight" -> ((s, dir) =>
+      graft.ops.Skew.joinSizeEstimate(
+          t(s, dir, "events").select((col("user_id") % 100).as("k")),
+          t(s, dir, "documents").select((col("doc_id") % 150).as("k")),
+          "k", topN = 5)
+        .orderBy(col("pairs").desc, col("key"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -6017,7 +6054,82 @@ object SparkEntry {
         |  cast(n AS double) -
         |    ((1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5))) AS n_noisy,
         |  1.0 AS epsilon
-        |FROM u ORDER BY event_type""".stripMargin)
+        |FROM u ORDER BY event_type""".stripMargin,
+
+    // q175: same rank/cumulative construction; least() clamps oversized k
+    "q175_vocab_coverage" ->
+      """WITH w AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |t AS (SELECT ws[i] AS tok FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+        |tot AS (SELECT cast(sum(n) AS bigint) AS T, count(*) AS nt FROM c),
+        |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c),
+        |cum AS (SELECT rk, cast(sum(n) OVER (ORDER BY rk) AS bigint) AS cn FROM r)
+        |SELECT k.vocab_size, cum.cn AS covered_tokens, tot.T AS total_tokens,
+        |  cast(cum.cn AS double) / cast(tot.T AS double) AS coverage
+        |FROM (VALUES (4), (16), (64)) k(vocab_size), tot
+        |JOIN cum ON cum.rk = least(k.vocab_size, tot.nt)
+        |ORDER BY 1""".stripMargin,
+
+    // q176: six conditional bigint sums, then the engine's exact division
+    // chain (var -> se -> t -> Welch-Satterthwaite dof)
+    "q176_welch_ttest" ->
+      """WITH s AS (SELECT
+        |  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint) AS na,
+        |  cast(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS bigint) AS sa,
+        |  cast(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS bigint) AS ssa,
+        |  cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS bigint) AS nb,
+        |  cast(sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END) AS bigint) AS sb,
+        |  cast(sum(CASE WHEN lang = 'de' THEN n_chars * n_chars ELSE 0 END) AS bigint) AS ssb
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |d AS (SELECT na, nb,
+        |  cast(sa AS double) / cast(na AS double) AS ma,
+        |  cast(sb AS double) / cast(nb AS double) AS mb,
+        |  cast(na * ssa - sa * sa AS double) / cast(na * (na - 1) AS double) AS va,
+        |  cast(nb * ssb - sb * sb AS double) / cast(nb * (nb - 1) AS double) AS vb
+        |  FROM s),
+        |e AS (SELECT *, va / cast(na AS double) AS sea,
+        |      vb / cast(nb AS double) AS seb FROM d)
+        |SELECT na AS n_a, nb AS n_b, ma AS mean_a, mb AS mean_b,
+        |  va AS var_a, vb AS var_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0 THEN
+        |    (ma - mb) / sqrt(sea + seb) END AS t,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0 THEN
+        |    ((sea + seb) * (sea + seb)) /
+        |    (sea * sea / cast(na - 1 AS double) + seb * seb / cast(nb - 1 AS double))
+        |  END AS dof
+        |FROM e""".stripMargin,
+
+    // q177: the exact dyadic metric columns — RBP terms rel/2^(rank-1)
+    // (pure IEEE division by a power of two, no libm), ordered fold
+    "q177_ranking_metrics" ->
+      """WITH run AS (SELECT lang AS q,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank,
+        |  doc_id % 3 AS rel FROM documents QUALIFY rank <= 10)
+        |SELECT q AS query,
+        |  0.5 * list_reduce([cast(0.0 AS double)] ||
+        |    list(cast(rel AS double) / cast(1::BIGINT << (rank - 1) AS double)
+        |         ORDER BY rank), (a, b) -> a + b) AS rbp,
+        |  1.0 / cast(min(CASE WHEN rel > 0 THEN rank END) AS double) AS rr,
+        |  cast(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS double) / 10.0 AS p_at_k
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q178: the definitional per-key product + total row
+    "q178_join_preflight" ->
+      """WITH l AS (SELECT cast(user_id % 100 AS varchar) AS key,
+        |           count(*) AS n_left FROM events GROUP BY 1),
+        |r AS (SELECT cast(doc_id % 150 AS varchar) AS key,
+        |      count(*) AS n_right FROM documents GROUP BY 1),
+        |m AS (SELECT l.key, n_left, n_right, n_left * n_right AS pairs
+        |      FROM l JOIN r USING (key)),
+        |top AS (SELECT * FROM m ORDER BY pairs DESC, key LIMIT 5),
+        |tot AS (SELECT '*' AS key, count(*) AS n_left, count(*) AS n_right,
+        |        cast(coalesce(sum(pairs), 0) AS bigint) AS pairs FROM m)
+        |SELECT key, cast(n_left AS bigint) AS n_left,
+        |  cast(n_right AS bigint) AS n_right, cast(pairs AS bigint) AS pairs
+        |FROM top
+        |UNION ALL SELECT * FROM tot""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

@@ -260,4 +260,47 @@ object Lm {
         coalesce(col("_sc"), lit(0L)).as("score"),
         (coalesce(col("_sc"), lit(0L)) > 0L).as("label"))
   }
+
+  /** Vocabulary coverage curve: for each candidate vocab size k, the share
+    * of corpus token MASS covered by the k most frequent word types —
+    * the sizing signal for a tokenizer vocabulary ("32k types cover
+    * 99.2%; doubling to 64k buys 0.3 points"). Exact integers
+    * throughout; coverage is one double division per requested size.
+    *
+    * Scale shape: one combiner-friendly token-count aggregate (the only
+    * corpus-volume shuffle), a 1-row totals broadcast, and a
+    * TakeOrdered top-max(sizes) (per-partition heaps + driver-side-free
+    * merge — never a full sort of the type table). The rank window that
+    * follows is single-partition by construction but runs over AT MOST
+    * max(sizes) rows — the requested curve depth, not the vocabulary.
+    * Ties at the boundary break (freq desc, token asc), so the curve is
+    * deterministic. Sizes larger than the observed type count clamp to
+    * full coverage.
+    *
+    * Returns (vocab_size, covered_tokens, total_tokens, coverage).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1) &&
+      sizes.distinct.size == sizes.size, "sizes must be positive and distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).cast("long").as("_T"),
+      count(lit(1)).as("_nt"))
+    val top = counts.orderBy(col("_n").desc, col("tok").asc).limit(sizes.max)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_n").desc, col("tok").asc)
+    val cum = top.withColumn("_rk", row_number().over(w))
+      .withColumn("_cn", sum(col("_n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    sizes.map(_.toLong).toDF("vocab_size")
+      .crossJoin(broadcast(tot))
+      .join(cum, col("_rk") === least(col("vocab_size"), col("_nt")))
+      .select(col("vocab_size"), col("_cn").as("covered_tokens"),
+        col("_T").as("total_tokens"),
+        (col("_cn").cast("double") / col("_T").cast("double")).as("coverage"))
+  }
 }

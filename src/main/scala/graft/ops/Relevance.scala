@@ -329,4 +329,70 @@ object Relevance {
       .select(col("term"), col("block"), col("df_block"), col("cf_block"),
         col("postings"))
   }
+
+  /** Per-query ranking-quality metrics over a run table (query, rank,
+    * rel) — the IR evaluation companion to [[bm25TopK]] and the AUC in
+    * `Stats.binaryEval`. Two tiers of reproducibility, deliberately:
+    *
+    *  - EXACT cross-engine metrics (libm-free — nothing but IEEE
+    *    division/addition on dyadic rationals, so ANY engine replays
+    *    them bit-for-bit): `rbp` — rank-biased precision (Moffat &
+    *    Zobel) with persistence p = 1/2, terms rel_i / 2^(i-1) exact
+    *    dyadic, scaled by (1-p) = 0.5 (a power-of-two multiply);
+    *    `rr` = 1/(first rank with rel > 0); `p_at_k` = |rel>0| / k.
+    *  - ENGINE-deterministic metrics: `dcg`/`idcg`/`ndcg` with the
+    *    natural-log discount rel/ln(i+1). Spark 4 routes ln through
+    *    StrictMath.log, which disagrees with C libm by 1 ulp on some
+    *    inputs (ln(3) among them) — so these columns are deterministic
+    *    and test-replayable inside the JVM (the spec checks them against
+    *    StrictMath) but are NOT exposed through the driver oracle.
+    *    (nDCG itself is log-base-invariant, so the ln choice is purely
+    *    cosmetic.)
+    *
+    * All folds run LEFT-TO-RIGHT over position order — DCG over
+    * rank-sorted terms, IDCG over relevance-desc-sorted terms — never an
+    * order-free float sum. rr/ndcg are NULL for a query with no relevant
+    * document in its top-k (idcg = 0).
+    *
+    * Ranks must be 1-based and unique per query (they come from the
+    * upstream ranker's row_number); k <= 53 so 2^(rank-1) stays an exact
+    * long/double. Scale shape: one groupBy(query) collecting at most k
+    * (rank, rel) pairs per query — the collected array is CURVE-DEPTH-
+    * bounded, not corpus-bounded; all folds are row-local array HOFs
+    * after that single exchange.
+    */
+  def rankingMetrics(df: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 53, "k must be in [1, 53]")
+    val g = df.where(col(rankCol) <= k && col(rankCol) >= 1)
+      .groupBy(col(queryCol).as("query"))
+      .agg(collect_list(struct(col(rankCol).cast("long").as("rank"),
+        col(relCol).cast("long").as("rel"))).as("_rr"))
+      .withColumn("_byrank", expr("sort_array(_rr)"))
+    val rbp = expr(
+      """0.5d * aggregate(_byrank, cast(0.0 as double),
+        |  (acc, x) -> acc + cast(x.rel as double)
+        |    / cast(shiftleft(1L, cast(x.rank - 1 as int)) as double))"""
+        .stripMargin)
+    val dcg = expr(
+      """aggregate(_byrank, cast(0.0 as double),
+        |  (acc, x) -> acc + cast(x.rel as double) / ln(cast(x.rank + 1 as double)))"""
+        .stripMargin)
+    // ideal ordering: relevance desc; position index via the parallel
+    // sequence, folded left-to-right
+    val idcg = expr(
+      """aggregate(sequence(1, size(_byrank)), cast(0.0 as double),
+        |  (acc, i) -> acc + cast(element_at(sort_array(_byrank.rel, false), i) as double)
+        |    / ln(cast(i + 1 as double)))""".stripMargin)
+    val firstRel = expr(
+      "array_min(filter(_byrank, x -> x.rel > 0).rank)")
+    val nRel = expr("size(filter(_byrank, x -> x.rel > 0))")
+    g.select(col("query"),
+        rbp.as("rbp"),
+        when(firstRel.isNotNull,
+          lit(1.0) / firstRel.cast("double")).as("rr"),
+        (nRel.cast("double") / lit(k.toDouble)).as("p_at_k"),
+        dcg.as("dcg"), idcg.as("idcg"),
+        when(idcg > 0, dcg / idcg).as("ndcg"))
+  }
 }

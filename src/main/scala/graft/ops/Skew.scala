@@ -126,4 +126,34 @@ object Skew {
         (col("_k") + lit(1.0)) / col("_k").cast("double")).as("gini"),
       expr("(_top._n * _k + _t - 1) div _t").as("suggested_salt"))
   }
+
+  /** EXACT inner-join output-size preflight — run this on the key columns
+    * BEFORE a big join to learn whether the join will explode and which
+    * keys explode it: |A join B| = sum over matching keys of n_a * n_b,
+    * computed from the two per-key count aggregates (key-cardinality-
+    * sized, never row-sized). Emits the topN contributing keys (pairs
+    * desc, key asc — deterministic at the boundary) plus a '*' total row
+    * holding the exact join cardinality and matching-key count. The cost
+    * is two combiner aggregates + a key-sized join — orders of magnitude
+    * cheaper than discovering the explosion in the shuffle spill.
+    *
+    * Returns (key, n_left, n_right, pairs); the '*' total row carries
+    * (matched-key count, matched-key count, exact total join rows).
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame, keyCol: String,
+                       topN: Int = 10): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val l = left.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val matched = l.join(r, Seq("key"))
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    val total = matched.agg(
+      count(lit(1)).as("_mk"), coalesce(sum(col("pairs")), lit(0L)).as("_tp"))
+      .select(lit("*").as("key"), col("_mk").as("n_left"),
+        col("_mk").as("n_right"), col("_tp").as("pairs"))
+    matched.orderBy(col("pairs").desc, col("key").asc).limit(topN)
+      .unionByName(total)
+  }
 }

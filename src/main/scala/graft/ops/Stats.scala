@@ -520,4 +520,53 @@ object Stats {
       .select(col("_pair.col_a").as("col_a"), col("_pair.col_b").as("col_b"),
         col("n"), col("_pair.r").as("r"))
   }
+
+  /** Welch's unequal-variance two-sample t-test over an INTEGER-valued
+    * metric — "did the mean quality score move between slice A and slice
+    * B?" without assuming equal variances (corpus slices never have
+    * them). Per-group n / sum / sum-of-squares are exact bigints from ONE
+    * map-side-combined aggregate; mean, sample variance, t and the
+    * Welch-Satterthwaite dof are then pure functions of the six integers
+    * with a FIXED double-op order (each written as the minimal chain of
+    * divisions), so an external engine reproduces them bit-exactly:
+    *
+    *   var   = (n*ss - s*s) / (n*(n-1))      one division
+    *   se_g  = var_g / n_g                   one division each
+    *   t     = (mean_a - mean_b) / sqrt(se_a + se_b)
+    *   dof   = (se_a + se_b)^2 / (se_a^2/(n_a-1) + se_b^2/(n_b-1))
+    *
+    * Returns one row (n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof);
+    * t/dof NULL when either group has n < 2 or both variances are zero.
+    * Rows whose group matches neither label are ignored.
+    */
+  def welchTest(df: DataFrame, groupCol: String, valCol: String,
+                groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groups must differ")
+    val v = col(valCol).cast("long")
+    def tagged(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      coalesce(sum(when(cond, v)), lit(0L)).as(s"_s_$tag"),
+      coalesce(sum(when(cond, v * v)), lit(0L)).as(s"_ss_$tag"))
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val aggs = tagged(isA, "a") ++ tagged(isB, "b")
+    val both = df.where(isA || isB).agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) = col(s"_s_$t").cast("double") / col(s"n_$t").cast("double")
+    def vr(t: String) =
+      (col(s"n_$t") * col(s"_ss_$t") - col(s"_s_$t") * col(s"_s_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double")
+    val seA = vr("a") / col("n_a").cast("double")
+    val seB = vr("b") / col("n_b").cast("double")
+    val se = seA + seB
+    val defined = col("n_a") >= 2 && col("n_b") >= 2
+    both.select(col("n_a"), col("n_b"),
+      when(col("n_a") >= 1, mean("a")).as("mean_a"),
+      when(col("n_b") >= 1, mean("b")).as("mean_b"),
+      when(col("n_a") >= 2, vr("a")).as("var_a"),
+      when(col("n_b") >= 2, vr("b")).as("var_b"),
+      when(defined && se > 0, (mean("a") - mean("b")) / sqrt(se)).as("t"),
+      when(defined && se > 0,
+        (se * se) / (seA * seA / (col("n_a") - 1).cast("double") +
+          seB * seB / (col("n_b") - 1).cast("double"))).as("dof"))
+  }
 }

@@ -79,4 +79,20 @@ class LmSpec extends SparkSpec {
     assert(r(1).toSeq == Seq(2L, 0L, false))  // bucket 9 has no weight
     assert(r(2).toSeq == Seq(3L, 0L, false))  // no features at all
   }
+
+  test("vocabCoverage: exact mass shares, oversized k clamps to full coverage") {
+    val df = Seq("a a a b", "b c").toDF("text")
+    // counts: a=3, b=2, c=1; T=6, 3 types
+    val r = Lm.vocabCoverage(df, "text", Seq(1, 2, 10))
+      .orderBy("vocab_size").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 6L, 0.5),
+      (2L, 5L, 6L, 5.0 / 6.0),
+      (10L, 6L, 6L, 1.0))) // only 3 types exist: full coverage
+    // tie at the boundary: b and c both once -> token asc keeps 'b' first
+    val tie = Lm.vocabCoverage(Seq("a a b c").toDF("text"), "text", Seq(2))
+      .collect().head
+    assert(tie.getLong(1) == 3L) // a(2) + b(1)
+  }
 }

@@ -201,4 +201,32 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(4)).toMap
     assert(r((0L, 10L)) == 1L && r((7L, 10L)) == 1L)
   }
+
+  test("rankingMetrics: hand-computed DCG/IDCG/nDCG/RR; no-relevant query yields NULLs") {
+    val run = Seq(
+      ("q1", 1L, 0L), ("q1", 2L, 2L), ("q1", 3L, 1L),
+      ("q2", 1L, 0L), ("q2", 2L, 0L),
+      ("q3", 1L, 1L), ("q3", 4L, 3L)). // rank 4 is beyond k=3
+      toDF("q", "rank", "rel")
+    val r = Relevance.rankingMetrics(run, "q", "rank", "rel", k = 3)
+      .orderBy("query").collect()
+    // Spark 4 routes ln through StrictMath (1 ulp off libm at e.g. ln(3))
+    def ln(x: Double) = StrictMath.log(x)
+    // columns: query, rbp, rr, p_at_k, dcg, idcg, ndcg
+    // q1: byrank rel (0,2,1): rbp = .5*(0/1 + 2/2 + 1/4); dcg over ln
+    assert(r(0).getString(0) == "q1")
+    assert(r(0).getDouble(1) == 0.5 * (0.0 / 1.0 + 2.0 / 2.0 + 1.0 / 4.0))
+    assert(r(0).getDouble(2) == 0.5) // first relevant at rank 2
+    assert(r(0).getDouble(3) == 2.0 / 3.0)
+    val dcg1 = ((0.0 + 0.0 / ln(2.0)) + 2.0 / ln(3.0)) + 1.0 / ln(4.0)
+    val idcg1 = ((0.0 + 2.0 / ln(2.0)) + 1.0 / ln(3.0)) + 0.0 / ln(4.0)
+    assert(r(0).getDouble(4) == dcg1 && r(0).getDouble(5) == idcg1)
+    assert(r(0).getDouble(6) == dcg1 / idcg1)
+    // q2: all rel 0 -> rbp 0, rr NULL, p@k 0, idcg 0 -> ndcg NULL
+    assert(r(1).getDouble(1) == 0.0 && r(1).isNullAt(2))
+    assert(r(1).getDouble(3) == 0.0 && r(1).isNullAt(6))
+    // q3: rank-4 row filtered by k; single rank-1 rel 1
+    assert(r(2).getDouble(1) == 0.5 && r(2).getDouble(2) == 1.0)
+    assert(r(2).getDouble(3) == 1.0 / 3.0 && r(2).getDouble(6) == 1.0)
+  }
 }

@@ -75,4 +75,21 @@ class SkewSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("suggested_salt")) == 1L)
     assert(r.getString(r.fieldIndex("max_key")) == "c") // largest key breaks ties
   }
+
+  test("joinSizeEstimate: exact per-key products, topN cut, '*' total row") {
+    val left = (Seq.fill(2)("a") ++ Seq("b") ++ Seq.fill(3)("c")).toDF("k")
+    val right = (Seq.fill(3)("a") ++ Seq.fill(5)("b") ++ Seq("d")).toDF("k")
+    val all = Skew.joinSizeEstimate(left, right, "k", topN = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+    // matched keys: a (2x3=6), b (1x5=5); c/d unmatched; total = 11
+    assert(all == Set(("a", 2L, 3L, 6L), ("b", 1L, 5L, 5L), ("*", 2L, 2L, 11L)))
+    val top1 = Skew.joinSizeEstimate(left, right, "k", topN = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(top1 == Set("a", "*")) // biggest contributor + the total row
+    // disjoint keys: only the zero total row
+    val none = Skew.joinSizeEstimate(Seq("x").toDF("k"), Seq("y").toDF("k"), "k")
+      .collect().map(x => (x.getString(0), x.getLong(3)))
+    assert(none.toSeq == Seq(("*", 0L)))
+  }
 }

@@ -325,4 +325,22 @@ class StatsSpec extends SparkSpec {
       assert(r(p)._2.isEmpty, s"$p should be NULL")
     }
   }
+
+  test("welchTest: hand-computed t and Welch dof; degenerate groups yield NULLs") {
+    // a: 1,2,3 (mean 2, var 1); b: 4,6 (mean 5, var 2)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 6L),
+      ("zz", 99L)).toDF("g", "v") // 'zz' rows are ignored
+    val r = Stats.welchTest(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0)
+    val seA = 1.0 / 3.0; val seB = 2.0 / 2.0; val se = seA + seB
+    assert(r.getDouble(6) == (2.0 - 5.0) / math.sqrt(se))
+    assert(r.getDouble(7) == (se * se) / (seA * seA / 2.0 + seB * seB / 1.0))
+    // n_b = 1: variance undefined -> t/dof/var_b NULL, means still real
+    val deg = Stats.welchTest(Seq(("a", 1L), ("a", 3L), ("b", 7L)).toDF("g", "v"),
+      "g", "v", "a", "b").collect().head
+    assert(deg.getDouble(3) == 7.0 && deg.isNullAt(5) && deg.isNullAt(6) &&
+      deg.isNullAt(7))
+  }
 }
