@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 174 queries spanning every implemented operator family
+/** Driver contract — 178 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -149,7 +149,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * broadcast enrichment, q172 trailing-window distinct actors
   * (contribution explosion), q173 exact Pearson correlation matrix
   * (one-pass bigint moments), q174 seeded differentially-private counts
-  * (replayable Laplace).
+  * (replayable Laplace), q175 vocabulary coverage curve (TakeOrdered
+  * top-k), q176 Welch's t-test (one-pass conditional sums), q177 IR
+  * ranking metrics (exact dyadic RBP/RR/P@k; ln-based nDCG kept
+  * JVM-internal), q178 exact join-size preflight.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
