@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 178 queries spanning every implemented operator family
+/** Driver contract — 181 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -152,7 +152,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * (replayable Laplace), q175 vocabulary coverage curve (TakeOrdered
   * top-k), q176 Welch's t-test (one-pass conditional sums), q177 IR
   * ranking metrics (exact dyadic RBP/RR/P@k; ln-based nDCG kept
-  * JVM-internal), q178 exact join-size preflight.
+  * JVM-internal), q178 exact join-size preflight, q179 winsorized mean
+  * (exact discrete-quantile clamp), q180 top-k membership churn, q181
+  * inter-event gap log2 histogram (length(bin(gap))-1, no libm).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -1952,7 +1954,13 @@ object SparkEntry {
     //      fingerprint-set predicate (q37 precedent: production keeps the
     //      boilerplate cap). ----
     "q98_winnow_overlap" -> ((s, dir) => {
-      graft.ops.Dedup.winnowedOverlapPairs(t(s, dir, "documents"),
+      // 400-doc slice: with the df cap disabled for oracle exactness, the
+      // pair fan-out is sum(df^2) over fingerprints — on this tiny-vocab
+      // synthetic corpus that grows quadratically in corpus size while
+      // proving nothing extra about the predicate. Production keeps the
+      // cap and never sees the quadratic blow-up.
+      graft.ops.Dedup.winnowedOverlapPairs(
+          t(s, dir, "documents").where(col("doc_id") < 400),
           "doc_id", "text", k = 4, windowW = 5, minShared = 2,
           maxFpDf = 1000000)
         .orderBy(col("id_a"), col("id_b"))
@@ -3162,7 +3170,37 @@ object SparkEntry {
           t(s, dir, "events").select((col("user_id") % 100).as("k")),
           t(s, dir, "documents").select((col("doc_id") % 150).as("k")),
           "k", topN = 5)
-        .orderBy(col("pairs").desc, col("key"))))
+        .orderBy(col("pairs").desc, col("key"))),
+
+    // ---- robust doc-length mean per language: clamp at the exact
+    //      discrete [p25, p75] group quantiles, then one division ----
+    "q179_winsorized_mean" -> ((s, dir) =>
+      graft.ops.Stats.winsorizedMean(t(s, dir, "documents"), Seq("lang"),
+          "n_chars", 0.25, 0.75)
+        .orderBy(col("lang"))),
+
+    // ---- membership churn between the even/odd-day top-20 user sets
+    //      (the order-blind companion to q165's Kendall tau) ----
+    "q180_topk_churn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+      def top20(half: Column => Column): DataFrame =
+        ev.where(half(col("day"))).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+          .where(col("rnk") <= 20).select(col("user_id"))
+      graft.ops.Diff.topkChurn(
+        top20(d => d % 2 === 0), top20(d => d % 2 === 1), "user_id")
+    }),
+
+    // ---- inter-event gap distribution per user: exact ms gaps bucketed
+    //      by floor(log2) via length(bin(gap))-1, no libm ----
+    "q181_gap_histogram" -> ((s, dir) =>
+      graft.ops.Behavior.gapHistogram(t(s, dir, "events"), "user_id", "ts",
+          "event_id")
+        .orderBy(col("log2_bucket"))))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -4570,7 +4608,8 @@ object SparkEntry {
     // hashes, min of each 5-hash window, distinct mins as the fingerprint
     // set, pairs by shared-count
     "q98_winnow_overlap" ->
-      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+        |           FROM documents WHERE doc_id < 400),
         |h AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 3, 0) + 1),
         |        i -> ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8))::BIGINT) AS h
         |      FROM w),
@@ -6132,7 +6171,60 @@ object SparkEntry {
         |SELECT key, cast(n_left AS bigint) AS n_left,
         |  cast(n_right AS bigint) AS n_right, cast(pairs AS bigint) AS pairs
         |FROM top
-        |UNION ALL SELECT * FROM tot""".stripMargin)
+        |UNION ALL SELECT * FROM tot""".stripMargin,
+
+    // q179: DuckDB's native quantile_disc implements the same element
+    // rule (proved by q75); clamp + exact sums + one division each
+    "q179_winsorized_mean" ->
+      """WITH t AS (SELECT lang, quantile_disc(n_chars, 0.25) AS lo,
+        |           quantile_disc(n_chars, 0.75) AS hi
+        |           FROM documents GROUP BY 1),
+        |j AS (SELECT d.lang, lo, hi, d.n_chars AS v,
+        |      greatest(lo, least(hi, d.n_chars)) AS cv
+        |      FROM documents d JOIN t USING (lang))
+        |SELECT lang, lo, hi, count(*) AS n,
+        |  cast(cast(sum(v) AS bigint) AS double) / cast(count(*) AS double)
+        |    AS mean_raw,
+        |  cast(cast(sum(cv) AS bigint) AS double) / cast(count(*) AS double)
+        |    AS winsorized_mean
+        |FROM j GROUP BY lang, lo, hi ORDER BY lang""".stripMargin,
+
+    // q180: same two rankings as q165, set algebra over the key sets
+    "q180_topk_churn" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |ra AS (SELECT user_id,
+        |       row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |       FROM e WHERE day % 2 = 0 GROUP BY user_id QUALIFY rnk <= 20),
+        |rb AS (SELECT user_id,
+        |       row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+        |       FROM e WHERE day % 2 = 1 GROUP BY user_id QUALIFY rnk <= 20),
+        |j AS (SELECT ra.user_id AS ka, rb.user_id AS kb
+        |      FROM ra FULL OUTER JOIN rb ON ra.user_id = rb.user_id)
+        |SELECT cast(count(ka) AS bigint) AS n_a, cast(count(kb) AS bigint) AS n_b,
+        |  cast(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_common,
+        |  cast(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_added,
+        |  cast(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+        |  cast(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS double) /
+        |  cast(count(ka) + count(kb) -
+        |    sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS double) AS jaccard
+        |FROM j""".stripMargin,
+
+    // q181: identical lag ordering (ts, event_id) and the same
+    // length(bin(gap))-1 integer bucket rule
+    "q181_gap_histogram" ->
+      """WITH g AS (SELECT epoch_ms(ts) -
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events),
+        |h AS (SELECT CASE WHEN gap = 0 THEN -1
+        |             ELSE length(bin(gap)) - 1 END AS log2_bucket,
+        |      count(*) AS n FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT cast(sum(n) AS bigint) AS t FROM h)
+        |SELECT log2_bucket, n, cast(n AS double) / cast(t AS double) AS share
+        |FROM h, tot ORDER BY 1""".stripMargin)
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

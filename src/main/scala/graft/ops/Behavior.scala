@@ -246,6 +246,39 @@ object Behavior {
       .groupBy(col("day")).agg(count(lit(1)).as("n_distinct"))
   }
 
+  /** Log2 histogram of inter-event gaps per entity — "how long between a
+    * user's consecutive events / a url's consecutive crawls?", the
+    * empirical input for choosing a sessionization gap or a revisit
+    * cadence. Gaps are exact millisecond integers from lag() over
+    * (tsCol, tieCol) within each entity (the tie column makes equal
+    * timestamps deterministic); the bucket is floor(log2(gap)) computed
+    * as length(bin(gap)) - 1 — pure integer/string ops, no libm — with
+    * zero gaps in a sentinel bucket -1. share = n/total is the single
+    * double division.
+    *
+    * Scale shape: ONE window over a slim (entity, ts, tie) projection —
+    * per-entity row counts bound each partition, so no key is hot —
+    * then a bucket-bounded (<= 64 rows) aggregate and a 1-row total via
+    * crossJoin. Returns (log2_bucket, n, share).
+    */
+  def gapHistogram(df: DataFrame, entityCol: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_e")).orderBy(col("_t"), col("_tie"))
+    val gaps = df.select(col(entityCol).as("_e"),
+        expr(s"unix_millis(cast(`$tsCol` as timestamp))").as("_t"),
+        col(tieCol).as("_tie"))
+      .withColumn("_gap", col("_t") - lag(col("_t"), 1).over(w))
+      .where(col("_gap").isNotNull)
+    val bucket = when(col("_gap") === 0, lit(-1L))
+      .otherwise((length(bin(col("_gap"))) - 1).cast("long"))
+    val hist = gaps.select(bucket.as("log2_bucket"))
+      .groupBy(col("log2_bucket")).agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("_tot"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("log2_bucket"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("share"))
+  }
+
   /** Directional association rules A -> B over (basket, item) rows — the
     * market-basket view of behavior ("users who trigger A also trigger B"),
     * with exact integer counts: n_a/n_b = baskets holding the item,

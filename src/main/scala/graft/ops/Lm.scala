@@ -169,8 +169,10 @@ object Lm {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                minFreq: Long = 1L): Seq[(String, String, Long)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
-    var vocab = wordTable(df, textCol).persist()
-    vocab.count()
+    // eager localCheckpoint rather than persist+count: each merge round's
+    // frame becomes an RDD leaf, so plan size stays flat across rounds
+    // (the bfsDepth/hitsInt AQE-replanning lesson)
+    var vocab = wordTable(df, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     try {
       var round = 0
@@ -192,8 +194,7 @@ object Lm {
                |  IF(size(acc) = 0, array(x),
                |     IF(element_at(acc, -1) = $la AND x = $lb,
                |        concat(slice(acc, 1, size(acc) - 1), array($lab)),
-               |        concat(acc, array(x)))))""".stripMargin)).persist()
-          next.count()
+               |        concat(acc, array(x)))))""".stripMargin)).localCheckpoint()
           vocab.unpersist()
           vocab = next
           round += 1

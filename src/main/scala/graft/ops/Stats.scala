@@ -569,4 +569,41 @@ object Stats {
         (se * se) / (seA * seA / (col("n_a") - 1).cast("double") +
           seB * seB / (col("n_b") - 1).cast("double"))).as("dof"))
   }
+
+  /** Winsorized mean per key over an INTEGER metric: values clamp to the
+    * key's EXACT discrete [pLo, pHi] quantiles (the [[quantilesDisc]]
+    * element rule — thresholds are actual group elements, never
+    * interpolated floats) before averaging — the dataset-card robust mean
+    * that a handful of 100 MB outlier pages cannot drag. Both means are
+    * one double division of exact bigint sums, so every output value is
+    * engine-reproducible; pLo/pHi must be dyadic rationals per the
+    * quantilesDisc contract.
+    *
+    * Scale shape: the threshold table ([[quantilesDisc]]'s one window
+    * over a slim (key, value) projection) is key-bounded and BROADCAST
+    * back; the clamp + sums are one combiner-friendly aggregate over the
+    * same slim projection. Returns (keys..., lo, hi, n, mean_raw,
+    * winsorized_mean).
+    */
+  def winsorizedMean(df: DataFrame, keyCols: Seq[String], valCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, "need 0 <= pLo < pHi <= 1")
+    val keys = keyCols.map(col)
+    val thr = quantilesDisc(df, keyCols, valCol, Seq(pLo, pHi))
+      .groupBy(keys: _*).agg(
+        min(when(col("q") === pLo, col(s"${valCol}_q"))).as("_lo"),
+        min(when(col("q") === pHi, col(s"${valCol}_q"))).as("_hi"))
+    val v = col(valCol).cast("long")
+    val clamped = greatest(col("_lo"), least(col("_hi"), v))
+    df.select(keys :+ col(valCol): _*)
+      .join(broadcast(thr), keyCols)
+      .groupBy(keys: _*)
+      .agg(min(col("_lo")).as("lo"), min(col("_hi")).as("hi"),
+        count(lit(1)).as("n"),
+        sum(v).as("_s"), sum(clamped).as("_sw"))
+      .select(keys ++ Seq(col("lo"), col("hi"), col("n"),
+        (col("_s").cast("double") / col("n").cast("double")).as("mean_raw"),
+        (col("_sw").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean")): _*)
+  }
 }

@@ -238,4 +238,23 @@ class BehaviorSpec extends SparkSpec {
       .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(m.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 2L)))
   }
+
+  test("gapHistogram: exact ms gaps, log2 buckets, zero-gap sentinel, tie order") {
+    def ev(id: Long, u: Long, ms: Long) = (id, u, new java.sql.Timestamp(ms))
+    // user 1: t = 0, 1000, 1000, 4000 -> gaps 1000 (b9), 0 (b-1), 3000 (b11)
+    // user 2: single event -> no gap
+    val df = Seq(ev(1, 1, 0), ev(2, 1, 1000), ev(3, 1, 1000), ev(4, 1, 4000),
+      ev(5, 2, 50)).toDF("event_id", "user_id", "ts")
+    val r = Behavior.gapHistogram(df, "user_id", "ts", "event_id")
+      .orderBy("log2_bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((-1L, 1L, 1.0 / 3.0), (9L, 1L, 1.0 / 3.0),
+      (11L, 1L, 1.0 / 3.0)))
+    // bucket rule edge: gap 1 -> bucket 0; gap 2 -> bucket 1
+    val edge = Behavior.gapHistogram(
+      Seq(ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 3)).toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id")
+      .orderBy("log2_bucket").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(edge.toSeq == Seq((0L, 1L), (1L, 1L)))
+  }
 }

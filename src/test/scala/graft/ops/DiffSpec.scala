@@ -39,4 +39,19 @@ class DiffSpec extends SparkSpec {
     // every PSI term is non-negative by construction
     assert(rows.forall(_.getDouble(rows.head.fieldIndex("psi_term")) >= 0.0))
   }
+
+  test("topkChurn: set algebra hand-checked; disjoint and identical sets") {
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val r = Diff.topkChurn(a, b, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 4L, 2L, 2L, 1L)))
+    assert(r.getDouble(5) == 2.0 / 5.0)
+    val disjoint = Diff.topkChurn(Seq(1L).toDF("k"), Seq(9L).toDF("k"), "k")
+      .collect().head
+    assert(disjoint.getDouble(5) == 0.0 && disjoint.getLong(2) == 0L)
+    val same = Diff.topkChurn(a, a, "k").collect().head
+    assert(same.getDouble(5) == 1.0 && same.getLong(3) == 0L &&
+      same.getLong(4) == 0L)
+  }
 }

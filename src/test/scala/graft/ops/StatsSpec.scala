@@ -343,4 +343,17 @@ class StatsSpec extends SparkSpec {
     assert(deg.getDouble(3) == 7.0 && deg.isNullAt(5) && deg.isNullAt(6) &&
       deg.isNullAt(7))
   }
+
+  test("winsorizedMean: clamp at exact p25/p75 elements, hand-checked") {
+    // group a: 1..8 -> p25 element = 2, p75 element = 6
+    // clamped: 2,2,3,4,5,6,6,6 -> sum 34; raw sum 36
+    val df = ((1 to 8).map(v => ("a", v.toLong)) :+ (("b", 10L))).toDF("k", "v")
+    val r = Stats.winsorizedMean(df, Seq("k"), "v", 0.25, 0.75)
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      ("a", 2L, 6L, 8L, 36.0 / 8.0, 34.0 / 8.0),
+      ("b", 10L, 10L, 1L, 10.0, 10.0))) // single row: lo = hi = the value
+  }
 }
