@@ -3200,7 +3200,37 @@ object SparkEntry {
     "q181_gap_histogram" -> ((s, dir) =>
       graft.ops.Behavior.gapHistogram(t(s, dir, "events"), "user_id", "ts",
           "event_id")
-        .orderBy(col("log2_bucket"))))
+        .orderBy(col("log2_bucket"))),
+
+    // ---- classifier eval on hard labels: per-class P/R/F1 from a
+    //      deterministic corrupted-lang predictor (q155's AUC companion) ----
+    "q182_classification_report" -> ((s, dir) =>
+      graft.ops.Stats.classificationReport(
+          t(s, dir, "documents").select(col("lang").as("y"), predLang.as("p")),
+          "y", "p")
+        .orderBy(col("clazz"))),
+
+    // ---- Cohen's kappa for the same predictor: chance-corrected
+    //      agreement in exact bigints until the final divisions ----
+    "q183_agreement" -> ((s, dir) =>
+      graft.ops.Stats.agreementStats(
+        t(s, dir, "documents").select(col("lang").as("y"), predLang.as("p")),
+        "y", "p")),
+
+    // ---- exact per-column profile of the documents table (int/string
+    //      columns only — float min/max text is not engine-portable) ----
+    "q184_column_profile" -> ((s, dir) =>
+      graft.ops.Reporting.columnProfile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))))
+
+  /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
+    * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
+    */
+  private def predLang: Column =
+    when(col("doc_id") % 7 === 0, lit("xx"))
+      .when(col("doc_id") % 11 === 0, lit("en"))
+      .otherwise(col("lang"))
 
   /** q84/q85's deterministic page corpus: five anchors per page that split
     * the anchor grammar (absolute / host-relative / fragment / nested-
@@ -6224,7 +6254,72 @@ object SparkEntry {
         |      count(*) AS n FROM g WHERE gap IS NOT NULL GROUP BY 1),
         |tot AS (SELECT cast(sum(n) AS bigint) AS t FROM h)
         |SELECT log2_bucket, n, cast(n AS double) / cast(t AS double) AS share
-        |FROM h, tot ORDER BY 1""".stripMargin)
+        |FROM h, tot ORDER BY 1""".stripMargin,
+
+    // q182: same confusion-matrix algebra; f1 is the single-division
+    // identity 2*tp/(n_true+n_pred)
+    "q182_classification_report" ->
+      s"""WITH pr AS ($predLangSql),
+        |conf AS (SELECT y, p, count(*) AS n FROM pr GROUP BY 1, 2),
+        |classes AS (SELECT y AS clazz FROM conf
+        |            UNION SELECT p FROM conf),
+        |bt AS (SELECT y AS clazz, cast(sum(n) AS bigint) AS n_true,
+        |       cast(sum(CASE WHEN y = p THEN n ELSE 0 END) AS bigint) AS tp
+        |       FROM conf GROUP BY 1),
+        |bp AS (SELECT p AS clazz, cast(sum(n) AS bigint) AS n_pred
+        |       FROM conf GROUP BY 1)
+        |SELECT clazz, coalesce(n_true, 0) AS n_true,
+        |  coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |    THEN cast(coalesce(tp, 0) AS double) / cast(n_pred AS double) END
+        |    AS precision,
+        |  CASE WHEN coalesce(n_true, 0) > 0
+        |    THEN cast(coalesce(tp, 0) AS double) / cast(n_true AS double) END
+        |    AS recall,
+        |  CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0
+        |    THEN cast(coalesce(tp, 0) * 2 AS double) /
+        |         cast(coalesce(n_true, 0) + coalesce(n_pred, 0) AS double) END
+        |    AS f1
+        |FROM classes LEFT JOIN bt USING (clazz) LEFT JOIN bp USING (clazz)
+        |ORDER BY clazz""".stripMargin,
+
+    // q183: kappa division chain in the identical fixed order
+    "q183_agreement" ->
+      s"""WITH pr AS ($predLangSql),
+        |conf AS (SELECT y, p, count(*) AS n FROM pr GROUP BY 1, 2),
+        |bt AS (SELECT y AS c, cast(sum(n) AS bigint) AS nt FROM conf GROUP BY 1),
+        |bp AS (SELECT p AS c, cast(sum(n) AS bigint) AS np FROM conf GROUP BY 1),
+        |cr AS (SELECT cast(sum(coalesce(nt, 0) * coalesce(np, 0)) AS bigint)
+        |       AS sp FROM bt FULL OUTER JOIN bp USING (c)),
+        |tot AS (SELECT cast(sum(n) AS bigint) AS n,
+        |        cast(sum(CASE WHEN y = p THEN n ELSE 0 END) AS bigint)
+        |          AS n_agree FROM conf),
+        |x AS (SELECT n, n_agree,
+        |      cast(n_agree AS double) / cast(n AS double) AS accuracy,
+        |      cast(sp AS double) / cast(n * n AS double) AS expected_agreement
+        |      FROM tot, cr)
+        |SELECT n, n_agree, accuracy, expected_agreement,
+        |  CASE WHEN expected_agreement < 1.0 THEN
+        |    (accuracy - expected_agreement) / (1.0 - expected_agreement) END
+        |  AS kappa FROM x""".stripMargin,
+
+    // q184: per-column UNION ALL; count(col) vs count(*) gives the null
+    // split, distinct/min/max exclude nulls in both engines
+    "q184_column_profile" -> Seq("doc_id", "lang", "source", "n_chars").map {
+        c =>
+          s"""SELECT '$c' AS "column", cast(count(*) AS bigint) AS n,
+            |  cast(count(*) - count($c) AS bigint) AS n_null,
+            |  cast(count(DISTINCT $c) AS bigint) AS n_distinct,
+            |  cast(min($c) AS varchar) AS min_val,
+            |  cast(max($c) AS varchar) AS max_val FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
+
+  /** [[predLang]] as the equivalent DuckDB projection (q182/q183). */
+  private val predLangSql: String =
+    """SELECT lang AS y,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'xx'
+      |       WHEN doc_id % 11 = 0 THEN 'en'
+      |       ELSE lang END AS p FROM documents""".stripMargin
 
   /** The q84/q85 page corpus as a DuckDB CTE (must rebuild [[q84Pages]]
     * byte-identically).

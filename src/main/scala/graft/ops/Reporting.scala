@@ -239,4 +239,40 @@ object Reporting {
       .withColumn("n_noisy", col("n").cast("double") - noise)
       .withColumn("epsilon", lit(epsNum.toDouble) / lit(epsDen.toDouble))
   }
+
+  /** Exact per-column data profile — the pre-ingest audit a pipeline runs
+    * before trusting a new corpus drop: one row per requested column with
+    * n, n_null, n_distinct (exact, nulls excluded), and min/max rendered
+    * as strings so heterogeneous column types share one schema. String
+    * rendering of integers and strings is engine-portable; float columns
+    * profile fine but their min_val/max_val text is Java-formatted — keep
+    * cross-engine checks to int/string columns or compare numerically.
+    *
+    * Scale shape: ONE pass — Spark plans the multi-column distinct set via
+    * Expand (|cols| replicas of the slim projection, each partially
+    * aggregated map-side), so cost is |cols| × scan, not |cols| jobs.
+    * Output is |cols| rows. For very wide tables at 100 TB swap the exact
+    * distinct for the HLL sketch profile (functions.sketchexpr) — this op
+    * is the exact tier of that pair.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        (col(s"_n_$c") + col(s"_nn_$c")).as("n"),
+        col(s"_nn_$c").as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_val"),
+        col(s"_mx_$c").as("max_val"))
+    }
+    one.select(explode(array(stacked: _*)).as("_r")).select(col("_r.*"))
+  }
 }

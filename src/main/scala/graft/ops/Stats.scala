@@ -606,4 +606,86 @@ object Stats {
         (col("_sw").cast("double") / col("n").cast("double"))
           .as("winsorized_mean")): _*)
   }
+
+  /** Multi-class classification report from (label, prediction) pairs:
+    * one row per class with exact integer counts — n_true (row sum),
+    * n_pred (column sum), tp — and precision / recall / f1 as SINGLE
+    * double divisions of those bigints, so every value is replayable by an
+    * external engine. f1 uses the algebraic identity
+    * 2·tp / (n_true + n_pred) (the harmonic mean of precision and recall
+    * without the intermediate p·r rounding), and a class never predicted
+    * (or never true) yields NULL precision (recall) rather than 0/0.
+    *
+    * Companion to q155's [[binaryEval]]: that op ranks scores (AUC /
+    * calibration); this one grades hard label assignments — the quality
+    * gate for a lang-id or topic classifier before its labels route
+    * corpus curation.
+    *
+    * Scale shape: ONE combiner groupBy(label, pred) — the shuffle is the
+    * confusion matrix, |classes|² rows, regardless of corpus size — then
+    * class-level conditional sums over that tiny table. Output is ordered
+    * downstream by the caller; rows = distinct labels ∪ predictions.
+    */
+  def classificationReport(df: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    val conf = df.groupBy(col(labelCol).as("_l"), col(predCol).as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    // one row per class present on either axis
+    val classes = conf.select(col("_l").as("clazz"))
+      .union(conf.select(col("_p"))).distinct()
+    val byTrue = conf.groupBy(col("_l").as("clazz"))
+      .agg(sum("_n").as("n_true"),
+        sum(when(col("_l") === col("_p"), col("_n")).otherwise(0L)).as("tp"))
+    val byPred = conf.groupBy(col("_p").as("clazz"))
+      .agg(sum("_n").as("n_pred"))
+    classes.join(byTrue, Seq("clazz"), "left").join(byPred, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1",
+        when(col("n_true") + col("n_pred") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("n_true") + col("n_pred")).cast("double")))
+  }
+
+  /** Inter-rater / classifier-vs-gold agreement: one row with n, n_agree,
+    * accuracy (= observed agreement p_o), expected chance agreement p_e
+    * and Cohen's kappa = (p_o − p_e) / (1 − p_e). p_e is
+    * Σ_c n_true_c · n_pred_c / n², kept in exact bigints until the one
+    * division (overflows only past n ≈ 3·10⁹ — eval sets are orders of
+    * magnitude smaller; the op is for graded samples, not the corpus).
+    * The kappa division chain is fixed-order IEEE double ops, so an
+    * external engine writing the same expressions reproduces it bit-exact.
+    * Degenerate case p_e = 1 (both raters constant) yields NULL kappa.
+    *
+    * Scale shape: same |classes|²-row confusion-matrix shuffle as
+    * [[classificationReport]], then a single-row aggregate of it.
+    */
+  def agreementStats(df: DataFrame, labelCol: String,
+                     predCol: String): DataFrame = {
+    val conf = df.groupBy(col(labelCol).as("_l"), col(predCol).as("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val byTrue = conf.groupBy(col("_l").as("_c")).agg(sum("_n").as("_nt"))
+    val byPred = conf.groupBy(col("_p").as("_c")).agg(sum("_n").as("_np"))
+    val cross = byTrue.join(byPred, Seq("_c"), "full")
+      .agg(sum(coalesce(col("_nt"), lit(0L)) * coalesce(col("_np"), lit(0L)))
+        .as("_sumprod"))
+    val tot = conf.agg(sum("_n").as("n"),
+      sum(when(col("_l") === col("_p"), col("_n")).otherwise(0L)).as("n_agree"))
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = col("_sumprod").cast("double") / (col("n") * col("n")).cast("double")
+    tot.crossJoin(cross)
+      .select(col("n"), col("n_agree"), po.as("accuracy"), pe.as("expected_agreement"))
+      .withColumn("kappa",
+        when(col("expected_agreement") < 1.0,
+          (col("accuracy") - col("expected_agreement")) /
+            (lit(1.0) - col("expected_agreement"))))
+  }
 }

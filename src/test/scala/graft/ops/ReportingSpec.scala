@@ -166,4 +166,16 @@ class ReportingSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(reseeded.toSeq != got.map(_._3).toSeq)
   }
+
+  test("columnProfile: exact nulls/distincts/min/max per column, one row each") {
+    val df = Seq((1L, Some("x"), 10L), (2L, None, 10L), (3L, Some("a"), 30L),
+      (4L, Some("x"), 20L)).toDF("id", "s", "v")
+    val r = Reporting.columnProfile(df, Seq("id", "s", "v")).orderBy("column")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4), x.getString(5)))
+    assert(r.toSeq == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("s", 4L, 1L, 2L, "a", "x"),   // null excluded from distinct & min/max
+      ("v", 4L, 0L, 3L, "10", "30")))
+  }
 }

@@ -356,4 +356,38 @@ class StatsSpec extends SparkSpec {
       ("a", 2L, 6L, 8L, 36.0 / 8.0, 34.0 / 8.0),
       ("b", 10L, 10L, 1L, 10.0, 10.0))) // single row: lo = hi = the value
   }
+
+  test("classificationReport: hand-built confusion matrix, NULL on absent axes") {
+    // labels:  a a a a b b c      preds: a a b a b a c
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "a"), ("c", "c"), ("d", "x")).toDF("y", "p")
+    val r = Stats.classificationReport(df, "y", "p").orderBy("clazz")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5)),
+        if (x.isNullAt(6)) None else Some(x.getDouble(6))))
+    assert(r.toSeq == Seq(
+      // clazz, n_true, n_pred, tp, precision, recall, f1=2tp/(nt+np)
+      ("a", 4L, 4L, 3L, Some(3.0 / 4.0), Some(3.0 / 4.0), Some(6.0 / 8.0)),
+      ("b", 2L, 2L, 1L, Some(1.0 / 2.0), Some(1.0 / 2.0), Some(2.0 / 4.0)),
+      ("c", 1L, 1L, 1L, Some(1.0), Some(1.0), Some(1.0)),
+      ("d", 1L, 0L, 0L, None, Some(0.0), Some(0.0)), // never predicted
+      ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
+  }
+
+  test("agreementStats: closed-form kappa; constant raters yield NULL") {
+    // 2x2: n=100, agree=80; margins true(a)=60,true(b)=40,
+    // pred(a)=50, pred(b)=50 -> pe=(60*50+40*50)/10000=0.5, kappa=0.6
+    val rows = Seq.fill(45)(("a", "a")) ++ Seq.fill(15)(("a", "b")) ++
+      Seq.fill(5)(("b", "a")) ++ Seq.fill(35)(("b", "b"))
+    val r = Stats.agreementStats(rows.toDF("y", "p"), "y", "p").collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 80L)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == (0.8 - 0.5) / 0.5)
+    // both raters constant: pe = 1 -> kappa NULL, accuracy still real
+    val cst = Stats.agreementStats(
+      Seq.fill(4)(("a", "a")).toDF("y", "p"), "y", "p").collect().head
+    assert(cst.getDouble(2) == 1.0 && cst.getDouble(3) == 1.0 && cst.isNullAt(4))
+  }
 }
