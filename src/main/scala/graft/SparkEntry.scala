@@ -3222,7 +3222,42 @@ object SparkEntry {
     "q184_column_profile" -> ((s, dir) =>
       graft.ops.Reporting.columnProfile(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "n_chars"))
-        .orderBy(col("column"))))
+        .orderBy(col("column"))),
+
+    // ---- k-core of the q74-style residue link graph: simultaneous-peel
+    //      rounds are deterministic, so the oracle unrolls the same peels ----
+    "q185_kcore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // sparse residue periphery (deg ~4) + dense circulant C24(1,2,3)
+      // core: at k=5 the periphery cascades away over two rounds
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 7 + 1) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 3 + 2) % 60).as("dst"))
+      val core = Seq(1, 2, 3).map(o => d.select((col("doc_id") % 24).as("src"),
+        ((col("doc_id") % 24 + o) % 24).as("dst")))
+      graft.ops.Graph.kCore(core.foldLeft(e1.unionByName(e2))(_ unionByName _),
+          "src", "dst", k = 5, maxRounds = 16)
+        .orderBy(col("node"))
+    }),
+
+    // ---- bucketed interval-overlap join (sessions-vs-outages shape):
+    //      equi-join on covering buckets, pair emitted once at the bucket
+    //      of max(lo_a, lo_b) ----
+    "q186_interval_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val as = d.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("a_id"),
+          ((col("doc_id") * 13) % 1000).as("a_lo"),
+          ((col("doc_id") * 13) % 1000 + col("doc_id") % 37).as("a_hi"))
+      val bs = d.where(col("doc_id") % 25 === 7)
+        .select(col("doc_id").as("b_id"),
+          ((col("doc_id") * 29) % 1000).as("b_lo"),
+          ((col("doc_id") * 29) % 1000 + col("doc_id") % 23).as("b_hi"))
+      graft.ops.RangeJoin.overlap(as, bs, "a_lo", "a_hi", "b_lo", "b_hi",
+          bucketWidth = 32)
+        .orderBy(col("a_id"), col("b_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -6312,7 +6347,52 @@ object SparkEntry {
             |  cast(count(DISTINCT $c) AS bigint) AS n_distinct,
             |  cast(min($c) AS varchar) AS min_val,
             |  cast(max($c) AS varchar) AS max_val FROM documents""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+    // q185: the same simultaneous peel unrolled 16 deep (identity after
+    // fixpoint, and the engine caps at the same depth)
+    "q185_kcore" -> kCoreOracleSql(k = 5, rounds = 16),
+
+    // q186: the definitional theta-join (closed intervals)
+    "q186_interval_overlap" ->
+      """WITH a AS (SELECT doc_id AS a_id, (doc_id * 13) % 1000 AS a_lo,
+        |           (doc_id * 13) % 1000 + doc_id % 37 AS a_hi
+        |           FROM documents WHERE doc_id % 25 = 0),
+        |b AS (SELECT doc_id AS b_id, (doc_id * 29) % 1000 AS b_lo,
+        |      (doc_id * 29) % 1000 + doc_id % 23 AS b_hi
+        |      FROM documents WHERE doc_id % 25 = 7)
+        |SELECT a_id, a_lo, a_hi, b_id, b_lo, b_hi FROM a JOIN b
+        |ON a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY a_id, b_id""".stripMargin)
+
+  /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
+    * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]
+    * peel, repeated `rounds` times (extra rounds past fixpoint are
+    * identity, so depth only needs to be >= the engine's cap).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED: inlined CTEs would expand the peel chain
+    // exponentially (each round reads its predecessor three times)
+    sb ++= """WITH e AS MATERIALIZED (
+      |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+      |  UNION ALL SELECT doc_id % 60, (doc_id * 3 + 2) % 60 FROM documents
+      |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 1) % 24 FROM documents
+      |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 2) % 24 FROM documents
+      |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 3) % 24 FROM documents),
+      |s0 AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b
+      |       FROM e WHERE s <> d GROUP BY 1, 2),
+      |m0 AS MATERIALIZED (SELECT a, b FROM s0 UNION ALL SELECT b, a FROM s0)""".stripMargin
+    for (i <- 1 to rounds) sb ++= s""",
+      |n$i AS MATERIALIZED (SELECT a AS node FROM m${i - 1} GROUP BY a
+      |        HAVING count(*) >= $k),
+      |m$i AS MATERIALIZED (SELECT m.a, m.b FROM m${i - 1} m
+      |        JOIN n$i x ON m.a = x.node JOIN n$i y ON m.b = y.node)""".stripMargin
+    sb ++= s"""
+      |SELECT a AS node, cast(count(*) AS bigint) AS core_degree
+      |FROM m$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+    sb.toString
+  }
 
   /** [[predLang]] as the equivalent DuckDB projection (q182/q183). */
   private val predLangSql: String =

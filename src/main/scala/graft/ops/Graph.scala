@@ -313,4 +313,57 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** k-core of the UNDIRECTED simple graph under `edges` (direction and
+    * duplicate/self edges dropped): iteratively peel every node whose
+    * degree in the surviving subgraph is < k until fixpoint — the classic
+    * link-farm / well-connectedness signal (spam rings and boilerplate
+    * nav clusters live in high cores; genuine long-tail content in low
+    * ones). Returns the surviving nodes with their WITHIN-CORE degree.
+    *
+    * Each peel round is deterministic (drop ALL underdegree nodes
+    * simultaneously), so round i's subgraph is a pure function of the
+    * input — an external engine unrolling the same peels reproduces the
+    * result exactly; extra rounds after fixpoint are identity, so any
+    * unroll depth >= the convergence round matches.
+    *
+    * Scale shape: rounds are edge-sized joins against the (node-bounded)
+    * keep-list — one degree aggregate + two semi-joins each —
+    * `localCheckpoint`ed per round to cut lineage; the convergence test
+    * rides the checkpointed leaf (a cheap count, not a recompute).
+    * Peeling needs at most |V| rounds; real web graphs converge in tens.
+    * `maxRounds` caps the cost — stopping early yields the same rows an
+    * equally-deep unroll produces (document the depth when comparing).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).where(col("a") =!= col("b"))
+    val simple = und
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    var cur = simple
+      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var prevEdges = cur.count()
+    var round = 0
+    var done = prevEdges == 0L
+    while (!done && round < maxRounds) {
+      round += 1
+      val keep = cur.groupBy(col("a")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select(col("a").as("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = next.count()
+      done = n == prevEdges || n == 0L
+      prevEdges = n
+      cur = next
+    }
+    cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -88,4 +88,58 @@ object RangeJoin {
       .where(col(valueCol).cast("long").between(lo, hi))
       .drop("_b")
   }
+
+  /** Bucketed interval-OVERLAP join: one output row per (a, b) pair whose
+    * CLOSED intervals intersect — a.lo <= b.hi AND b.lo <= a.hi. The
+    * sessions-vs-outages / validity-vs-validity companion of [[bucketed]]
+    * (which joins points to intervals).
+    *
+    * Both sides explode into the fixed-width buckets they cover and the
+    * theta-join becomes an equi-join on (keys..., bucket) plus the exact
+    * overlap residual. An overlapping pair co-occurs in EVERY shared
+    * bucket, so duplicates are suppressed without a distinct: the pair is
+    * emitted only from the bucket containing max(a.lo, b.lo) — which both
+    * sides provably cover when they overlap (it is <= min(a.hi, b.hi)) —
+    * i.e. where bucket == greatest(floor(a.lo/w), floor(b.lo/w)).
+    *
+    * Output: a's columns ++ b's columns (names disjoint apart from
+    * `keys`). Same width guidance and per-interval replication guard as
+    * [[bucketed]]; the shuffle is one equi-exchange on (keys, bucket),
+    * never a nested loop, and AQE handles bucket skew.
+    */
+  def overlap(a: DataFrame, b: DataFrame, aLoCol: String, aHiCol: String,
+              bLoCol: String, bHiCol: String, bucketWidth: Long,
+              keys: Seq[String] = Nil,
+              maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    val dup = a.columns.toSet.intersect(b.columns.toSet) -- keys
+    require(dup.isEmpty, s"column name collision across sides: $dup")
+    def exploded(df: DataFrame, loCol: String, hiCol: String): DataFrame = {
+      val lo = col(loCol).cast("long")
+      val hi = col(hiCol).cast("long")
+      val nb = floorDiv(hi, bucketWidth) - floorDiv(lo, bucketWidth) + 1
+      df.where(lo <= hi)
+        .withColumn("_nb", nb)
+        .withColumn("_nb_ok",
+          when(col("_nb") <= maxBucketsPerInterval, col("_nb"))
+            .otherwise(raise_error(concat(
+              lit(s"RangeJoin: interval spans more than $maxBucketsPerInterval buckets ("),
+              col("_nb").cast("string"),
+              lit(s") at bucketWidth=$bucketWidth — raise the width or split the interval")))))
+        .withColumn("_b",
+          explode(sequence(floorDiv(lo, bucketWidth),
+            floorDiv(lo, bucketWidth) + col("_nb_ok") - 1)))
+        .drop("_nb", "_nb_ok")
+    }
+    val ea = exploded(a, aLoCol, aHiCol)
+    val eb = exploded(b, bLoCol, bHiCol)
+    val aLo = col(aLoCol).cast("long"); val aHi = col(aHiCol).cast("long")
+    val bLo = col(bLoCol).cast("long"); val bHi = col(bHiCol).cast("long")
+    ea.join(eb, keys :+ "_b")
+      .where(aLo <= bHi && bLo <= aHi &&
+        col("_b") === greatest(floorDiv(aLo, bucketWidth),
+          floorDiv(bLo, bucketWidth)))
+      .drop("_b")
+  }
 }

@@ -120,4 +120,34 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(iso == Map(6L -> 0L))
   }
+
+  test("kCore: cascading peel, within-core degrees, dup/self/direction-proof") {
+    // 4-clique {1,2,3,4} + path 4-5-6 + pendant 7 on 5; noise: duplicate,
+    // reversed and self edges
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (5L, 7L),
+      (2L, 1L), (1L, 2L), (3L, 3L))).toDF("src", "dst")
+    // k=3: 5 has degree 3 (4,6,7) at first, but 6 and 7 peel (deg 1),
+    // then 5 peels (deg 1) — cascade leaves exactly the clique
+    val k3 = Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(k3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: clique + nothing else (path nodes have degree <= 2 but 6/7 are
+    // pendants; their removal leaves 5 a pendant too)
+    val k2 = Graph.kCore(edges, "src", "dst", k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(k2.keySet == Set(1L, 2L, 3L, 4L))
+    // k=1: everything except the self-loop-only structure survives
+    val k1 = Graph.kCore(edges, "src", "dst", k = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(k1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(k1(6L) == 1L && k1(7L) == 1L && k1(5L) == 3L)
+    // k above the max core: empty result
+    assert(Graph.kCore(edges, "src", "dst", k = 4).count() == 0L)
+    // maxRounds cap stops mid-cascade deterministically: one round at k=3
+    // peels 6 and 7 but 5 (initial degree 3) is still in
+    val capped = Graph.kCore(edges, "src", "dst", k = 3, maxRounds = 1)
+      .collect().map(x => x.getLong(0)).toSet
+    assert(capped == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

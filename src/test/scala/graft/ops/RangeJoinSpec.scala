@@ -50,4 +50,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("overlap: matches the naive theta-join exactly, no duplicate pairs") {
+    // deterministic pseudo-random intervals, many spanning several buckets
+    val as = (0L until 40L).map(i => (i, (i * 13) % 100, (i * 13) % 100 + i % 17))
+      .toDF("a_id", "a_lo", "a_hi")
+    val bs = (0L until 40L).map(i => (i, (i * 29) % 100, (i * 29) % 100 + i % 11))
+      .toDF("b_id", "b_lo", "b_hi")
+    val naive = as.crossJoin(bs)
+      .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(naive.length == naive.toSet.size && naive.nonEmpty)
+    for (w <- Seq(1L, 4L, 32L, 1000L)) {
+      val got = RangeJoin.overlap(as, bs, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size, s"dup pairs at width=$w")
+      assert(got.toSet == naive.toSet, s"mismatch at width=$w")
+    }
+    // touching endpoints count (closed intervals); disjoint do not
+    val t = RangeJoin.overlap(
+      Seq((1L, 0L, 5L)).toDF("a_id", "a_lo", "a_hi"),
+      Seq((9L, 5L, 8L), (10L, 6L, 8L)).toDF("b_id", "b_lo", "b_hi"),
+      "a_lo", "a_hi", "b_lo", "b_hi", 4L)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(t == Set(9L))
+    // still an equi-join in the plan
+    val plan = RangeJoin.overlap(as, bs, "a_lo", "a_hi", "b_lo", "b_hi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
