@@ -3257,6 +3257,45 @@ object SparkEntry {
       graft.ops.RangeJoin.overlap(as, bs, "a_lo", "a_hi", "b_lo", "b_hi",
           bucketWidth = 32)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- exact longest-repeated-substring length (suffix-sort max-LCP,
+    //      capped at 200 code points) — the long-block repetition signal ----
+    "q187_longest_repeat" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.longest_repeat_len(col("text"), 200)
+            .as("repeat_len"))
+        .orderBy(col("doc_id"))),
+
+    // ---- GIF/BMP header decode through the batched media pipeline:
+    //      hand-built container bytes, closed-form oracle ----
+    "q188_media_dims" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      def gif(ver: Char, w: Int, h: Int): Array[Byte] =
+        s"GIF8${ver}a".getBytes("US-ASCII") ++ Array[Byte](
+          (w & 255).toByte, (w >> 8).toByte, (h & 255).toByte, (h >> 8).toByte,
+          0, 0, 0)
+      def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(30)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(26)
+        bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+        bb.array()
+      }
+      val rows = Seq(
+        M.MediaRow(1L, "image", gif('9', 320, 200)),
+        M.MediaRow(2L, "image", gif('7', 12, 7)),
+        M.MediaRow(3L, "image", bmp(64, 48, 24)),
+        M.MediaRow(4L, "image", bmp(9, -4, 32)), // top-down rows: |height|
+        M.MediaRow(5L, "image", gif('9', 0, 3))) // corrupt: zero width
+      M.decode(rows.toDS()).toDF()
+        .select(col("media_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("ok"))
+        .orderBy(col("media_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -6363,7 +6402,38 @@ object SparkEntry {
         |      FROM documents WHERE doc_id % 25 = 7)
         |SELECT a_id, a_lo, a_hi, b_id, b_lo, b_hi FROM a JOIN b
         |ON a_lo <= b_hi AND b_lo <= a_hi
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q187: suffix-sort the capped text, max LCP of ADJACENT suffixes —
+    // equal to the engine's value under any lexicographic collation
+    // (substr/length count code points in both engines)
+    "q187_longest_repeat" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+        |suf AS (SELECT doc_id, substr(t, g.i, 200) AS s
+        |        FROM d, LATERAL (SELECT unnest(generate_series(1, length(t)))
+        |                         AS i) g),
+        |o AS (SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+        |      AS p FROM suf),
+        |l AS (SELECT doc_id, CASE WHEN p IS NULL THEN 0 ELSE (
+        |      SELECT coalesce(max(k.k), 0)
+        |      FROM (SELECT unnest(generate_series(1, least(length(s),
+        |            length(p)))) AS k) k
+        |      WHERE substr(s, 1, k.k) = substr(p, 1, k.k)) END AS lcp FROM o)
+        |SELECT doc_id, cast(max(lcp) AS bigint) AS repeat_len
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q188: closed-form header fields (gif payloads are 13 bytes,
+    // bmp 30; the corrupt zero-width gif lands on the ok=false channel)
+    "q188_media_dims" ->
+      """SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(13 AS bigint), cast(320 AS bigint),
+        |   cast(200 AS bigint), cast(3 AS bigint), true),
+        |  (2, 13, 12, 7, 3, true),
+        |  (3, 30, 64, 48, 3, true),
+        |  (4, 30, 9, 4, 4, true),
+        |  (5, 13, 0, 0, 0, false))
+        |AS t(media_id, byte_len, width, height, channels, ok)
+        |ORDER BY media_id""".stripMargin)
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

@@ -457,6 +457,48 @@ object TextKernels {
     sb.substring(0, end)
   }
 
+  /** Length (in code points) of the longest substring occurring at least
+    * TWICE in the first `cap` code points of `s` (occurrences may
+    * overlap) — the sharpest intra-document repetition signal: n-gram
+    * repetition fractions saturate on short phrases, while a long
+    * copy-pasted block shows up here at its full length.
+    *
+    * Exact (no fingerprinting): suffix-order the capped text and take the
+    * max longest-common-prefix of ADJACENT suffixes — equal to the global
+    * max-LCP under ANY lexicographic order, so an external engine sorting
+    * suffixes under a different (but lexicographic) collation computes
+    * the identical value. Cost O(cap² log cap) worst case; cap bounds it
+    * per row (512 → ~3M char ops, the doc-local budget envelope pattern).
+    */
+  def longestRepeatedSubstring(s: String, cap: Int): Long = {
+    require(cap >= 1, "cap must be >= 1")
+    val cps = s.codePoints().limit(cap.toLong).toArray
+    val n = cps.length
+    if (n < 2) return 0L
+    val idx = Array.range(0, n).map(Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        var i = a.intValue(); var j = b.intValue()
+        while (i < n && j < n) {
+          if (cps(i) != cps(j)) return Integer.compare(cps(i), cps(j))
+          i += 1; j += 1
+        }
+        // one suffix is a prefix of the other: the shorter sorts first
+        Integer.compare(n - a.intValue(), n - b.intValue())
+      }
+    })
+    var best = 0
+    var k = 1
+    while (k < n) {
+      var i = idx(k - 1).intValue(); var j = idx(k).intValue()
+      var l = 0
+      while (i < n && j < n && cps(i) == cps(j)) { i += 1; j += 1; l += 1 }
+      if (l > best) best = l
+      k += 1
+    }
+    best.toLong
+  }
+
   def hyperplaneSignature(v: Array[Float], bits: Int, seed: Long): Long = {
     var out = 0L
     var k = 0

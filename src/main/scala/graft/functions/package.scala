@@ -104,6 +104,8 @@ package object functions {
   def simhash64(c: Column): Column = col1(SimHash64(_))(c)
   def simhash64_md5(c: Column): Column = col1(SimHash64(_, "md5"))(c)
   def rolling_fingerprint(c: Column): Column = col1(RollingFingerprint(_))(c)
+  def longest_repeat_len(c: Column, cap: Int = 512): Column =
+    col1(LongestRepeatedSubstring(_, cap))(c)
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
   def minhash_estimate(a: Column, b: Column): Column =
@@ -251,6 +253,12 @@ object GraftExtensions {
     unary("simhash64")(SimHash64(_)),
     unary("simhash64_md5")(SimHash64(_, "md5")),
     unary("rolling_fingerprint")(RollingFingerprint(_)),
+    "longest_repeat_len" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "longest_repeat_len expects (text) or (text, cap)")
+      val cap = if (args.length == 2) intLit("longest_repeat_len cap", args(1)) else 512
+      LongestRepeatedSubstring(args(0), cap)
+    },
     "jaccard_sorted" -> { args => require(args.length == 2); JaccardSorted(args(0), args(1)) },
     "minhash_estimate" -> { args => require(args.length == 2); MinHashEstimate(args(0), args(1)) },
     "cosine_similarity" -> { args => require(args.length == 2); CosineSimilarity(args(0), args(1)) },

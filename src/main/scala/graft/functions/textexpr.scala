@@ -132,6 +132,22 @@ case class RollingFingerprint(child: Expression) extends StringKernelExpression 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
 }
 
+/** Longest repeated substring length within the first `cap` code points
+  * ([[TextKernels.longestRepeatedSubstring]]) — exact suffix-sort max-LCP,
+  * the long-block repetition quality signal.
+  */
+case class LongestRepeatedSubstring(child: Expression, cap: Int)
+    extends StringKernelExpression {
+  require(cap >= 1, s"cap must be >= 1, got $cap")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "longest_repeat_len"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.longestRepeatedSubstring(
+      input.asInstanceOf[UTF8String].toString, cap)
+  override protected def withNewChildInternal(newChild: Expression): LongestRepeatedSubstring =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard between two sorted shingle arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -79,6 +79,8 @@ object Multimodal {
     final val Jpeg = "jpeg"
     final val Wav = "wav"
     final val Mp4 = "mp4"
+    final val Gif = "gif"
+    final val Bmp = "bmp"
 
     /** Container sniff by magic bytes; "" = no real decoder for this blob. */
     def sniff(p: Array[Byte]): String =
@@ -87,6 +89,9 @@ object Multimodal {
       else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') Wav
       else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') Mp4
+      else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+        (p(4) == '7' || p(4) == '9') && p(5) == 'a') Gif
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Bmp
       else ""
 
     /** (width, height, channels, duration_ms) for a recognized container;
@@ -104,7 +109,40 @@ object Multimodal {
       case Mp4 =>
         val (w, h, durationMs) = parseMp4(p)
         Some((w, h, 0, durationMs))
+      case Gif =>
+        val (w, h) = parseGif(p)
+        Some((w, h, 3, 0L))
+      case Bmp =>
+        val (w, h, channels) = parseBmp(p)
+        Some((w, h, channels, 0L))
       case _ => None
+    }
+
+    /** GIF87a/89a logical screen descriptor: canvas dims, little-endian
+      * 16-bit at offsets 6/8. A zero dimension raises (corrupt header).
+      */
+    private def parseGif(p: Array[Byte]): (Int, Int) = {
+      if (p.length < 10) throw new java.io.IOException("truncated gif header")
+      val w = le16(p, 6); val h = le16(p, 8)
+      if (w == 0 || h == 0) throw new java.io.IOException("malformed gif dims")
+      (w, h)
+    }
+
+    /** BMP BITMAPINFOHEADER (and later variants — header size >= 40):
+      * little-endian signed 32-bit width/height at offsets 18/22 (height
+      * may be negative for top-down rows), bit depth at 28 → channels.
+      * The ancient BITMAPCOREHEADER (size 12, 16-bit dims) also parses.
+      */
+    private def parseBmp(p: Array[Byte]): (Int, Int, Int) = {
+      if (p.length < 26) throw new java.io.IOException("truncated bmp header")
+      val dibSize = le32(p, 14)
+      val (w, h, bpp) =
+        if (dibSize == 12L) (le16(p, 18), le16(p, 20), le16(p, 24))
+        else if (dibSize >= 40L && p.length >= 30)
+          (le32(p, 18).toInt, math.abs(le32(p, 22).toInt), le16(p, 28))
+        else throw new java.io.IOException(s"unsupported bmp dib header $dibSize")
+      if (w <= 0 || h == 0) throw new java.io.IOException("malformed bmp dims")
+      (w, h, math.max(1, bpp / 8))
     }
 
     @inline private def le16(p: Array[Byte], o: Int): Int =
@@ -537,6 +575,14 @@ object Multimodal {
       bb.putInt(w << 16).putInt(h << 16)  // 16.16 fixed-point dimensions
       bb.array()
     }
+
+    /** GIF89a via ImageIO (real encoder): palette image, real LZW body. */
+    def gifBytes(w: Int, h: Int): Array[Byte] =
+      encode(image(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB), "gif")
+
+    /** BMP via ImageIO: BITMAPINFOHEADER, 24-bit pixels. */
+    def bmpBytes(w: Int, h: Int): Array[Byte] =
+      encode(image(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR), "bmp")
   }
 
   /** Partition a media table so each task sees ~targetBytes of payload:

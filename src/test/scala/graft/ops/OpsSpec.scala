@@ -513,6 +513,24 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodec.decode("p cnf 1 1\n1 0\n".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real codecs: GIF screen descriptor and BMP DIB header dims from actual bytes") {
+    import Multimodal.{MediaGen, RealCodec}
+    assert(RealCodec.decode(MediaGen.gifBytes(320, 200)).contains((320, 200, 3, 0L)))
+    assert(RealCodec.decode(MediaGen.bmpBytes(48, 31)).contains((48, 31, 3, 0L)))
+    // hand-built headers (no ImageIO in the loop): GIF87a 7x5
+    val gif87 = "GIF87a".getBytes("US-ASCII") ++ Array[Byte](7, 0, 5, 0, 0, 0, 0)
+    assert(RealCodec.decode(gif87).contains((7, 5, 3, 0L)))
+    // top-down BMP: negative height reads as |height|
+    val bmp = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(30).putInt(0).putInt(26)
+    bmp.putInt(40).putInt(9).putInt(-4).putShort(1).putShort(32)
+    assert(RealCodec.decode(bmp.array()).contains((9, 4, 4, 0L)))
+    // zero-dim GIF raises (ok=false channel)
+    intercept[java.io.IOException] {
+      RealCodec.decode("GIF89a".getBytes("US-ASCII") ++ Array[Byte](0, 0, 5, 0))
+    }
+  }
+
   test("real codecs: MP4 box walk reads mvhd duration and tkhd 16.16 dimensions") {
     import Multimodal.{MediaGen, RealCodec}
     assert(RealCodec.decode(MediaGen.mp4Bytes(640, 360, 2500)).contains((640, 360, 0, 2500L)))

@@ -118,4 +118,50 @@ class TextSignalsSpec extends SparkSpec {
     val r = Curation.encodingArtifacts(df, "text").collect()(0)
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
+
+  test("longestRepeatedSubstring: hand cases, overlap, cap, code points, brute parity") {
+    import graft.core.TextKernels.{longestRepeatedSubstring => lrs}
+    assert(lrs("abcabcabc", 512) == 6L) // overlapping "abcabc"
+    assert(lrs("banana", 512) == 3L)    // "ana"
+    assert(lrs("abcd", 512) == 0L)
+    assert(lrs("aaaa", 512) == 3L)
+    assert(lrs("", 512) == 0L && lrs("x", 512) == 0L)
+    assert(lrs("xyxy", 2) == 0L)        // cap hides the second "xy"
+    assert(lrs("😀a😀a", 512) == 2L) // code points, not chars
+    // brute-force parity on deterministic pseudo-random strings
+    def brute(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      var best = 0
+      for (l <- 1 until n) {
+        val seen = scala.collection.mutable.Set[Seq[Int]]()
+        var i = 0
+        var dup = false
+        while (i + l <= n && !dup) {
+          if (!seen.add(cps.slice(i, i + l).toSeq)) dup = true
+          i += 1
+        }
+        if (dup) best = l
+      }
+      best.toLong
+    }
+    val alphabet = "abc"
+    for (seed <- 1 to 8) {
+      val s = (0 until 40).map { i =>
+        alphabet(((i * 2654435761L + seed * 40503L) % 3).toInt.abs)
+      }.mkString
+      assert(lrs(s, 512) == brute(s), s"seed=$seed s=$s")
+      assert(lrs(s, 10) == brute(s.take(10)), s"capped seed=$seed")
+    }
+    // SQL registry path, default and explicit cap
+    val viaSql = spark.sql(
+      "SELECT longest_repeat_len('abcabcabc'), longest_repeat_len('xyxy', 2)")
+      .collect()(0)
+    assert(viaSql.getLong(0) == 6L && viaSql.getLong(1) == 0L)
+    // Column facade
+    val viaCol = Seq("mississippi").toDF("t")
+      .select(graft.functions.longest_repeat_len(col("t")))
+      .collect()(0).getLong(0)
+    assert(viaCol == 4L) // "issi"
+  }
 }
