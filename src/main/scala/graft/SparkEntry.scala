@@ -3296,6 +3296,75 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"), col("ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- gaps-and-islands interval coalescing: event windows
+    //      [ts, ts + (event_id%7) minutes] merged per user bucket ----
+    "q189_merge_intervals" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(
+        (col("user_id") % 20).as("k"),
+        expr("unix_millis(cast(ts as timestamp))").as("s0"),
+        (expr("unix_millis(cast(ts as timestamp))") +
+          (col("event_id") % 7) * 60000L).as("e0"))
+      graft.temporal.Windows.mergeIntervals(iv, Seq("k"), "s0", "e0")
+        .orderBy(col("k"), col("interval_start"))
+    }),
+
+    // ---- CDC MERGE INTO: latest-seq changelog row wins, deletes drop ----
+    "q190_apply_changelog" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("source"), col("n_chars"))
+      val c1 = d.where(col("doc_id") % 5 === 0).select(col("doc_id"),
+        lit(1L).as("seq"), lit("upsert").as("op"), col("source"),
+        (col("n_chars") + 1000).as("n_chars"))
+      val c2 = d.where(col("doc_id") % 5 === 0).select(col("doc_id"),
+        lit(2L).as("seq"),
+        when(col("doc_id") % 3 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"),
+        col("source"), (col("n_chars") + 2000).as("n_chars"))
+      graft.ops.Diff.applyChangelog(base, c1.unionByName(c2), "doc_id",
+          "seq", "op")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- tie-aware Spearman: doubled integer ranks, exact decimal sums ----
+    "q191_spearman" -> ((s, dir) =>
+      graft.ops.Stats.spearman(
+        t(s, dir, "documents").select(col("n_chars").as("x"),
+          (col("n_chars") + col("doc_id") % 100).as("y")),
+        "x", "y")),
+
+    // ---- stream-STREAM join within ±900 s (impression-to-click shape):
+    //      two MemoryStream replays, inner join, bounded state ----
+    "q192_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"), col("event_id"))
+        .orderBy(col("ts")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      def feed(parity: Int): DataFrame = {
+        val rows = ev.filter(_._3 % 2 == parity)
+        val mem = MemoryStream[(Long, java.sql.Timestamp, Long)](
+          org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp, Long)],
+          s.sqlContext)
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach(b => mem.addData(b.toSeq))
+        mem.toDF()
+      }
+      val joined = graft.streaming.Streaming.joinWithin(
+        feed(0).toDF("k", "lts", "lid"), feed(1).toDF("k", "rts", "rid"),
+        Seq("k"), "lts", "rts", withinSeconds = 900L)
+      val sink = "q192_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val query = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      val sinkDf = s.table(sink)
+      val result = s.createDataFrame(
+        java.util.Arrays.asList(sinkDf.collect(): _*), sinkDf.schema)
+      s.catalog.dropTempView(sink)
+      result.select(col("k"), col("lid"), col("rid"))
+        .orderBy(col("k"), col("lid"), col("rid"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -6433,7 +6502,61 @@ object SparkEntry {
         |  (4, 30, 9, 4, 4, true),
         |  (5, 13, 0, 0, 0, false))
         |AS t(media_id, byte_len, width, height, channels, ok)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+
+    // q189: identical running-max island rule (ties are order-proof: a
+    // duplicate row can never reopen past its twin's end)
+    "q189_merge_intervals" ->
+      """WITH iv AS (SELECT user_id % 20 AS k, epoch_ms(ts) AS s0,
+        |            epoch_ms(ts) + (event_id % 7) * 60000 AS e0 FROM events),
+        |w AS (SELECT k, s0, e0, max(e0) OVER (PARTITION BY k ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |f AS (SELECT k, s0, e0,
+        |      CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END AS o FROM w),
+        |g AS (SELECT k, s0, e0, sum(o) OVER (PARTITION BY k ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM f)
+        |SELECT k, min(s0) AS interval_start, max(e0) AS interval_end,
+        |  cast(count(*) AS bigint) AS n_merged
+        |FROM g GROUP BY k, isl ORDER BY k, interval_start""".stripMargin,
+
+    // q190: the changelog is constructed so seq 2 always wins — the
+    // closed-form result is the %15 deletes dropped, %5 rows bumped +2000
+    "q190_apply_changelog" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 2000 ELSE n_chars END
+        |    AS n_chars
+        |FROM documents WHERE NOT (doc_id % 5 = 0 AND doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q191: doubled tie ranks in HUGEINT, identical final division chain
+    "q191_spearman" ->
+      """WITH base AS (SELECT n_chars AS x, n_chars + doc_id % 100 AS y
+        |              FROM documents),
+        |r AS (SELECT
+        |  CAST(rank() OVER (ORDER BY x) * 2 +
+        |       count(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS rx,
+        |  CAST(rank() OVER (ORDER BY y) * 2 +
+        |       count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS ry FROM base),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx) AS sx,
+        |      sum(ry) AS sy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+        |      sum(rx * ry) AS sxy FROM r)
+        |SELECT CAST(n AS bigint) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS rho
+        |FROM a""".stripMargin,
+
+    // q192: the definitional theta-join at microsecond precision
+    "q192_stream_join" ->
+      """WITH l AS (SELECT user_id AS k, epoch_us(ts) AS lus, event_id AS lid
+        |           FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id AS k, epoch_us(ts) AS rus, event_id AS rid
+        |      FROM events WHERE event_id % 2 = 1)
+        |SELECT k, lid, rid FROM l JOIN r USING (k)
+        |WHERE abs(lus - rus) <= 900000000
+        |ORDER BY k, lid, rid""".stripMargin)
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

@@ -48,6 +48,39 @@ object Diff {
     * and a single-row totals aggregate broadcast back by crossJoin. The
     * corpus itself is never joined or windowed.
     */
+  /** Apply a CDC changelog to a base snapshot (the MERGE INTO a lakehouse
+    * runs nightly): `changes` carries (key, seq, op, payload...) with op ∈
+    * {"upsert", "delete"}; per key only the row with the HIGHEST seq
+    * applies. Keys untouched by the changelog pass through from base;
+    * a winning upsert replaces the base row; a winning delete removes it.
+    *
+    * Determinism contract: `seqCol` must be unique per key (it is a
+    * changelog sequence number); ties would make the winner order-
+    * dependent, so the highest-seq rule breaks ties by preferring
+    * "delete" (documented, deterministic) rather than silently racing.
+    *
+    * Output: base schema (keyCol + payload columns, which must match
+    * between the two inputs). Scale shape: one per-key window over the
+    * CHANGELOG (changelog-sized, typically ≪ base), then one left-anti
+    * join of base against the touched-key list + a union — the base
+    * table is never windowed or widened.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCol: String,
+                     seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol)
+    require(payload.forall(changes.columns.contains),
+      "changes must carry every base payload column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, when(col(opCol) === "delete", 0).otherwise(1))
+    val latest = changes
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+    val winners = latest.where(col(opCol) =!= "delete")
+      .select(col(keyCol) +: payload.map(col): _*)
+    val touched = latest.select(col(keyCol))
+    base.join(touched, Seq(keyCol), "left_anti").unionByName(winners)
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
     val r = ref.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_ref"))
     val c = cur.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_cur"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -605,6 +605,40 @@ object Stats {
         (col("_s").cast("double") / col("n").cast("double")).as("mean_raw"),
         (col("_sw").cast("double") / col("n").cast("double"))
           .as("winsorized_mean")): _*)
+  }
+
+  /** Spearman rank correlation (tie-aware) between two numeric columns:
+    * Pearson over DOUBLED average tie ranks — 2·avgrank = 2·rank_min +
+    * ties − 1 stays an exact integer, so every accumulated sum is exact
+    * decimal(38,0) arithmetic and the only floating ops are the final
+    * fixed-order divisions/sqrts (engine-reproducible bit-for-bit).
+    * Returns one row: n, rho (NULL when either column is constant).
+    *
+    * INTENDED FOR SAMPLES AND RANKED LISTS (the [[kendallTau]] contract):
+    * ranking uses two single-partition windows, so n must fit one task —
+    * feed it top-k tables or drawn samples, not the raw corpus. Exact-sum
+    * headroom: 4n⁴ < 10³⁸ holds to n ≈ 10⁹, far past the window's reach.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def doubled(c: String): Column =
+      (rank().over(Window.orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast(dec)
+    val ranked = df.select(col(xCol), col(yCol))
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("_rx", doubled(xCol))
+      .withColumn("_ry", doubled(yCol))
+    val agg = ranked.agg(
+      count(lit(1)).cast(dec).as("_n"),
+      sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+      sum(col("_rx") * col("_rx")).as("_sxx"),
+      sum(col("_ry") * col("_ry")).as("_syy"),
+      sum(col("_rx") * col("_ry")).as("_sxy"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val dx = (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val dy = (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select(col("_n").cast("long").as("n"),
+      when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("rho"))
   }
 
   /** Multi-class classification report from (label, prediction) pairs:

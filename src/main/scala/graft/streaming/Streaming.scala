@@ -138,6 +138,33 @@ object Streaming {
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-STREAM inner join within a time bound: pair rows of two
+    * unbounded sources sharing `keys` whose event times sit within
+    * `withinSeconds` of each other — the impression-to-click /
+    * crawl-to-render correlation join. The symmetric time-range condition
+    * plus the two watermarks is exactly what lets Spark BOUND the join
+    * state: each side buffers only rows younger than
+    * watermark + withinSeconds, and evicts the rest — without the time
+    * bound the state grows forever (Spark rejects the plan in append
+    * mode for that reason).
+    *
+    * Output: left columns ++ right columns minus the right-side key
+    * duplicates. Both tsCols must be timestamps; rows match when
+    * |leftTs − rightTs| <= withinSeconds (closed bound).
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String, withinSeconds: Long,
+                 watermarkDelay: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    require(withinSeconds >= 0L, "withinSeconds must be >= 0")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val iv = expr(s"INTERVAL $withinSeconds seconds")
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - iv && r(rightTs) <= l(leftTs) + iv
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   // ---- custom state via flatMapGroupsWithState ----
 
   final case class UrlState(lastInstanceId: String, revisits: Long, changes: Long)

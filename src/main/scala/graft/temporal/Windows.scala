@@ -184,4 +184,36 @@ object Windows {
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Coalesce overlapping / adjacent CLOSED long intervals per key (gaps
+    * and islands): rows whose intervals touch — or sit within `maxGap` of
+    * each other — merge into one island. The canonical "stitch raw
+    * validity rows into outage windows / session spans" pass.
+    *
+    * Island rule: per key ordered by (start, end), a row OPENS a new
+    * island iff start > maxGap + max(end of all earlier rows). The
+    * running max makes nesting safe — an interval fully inside an earlier
+    * one never reopens. Pure integer window arithmetic, replayable by any
+    * SQL engine with the same ORDER BY.
+    *
+    * Output: keys..., interval_start, interval_end, n_merged. Scale
+    * shape: ONE window + one groupBy, both partitioned by key — the sort
+    * is per-key, parallelism is key cardinality; no self-join (the naive
+    * interval-merge quadratic).
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+                     endCol: String, maxGap: Long = 0L): DataFrame = {
+    require(maxGap >= 0L, "maxGap must be >= 0")
+    val s = col(startCol).cast("long"); val e = col(endCol).cast("long")
+    val order = Window.partitionBy(keys.map(col): _*).orderBy(s, e)
+    val prevMax = max(e).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMax.isNull || s > prevMax + maxGap, 1L).otherwise(0L)
+    df.where(s <= e)
+      .withColumn("_island",
+        sum(opens).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("_island"): _*)
+      .agg(min(s).as("interval_start"), max(e).as("interval_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
+  }
 }

@@ -5,6 +5,24 @@ import graft.SparkSpec
 class DiffSpec extends SparkSpec {
   import spark.implicits._
 
+  test("applyChangelog: latest-seq wins, deletes remove, untouched pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")).toDF("id", "v")
+    val changes = Seq(
+      (2L, 1L, "upsert", "b2"), (2L, 2L, "upsert", "b3"), // latest wins
+      (3L, 5L, "delete", ""),                             // removes base row
+      (4L, 1L, "upsert", "d"),                            // insert (not in base)
+      (5L, 7L, "upsert", "e2"), (5L, 7L, "delete", ""))   // seq tie: delete wins
+      .toDF("id", "seq", "op", "v")
+    val r = Diff.applyChangelog(base, changes, "id", "seq", "op")
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "a"), (2L, "b3"), (4L, "d")))
+    // delete of a key not in base is a no-op; empty changelog is identity
+    val r2 = Diff.applyChangelog(base,
+      Seq((9L, 1L, "delete", "")).toDF("id", "seq", "op", "v"),
+      "id", "seq", "op").orderBy("id").collect().map(_.getLong(0))
+    assert(r2.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val day1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("url", "text")
     val day2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("url", "text")

@@ -376,6 +376,25 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("spearman: monotone ±1, tie-aware hand value, constant gives NULL") {
+    // any monotone map is rho = 1 regardless of linearity
+    val mono = (1 to 7).map(x => (x.toLong, x.toLong * x * x)).toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect().head.getDouble(1) == 1.0)
+    val anti = (1 to 7).map(x => (x.toLong, -x.toLong)).toDF("x", "y")
+    assert(Stats.spearman(anti, "x", "y").collect().head.getDouble(1) == -1.0)
+    // ties: x=(1,2,2,3) doubled ranks (2,5,5,8); y=(1,2,3,4) -> (2,4,6,8)
+    // num=72, dx=72, dy=80 -> rho = 72/(sqrt72*sqrt80) = sqrt(0.9)
+    val tied = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val r = Stats.spearman(tied, "x", "y").collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 72.0 / (math.sqrt(72.0) * math.sqrt(80.0)))
+    // constant column: zero rank variance -> NULL, and null rows drop
+    val cst = Seq((1L, Some(5L)), (2L, Some(5L)), (3L, None))
+      .toDF("x", "y")
+    val c = Stats.spearman(cst, "x", "y").collect().head
+    assert(c.getLong(0) == 2L && c.isNullAt(1))
+  }
+
   test("agreementStats: closed-form kappa; constant raters yield NULL") {
     // 2x2: n=100, agree=80; margins true(a)=60,true(b)=40,
     // pred(a)=50, pred(b)=50 -> pe=(60*50+40*50)/10000=0.5, kappa=0.6

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import graft.pages.{Page, PageGen}
@@ -187,5 +188,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 60) // left join: nothing dropped
     assert(streamed.filter(_.getString(0) == "zzz").forall(_.isNullAt(2)))
     spark.catalog.dropTempView("ses")
+  }
+
+  test("joinWithin: stream-stream time-bound join == batch theta-join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: Int): Timestamp = new Timestamp(s * 1000L)
+    // left: one row per (key, t*10s); right: offsets that straddle the bound
+    val lrows = (0 until 30).map(i => (i.toLong % 5, ts(i * 10), i.toLong))
+    val rrows = (0 until 30).map(i =>
+      (i.toLong % 5, ts(i * 10 + Seq(-25, -5, 0, 5, 25)(i % 5)), 100L + i))
+    val lin = MemoryStream[(Long, Timestamp, Long)]
+    val rin = MemoryStream[(Long, Timestamp, Long)]
+    lrows.grouped(10).foreach(b => lin.addData(b))
+    rrows.grouped(10).foreach(b => rin.addData(b))
+    val joined = Streaming.joinWithin(
+      lin.toDF().toDF("k", "lts", "lid"), rin.toDF().toDF("k", "rts", "rid"),
+      Seq("k"), "lts", "rts", withinSeconds = 10L)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable()
+        spark.table("ssj").select("lid", "rid").collect() }
+      finally q.stop()
+    spark.catalog.dropTempView("ssj")
+    val batch = lrows.toDF("k", "lts", "lid")
+      .join(rrows.toDF("k2", "rts", "rid"),
+        col("k") === col("k2") &&
+          col("rts") >= col("lts") - org.apache.spark.sql.functions.expr("INTERVAL 10 seconds") &&
+          col("rts") <= col("lts") + org.apache.spark.sql.functions.expr("INTERVAL 10 seconds"))
+      .select("lid", "rid").collect()
+    assert(streamed.map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      batch.map(x => (x.getLong(0), x.getLong(1))).toSet)
+    assert(streamed.nonEmpty && streamed.length < 30 * 30) // bound actually filters
+    assert(streamed.length == streamed.map(x => (x.getLong(0), x.getLong(1))).toSet.size)
   }
 }

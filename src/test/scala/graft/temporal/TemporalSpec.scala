@@ -305,4 +305,30 @@ class WindowsSpec extends SparkSpec {
     assert(run(df) == expected)
     assert(run(df.repartition(7)) == expected)
   }
+
+  test("mergeIntervals: overlap, nesting, touching, maxGap, invalid rows") {
+    val df = Seq(
+      ("k", 0L, 10L), ("k", 5L, 7L),   // nested inside [0,10]
+      ("k", 10L, 12L),                 // touches 10 -> same island
+      ("k", 20L, 25L),                 // gap of 8 -> new island at maxGap 0
+      ("k", 40L, 30L),                 // invalid (start > end): dropped
+      ("z", 100L, 100L))               // point interval, own key
+      .toDF("key", "s", "e")
+    val g0 = Windows.mergeIntervals(df, Seq("key"), "s", "e")
+      .orderBy("key", "interval_start").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(g0.toSeq == Seq(("k", 0L, 12L, 3L), ("k", 20L, 25L, 1L),
+      ("z", 100L, 100L, 1L)))
+    // maxGap 8 bridges the 12->20 gap (20 <= 12 + 8)
+    val g8 = Windows.mergeIntervals(df, Seq("key"), "s", "e", maxGap = 8L)
+      .orderBy("key", "interval_start").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(g8.toSeq == Seq(("k", 0L, 25L, 4L), ("z", 100L, 100L, 1L)))
+    // an early long interval swallows later short ones (running max, not lag)
+    val nested = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 30L, 40L),
+      ("k", 99L, 120L)).toDF("key", "s", "e")
+    val gn = Windows.mergeIntervals(nested, Seq("key"), "s", "e")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(gn.toSeq == Seq((0L, 120L, 4L)))
+  }
 }
