@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 181 queries spanning every implemented operator family
+/** Driver contract — 196 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -154,7 +154,18 @@ import graft.temporal.{AsOfJoin, Windows}
   * ranking metrics (exact dyadic RBP/RR/P@k; ln-based nDCG kept
   * JVM-internal), q178 exact join-size preflight, q179 winsorized mean
   * (exact discrete-quantile clamp), q180 top-k membership churn, q181
-  * inter-event gap log2 histogram (length(bin(gap))-1, no libm).
+  * inter-event gap log2 histogram (length(bin(gap))-1, no libm), q182-q183
+  * classification report + Cohen's kappa (confusion-matrix-sized shuffle),
+  * q184 exact column profile (one Expand pass), q185 k-core (unrolled-peel
+  * oracle), q186 interval-overlap join (bucketed, dedup-free), q187
+  * longest repeated substring (suffix-sort max-LCP), q188 GIF/BMP header
+  * decode, q189 interval coalescing (running-max islands), q190 CDC
+  * changelog apply, q191 tie-aware Spearman rho (doubled integer ranks),
+  * q192 watermarked stream-stream join (±bound, MemoryStream replay),
+  * q193 byte-weighted discrete quantiles (cumulative-weight rule), q194
+  * degree assortativity (HUGEINT moments), q195 Unicode script mix
+  * (explicit BMP ranges), q196 Bloom semi-join reduction (runtime-filter
+  * pattern, exact result at any filter size).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3365,6 +3376,53 @@ object SparkEntry {
       s.catalog.dropTempView(sink)
       result.select(col("k"), col("lid"), col("rid"))
         .orderBy(col("k"), col("lid"), col("rid"))
+    }),
+
+    // ---- byte-weighted exact discrete quantiles (a giant page counts
+    //      by its size, not its row) ----
+    "q193_weighted_quantiles" -> ((s, dir) =>
+      graft.ops.Stats.weightedQuantilesDisc(t(s, dir, "documents"),
+          Seq("lang"), "n_chars", "n_chars", Seq(0.25, 0.5, 0.75))
+        .orderBy(col("lang"), col("q"))),
+
+    // ---- degree assortativity of the q185 link graph (one-row shape
+    //      diagnostic, exact HUGEINT moments) ----
+    "q194_assortativity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 7 + 1) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 3 + 2) % 60).as("dst"))
+      val core = Seq(1, 2, 3).map(o => d.select((col("doc_id") % 24).as("src"),
+        ((col("doc_id") % 24 + o) % 24).as("dst")))
+      graft.ops.Graph.assortativity(
+        core.foldLeft(e1.unionByName(e2))(_ unionByName _), "src", "dst")
+    }),
+
+    // ---- Unicode-script mix: deterministic non-Latin suffixes splice
+    //      Cyrillic/Han fragments into the corpus ----
+    "q195_script_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" мир"))
+            .when(col("doc_id") % 4 === 1, lit(" 中文"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Curation.scriptMix(d, "text")
+        .select(col("doc_id"), col("n_latin"), col("n_digit"),
+          col("n_cyrillic"), col("n_han"), col("mixed_latin_cyrillic"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Bloom-prefiltered semi-join == exact semi-join (runtime-filter
+    //      pattern; the tiny filter forces real false-positive scrubbing) ----
+    "q196_bloom_semi" -> ((s, dir) => {
+      val probe = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val build = t(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+        .select(col("doc_id").as("user_id"))
+      graft.ops.Skew.bloomSemiJoin(probe, build, "user_id",
+          mBits = 256, k = 3)
+        .orderBy(col("event_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -6556,7 +6614,78 @@ object SparkEntry {
         |      FROM events WHERE event_id % 2 = 1)
         |SELECT k, lid, rid FROM l JOIN r USING (k)
         |WHERE abs(lus - rus) <= 900000000
-        |ORDER BY k, lid, rid""".stripMargin)
+        |ORDER BY k, lid, rid""".stripMargin,
+
+    // q193: identical cumulative-weight rule (values pre-merged so ties
+    // are order-proof); dyadic qs keep ceil(q*W) float-exact
+    "q193_weighted_quantiles" ->
+      """WITH pv AS (SELECT lang, n_chars AS v, cast(sum(n_chars) AS bigint)
+        |            AS wv FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, v,
+        |      sum(wv) OVER (PARTITION BY lang ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |      sum(wv) OVER (PARTITION BY lang) AS tw FROM pv),
+        |e AS (SELECT lang, v, cw, tw, q
+        |      FROM w, (SELECT unnest([cast(0.25 AS double),
+        |               cast(0.5 AS double), cast(0.75 AS double)]) AS q) qs)
+        |SELECT lang, q, min(v) AS n_chars_q FROM e
+        |WHERE cw >= cast(ceil(q * tw) AS bigint)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q194: same mirrored simple graph as q185; HUGEINT moments and the
+    // identical fixed-order division/sqrt chain
+    "q194_assortativity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+        |  UNION ALL SELECT doc_id % 60, (doc_id * 3 + 2) % 60 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 1) % 24 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 2) % 24 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 3) % 24 FROM documents),
+        |s0 AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b
+        |       FROM e WHERE s <> d GROUP BY 1, 2),
+        |m0 AS MATERIALIZED (SELECT a, b FROM s0 UNION ALL SELECT b, a FROM s0),
+        |deg AS (SELECT a AS node, CAST(count(*) AS HUGEINT) AS d
+        |        FROM m0 GROUP BY 1),
+        |p AS (SELECT dx.d AS x, dy.d AS y FROM m0
+        |      JOIN deg dx ON m0.a = dx.node JOIN deg dy ON m0.b = dy.node),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx,
+        |      sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |      sum(x * y) AS sxy FROM p)
+        |SELECT CAST(m AS bigint) // 2 AS m_edges,
+        |  CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(m * syy - sy * sy AS DOUBLE) > 0
+        |    THEN CAST(m * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END AS r
+        |FROM a""".stripMargin,
+
+    // q195: single-char class counts via the length-difference trick;
+    // RE2 \x{...} ranges == the engine's explicit BMP ranges
+    "q195_script_mix" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' мир'
+        |         WHEN doc_id % 4 = 1 THEN ' 中文' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+        |    AS n_latin,
+        |  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+        |  length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g'))
+        |    AS n_cyrillic,
+        |  length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g'))
+        |    AS n_han,
+        |  (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))) > 0 AND
+        |  (length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g'))) > 0
+        |    AS mixed_latin_cyrillic
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q196: the Bloom stage is pure pushdown — the result is the
+    // definitional semi-join
+    "q196_bloom_semi" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE user_id IN (SELECT doc_id FROM documents
+        |                  WHERE doc_id % 3 = 0 AND doc_id < 150)
+        |ORDER BY event_id""".stripMargin)
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

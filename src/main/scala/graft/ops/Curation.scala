@@ -1137,4 +1137,28 @@ object Curation {
         total > 0L && total * 1000L >= lit(perMilli) * length(t).cast("long")
       })
   }
+
+  /** Unicode-script mix per document: counts of code points in EXPLICIT
+    * BMP ranges (Latin letters, digits, Cyrillic U+0400–04FF, Greek
+    * U+0370–03FF, Han U+4E00–9FFF, Arabic U+0600–06FF) plus the
+    * latin+cyrillic co-occurrence flag — the homoglyph-spoofing / wrong-
+    * language-fragment signal a lang-id score alone hides (a page can be
+    * 95% English and still carry a Cyrillic payload). Fixed ranges, not
+    * `\p{script=}` classes, so every regex engine agrees on membership.
+    *
+    * Scale shape: pure codegen'd regexp_count over the scan — narrow map,
+    * zero shuffle, no UDF.
+    */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column = regexp_count(t, lit(pattern)).cast("long")
+    df.withColumn("n_latin", cnt("[A-Za-z]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_cyrillic", cnt("[\\u0400-\\u04FF]"))
+      .withColumn("n_greek", cnt("[\\u0370-\\u03FF]"))
+      .withColumn("n_han", cnt("[\\u4E00-\\u9FFF]"))
+      .withColumn("n_arabic", cnt("[\\u0600-\\u06FF]"))
+      .withColumn("mixed_latin_cyrillic",
+        col("n_latin") > 0L && col("n_cyrillic") > 0L)
+  }
 }

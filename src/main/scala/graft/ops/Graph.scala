@@ -335,6 +335,48 @@ object Graph {
     * `maxRounds` caps the cost — stopping early yields the same rows an
     * equally-deep unroll produces (document the depth when comparing).
     */
+  /** Degree assortativity of the undirected simple graph: Pearson r over
+    * the (deg(a), deg(b)) pairs of every MIRRORED edge (the standard
+    * symmetrization). Positive r — hubs link hubs (social cores);
+    * negative — hubs link leaves (hub-and-spoke link farms, nav trees).
+    * One row: m_edges (undirected count), r.
+    *
+    * All sums accumulate in decimal(38,0) over exact integer degrees, so
+    * the only float ops are the final fixed-order divisions/sqrts —
+    * engine-reproducible. r is NULL when degree variance is zero on
+    * either endpoint margin (regular graphs).
+    *
+    * Scale shape: degree table is node-bounded and joins back to the
+    * edge list twice (broadcast at dim scale); one aggregate — no window,
+    * no self-join beyond the two degree lookups.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).where(col("a") =!= col("b"))
+    val simple = und
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val mirrored = simple.unionByName(
+      simple.select(col("b").as("a"), col("a").as("b")))
+    val deg = mirrored.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = mirrored
+      .join(deg.select(col("node").as("a"), col("deg").as("_dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("_dy")), Seq("b"))
+      .select(col("_dx").cast(dec).as("x"), col("_dy").cast(dec).as("y"))
+    val agg = pairs.agg(count(lit(1)).cast(dec).as("_m"),
+      sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+      sum(col("x") * col("x")).as("_sxx"),
+      sum(col("y") * col("y")).as("_syy"),
+      sum(col("x") * col("y")).as("_sxy"))
+    val num = (col("_m") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val dx = (col("_m") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val dy = (col("_m") * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agg.select((col("_m").cast("long") / 2).cast("long").as("m_edges"),
+      when(dx > 0 && dy > 0, num / (sqrt(dx) * sqrt(dy))).as("r"))
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             maxRounds: Int = 50): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -46,6 +46,41 @@ object Stats {
       .select(keys ++ Seq(col("q"), col(valCol).as(s"${valCol}_q")): _*)
   }
 
+  /** WEIGHTED exact discrete quantiles per key: the element at the
+    * smallest sorted value whose CUMULATIVE WEIGHT reaches ceil(q · W)
+    * (W = total group weight, integer weights ≥ 1) — "p99 of document
+    * length weighted by bytes", the storage-planning quantile where a
+    * giant page should count by its size, not its row. Reduces to
+    * [[quantilesDisc]] at weight ≡ 1. `qs` must be dyadic (same contract
+    * and reason as quantilesDisc: q·W must be float-exact).
+    *
+    * Output: keys..., q, <valCol>_q. Scale shape: a combiner groupBy on
+    * (key, value) FIRST (so the window runs over distinct values, not
+    * rows — also what makes duplicate values tie-order-proof), then one
+    * per-key cumulative-sum window + a |qs|-explode + min-aggregate.
+    */
+  def weightedQuantilesDisc(df: DataFrame, keyCols: Seq[String],
+                            valCol: String, weightCol: String,
+                            qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be within (0, 1]")
+    val keys = keyCols.map(col)
+    val perValue = df
+      .select(keys ++ Seq(col(valCol), col(weightCol).cast("long").as("_w")): _*)
+      .where(col("_w") >= 1L)
+      .groupBy(keys :+ col(valCol): _*).agg(sum("_w").as("_wv"))
+    val sorted = Window.partitionBy(keys: _*).orderBy(col(valCol))
+    val whole = Window.partitionBy(keys: _*)
+    perValue
+      .withColumn("_cw", sum(col("_wv"))
+        .over(sorted.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tw", sum(col("_wv")).over(whole))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .where(col("_cw") >= ceil(col("q") * col("_tw")).cast("long"))
+      .groupBy(keys :+ col("q"): _*)
+      .agg(min(col(valCol)).as(s"${valCol}_q"))
+  }
+
   /** Quantile-based feature binning: each row's `valCol` becomes the bin
     * index `count of thresholds strictly below-or-equal`, i.e.
     * bin = |{ t in thresholds(key) : value > t }|, with the thresholds the

@@ -150,4 +150,29 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0)).toSet
     assert(capped == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("assortativity: star is maximally disassortative, hand Pearson, regular graph NULL") {
+    // star K1,3: center degree 3, leaves 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rs = Graph.assortativity(star, "src", "dst").collect().head
+    assert(rs.getLong(0) == 3L && rs.getDouble(1) == -1.0)
+    // cycle: every degree 2 -> zero variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graph.assortativity(cyc, "src", "dst").collect().head
+    assert(rc.getLong(0) == 3L && rc.isNullAt(1))
+    // path 1-2-3-4: degrees 1,2,2,1; mirrored pairs (x,y):
+    // (1,2),(2,1),(2,2),(2,2),(2,1),(1,2): m=6, Sx=Sy=10, Sxx=Syy=18, Sxy=16
+    // num=6*16-100=-4, dx=dy=6*18-100=8 -> r=-4/(sqrt8*sqrt8) ~ -0.5
+    // (NOT exactly -0.5: sqrt(8)*sqrt(8) != 8 in doubles — the expected
+    // value must replay the engine's fixed op order, as the oracles do)
+    val pathExpected = -4.0 / (math.sqrt(8.0) * math.sqrt(8.0))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rp = Graph.assortativity(path, "src", "dst").collect().head
+    assert(rp.getLong(0) == 3L && rp.getDouble(1) == pathExpected)
+    // direction/dup/self-proof: same value after noise
+    val noisy = path.unionByName(
+      Seq((2L, 1L), (1L, 1L), (3L, 2L)).toDF("src", "dst"))
+    assert(Graph.assortativity(noisy, "src", "dst").collect().head
+      .getDouble(1) == pathExpected)
+  }
 }

@@ -92,4 +92,23 @@ class SkewSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getLong(3)))
     assert(none.toSeq == Seq(("*", 0L)))
   }
+
+  test("bloomSemiJoin: exactly the semi-join at any filter size, even fp-heavy") {
+    val probe = (0L until 300L).map(i => (i, s"p$i")).toDF("id", "v")
+    val build = (0L until 300L by 7L).map(i => (i, "x")).toDF("id", "b")
+    val expect = probe.join(build.select("id").distinct(), Seq("id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    // roomy filter (fp ~ 0) and a deliberately tiny, collision-heavy one:
+    // false positives MUST be scrubbed by the exact pass either way
+    for (m <- Seq(1 << 16, 64)) {
+      val got = Skew.bloomSemiJoin(probe, build, "id", mBits = m, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"mBits=$m")
+    }
+    // the bloom prefilter is present in the plan (a runtime filter below
+    // the exact join), and output columns are the probe's
+    val df = Skew.bloomSemiJoin(probe, build, "id")
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.queryExecution.executedPlan.toString.contains("bloom_contains"))
+  }
 }

@@ -376,6 +376,40 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("weightedQuantilesDisc: cumulative-weight rule, unit weights reduce to quantilesDisc") {
+    // key a: values 1(w=1), 2(w=1), 10(w=8): W=10
+    // q=0.5 -> ceil(5)=5 -> first cum>=5 is 10; q=0.25 -> ceil(2.5)=3...
+    // dyadic only: 0.25*10=2.5 exact, ceil=3 -> value 10 (cum 1,2,10)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 10L, 8L),
+      ("b", 5L, 3L), ("b", 7L, 1L)).toDF("k", "v", "w")
+    val r = Stats.weightedQuantilesDisc(df, Seq("k"), "v", "w",
+        Seq(0.125, 0.25, 0.5, 1.0))
+      .orderBy("k", "q").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("a", 0.125, 2L),  // ceil(1.25)=2 -> cum 2 at value 2
+      ("a", 0.25, 10L),  // ceil(2.5)=3 -> first cum>=3 is value 10
+      ("a", 0.5, 10L), ("a", 1.0, 10L),
+      ("b", 0.125, 5L), ("b", 0.25, 5L), ("b", 0.5, 5L),
+      ("b", 1.0, 7L)))   // ceil(4)=4 -> cum 4 at value 7
+    // unit weights == quantilesDisc on the same data
+    val vals = Seq(("g", 3L), ("g", 1L), ("g", 4L), ("g", 1L), ("g", 5L))
+      .toDF("k", "v")
+    val wq = Stats.weightedQuantilesDisc(
+      vals.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        Seq("k"), "v", "w", Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(x => (x.getDouble(1), x.getLong(2)))
+    val uq = Stats.quantilesDisc(vals, Seq("k"), "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("q").collect().map(x => (x.getDouble(1), x.getLong(2)))
+    assert(wq.toSeq == uq.toSeq)
+    // duplicate values merge their weights (tie-order-proof)
+    val dup = Seq(("d", 2L, 3L), ("d", 2L, 3L), ("d", 9L, 4L))
+      .toDF("k", "v", "w")
+    val rd = Stats.weightedQuantilesDisc(dup, Seq("k"), "v", "w", Seq(0.5))
+      .collect().map(x => x.getLong(2))
+    assert(rd.toSeq == Seq(2L)) // W=10, ceil(5)=5, cum(2)=6 >= 5
+  }
+
   test("spearman: monotone ±1, tie-aware hand value, constant gives NULL") {
     // any monotone map is rho = 1 regardless of linearity
     val mono = (1 to 7).map(x => (x.toLong, x.toLong * x * x)).toDF("x", "y")

@@ -119,6 +119,22 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
 
+  test("scriptMix: explicit-range counts and the latin+cyrillic flag") {
+    val df = Seq(
+      (1L, "Hello мир 123"),        // latin 5, cyrillic 3, digit 3 -> mixed
+      (2L, "只是中文"),              // han 4
+      (3L, "abc αβγ ٤٥"),           // latin 3, greek 3, arabic 2
+      (4L, "")).toDF("id", "text")
+    val r = Curation.scriptMix(df, "text").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6), x.getLong(7), x.getBoolean(8)))
+    assert(r.toSeq == Seq(
+      (1L, 5L, 3L, 3L, 0L, 0L, 0L, true),
+      (2L, 0L, 0L, 0L, 0L, 4L, 0L, false),
+      (3L, 3L, 0L, 0L, 3L, 0L, 2L, false),
+      (4L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("longestRepeatedSubstring: hand cases, overlap, cap, code points, brute parity") {
     import graft.core.TextKernels.{longestRepeatedSubstring => lrs}
     assert(lrs("abcabcabc", 512) == 6L) // overlapping "abcabc"
