@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 196 queries spanning every implemented operator family
+/** Driver contract — 199 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -165,7 +165,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * q193 byte-weighted discrete quantiles (cumulative-weight rule), q194
   * degree assortativity (HUGEINT moments), q195 Unicode script mix
   * (explicit BMP ranges), q196 Bloom semi-join reduction (runtime-filter
-  * pattern, exact result at any filter size).
+  * pattern, exact result at any filter size), q197 nearest-snapshot join
+  * (argmin either direction, tie to backward), q198 graph reciprocity,
+  * q199 deterministic Poisson-bootstrap CI (md5 draw, exact replays).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3423,7 +3425,39 @@ object SparkEntry {
       graft.ops.Skew.bloomSemiJoin(probe, build, "user_id",
           mBits = 256, k = 3)
         .orderBy(col("event_id"))
-    }))
+    }),
+
+    // ---- NEAREST-snapshot join (either direction, tie to backward):
+    //      events paired with the closest synthetic crawl snapshot ----
+    "q197_nearest_join" -> ((s, dir) => {
+      val build = t(s, dir, "documents").select(
+        (col("doc_id") % 150).as("user_id"),
+        timestamp_micros(lit(1704412800000000L) + col("doc_id") * 37000000L)
+          .as("ts_b"),
+        col("n_chars"))
+      val probe = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"))
+      graft.temporal.AsOfJoin.nearest(probe, build, Seq("user_id"),
+          "ts", "ts_b")
+        .select(col("event_id"), col("n_chars"),
+          unix_micros(col("ts_b")).as("b_us"), col("_asof_matched"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- reciprocity of the directed residue link graph ----
+    "q198_reciprocity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 7 + 1) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 3 + 2) % 60).as("dst"))
+      graft.ops.Graph.reciprocity(e1.unionByName(e2), "src", "dst")
+    }),
+
+    // ---- deterministic Poisson-bootstrap CI for mean doc length ----
+    "q199_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Stats.bootstrapMeanCI(t(s, dir, "documents"), "doc_id",
+        "n_chars", b = 32, seed = "g1", loQ = 0.125, hiQ = 0.875)))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -6685,7 +6719,62 @@ object SparkEntry {
       """SELECT event_id, user_id FROM events
         |WHERE user_id IN (SELECT doc_id FROM documents
         |                  WHERE doc_id % 3 = 0 AND doc_id < 150)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // q197: definitional argmin — ORDER BY (|delta|, ts_b) replicates the
+    // tie-to-backward rule; unique build ts per key by construction
+    "q197_nearest_join" ->
+      """WITH b AS (SELECT doc_id % 150 AS user_id,
+        |           make_timestamp(1704412800000000 + doc_id * 37000000)
+        |             AS ts_b, n_chars FROM documents)
+        |SELECT e.event_id, c.n_chars, epoch_us(c.ts_b) AS b_us,
+        |  c.ts_b IS NOT NULL AS _asof_matched
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT b.n_chars, b.ts_b FROM b WHERE b.user_id = e.user_id
+        |  ORDER BY abs(epoch_us(e.ts) - epoch_us(b.ts_b)), b.ts_b LIMIT 1)
+        |  c ON true
+        |ORDER BY e.event_id""".stripMargin,
+
+    // q198: mutual-edge fraction of the distinct simple digraph
+    "q198_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT s, d FROM (
+        |    SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 60, (doc_id * 3 + 2) % 60 FROM documents)
+        |  WHERE s <> d),
+        |r AS (SELECT e1.s FROM e e1 JOIN e e2 ON e1.s = e2.d AND e1.d = e2.s)
+        |SELECT cast((SELECT count(*) FROM e) AS bigint) AS n_edges,
+        |  cast((SELECT count(*) FROM r) AS bigint) AS n_reciprocal,
+        |  cast((SELECT count(*) FROM r) AS double) /
+        |    cast((SELECT count(*) FROM e) AS double) AS reciprocity""".stripMargin,
+
+    // q199: full md5 -> u -> Poisson-weight -> rep-mean -> quantile_disc
+    // replay; the threshold literals are interpolated from the SAME Scala
+    // constants the engine uses
+    "q199_bootstrap_ci" -> {
+      val t = graft.ops.Stats.PoissonCdf1
+      s"""WITH reps AS (SELECT cast(doc_id AS varchar) AS id, n_chars AS v, r
+        |  FROM documents, unnest(range(1, 33)) u(r)),
+        |uu AS (SELECT v, r,
+        |  ((('0x' || substr(md5(id || chr(1) || cast(r AS varchar) || chr(1)
+        |     || 'g1'), 1, 8))::UBIGINT + 0.5) / 4294967296.0) AS u FROM reps),
+        |w AS (SELECT v, r,
+        |  CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+        |       WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+        |       WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+        |       WHEN u < ${t(6)} THEN 6 ELSE 7 END AS w FROM uu),
+        |m AS (SELECT r, cast(sum(w * v) AS bigint) AS s,
+        |      cast(sum(w) AS bigint) AS n FROM w GROUP BY r),
+        |mm AS (SELECT cast(s AS double) / cast(n AS double) AS m
+        |       FROM m WHERE n > 0),
+        |tot AS (SELECT cast(count(*) AS bigint) AS n,
+        |        cast(cast(sum(n_chars) AS bigint) AS double) /
+        |          cast(count(*) AS double) AS mean FROM documents)
+        |SELECT tot.n, tot.mean, quantile_disc(mm.m, 0.125) AS ci_lo,
+        |  quantile_disc(mm.m, 0.875) AS ci_hi,
+        |  cast(count(mm.m) AS bigint) AS n_boot
+        |FROM tot, mm GROUP BY tot.n, tot.mean""".stripMargin
+    })
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

@@ -335,6 +335,28 @@ object Graph {
     * `maxRounds` caps the cost — stopping early yields the same rows an
     * equally-deep unroll produces (document the depth when comparing).
     */
+  /** Reciprocity of the DIRECTED simple graph (self-loops and duplicate
+    * edges dropped): the fraction of edges whose reverse also exists —
+    * near 1 on mutual-link cliques (blogroll rings, link exchanges), near
+    * 0 on genuine citation-style linking. One row: n_edges, n_reciprocal,
+    * reciprocity (a single bigint/bigint double division).
+    *
+    * Scale shape: one distinct + one left-semi self-join on the reversed
+    * pair — both equi-joins on (a, b); no windows, no cartesian.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val recip = e.join(e.select(col("b").as("a"), col("a").as("b")),
+      Seq("a", "b"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(
+        recip.agg(count(lit(1)).as("n_reciprocal")))
+      .withColumn("reciprocity",
+        when(col("n_edges") > 0,
+          col("n_reciprocal").cast("double") / col("n_edges").cast("double")))
+  }
+
   /** Degree assortativity of the undirected simple graph: Pearson r over
     * the (deg(a), deg(b)) pairs of every MIRRORED edge (the standard
     * symmetrization). Positive r — hubs link hubs (social cores);

@@ -642,6 +642,69 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Fixed cumulative thresholds for the deterministic Poisson(1)
+    * resampling draw in [[bootstrapMeanCI]] (k = 0..6; above the last →
+    * weight 7). Hard-coded decimal literals — NOT computed — so an
+    * external engine pasting the same literals reproduces every weight
+    * bit-for-bit (math.exp is not contractually identical across
+    * platforms; these constants are the contract).
+    */
+  val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** Deterministic Poisson bootstrap CI for the mean of an INTEGER metric
+    * — error bars on a corpus statistic with zero RNG state: resample
+    * weight for (row, rep) is the Poisson(1) inverse-CDF of
+    * u = md5(id, rep, seed) (the [[graft.ops.Reporting.dpCounts]] draw
+    * pattern), each rep's mean is one double division of exact bigint
+    * sums, and the CI bounds are EXACT discrete quantiles of the B rep
+    * means (dyadic loQ/hiQ, quantile_disc element rule). Fully replayable
+    * by an external SQL engine; reruns are bit-identical.
+    *
+    * Output one row: n, mean, ci_lo, ci_hi, n_boot. Scale shape: one
+    * B-way explode of a slim (id, value) projection + a B-row aggregate —
+    * cost is B scans' worth of combiner aggregation, no window over the
+    * corpus (the rep-means table is B rows).
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valCol: String,
+                      b: Int = 32, seed: String = "bs",
+                      loQ: Double = 0.125, hiQ: Double = 0.875): DataFrame = {
+    require(b >= 2, "need at least 2 bootstrap reps")
+    require(0.0 < loQ && loQ < hiQ && hiQ <= 1.0, "need 0 < loQ < hiQ <= 1")
+    val slim = df.select(col(idCol).cast("string").as("_id"),
+      col(valCol).cast("long").as("_v"))
+    val reps = slim.withColumn("_r", explode(sequence(lit(1), lit(b))))
+    val rank = conv(substring(md5(concat_ws("\u0001", col("_id"),
+      col("_r").cast("string"), lit(seed)).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (rank.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val wgt = PoissonCdf1.zipWithIndex.foldRight(lit(PoissonCdf1.size.toLong)) {
+      case ((thr, k), acc) => when(u < thr, lit(k.toLong)).otherwise(acc)
+    }
+    val means = reps.withColumn("_w", wgt)
+      .groupBy(col("_r"))
+      .agg(sum(col("_w") * col("_v")).as("_s"), sum(col("_w")).as("_n"))
+      .where(col("_n") > 0L)
+      .select((col("_s").cast("double") / col("_n").cast("double")).as("_m"))
+    val ranked = means
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_m"))))
+      .withColumn("_nb", count(lit(1)).over(Window.partitionBy()))
+    val ci = ranked.agg(
+      min(when(col("_rn") ===
+        greatest(lit(1L), ceil(lit(loQ) * col("_nb")).cast("long")),
+        col("_m"))).as("ci_lo"),
+      min(when(col("_rn") ===
+        greatest(lit(1L), ceil(lit(hiQ) * col("_nb")).cast("long")),
+        col("_m"))).as("ci_hi"),
+      count(lit(1)).as("n_boot"))
+    val full = df.agg(count(lit(1)).as("n"),
+      (sum(col(valCol).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+    full.crossJoin(ci)
+  }
+
   /** Spearman rank correlation (tie-aware) between two numeric columns:
     * Pearson over DOUBLED average tie ranks — 2·avgrank = 2·rank_min +
     * ties − 1 stays an exact integer, so every accumulated sum is exact

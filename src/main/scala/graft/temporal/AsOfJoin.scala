@@ -279,4 +279,87 @@ object AsOfJoin {
       sum(when(leak, 1L).otherwise(0L)).as("n_leaks"),
       sum(when(stale, 1L).otherwise(0L)).as("n_stale"))
   }
+
+  /** NEAREST-snapshot join: for every probe row, the build row minimizing
+    * |probe_ts − build_ts| (microsecond precision), ties going to the
+    * EARLIER (backward) row. The enrichment dual of the as-of join: as-of
+    * is mandatory for features (no future reads); nearest is for
+    * annotation/debugging joins where the closest measurement — either
+    * side — is wanted, e.g. pairing a crawl snapshot with the closest
+    * render-service capture. NOT leakage-safe by construction; do not
+    * feed its output to training features.
+    *
+    * Same union-tag single-sort shape as [[asOfUnion]]: ONE shuffle on
+    * key, then a forward-fill (last preceding build row) and a
+    * backward-fill (first following build row) over the same sort, and a
+    * per-row argmin. Tie conventions: equal |delta| → backward;
+    * equal-ts build rows collapse to max payload struct backward /
+    * min payload struct forward (both deterministic).
+    *
+    * `maxDeltaSeconds` bounds the match like asOf's tolerance: a nearest
+    * row farther than the bound (in whole seconds) comes back unmatched.
+    * Output mirrors [[asOfUnion]]: probe columns + payload (suffixed on
+    * collision) + build ts + `_asof_matched`.
+    */
+  def nearest(probe: DataFrame, build: DataFrame, keys: Seq[String],
+              probeTs: String, buildTs: String, suffix: String = "_r",
+              maxDeltaSeconds: Option[Long] = None): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val payloadCols = build.columns.filterNot(c => keys.contains(c) || c == buildTs)
+    val outName: Map[String, String] =
+      payloadCols.map(c => c -> (if (probe.columns.contains(c)) c + suffix else c)).toMap
+    val buildTsOut = if (probe.columns.contains(buildTs)) buildTs + suffix else buildTs
+
+    val pTagged = probe
+      .withColumn("_ts", col(probeTs))
+      .withColumn("_tag", lit(1))
+      .select(
+        (keys.map(col) :+ $"_ts" :+ $"_tag") ++
+          probe.columns.filterNot(keys.contains).map(col) ++
+          payloadCols.map(c => lit(null).cast(build.schema(c).dataType).as(outName(c))) :+
+          lit(null).cast(build.schema(buildTs).dataType).as(buildTsOut): _*)
+    val bTagged = build
+      .withColumn("_ts", col(buildTs))
+      .withColumn("_tag", lit(0))
+      .select(
+        (keys.map(col) :+ $"_ts" :+ $"_tag") ++
+          probe.columns.filterNot(keys.contains).map(c =>
+            lit(null).cast(probe.schema(c).dataType).as(c)) ++
+          payloadCols.map(c => col(c).as(outName(c))) :+
+          col(buildTs).as(buildTsOut): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy($"_ts".asc, $"_tag".asc,
+        struct(col(buildTsOut) +: payloadCols.map(c => col(outName(c))): _*)
+          .asc_nulls_first)
+    val buildRowStruct = when($"_tag" === 0,
+      struct(col(buildTsOut).as("_bts") +:
+        payloadCols.map(c => col(outName(c)).as(c)): _*))
+    val filled = pTagged.unionByName(bTagged)
+      .withColumn("_back", last(buildRowStruct, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_fwd", first(buildRowStruct, ignoreNulls = true)
+        .over(w.rowsBetween(0, Window.unboundedFollowing)))
+
+    val pUs = unix_micros($"_ts".cast("timestamp"))
+    def bUs(c: Column): Column = unix_micros(c.getField("_bts").cast("timestamp"))
+    val backD = pUs - bUs(col("_back"))
+    val fwdD = bUs(col("_fwd")) - pUs
+    val chosen0 = when(col("_back").isNull, col("_fwd"))
+      .when(col("_fwd").isNull, col("_back"))
+      .when(backD <= fwdD, col("_back")).otherwise(col("_fwd"))
+    val chosen = maxDeltaSeconds.fold(chosen0)(t =>
+      when(abs(pUs - bUs(chosen0)) <= t * 1000000L, chosen0))
+
+    filled
+      .where($"_tag" === 1)
+      .withColumn("_row", chosen)
+      .select(
+        (keys.map(col) ++
+          probe.columns.filterNot(keys.contains).map(col) ++
+          payloadCols.map(c => col("_row").getField(c).as(outName(c)))) :+
+          col("_row").getField("_bts").as(buildTsOut) :+
+          col("_row").isNotNull.as("_asof_matched"): _*)
+  }
 }

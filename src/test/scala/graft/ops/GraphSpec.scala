@@ -151,6 +151,23 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("reciprocity: mutual fraction of the simple directed graph") {
+    // distinct simple edges: 1->2, 2->1, 1->3, 3->4, 4->3 (dup + self dropped)
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L),
+      (5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.reciprocity(e, "src", "dst").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L &&
+      r.getDouble(2) == 4.0 / 5.0)
+    // no mutual pairs
+    val dag = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rd = Graph.reciprocity(dag, "src", "dst").collect().head
+    assert(rd.getLong(1) == 0L && rd.getDouble(2) == 0.0)
+    // only self-loops: zero edges -> NULL ratio
+    val self = Seq((7L, 7L)).toDF("src", "dst")
+    val rs = Graph.reciprocity(self, "src", "dst").collect().head
+    assert(rs.getLong(0) == 0L && rs.isNullAt(2))
+  }
+
   test("assortativity: star is maximally disassortative, hand Pearson, regular graph NULL") {
     // star K1,3: center degree 3, leaves 1 -> r = -1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")

@@ -376,6 +376,40 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("bootstrapMeanCI: bit-exact JVM replay of the whole chain; seed moves it") {
+    val df = (1L to 40L).map(i => (i, i * 3L)).toDF("id", "v")
+    val r = Stats.bootstrapMeanCI(df, "id", "v", b = 16, seed = "s1",
+      loQ = 0.125, hiQ = 0.875).collect().head
+    // independent replay in plain JVM arithmetic
+    def weight(id: Long, rep: Int, seed: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((s"$id\u0001$rep\u0001$seed").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble + 0.5) /
+        4294967296.0
+      val k = Stats.PoissonCdf1.indexWhere(u < _)
+      if (k < 0) Stats.PoissonCdf1.size.toLong else k.toLong
+    }
+    val means = (1 to 16).flatMap { rep =>
+      val ws = (1L to 40L).map(i => (weight(i, rep, "s1"), i * 3L))
+      val n = ws.map(_._1).sum
+      if (n == 0) None else Some(ws.map(x => x._1 * x._2).sum.toDouble / n.toDouble)
+    }.sorted
+    def disc(q: Double): Double =
+      means(math.max(1, math.ceil(q * means.size).toInt) - 1)
+    assert(r.getLong(0) == 40L)
+    assert(r.getDouble(1) == (1L to 40L).map(_ * 3L).sum.toDouble / 40.0)
+    assert(r.getDouble(2) == disc(0.125) && r.getDouble(3) == disc(0.875))
+    assert(r.getLong(4) == means.size.toLong)
+    assert(r.getDouble(2) <= r.getDouble(3))
+    // deterministic rerun; different seed shifts the interval
+    val again = Stats.bootstrapMeanCI(df, "id", "v", 16, "s1").collect().head
+    assert(again.getDouble(2) == r.getDouble(2) && again.getDouble(3) == r.getDouble(3))
+    val moved = Stats.bootstrapMeanCI(df, "id", "v", 16, "s2").collect().head
+    assert((moved.getDouble(2), moved.getDouble(3)) !=
+      (r.getDouble(2), r.getDouble(3)))
+  }
+
   test("weightedQuantilesDisc: cumulative-weight rule, unit weights reduce to quantilesDisc") {
     // key a: values 1(w=1), 2(w=1), 10(w=8): W=10
     // q=0.5 -> ceil(5)=5 -> first cum>=5 is 10; q=0.25 -> ceil(2.5)=3...

@@ -56,6 +56,46 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest: argmin |delta|, tie to backward, maxDelta bound, no-history keys") {
+    val build = Seq(("a", ts(100), 1.0), ("a", ts(200), 2.0))
+      .toDF("key", "bts", "value")
+    val probe = Seq(
+      ("a", ts(90), "p0"),   // only forward: 100 (d=10)
+      ("a", ts(140), "p1"),  // back d=40 < fwd d=60 -> 100
+      ("a", ts(160), "p2"),  // fwd d=40 < back d=60 -> 200
+      ("a", ts(150), "p3"),  // tie d=50 -> BACKWARD -> 100
+      ("a", ts(500), "p4"),  // only backward in range -> 200 (d=300)
+      ("b", ts(100), "p5"))  // no build rows at all
+      .toDF("key", "t", "probe_payload")
+    val r = AsOfJoin.nearest(probe, build, Seq("key"), "t", "bts")
+      .collect().map(x => x.getString(x.fieldIndex("probe_payload")) ->
+        (if (x.isNullAt(x.fieldIndex("value"))) None
+         else Some(x.getDouble(x.fieldIndex("value"))))).toMap
+    assert(r == Map("p0" -> Some(1.0), "p1" -> Some(1.0), "p2" -> Some(2.0),
+      "p3" -> Some(1.0), "p4" -> Some(2.0), "p5" -> None))
+    // maxDelta 45 s: p3 (d=50) and p4 (d=300) lose their match
+    val capped = AsOfJoin.nearest(probe, build, Seq("key"), "t", "bts",
+        maxDeltaSeconds = Some(45L))
+      .collect().map(x => x.getString(x.fieldIndex("probe_payload")) ->
+        x.getBoolean(x.fieldIndex("_asof_matched"))).toMap
+    assert(capped == Map("p0" -> true, "p1" -> true, "p2" -> true,
+      "p3" -> false, "p4" -> false, "p5" -> false))
+    // random tables: the chosen row always achieves the minimal |delta|
+    val (rp, rb) = randomTables(seed = 11L, nKeys = 5, nProbe = 200, nBuild = 120)
+    val bRows = rb.collect().map(x => (x.getString(0), x.getTimestamp(1).getTime))
+    val got = AsOfJoin.nearest(rp, rb, Seq("key"), "t", "bts").collect()
+    got.foreach { x =>
+      val key = x.getString(x.fieldIndex("key"))
+      val t = x.getTimestamp(x.fieldIndex("t")).getTime
+      val cands = bRows.filter(_._1 == key).map(c => math.abs(c._2 - t))
+      if (cands.isEmpty) assert(!x.getBoolean(x.fieldIndex("_asof_matched")))
+      else {
+        val bt = x.getTimestamp(x.fieldIndex("bts")).getTime
+        assert(math.abs(bt - t) == cands.min, s"probe ($key,$t)")
+      }
+    }
+  }
+
   test("asOfUnion matches brute force (inclusive + strict)") {
     val (probe, build) = randomTables(1, nKeys = 7, nProbe = 300, nBuild = 200)
     for (strict <- Seq(false, true)) {
