@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 199 queries spanning every implemented operator family
+/** Driver contract — 201 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -167,7 +167,9 @@ import graft.temporal.{AsOfJoin, Windows}
   * (explicit BMP ranges), q196 Bloom semi-join reduction (runtime-filter
   * pattern, exact result at any filter size), q197 nearest-snapshot join
   * (argmin either direction, tie to backward), q198 graph reciprocity,
-  * q199 deterministic Poisson-bootstrap CI (md5 draw, exact replays).
+  * q199 deterministic Poisson-bootstrap CI (md5 draw, exact replays),
+  * q200 exact CUSUM drift detector (prefix-sum identity), q201 schema
+  * drift report (pure driver metadata).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3457,7 +3459,26 @@ object SparkEntry {
     // ---- deterministic Poisson-bootstrap CI for mean doc length ----
     "q199_bootstrap_ci" -> ((s, dir) =>
       graft.ops.Stats.bootstrapMeanCI(t(s, dir, "documents"), "doc_id",
-        "n_chars", b = 32, seed = "g1", loQ = 0.125, hiQ = 0.875)))
+        "n_chars", b = 32, seed = "g1", loQ = 0.125, hiQ = 0.875)),
+
+    // ---- exact CUSUM drift detector (prefix-sum identity, no recursion) ----
+    "q200_cusum" -> ((s, dir) =>
+      graft.ops.Stats.cusum(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 20).as("x")),
+        Seq("user_id"), "ts", "x", target = 9L, slack = 1L, threshold = 15L,
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("x"), col("cusum"),
+          col("cusum_alarm"))
+        .orderBy(col("event_id"))),
+
+    // ---- schema drift report (pure metadata, zero scans) ----
+    "q201_schema_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val next = d.withColumn("n_chars", col("n_chars").cast("int"))
+        .drop("source").withColumn("fetched", lit(true))
+      graft.ops.Diff.schemaDiff(d, next).orderBy(col("column"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -6774,7 +6795,35 @@ object SparkEntry {
         |  quantile_disc(mm.m, 0.875) AS ci_hi,
         |  cast(count(mm.m) AS bigint) AS n_boot
         |FROM tot, mm GROUP BY tot.n, tot.mean""".stripMargin
-    })
+    },
+
+    // q200: identical prefix-sum identity S = P - min(0, running min P)
+    "q200_cusum" ->
+      """WITH b AS (SELECT user_id, ts, event_id, event_id % 20 AS x
+        |           FROM events),
+        |w1 AS (SELECT user_id, ts, event_id, x,
+        |       sum(x - 10) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |       FROM b),
+        |w2 AS (SELECT user_id, event_id, x,
+        |       p - least(0, min(p) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |       FROM w1)
+        |SELECT user_id, event_id, x, cusum, cusum > 15 AS cusum_alarm
+        |FROM w2 ORDER BY event_id""".stripMargin,
+
+    // q201: closed-form — the constructed drift is known
+    "q201_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'bigint', 'bigint', 'unchanged'),
+        |  ('fetched', NULL, 'boolean', 'added'),
+        |  ('lang', 'string', 'string', 'unchanged'),
+        |  ('n_chars', 'bigint', 'int', 'type_changed'),
+        |  ('source', 'string', NULL, 'removed'),
+        |  ('text', 'string', 'string', 'unchanged'))
+        |AS t("column", old_type, new_type, status)
+        |ORDER BY "column"""".stripMargin)
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

@@ -48,6 +48,30 @@ object Diff {
     * and a single-row totals aggregate broadcast back by crossJoin. The
     * corpus itself is never joined or windowed.
     */
+  /** Schema drift between two snapshots of a table: one row per column in
+    * the union of both schemas with its type on each side and a status ∈
+    * {added, removed, type_changed, unchanged} — the first check a
+    * pipeline runs when a new corpus drop arrives (a silently retyped
+    * column corrupts more downstream state than a missing one). Schema
+    * metadata is driver-resident, so this is a pure metadata operation:
+    * zero jobs, zero scans; the result is a local literal table.
+    */
+  def schemaDiff(old: DataFrame, newer: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val o = old.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newer.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "type_changed"
+      }
+      (c, o.get(c).orNull, n.get(c).orNull, status)
+    }.toDF("column", "old_type", "new_type", "status")
+  }
+
   /** Apply a CDC changelog to a base snapshot (the MERGE INTO a lakehouse
     * runs nightly): `changes` carries (key, seq, op, payload...) with op ∈
     * {"upsert", "delete"}; per key only the row with the HIGHEST seq

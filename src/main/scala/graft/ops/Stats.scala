@@ -642,6 +642,37 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Exact one-sided CUSUM change-point statistic per key: with
+    * d_i = x_i − target − slack over the (ts, tie)-ordered series,
+    *
+    *   S_k = max(0, S_{k−1} + d_k)  =  P_k − min(0, P_1..P_k)
+    *
+    * via the prefix-sum identity, so the recursive definition becomes TWO
+    * stock window functions (prefix sum + running min) — pure bigint
+    * arithmetic, no recursion, replayable by any SQL engine with the same
+    * ORDER BY. Rows where S crosses `threshold` flag `cusum_alarm` — the
+    * sequential drift detector (a sustained upward shift accumulates;
+    * isolated spikes decay back through the max(0, ·) floor) that
+    * complements q158's per-day burst z-scores.
+    *
+    * Output: input columns + cusum (long) + cusum_alarm. Scale shape: one
+    * per-key window over a slim projection; parallelism = key count.
+    * `tieBreak` must make the order total or the prefix is ambiguous.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+            valCol: String, target: Long, slack: Long,
+            threshold: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = col(valCol).cast("long") - lit(target) - lit(slack)
+    df.withColumn("_p", sum(d).over(w))
+      .withColumn("cusum", col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .withColumn("cusum_alarm", col("cusum") > threshold)
+      .drop("_p")
+  }
+
   /** Fixed cumulative thresholds for the deterministic Poisson(1)
     * resampling draw in [[bootstrapMeanCI]] (k = 0..6; above the last →
     * weight 7). Hard-coded decimal literals — NOT computed — so an

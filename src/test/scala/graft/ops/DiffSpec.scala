@@ -23,6 +23,18 @@ class DiffSpec extends SparkSpec {
     assert(r2.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("schemaDiff: added/removed/type_changed/unchanged, zero jobs") {
+    val old = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val neu = Seq((1L, 2, true)).toDF("id", "score", "fresh")
+    val r = Diff.schemaDiff(old, neu).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      ("fresh", null, "boolean", "added"),
+      ("id", "bigint", "bigint", "unchanged"),
+      ("name", "string", null, "removed"),
+      ("score", "double", "int", "type_changed")))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val day1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("url", "text")
     val day2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("url", "text")

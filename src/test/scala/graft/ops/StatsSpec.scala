@@ -376,6 +376,34 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("cusum: recursive definition via prefix identity, resets, alarm crossing") {
+    // target=10, slack=0: d = x-10. series for k:
+    // x: 10,25,5,9,30,30 -> d: 0,15,-5,-1,20,20
+    // S: 0,15,10,9,29,49 (recursive max(0, S+d))
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 25L), ("k", 3L, 5L),
+      ("k", 4L, 9L), ("k", 5L, 30L), ("k", 6L, 30L),
+      // independent key: deep dip then rise — the max(0,·) floor resets
+      // x: 1,1,30 -> d: -9,-9,20 -> S: 0,0,20
+      ("z", 7L, 1L), ("z", 8L, 1L), ("z", 9L, 30L))
+      .toDF("key", "t", "x")
+    val r = Stats.cusum(df, Seq("key"), "t", "x", target = 10L, slack = 0L,
+        threshold = 25L)
+      .orderBy("t").collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0L, false), (2L, 15L, false), (3L, 10L, false), (4L, 9L, false),
+      (5L, 29L, true), (6L, 49L, true),
+      (7L, 0L, false), (8L, 0L, false), (9L, 20L, false)))
+    // recursive brute parity on a pseudo-random series
+    val xs = (1 to 60).map(i => (i.toLong, ((i * 37) % 23).toLong))
+    val brute = xs.scanLeft(0L) { case (s, (_, x)) =>
+      math.max(0L, s + (x - 11L - 1L)) }.tail
+    val got = Stats.cusum(xs.map(x => ("g", x._1, x._2)).toDF("key", "t", "x"),
+        Seq("key"), "t", "x", target = 11L, slack = 1L, threshold = 9L)
+      .orderBy("t").collect().map(_.getLong(3))
+    assert(got.toSeq == brute)
+  }
+
   test("bootstrapMeanCI: bit-exact JVM replay of the whole chain; seed moves it") {
     val df = (1L to 40L).map(i => (i, i * 3L)).toDF("id", "v")
     val r = Stats.bootstrapMeanCI(df, "id", "v", b = 16, seed = "s1",
