@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 201 queries spanning every implemented operator family
+/** Driver contract — 203 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -169,7 +169,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * (argmin either direction, tie to backward), q198 graph reciprocity,
   * q199 deterministic Poisson-bootstrap CI (md5 draw, exact replays),
   * q200 exact CUSUM drift detector (prefix-sum identity), q201 schema
-  * drift report (pure driver metadata).
+  * drift report (pure driver metadata), q202 exact Gini decision-stump
+  * feature ranking, q203 JPEG EXIF orientation (APP1/TIFF walk).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3478,6 +3479,30 @@ object SparkEntry {
       val next = d.withColumn("n_chars", col("n_chars").cast("int"))
         .drop("source").withColumn("fetched", lit(true))
       graft.ops.Diff.schemaDiff(d, next).orderBy(col("column"))
+    }),
+
+    // ---- decision-stump feature ranking: exact Gini at quartile splits ----
+    "q202_gini_splits" -> ((s, dir) =>
+      graft.ops.Stats.giniSplits(
+        t(s, dir, "documents").select(col("lang").as("y"), col("n_chars"),
+          (col("doc_id") % 16).as("f2")),
+        "y", Seq("n_chars", "f2"), Seq(0.25, 0.5, 0.75))
+        .orderBy(col("feature"), col("q"))),
+
+    // ---- JPEG EXIF orientation (real APP1/TIFF walk, II + MM orders) ----
+    "q203_exif_orientation" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "image", M.MediaGen.jpegExifBytes(1)),
+        M.MediaRow(2L, "image", M.MediaGen.jpegExifBytes(3, littleEndian = false)),
+        M.MediaRow(3L, "image", M.MediaGen.jpegExifBytes(6)),
+        M.MediaRow(4L, "image", M.MediaGen.jpegExifBytes(8, littleEndian = false)),
+        M.MediaRow(5L, "image", M.MediaGen.jpegBytes(4, 4)), // no EXIF
+        M.MediaRow(6L, "image", M.MediaGen.pngBytes(4, 4)))  // not a jpeg
+      M.exifOrientations(rows.toDS())
+        .select(col("media_id"), col("orientation").cast("long").as("orientation"))
+        .orderBy(col("media_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -6823,7 +6848,57 @@ object SparkEntry {
         |  ('source', 'string', NULL, 'removed'),
         |  ('text', 'string', 'string', 'unchanged'))
         |AS t("column", old_type, new_type, status)
-        |ORDER BY "column"""".stripMargin)
+        |ORDER BY "column"""".stripMargin,
+
+    // q202: generated per feature — identical count algebra in HUGEINT,
+    // identical fixed-order division chain; quantile_disc == the
+    // engine's discrete-element rule (q75/q179 precedent)
+    "q202_gini_splits" -> giniOracleSql(
+      Seq("n_chars" -> "n_chars", "f2" -> "doc_id % 16"),
+      Seq(0.25, 0.5, 0.75)),
+
+    // q203: closed-form orientations; 5 and 6 have none
+    "q203_exif_orientation" ->
+      """SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(1 AS bigint)), (2, 3), (3, 6), (4, 8),
+        |  (5, NULL), (6, NULL))
+        |AS t(media_id, orientation) ORDER BY media_id""".stripMargin)
+
+  /** q202's oracle, generated per (name, sql-expression) feature. */
+  private def giniOracleSql(features: Seq[(String, String)],
+                            qs: Seq[Double]): String = {
+    val blocks = features.zipWithIndex.map { case ((name, fexpr), i) =>
+      val thrUnion = qs.map(q =>
+        s"SELECT cast($q AS double) AS q, quantile_disc(v, $q) AS thr FROM f${i}src")
+        .mkString("\n        UNION ALL ")
+      s"""f${i}src AS (SELECT $fexpr AS v, lang AS y FROM documents),
+        |f${i}thr AS ($thrUnion),
+        |f${i}sided AS (SELECT t.q, t.thr,
+        |  CASE WHEN s.v <= t.thr THEN 'L' ELSE 'R' END AS side, s.y,
+        |  count(*) AS n FROM f${i}src s, f${i}thr t GROUP BY 1, 2, 3, 4),
+        |f${i}bs AS (SELECT q, thr, side, cast(sum(n) AS HUGEINT) AS ns,
+        |  sum(cast(n AS HUGEINT) * cast(n AS HUGEINT)) AS sq
+        |  FROM f${i}sided GROUP BY 1, 2, 3),
+        |f${i}g AS (SELECT q, thr,
+        |  coalesce(sum(CASE WHEN side = 'L' THEN ns END), 0) AS n_left,
+        |  coalesce(sum(CASE WHEN side = 'R' THEN ns END), 0) AS n_right,
+        |  coalesce(sum(CASE WHEN side = 'L' THEN ns * ns - sq END), 0) AS gl,
+        |  coalesce(sum(CASE WHEN side = 'R' THEN ns * ns - sq END), 0) AS gr
+        |  FROM f${i}bs GROUP BY 1, 2)""".stripMargin
+    }
+    val selects = features.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS feature, q, cast(thr AS bigint) AS threshold,
+        |  cast(n_left AS bigint) AS n_left, cast(n_right AS bigint) AS n_right,
+        |  ((CASE WHEN n_left > 0
+        |      THEN cast(gl AS double) / cast(n_left AS double) ELSE 0.0 END) +
+        |   (CASE WHEN n_right > 0
+        |      THEN cast(gr AS double) / cast(n_right AS double) ELSE 0.0 END))
+        |   / cast(n_left + n_right AS double) AS weighted_gini
+        |FROM f${i}g""".stripMargin
+    }
+    "WITH " + blocks.mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL\n") + "\nORDER BY feature, q"
+  }
 
   /** q185's unrolled-peel oracle: round i keeps nodes whose degree in the
     * round-(i-1) subgraph is >= k — byte-for-byte the [[graft.ops.Graph.kCore]]

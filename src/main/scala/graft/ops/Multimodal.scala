@@ -118,6 +118,60 @@ object Multimodal {
       case _ => None
     }
 
+    /** EXIF orientation (tag 0x0112, values 1-8) from a JPEG's APP1
+      * segment — the REAL JPEG segment walk + TIFF IFD0 grammar (both II
+      * and MM byte orders), no pixel decode. None (not an error) when the
+      * payload is not a JPEG, carries no EXIF, lacks the tag, or the TIFF
+      * structure is malformed — absent orientation is the normal case on
+      * the web, so the channel is Optional, not ok=false.
+      */
+    def exifOrientation(p: Array[Byte]): Option[Int] = {
+      if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+        return None
+      var off = 2
+      while (off + 4 <= p.length) {
+        if ((p(off) & 0xff) != 0xff) return None
+        val marker = p(off + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+        val len = ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > p.length) return None
+        if (marker == 0xe1 && len >= 10 &&
+          p(off + 4) == 'E' && p(off + 5) == 'x' && p(off + 6) == 'i' &&
+          p(off + 7) == 'f' && p(off + 8) == 0 && p(off + 9) == 0)
+          return tiffOrientation(p, off + 10, off + 2 + len)
+        off += 2 + len
+      }
+      None
+    }
+
+    private def tiffOrientation(p: Array[Byte], tiff: Int, end: Int): Option[Int] = {
+      if (tiff + 8 > end) return None
+      val le = p(tiff) == 'I' && p(tiff + 1) == 'I'
+      if (!le && !(p(tiff) == 'M' && p(tiff + 1) == 'M')) return None
+      def u16(o: Int): Int =
+        if (le) (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) le32(p, o)
+        else be32(p, o)
+      if (u16(tiff + 2) != 42) return None
+      val ifdOff = u32(tiff + 4)
+      if (ifdOff < 0 || tiff + ifdOff + 2 > end) return None
+      val ifd = tiff + ifdOff.toInt
+      val n = u16(ifd)
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        if (e + 12 > end) return None
+        if (u16(e) == 0x0112) {
+          val v = u16(e + 8) // SHORT value lives in the field's first 2 bytes
+          return if (v >= 1 && v <= 8) Some(v) else None
+        }
+        i += 1
+      }
+      None
+    }
+
     /** GIF87a/89a logical screen descriptor: canvas dims, little-endian
       * 16-bit at offsets 6/8. A zero dimension raises (corrupt header).
       */
@@ -311,6 +365,18 @@ object Multimodal {
     * [[repartitionByBytes]] upstream so blob-size skew doesn't serialize
     * the stage.
     */
+  /** EXIF orientation per media row (nullable — see
+    * [[RealCodec.exifOrientation]]): the pre-resize normalization input
+    * (orientations 5-8 transpose width/height; ignoring them corrupts
+    * every downstream aspect-ratio feature).
+    */
+  def exifOrientations(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r => (r.media_id, RealCodec.exifOrientation(r.payload)))
+      .toDF("media_id", "orientation")
+  }
+
   def imagePixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -574,6 +640,27 @@ object Multimodal {
       bb.putInt(0).putInt(0).putInt(0x40000000)
       bb.putInt(w << 16).putInt(h << 16)  // 16.16 fixed-point dimensions
       bb.array()
+    }
+
+    /** Minimal JPEG carrying ONLY an EXIF APP1 segment with the
+      * orientation tag — SOI + APP1(TIFF IFD0, one entry) + EOI. Exactly
+      * the part of the container [[RealCodec.exifOrientation]] walks.
+      */
+    def jpegExifBytes(orientation: Int, littleEndian: Boolean = true): Array[Byte] = {
+      val tiff = java.nio.ByteBuffer.allocate(26).order(
+        if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      tiff.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+      tiff.putShort(42).putInt(8)           // magic + IFD0 offset
+      tiff.putShort(1)                      // one entry
+      tiff.putShort(0x0112).putShort(3).putInt(1) // tag, SHORT, count
+      tiff.putShort(orientation.toShort).putShort(0)
+      tiff.putInt(0)                        // next IFD
+      val app1Body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff.array()
+      val len = app1Body.length + 2
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ app1Body ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
     }
 
     /** GIF89a via ImageIO (real encoder): palette image, real LZW body. */

@@ -642,6 +642,68 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Exact decision-stump feature ranking: for every (feature, candidate
+    * threshold) pair, the weighted Gini impurity of the split
+    * `feature <= t` vs `> t` against a categorical label — "which signal
+    * separates the classes best", the curation-classifier feature audit.
+    * Candidate thresholds are the feature's EXACT discrete quantiles
+    * ([[quantilesDisc]], dyadic qs), so the whole computation is
+    * count-based:
+    *
+    *   weighted_gini = [ (nL² − Σ_c nL_c²) / nL + (nR² − Σ_c nR_c²) / nR ] / n
+    *
+    * with every numerator an exact bigint and the three divisions in
+    * fixed order — engine-replayable. A side with 0 rows contributes 0.
+    * Lower = better split; 0 = pure sides.
+    *
+    * Output: (feature, q, threshold, n_left, n_right, weighted_gini).
+    * Scale shape: per feature, ONE slim (value, label) projection joined
+    * to a broadcast |qs|-row threshold table, then a combiner groupBy
+    * with output bounded by |features| × |qs| × 2 × |labels| — the
+    * corpus never windows, and features process independently.
+    */
+  def giniSplits(df: DataFrame, labelCol: String, featureCols: Seq[String],
+                 qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val perFeature = featureCols.map { f =>
+      val thr = quantilesDisc(df.select(col(f), col(labelCol)), Nil, f, qs)
+        .select(col("q"), col(s"${f}_q").cast("long").as("thr"))
+      val sided = df.select(col(f).cast("long").as("_v"),
+          col(labelCol).cast("string").as("_y"))
+        .crossJoin(broadcast(thr))
+        .withColumn("_side", when(col("_v") <= col("thr"), "L").otherwise("R"))
+        .groupBy(col("q"), col("thr"), col("_side"), col("_y"))
+        .agg(count(lit(1)).as("_n"))
+      val dec = "decimal(38,0)"
+      val bySide = sided.groupBy(col("q"), col("thr"), col("_side"))
+        .agg(sum("_n").as("_ns"),
+          sum(col("_n").cast(dec) * col("_n").cast(dec)).as("_sq"))
+      bySide.groupBy(col("q"), col("thr"))
+        .agg(
+          coalesce(sum(when(col("_side") === "L", col("_ns"))), lit(0L))
+            .as("n_left"),
+          coalesce(sum(when(col("_side") === "R", col("_ns"))), lit(0L))
+            .as("n_right"),
+          coalesce(sum(when(col("_side") === "L",
+            col("_ns").cast(dec) * col("_ns").cast(dec) - col("_sq"))),
+            lit(0L).cast(dec)).as("_gl"),
+          coalesce(sum(when(col("_side") === "R",
+            col("_ns").cast(dec) * col("_ns").cast(dec) - col("_sq"))),
+            lit(0L).cast(dec)).as("_gr"))
+        .select(lit(f).as("feature"), col("q"), col("thr").as("threshold"),
+          col("n_left"), col("n_right"),
+          ((when(col("n_left") > 0,
+              col("_gl").cast("double") / col("n_left").cast("double"))
+              .otherwise(lit(0.0)) +
+            when(col("n_right") > 0,
+              col("_gr").cast("double") / col("n_right").cast("double"))
+              .otherwise(lit(0.0))) /
+            (col("n_left") + col("n_right")).cast("double"))
+            .as("weighted_gini"))
+    }
+    perFeature.reduce(_ unionByName _)
+  }
+
   /** Exact one-sided CUSUM change-point statistic per key: with
     * d_i = x_i − target − slack over the (ts, tie)-ordered series,
     *

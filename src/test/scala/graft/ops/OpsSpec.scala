@@ -513,6 +513,28 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodec.decode("p cnf 1 1\n1 0\n".getBytes("UTF-8")).isEmpty)
   }
 
+  test("exifOrientation: II and MM orders, all 8 values, absent/garbage -> None") {
+    import Multimodal.{MediaGen, RealCodec}
+    for (o <- 1 to 8; le <- Seq(true, false)) {
+      assert(RealCodec.exifOrientation(MediaGen.jpegExifBytes(o, le))
+        .contains(o), s"o=$o le=$le")
+    }
+    // a real ImageIO jpeg has no EXIF -> None (and stays decodable)
+    val plain = MediaGen.jpegBytes(8, 6)
+    assert(RealCodec.exifOrientation(plain).isEmpty)
+    assert(RealCodec.decode(plain).contains((8, 6, 3, 0L)))
+    // not a jpeg / truncated APP1 / out-of-range value -> None
+    assert(RealCodec.exifOrientation(MediaGen.pngBytes(4, 4)).isEmpty)
+    assert(RealCodec.exifOrientation(MediaGen.jpegExifBytes(3).take(12)).isEmpty)
+    assert(RealCodec.exifOrientation(MediaGen.jpegExifBytes(9)).isEmpty)
+    // Dataset wrapper: nullable int column
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaGen.jpegExifBytes(6)),
+      Multimodal.MediaRow(2L, "image", plain)).toDS()
+    val r = Multimodal.exifOrientations(rows).orderBy("media_id").collect()
+    assert(r(0).getInt(1) == 6 && r(1).isNullAt(1))
+  }
+
   test("real codecs: GIF screen descriptor and BMP DIB header dims from actual bytes") {
     import Multimodal.{MediaGen, RealCodec}
     assert(RealCodec.decode(MediaGen.gifBytes(320, 200)).contains((320, 200, 3, 0L)))

@@ -376,6 +376,27 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("giniSplits: pure split scores 0, hand-computed mixed split, multi-feature") {
+    // feature f separates labels perfectly at the median; g not at all
+    // f: 1,2,3,4 labels a,a,b,b; g: constant 5
+    val df = Seq((1L, 5L, "a"), (2L, 5L, "a"), (3L, 5L, "b"), (4L, 5L, "b"))
+      .toDF("f", "g", "y")
+    val r = Stats.giniSplits(df, "y", Seq("f", "g"), Seq(0.5))
+      .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))).toMap // feature -> (thr, nL, nR, gini)
+    // f: thr = element at ceil(0.5*4)=2 -> 2; L={a,a} R={b,b} pure -> 0
+    assert(r("f") == ((2L, 2L, 2L, 0.0)))
+    // g: thr 5 -> all 4 rows left: gini = (16 - (4+4))/4 / 4 = 0.5
+    assert(r("g") == ((5L, 4L, 0L, ((16.0 - 8.0) / 4.0 + 0.0) / 4.0)))
+    // hand-computed mixed split: values 1..6, labels a,a,a,b,a,b, thr=3
+    // L={a,a,a} pure; R={b,a,b}: (9 - (1+4))/3 = 4/3; weighted /6
+    val mixed = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "a"),
+      (6L, "b")).toDF("f", "y")
+    val m = Stats.giniSplits(mixed, "y", Seq("f"), Seq(0.5)).collect().head
+    assert(m.getLong(3) == 3L && m.getLong(4) == 3L)
+    assert(m.getDouble(5) == (0.0 + (9.0 - 5.0) / 3.0) / 6.0)
+  }
+
   test("cusum: recursive definition via prefix identity, resets, alarm crossing") {
     // target=10, slack=0: d = x-10. series for k:
     // x: 10,25,5,9,30,30 -> d: 0,15,-5,-1,20,20
