@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 203 queries spanning every implemented operator family
+/** Driver contract — 204 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -170,7 +170,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * q199 deterministic Poisson-bootstrap CI (md5 draw, exact replays),
   * q200 exact CUSUM drift detector (prefix-sum identity), q201 schema
   * drift report (pure driver metadata), q202 exact Gini decision-stump
-  * feature ranking, q203 JPEG EXIF orientation (APP1/TIFF walk).
+  * feature ranking, q203 JPEG EXIF orientation (APP1/TIFF walk), q204
+  * PERMISSIVE CSV ingestion with a quarantine channel.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3503,6 +3504,19 @@ object SparkEntry {
       M.exifOrientations(rows.toDS())
         .select(col("media_id"), col("orientation").cast("long").as("orientation"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- PERMISSIVE CSV ingestion with a quarantine channel: the
+    //      %11 rows carry a type-poisoned int field ----
+    "q204_csv_quarantine" -> ((s, dir) => {
+      val lines = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(","), col("lang"), lit(","),
+          when(col("doc_id") % 11 === 0, lit("x"))
+            .otherwise(col("n_chars").cast("string"))).as("line"))
+      graft.ops.Curation.csvQuarantine(lines, "line",
+          "id LONG, lang STRING, n INT")
+        .select(col("doc_id"), col("id"), col("n"), col("quarantined"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -6862,7 +6876,16 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  (cast(1 AS bigint), cast(1 AS bigint)), (2, 3), (3, 6), (4, 8),
         |  (5, NULL), (6, NULL))
-        |AS t(media_id, orientation) ORDER BY media_id""".stripMargin)
+        |AS t(media_id, orientation) ORDER BY media_id""".stripMargin,
+
+    // q204: the poisoned rows are known closed-form — prefix fields
+    // parse, the int field nulls, the line quarantines
+    "q204_csv_quarantine" ->
+      """SELECT doc_id, doc_id AS id,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE cast(n_chars AS int) END AS n,
+        |  doc_id % 11 = 0 AS quarantined
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** q202's oracle, generated per (name, sql-expression) feature. */
   private def giniOracleSql(features: Seq[(String, String)],

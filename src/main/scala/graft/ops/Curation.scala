@@ -1138,6 +1138,30 @@ object Curation {
       })
   }
 
+  /** CSV parsing with a QUARANTINE channel — the ingestion contract for
+    * third-party delimited drops: every line parses PERMISSIVEly against
+    * `schemaDdl` (e.g. "id LONG, lang STRING, n INT"); a malformed line
+    * (type mismatch, short row, broken quoting) keeps whatever prefix
+    * parsed, NULLs the rest, preserves the raw line in `_corrupt`, and
+    * flags `quarantined = true` — nothing is
+    * silently dropped, and the quarantine table is replayable after a
+    * schema fix. The good rows flow on typed.
+    *
+    * Scale shape: `from_csv` is a codegen'd row-local expression over the
+    * scan — narrow map, zero shuffle, no UDF; split good/quarantined with
+    * two filters downstream (both pushed to the scan).
+    */
+  def csvQuarantine(df: DataFrame, textCol: String, schemaDdl: String,
+                    options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    val opts = options ++ Map(
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+    df.withColumn("_p", from_csv(col(textCol), schema, opts))
+      .select(df.columns.map(col) :+ col("_p.*"): _*)
+      .withColumn("quarantined", col("_corrupt").isNotNull)
+  }
+
   /** Unicode-script mix per document: counts of code points in EXPLICIT
     * BMP ranges (Latin letters, digits, Cyrillic U+0400–04FF, Greek
     * U+0370–03FF, Han U+4E00–9FFF, Arabic U+0600–06FF) plus the

@@ -119,6 +119,30 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
 
+  test("csvQuarantine: malformed lines keep the raw text, good rows type") {
+    val df = Seq(
+      (1L, "7,en,120"),          // clean
+      (2L, "8,de,not_an_int"),   // type error -> quarantined
+      (3L, "9,fr"),              // short row -> NULL n AND quarantined
+      (4L, "\"unclosed,xx,5"))   // broken quoting -> quarantined
+      .toDF("row_id", "line")
+    val r = Curation.csvQuarantine(df, "line", "id LONG, lang STRING, n INT")
+      .orderBy("row_id").collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)),
+        if (x.isNullAt(4)) None else Some(x.getInt(4)),
+        x.getBoolean(6)))
+    assert(r.toSeq == Seq(
+      (1L, Some(7L), Some(120), false),
+      (2L, Some(8L), None, true),  // partial parse survives, line quarantined
+      (3L, Some(9L), None, true),  // short row: parsed prefix + quarantined
+      (4L, None, None, true)))
+    // the corrupt channel preserves the raw line byte-for-byte
+    val corrupt = Curation.csvQuarantine(df, "line", "id LONG, lang STRING, n INT")
+      .where(col("quarantined")).select("line", "_corrupt").collect()
+    corrupt.foreach(x => assert(x.getString(0) == x.getString(1)))
+  }
+
   test("scriptMix: explicit-range counts and the latin+cyrillic flag") {
     val df = Seq(
       (1L, "Hello мир 123"),        // latin 5, cyrillic 3, digit 3 -> mixed
