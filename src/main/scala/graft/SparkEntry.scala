@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 204 queries spanning every implemented operator family
+/** Driver contract — 205 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -171,7 +171,8 @@ import graft.temporal.{AsOfJoin, Windows}
   * q200 exact CUSUM drift detector (prefix-sum identity), q201 schema
   * drift report (pure driver metadata), q202 exact Gini decision-stump
   * feature ranking, q203 JPEG EXIF orientation (APP1/TIFF walk), q204
-  * PERMISSIVE CSV ingestion with a quarantine channel.
+  * PERMISSIVE CSV ingestion with a quarantine channel, q205 RFM
+  * quartile segmentation (exact discrete-quantile bins).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3517,7 +3518,13 @@ object SparkEntry {
           "id LONG, lang STRING, n INT")
         .select(col("doc_id"), col("id"), col("n"), col("quarantined"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // ---- RFM quartile segmentation over the event log ----
+    "q205_rfm" -> ((s, dir) =>
+      graft.ops.Behavior.rfmScores(t(s, dir, "events"), "user_id", "ts",
+          "value")
+        .orderBy(col("entity"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -6885,7 +6892,44 @@ object SparkEntry {
         |  CASE WHEN doc_id % 11 = 0 THEN NULL
         |       ELSE cast(n_chars AS int) END AS n,
         |  doc_id % 11 = 0 AS quarantined
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q205: identical metric construction; bins = strict > against the
+    // three quantile_disc elements per metric
+    "q205_rfm" ->
+      """WITH pe AS (SELECT user_id AS entity,
+        |  max(epoch_ms(ts) // 86400000) AS last,
+        |  cast(count(*) AS bigint) AS frequency,
+        |  cast(sum(cast(floor(value * 100) AS bigint)) AS bigint)
+        |    AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last) AS maxd FROM pe),
+        |base AS (SELECT entity, maxd - last AS recency_days, frequency,
+        |         monetary_cents FROM pe, mx),
+        |thr AS (SELECT
+        |  quantile_disc(recency_days, 0.25) AS r1,
+        |  quantile_disc(recency_days, 0.5) AS r2,
+        |  quantile_disc(recency_days, 0.75) AS r3,
+        |  quantile_disc(frequency, 0.25) AS f1,
+        |  quantile_disc(frequency, 0.5) AS f2,
+        |  quantile_disc(frequency, 0.75) AS f3,
+        |  quantile_disc(monetary_cents, 0.25) AS m1,
+        |  quantile_disc(monetary_cents, 0.5) AS m2,
+        |  quantile_disc(monetary_cents, 0.75) AS m3 FROM base)
+        |SELECT entity, recency_days, frequency, monetary_cents,
+        |  cast((CASE WHEN recency_days > r1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN recency_days > r3 THEN 1 ELSE 0 END) AS bigint)
+        |    AS r_bin,
+        |  cast((CASE WHEN frequency > f1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN frequency > f2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS bigint)
+        |    AS f_bin,
+        |  cast((CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END) AS bigint)
+        |    AS m_bin
+        |FROM base, thr ORDER BY entity""".stripMargin)
 
   /** q202's oracle, generated per (name, sql-expression) feature. */
   private def giniOracleSql(features: Seq[(String, String)],

@@ -316,4 +316,40 @@ object Behavior {
         ((col("n_ab") * col("_nb")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** RFM quartile scoring — the classic engagement segmentation, done
+    * bit-exactly: per entity, recency (whole days between its last event
+    * and the corpus max-ts day — lower is fresher), frequency (event
+    * count), monetary (Σ floor(value·100), integer cents); each metric
+    * then bins 0..|qs| by the [[graft.ops.Stats.binByQuantiles]] rule —
+    * strict `>` against the metric's exact DISCRETE quantile elements,
+    * so no interpolated float boundary exists to disagree about.
+    *
+    * Output: entity, recency_days, frequency, monetary_cents, r_bin,
+    * f_bin, m_bin. Scale shape: one combiner aggregate to the
+    * entity-level table (entity-bounded from there on), three broadcast
+    * threshold joins; the event corpus never windows.
+    */
+  def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
+                valueCol: String,
+                qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val day = expr(s"unix_millis(cast($tsCol as timestamp)) div 86400000")
+    val perEntity = df
+      .select(col(entityCol).as("entity"), day.as("_day"),
+        floor(col(valueCol) * 100).cast("long").as("_cents"))
+      .groupBy(col("entity"))
+      .agg(max(col("_day")).as("_last"), count(lit(1)).as("frequency"),
+        sum(col("_cents")).as("monetary_cents"))
+    val maxDay = perEntity.agg(max(col("_last")).as("_maxd"))
+    val base = perEntity.crossJoin(broadcast(maxDay))
+      .select(col("entity"), (col("_maxd") - col("_last")).as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    Seq("recency_days" -> "r_bin", "frequency" -> "f_bin",
+      "monetary_cents" -> "m_bin")
+      .foldLeft(base.withColumn("_g", lit(1))) { case (acc, (m, b)) =>
+        graft.ops.Stats.binByQuantiles(acc, Seq("_g"), m, qs)
+          .withColumnRenamed(s"${m}_bin", b)
+      }
+      .drop("_g")
+  }
 }

@@ -7,6 +7,30 @@ import graft.SparkSpec
 class BehaviorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rfmScores: exact metrics and strict-> quartile bins, hand-checked") {
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // u1: days 0,9 val 1.005+2.0 -> cents 100+200; u2: day 10 x1; u3: day 5 x3; u4: day 2 x1
+    val df = Seq(
+      ("u1", ts(0), 1.005), ("u1", ts(9), 2.0),
+      ("u2", ts(10), 0.5),
+      ("u3", ts(5), 4.0), ("u3", ts(5), 1.0), ("u3", ts(6), 0.25),
+      ("u4", ts(2), 10.0)).toDF("u", "t", "v")
+    val r = Behavior.rfmScores(df, "u", "t", "v").orderBy("entity").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    // recency: maxday=10 -> u1:1, u2:0, u3:4, u4:8
+    // freq: 2,1,3,1; cents: 300, 50, 525, 1000
+    // recency sorted [0,1,4,8] thr(q25,q50,q75)=[0,1,4] -> bins: 1->1? strict>:
+    //   u1 r=1: >0 yes, >1 no, >4 no -> 1; u2 r=0 -> 0; u3 r=4 -> 2; u4 r=8 -> 3
+    // freq sorted [1,1,2,3] thr=[1,1,2] -> u1 f=2: >1,>1,no -> 2; u2,u4=1 -> 0; u3=3 -> 3
+    // cents sorted [50,300,525,1000] thr=[50,300,525] -> 300->1, 50->0, 525->2, 1000->3
+    assert(r.toSeq == Seq(
+      ("u1", 1L, 2L, 300L, 1L, 2L, 1L),
+      ("u2", 0L, 1L, 50L, 0L, 0L, 0L),
+      ("u3", 4L, 3L, 525L, 2L, 3L, 2L),
+      ("u4", 8L, 1L, 1000L, 3L, 0L, 3L)))
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("funnelReach: greedy earliest-reach, strict order, zero-reach steps kept") {
