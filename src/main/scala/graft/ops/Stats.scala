@@ -659,8 +659,11 @@ object Stats {
     * Output: (feature, q, threshold, n_left, n_right, weighted_gini).
     * Scale shape: per feature, ONE slim (value, label) projection joined
     * to a broadcast |qs|-row threshold table, then a combiner groupBy
-    * with output bounded by |features| × |qs| × 2 × |labels| — the
-    * corpus never windows, and features process independently.
+    * with output bounded by |features| × |qs| × 2 × |labels|. The
+    * threshold pass itself is a corpus-level discrete quantile — a
+    * single per-feature sort (the [[quantilesDisc]] global-group
+    * contract); at 100 TB compute thresholds on a stratified sample or
+    * per partition key, exactly as that scaladoc prescribes.
     */
   def giniSplits(df: DataFrame, labelCol: String, featureCols: Seq[String],
                  qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {

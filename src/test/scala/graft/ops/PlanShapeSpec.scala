@@ -182,4 +182,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"small candidate set did not broadcast:\n$plan")
   }
+
+  test("scriptMix / csvQuarantine are narrow row-local maps (zero Exchange)") {
+    val df = Seq((1L, "Hello мир", "1,en,5")).toDF("id", "text", "line")
+    val p1 = Curation.scriptMix(df, "text").queryExecution.executedPlan.toString
+    assert(shuffles(p1) == 0, s"scriptMix shuffled:\n$p1")
+    val p2 = Curation.csvQuarantine(df, "line", "a LONG, b STRING, c INT")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p2) == 0, s"csvQuarantine shuffled:\n$p2")
+  }
+
+  test("cusum runs ONE key-partition exchange; both windows share the sort") {
+    val df = Seq.tabulate(60)(i => (s"k${i % 3}", i.toLong, (i % 7).toLong))
+      .toDF("k", "t", "x")
+    val plan = Stats.cusum(df, Seq("k"), "t", "x", 3L, 0L, 5L)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected exactly one shuffle:\n$plan")
+    // one Window node evaluates both frames — no second sort pass
+    assert("Window".r.findAllIn(plan).size <= 2, s"window split:\n$plan")
+  }
+
+  test("giniSplits joins each feature against a BROADCAST threshold table") {
+    val df = Seq.tabulate(80)(i => ((i % 9).toLong, s"y${i % 2}")).toDF("f", "y")
+    val plan = Stats.giniSplits(df, "y", Seq("f"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("bloomSemiJoin: the Bloom prefilter sits BELOW the exact join") {
+    val probe = (0L until 200L).map(i => (i, s"p$i")).toDF("id", "v")
+    val build = (0L until 200L by 5L).map(i => (i, "x")).toDF("id", "b")
+    val plan = Skew.bloomSemiJoin(probe, build, "id")
+      .queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("bloom_contains")
+    val joinAt = plan.indexOf("Join")
+    assert(filterAt >= 0 && joinAt >= 0 && filterAt > joinAt,
+      s"prefilter not below the join in the plan tree:\n$plan")
+  }
 }
