@@ -624,8 +624,13 @@ object Curation {
         regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)).as("_w"))
       .select(col(idCol), explode(expr(
         // greatest(.., 0): a 0- or 1-word doc has no bigrams, and slice
-        // rejects a negative length outright
-        "transform(slice(_w, 1, greatest(size(_w) - 1, 0)), (x, i) -> concat(x, ' ', element_at(_w, i + 2)))"))
+        // rejects a negative length outright. The array(_w) let-binding
+        // stops CollapseProject from inlining the tokenizer into the
+        // lambda (which would re-run it per bigram position).
+        """element_at(transform(array(_w), _ww ->
+          |  transform(slice(_ww, 1, greatest(size(_ww) - 1, 0)),
+          |    (x, i) -> concat(x, ' ', element_at(_ww, i + 2)))), 1)"""
+          .stripMargin))
         .as("_bg"))
     val vocab = bgs.groupBy(col("_bg")).agg(count(lit(1)).as("_cnt"))
       .orderBy(col("_cnt").desc, col("_bg").asc)
@@ -878,7 +883,11 @@ object Curation {
     val hits = normed.map(_._2).distinct.sorted.map { len =>
       words.where(size(col("_w")) >= len)
         .select(col(idCol), explode(expr(
-          s"transform(sequence(0, size(_w) - $len), i -> array_join(slice(_w, i + 1, $len), ' '))"))
+          // array(_w) let-binding: see bigramCoverage
+          s"""element_at(transform(array(_w), _ww ->
+             |  transform(sequence(0, size(_ww) - $len),
+             |    i -> array_join(slice(_ww, i + 1, $len), ' '))), 1)"""
+            .stripMargin))
           .as("_phrase"))
         .join(broadcast(phraseTable.where(col("_len") === len)), Seq("_phrase"))
         .select(col(idCol), col("_phrase"))
@@ -976,10 +985,12 @@ object Curation {
     val grams = df.select(col(idCol), length(col(textCol)).as("_chars"),
       filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("_w"))
       .select(col(idCol), col("_chars"), explode(expr(
-        s"""CASE WHEN size(_w) >= $n
-           |THEN transform(sequence(0, size(_w) - $n),
-           |               i -> array_join(slice(_w, i + 1, $n), ' '))
-           |ELSE array() END""".stripMargin)).as("_g"))
+        // array(_w) let-binding: see bigramCoverage
+        s"""element_at(transform(array(_w), _ww ->
+           |  CASE WHEN size(_ww) >= $n
+           |  THEN transform(sequence(0, size(_ww) - $n),
+           |                 i -> array_join(slice(_ww, i + 1, $n), ' '))
+           |  ELSE array() END), 1)""".stripMargin)).as("_g"))
     val counted = grams.groupBy(col(idCol), col("_chars"), col("_g"))
       .agg(count(lit(1)).as("_cnt"))
     // top gram = min over (-cnt, gram): struct comparison is field-wise

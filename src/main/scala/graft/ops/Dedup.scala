@@ -170,8 +170,12 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("_sd_id"), toks.as("_sd_toks"))
       .select(col("_sd_id"), posexplode(expr(
-        s"""transform(slice(_sd_toks, 1, greatest(size(_sd_toks) - ${k - 1}, 0)),
-           |  (x, i) -> md5(cast(concat_ws(' ', slice(_sd_toks, i + 1, $k)) AS binary)))"""
+        // array(..) let-binding: stops CollapseProject from inlining the
+        // tokenizer into the per-shingle lambda (see winnowedOverlapPairs)
+        s"""element_at(transform(array(_sd_toks), _tt ->
+           |  transform(slice(_tt, 1, greatest(size(_tt) - ${k - 1}, 0)),
+           |    (x, i) -> md5(cast(concat_ws(' ', slice(_tt, i + 1, $k))
+           |      AS binary)))), 1)"""
           .stripMargin)).as(Seq("_sd_pos", "_sd_key")))
     // owner election: one combiner-friendly aggregate; keys occurring once
     // (the overwhelming mass) die here and never join anything
@@ -596,20 +600,28 @@ object Dedup {
                            maxFpDf: Int = 1000): DataFrame = {
     require(k > 0 && windowW > 0, "k and windowW must be positive")
     require(minShared > 0, "minShared must be positive")
-    val fps = df.select(col(idCol).as("_id"),
-        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0)).as("_w"))
-      .withColumn("_h", expr(
-        s"""transform(slice(_w, 1, greatest(size(_w) - ${k - 1}, 0)),
-           |  (x, i) -> cast(conv(substring(md5(cast(
-           |    concat_ws(' ', slice(_w, i + 1, $k)) AS binary)), 1, 8), 16, 10)
-           |    AS bigint))""".stripMargin))
-      .withColumn("_fp", expr(
-        s"""array_distinct(CASE
-           |  WHEN size(_h) = 0 THEN cast(array() AS array<bigint>)
-           |  WHEN size(_h) <= $windowW THEN array(array_min(_h))
-           |  ELSE transform(sequence(1, size(_h) - ${windowW - 1}),
-           |         j -> array_min(slice(_h, j, $windowW)))
-           |END)""".stripMargin))
+    // LET-BINDING via single-element transform closures: the word array
+    // and the k-gram hash array are each bound as a lambda VARIABLE, so
+    // downstream slices reference a materialized array instead of
+    // re-evaluating the regexp/md5 chain per window position. Plain
+    // `withColumn` stages get inlined by CollapseProject into the window
+    // lambdas — observed as an O(positions²) regexp blow-up in the
+    // filter/generate stage at bench scale.
+    val fpExpr =
+      s"""element_at(transform(
+         |  array(regexp_extract_all(lower($textCol), '[a-z0-9_'']+', 0)),
+         |  _ww -> element_at(transform(
+         |    array(transform(slice(_ww, 1, greatest(size(_ww) - ${k - 1}, 0)),
+         |      (x, i) -> cast(conv(substring(md5(cast(
+         |        concat_ws(' ', slice(_ww, i + 1, $k)) AS binary)), 1, 8),
+         |        16, 10) AS bigint))),
+         |    _hh -> array_distinct(CASE
+         |      WHEN size(_hh) = 0 THEN cast(array() AS array<bigint>)
+         |      WHEN size(_hh) <= $windowW THEN array(array_min(_hh))
+         |      ELSE transform(sequence(1, size(_hh) - ${windowW - 1}),
+         |             j -> array_min(slice(_hh, j, $windowW)))
+         |    END)), 1)), 1)""".stripMargin
+    val fps = df.select(col(idCol).as("_id"), expr(fpExpr).as("_fp"))
       .select(col("_id"), explode(col("_fp")).as("_g"))
     // document-frequency pruning before the self-join fan-out — same
     // combiner-aggregate + anti-join shape (and rationale) as

@@ -78,7 +78,11 @@ object Lm {
     val lmWords = words(lmDf.getOrElse(df), idCol, textCol)
     val lmBigrams = lmWords.where(size(col("_w")) >= 2)
       .select(explode(expr(
-        "transform(sequence(0, size(_w) - 2), i -> struct(_w[i] AS w1, concat(_w[i], ' ', _w[i + 1]) AS b))"))
+        """element_at(transform(array(_w), _ww ->
+          |  transform(sequence(0, size(_ww) - 2),
+          |    i -> struct(_ww[i] AS w1,
+          |                concat(_ww[i], ' ', _ww[i + 1]) AS b))), 1)"""
+          .stripMargin))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.b").as("b"))
     val c2 = lmBigrams.groupBy(col("b")).agg(count(lit(1)).as("c2"))
@@ -90,7 +94,11 @@ object Lm {
     val docWords = words(df, idCol, textCol)
     val docBigrams = docWords.where(size(col("_w")) >= 2)
       .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(_w) - 2), i -> struct(_w[i] AS w1, concat(_w[i], ' ', _w[i + 1]) AS b))"))
+        """element_at(transform(array(_w), _ww ->
+          |  transform(sequence(0, size(_ww) - 2),
+          |    i -> struct(_ww[i] AS w1,
+          |                concat(_ww[i], ' ', _ww[i + 1]) AS b))), 1)"""
+          .stripMargin))
         .as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
       .groupBy(col(idCol), col("w1"), col("b"))
