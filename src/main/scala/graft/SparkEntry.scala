@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 205 queries spanning every implemented operator family
+/** Driver contract — 209 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -172,7 +172,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * drift report (pure driver metadata), q202 exact Gini decision-stump
   * feature ranking, q203 JPEG EXIF orientation (APP1/TIFF walk), q204
   * PERMISSIVE CSV ingestion with a quarantine channel, q205 RFM
-  * quartile segmentation (exact discrete-quantile bins).
+  * quartile segmentation (exact discrete-quantile bins), q206
+  * Mann-Kendall trend test (tie-corrected, exact integers), q207
+  * time-weighted step-series mean, q208 WebP header decode (VP8X/VP8L/
+  * VP8 grammars), q209 Benford first-digit audit (literal expectations).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3524,7 +3527,49 @@ object SparkEntry {
     "q205_rfm" -> ((s, dir) =>
       graft.ops.Behavior.rfmScores(t(s, dir, "events"), "user_id", "ts",
           "value")
-        .orderBy(col("entity"))))
+        .orderBy(col("entity"))),
+
+    // ---- Mann-Kendall drift test over per-type daily volumes ----
+    "q206_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Stats.mannKendall(daily, Seq("event_type"), "day", "n_events")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- time-weighted mean of a step series (event_id%10 as state) ----
+    "q207_time_weighted" -> ((s, dir) =>
+      graft.temporal.Windows.timeWeightedMean(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 10).as("state")),
+        Seq("user_id"), "ts", "state", tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"))),
+
+    // ---- WebP header decode: all three chunk grammars + alpha flag ----
+    "q208_webp_dims" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "image", M.MediaGen.webpBytes("VP8X", 800, 600)),
+        M.MediaRow(2L, "image", M.MediaGen.webpBytes("VP8X", 16384, 2, alpha = true)),
+        M.MediaRow(3L, "image", M.MediaGen.webpBytes("VP8L", 123, 45)),
+        M.MediaRow(4L, "image", M.MediaGen.webpBytes("VP8 ", 320, 240)),
+        M.MediaRow(5L, "image", {
+          val b = M.MediaGen.webpBytes("VP8L", 9, 9); b(20) = 0; b })) // corrupt
+      M.decode(rows.toDS()).toDF()
+        .select(col("media_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("ok"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- Benford first-digit audit of doc lengths ----
+    "q209_benford" -> ((s, dir) =>
+      graft.ops.Stats.benfordReport(t(s, dir, "documents"), "n_chars")
+        .orderBy(col("digit"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -6929,7 +6974,80 @@ object SparkEntry {
         |       (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END) +
         |       (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END) AS bigint)
         |    AS m_bin
-        |FROM base, thr ORDER BY entity""".stripMargin)
+        |FROM base, thr ORDER BY entity""".stripMargin,
+
+    // q206: identical pair signs, tie correction and fixed-order
+    // variance/z chain
+    "q206_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  cast(count(*) AS bigint) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, cast(sum(sign(b.x - a.x)) AS bigint) AS s
+        |      FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |        AND a.day < b.day GROUP BY 1),
+        |c AS (SELECT event_type, cast(count(*) AS bigint) AS n
+        |      FROM daily GROUP BY 1),
+        |t AS (SELECT event_type,
+        |      cast(sum(tg * (tg - 1) * (tg * 2 + 5)) AS bigint) AS corr
+        |      FROM (SELECT event_type, x, count(*) AS tg FROM daily
+        |            GROUP BY 1, 2) GROUP BY 1),
+        |v AS (SELECT c.event_type, n, coalesce(s, 0) AS s_stat,
+        |      cast(n * (n - 1) * (n * 2 + 5) - corr AS double) / 18.0 AS var_s
+        |      FROM c JOIN t USING (event_type) LEFT JOIN p USING (event_type))
+        |SELECT event_type, n, s_stat, var_s,
+        |  CASE WHEN var_s > 0 THEN
+        |    cast(s_stat - sign(s_stat) AS double) / sqrt(var_s) END AS z
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // q207: identical lead() step weighting at millisecond precision
+    "q207_time_weighted" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |           event_id % 10 AS v FROM events),
+        |w AS (SELECT user_id, ms, v,
+        |      lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |        AS nxt FROM s)
+        |SELECT user_id, cast(count(*) AS bigint) AS n,
+        |  cast(max(ms) - min(ms) AS bigint) AS span_ms,
+        |  CASE WHEN max(ms) - min(ms) > 0 THEN
+        |    cast(sum(CASE WHEN nxt IS NOT NULL THEN v * (nxt - ms)
+        |             ELSE 0 END) AS double) /
+        |    cast(max(ms) - min(ms) AS double) END AS twa
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q208: closed-form container fields; row 5 is the corrupt channel
+    "q208_webp_dims" ->
+      """SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(30 AS bigint), cast(800 AS bigint),
+        |   cast(600 AS bigint), cast(3 AS bigint), true),
+        |  (2, 30, 16384, 2, 4, true),
+        |  (3, 25, 123, 45, 3, true),
+        |  (4, 30, 320, 240, 3, true),
+        |  (5, 25, 0, 0, 0, false))
+        |AS t(media_id, byte_len, width, height, channels, ok)
+        |ORDER BY media_id""".stripMargin,
+
+    // q209: literals interpolated from the SAME Scala constants — as
+    // QUOTED strings cast to double (a bare decimal literal parses as
+    // DECIMAL first and can round differently in the last bit)
+    "q209_benford" -> {
+      val e = graft.ops.Stats.BenfordExpected
+      val evals = e.zipWithIndex
+        .map { case (x, i) => s"(${i + 1}, cast('$x' AS double))" }
+        .mkString(", ")
+      s"""WITH c AS (SELECT cast(substr(cast(n_chars AS varchar), 1, 1)
+        |  AS bigint) AS digit, cast(count(*) AS bigint) AS n
+        |  FROM documents WHERE n_chars >= 1 GROUP BY 1),
+        |tot AS (SELECT cast(coalesce(sum(n), 0) AS bigint) AS t FROM c),
+        |d AS (SELECT unnest(range(1, 10)) AS digit),
+        |e AS (SELECT * FROM (VALUES $evals) AS e(digit, expected_share))
+        |SELECT d.digit, coalesce(n, 0) AS n,
+        |  CASE WHEN t > 0 THEN cast(coalesce(n, 0) AS double)
+        |    / cast(t AS double) END AS share,
+        |  expected_share,
+        |  (CASE WHEN t > 0 THEN cast(coalesce(n, 0) AS double)
+        |    / cast(t AS double) END) - expected_share AS deviation
+        |FROM d JOIN e ON d.digit = e.digit LEFT JOIN c ON d.digit = c.digit,
+        |  tot ORDER BY d.digit""".stripMargin
+    })
 
   /** q202's oracle, generated per (name, sql-expression) feature. */
   private def giniOracleSql(features: Seq[(String, String)],

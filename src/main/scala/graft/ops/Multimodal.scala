@@ -81,6 +81,7 @@ object Multimodal {
     final val Mp4 = "mp4"
     final val Gif = "gif"
     final val Bmp = "bmp"
+    final val Webp = "webp"
 
     /** Container sniff by magic bytes; "" = no real decoder for this blob. */
     def sniff(p: Array[Byte]): String =
@@ -91,6 +92,8 @@ object Multimodal {
       else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p') Mp4
       else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
         (p(4) == '7' || p(4) == '9') && p(5) == 'a') Gif
+      else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') Webp
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Bmp
       else ""
 
@@ -112,10 +115,47 @@ object Multimodal {
       case Gif =>
         val (w, h) = parseGif(p)
         Some((w, h, 3, 0L))
+      case Webp =>
+        val (w, h, channels) = parseWebp(p)
+        Some((w, h, channels, 0L))
       case Bmp =>
         val (w, h, channels) = parseBmp(p)
         Some((w, h, channels, 0L))
       case _ => None
+    }
+
+    /** WebP first chunk after the RIFF/WEBP header — all three container
+      * grammars: VP8X (extended: 24-bit LE minus-one dims, alpha flag
+      * 0x10), VP8L (lossless: 0x2f signature then 14+14 packed minus-one
+      * dims + alpha bit 28), "VP8 " (lossy: 0x9d012a sync then 14-bit LE
+      * dims). Unknown chunk or broken signature raises (ok=false).
+      */
+    private def parseWebp(p: Array[Byte]): (Int, Int, Int) = {
+      if (p.length < 20) throw new java.io.IOException("truncated webp")
+      val four = new String(p, 12, 4, "US-ASCII")
+      four match {
+        case "VP8X" =>
+          if (p.length < 30) throw new java.io.IOException("truncated vp8x")
+          val w = (le16(p, 24) | ((p(26) & 0xff) << 16)) + 1
+          val h = (le16(p, 27) | ((p(29) & 0xff) << 16)) + 1
+          val alpha = (p(20) & 0x10) != 0
+          (w, h, if (alpha) 4 else 3)
+        case "VP8L" =>
+          if (p.length < 25 || (p(20) & 0xff) != 0x2f)
+            throw new java.io.IOException("malformed vp8l signature")
+          val b = le32(p, 21)
+          val w = (b & 0x3fff).toInt + 1
+          val h = ((b >> 14) & 0x3fff).toInt + 1
+          val alpha = ((b >> 28) & 1L) != 0L
+          (w, h, if (alpha) 4 else 3)
+        case "VP8 " =>
+          if (p.length < 30 || (p(23) & 0xff) != 0x9d ||
+            (p(24) & 0xff) != 0x01 || (p(25) & 0xff) != 0x2a)
+            throw new java.io.IOException("malformed vp8 sync code")
+          ((le16(p, 26) & 0x3fff), (le16(p, 28) & 0x3fff), 3)
+        case other =>
+          throw new java.io.IOException(s"unsupported webp chunk $other")
+      }
     }
 
     /** EXIF orientation (tag 0x0112, values 1-8) from a JPEG's APP1
@@ -661,6 +701,45 @@ object Multimodal {
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
         ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ app1Body ++
         Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+
+    /** Minimal WebP container with one header chunk of the given grammar
+      * ("VP8X" | "VP8L" | "VP8 ") — exactly what
+      * [[RealCodec.decode]]'s webp walk reads; no image body.
+      */
+    def webpBytes(chunk: String, w: Int, h: Int,
+                  alpha: Boolean = false): Array[Byte] = {
+      val payload: Array[Byte] = chunk match {
+        case "VP8X" =>
+          val b = new Array[Byte](10)
+          b(0) = (if (alpha) 0x10 else 0x00).toByte
+          val wm = w - 1; val hm = h - 1
+          b(4) = (wm & 0xff).toByte; b(5) = ((wm >> 8) & 0xff).toByte
+          b(6) = ((wm >> 16) & 0xff).toByte
+          b(7) = (hm & 0xff).toByte; b(8) = ((hm >> 8) & 0xff).toByte
+          b(9) = ((hm >> 16) & 0xff).toByte
+          b
+        case "VP8L" =>
+          val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+            (if (alpha) 1L << 28 else 0L)
+          Array[Byte](0x2f.toByte, (bits & 0xff).toByte,
+            ((bits >> 8) & 0xff).toByte, ((bits >> 16) & 0xff).toByte,
+            ((bits >> 24) & 0xff).toByte)
+        case "VP8 " =>
+          val b = new Array[Byte](10)
+          b(3) = 0x9d.toByte; b(4) = 0x01; b(5) = 0x2a
+          b(6) = (w & 0xff).toByte; b(7) = ((w >> 8) & 0x3f).toByte
+          b(8) = (h & 0xff).toByte; b(9) = ((h >> 8) & 0x3f).toByte
+          b
+        case other => throw new IllegalArgumentException(s"chunk $other")
+      }
+      val bb = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + payload.length)
+        .put("WEBP".getBytes("US-ASCII"))
+        .put(chunk.getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      bb.array()
     }
 
     /** GIF89a via ImageIO (real encoder): palette image, real LZW body. */

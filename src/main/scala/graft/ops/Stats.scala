@@ -642,6 +642,86 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** The Benford log10(1 + 1/d) expectations for d = 1..9 as FIXED
+    * decimal literals — the [[benfordReport]] contract constants, shared
+    * verbatim with any replaying engine (no run-time libm).
+    */
+  val BenfordExpected: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Mann-Kendall monotonic-trend test per key over a (ts-unique) series:
+    * S = Σ_{i<j} sign(x_j − x_i) in exact integers, tie-corrected
+    * variance Var = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 as ONE
+    * double division of exact bigints, and the continuity-corrected
+    * z = (S−sign(S)) / sqrt(Var) — the non-parametric "is this metric
+    * drifting" answer that [[linearTrend]]'s OLS slope gives
+    * parametrically. |z| > 1.96 ≈ 5% two-sided.
+    *
+    * INTENDED FOR ROLLED-UP SERIES (daily/hourly aggregates): the pair
+    * enumeration is a per-key self-join — n²/2 pairs per key, bounded by
+    * the series length, never by the raw corpus. Output: keys..., n,
+    * s_stat, var_s, z (z NULL when Var = 0 — all values tied or n < 2).
+    */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val slim = df.select(keys ++ Seq(col(tsCol).as("_t"),
+      col(valCol).cast("long").as("_x")): _*)
+    val pairs = slim.as("a").join(slim.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduceOption(_ && _).getOrElse(lit(true)) &&
+          col("a._t") < col("b._t"))
+      .groupBy(keyCols.map(k => col(s"a.$k").as(k)): _*)
+      .agg(sum(signum(col("b._x") - col("a._x")).cast("long")).as("s_stat"))
+    val counts = slim.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val ties = slim.groupBy(keys :+ col("_x"): _*)
+      .agg(count(lit(1)).as("_tg"))
+      .groupBy(keys: _*)
+      .agg(sum(col("_tg") * (col("_tg") - 1) * (col("_tg") * 2 + 5))
+        .as("_tiecorr"))
+    val joined = counts.join(ties, keyCols).join(pairs, keyCols, "left")
+      .select(keys ++ Seq(col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        ((col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("_tiecorr"))
+          .cast("double") / lit(18.0)).as("var_s")): _*)
+    joined.withColumn("z",
+      when(col("var_s") > 0.0,
+        (col("s_stat") - signum(col("s_stat")).cast("long")).cast("double") /
+          sqrt(col("var_s"))))
+  }
+
+  /** Benford first-digit audit of a positive integer metric — the
+    * fabricated-data / synthetic-dump smell test: one row per leading
+    * digit 1..9 with the observed count, observed share (one division),
+    * the Benford expectation log10(1 + 1/d) as FIXED DECIMAL LITERALS
+    * (shared verbatim with any replaying engine — no libm at run time),
+    * and the signed deviation. Values < 1 are excluded (no leading
+    * digit); the exclusion count is every caller's row count minus
+    * Σ n. One combiner groupBy on a 9-value key; zero windows.
+    */
+  def benfordReport(df: DataFrame, valCol: String): DataFrame = {
+    val expected = BenfordExpected
+    val v = col(valCol).cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("long")
+    val counts = df.where(v >= 1L)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val digits = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val exp = expected.zipWithIndex.foldRight(lit(Double.NaN)) {
+      case ((e, i), acc) => when(col("digit") === (i + 1), lit(e)).otherwise(acc)
+    }
+    val tot = counts.agg(coalesce(sum(col("n")), lit(0L)).as("_tot"))
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("_tot") > 0,
+          coalesce(col("n"), lit(0L)).cast("double") / col("_tot").cast("double"))
+          .as("share"),
+        exp.as("expected_share"))
+      .withColumn("deviation", col("share") - col("expected_share"))
+  }
+
   /** Exact decision-stump feature ranking: for every (feature, candidate
     * threshold) pair, the weighted Gini impurity of the split
     * `feature <= t` vs `> t` against a categorical label — "which signal

@@ -185,6 +185,42 @@ object Windows {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Time-weighted mean of a step series per key: each sample holds its
+    * INTEGER value from its ts until the next sample, so
+    *
+    *   twa = Σ v_i · (t_{i+1} − t_i) / (t_n − t_1)
+    *
+    * over epoch-millisecond gaps — the correct average for
+    * irregularly-sampled state (price, queue depth, config value), where
+    * the row mean over-weights chatty periods. Exact bigint numerator
+    * (value × ms), ONE double division; the last sample bounds the
+    * window and contributes no weight. Keys with fewer than 2 samples
+    * yield NULL twa (no interval to average over). `tieBreak` columns
+    * make equal timestamps deterministic.
+    *
+    * Output: keys..., n, span_ms, twa. One per-key window over a slim
+    * projection + one combiner aggregate.
+    */
+  def timeWeightedMean(df: DataFrame, keys: Seq[String], ts: String,
+                       valCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col("_ms") +: tieBreak.map(col)).map(_.asc): _*)
+    val ms = expr(s"unix_millis(cast($ts as timestamp))")
+    val slim = df.select(keys.map(col) ++ Seq(ms.as("_ms"),
+      col(valCol).cast("long").as("_v")) ++ tieBreak.map(col): _*)
+    val withNext = slim
+      .withColumn("_next", lead(col("_ms"), 1).over(order))
+    withNext.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (max(col("_ms")) - min(col("_ms"))).as("span_ms"),
+        sum(when(col("_next").isNotNull,
+          col("_v") * (col("_next") - col("_ms"))).otherwise(0L)).as("_num"))
+      .withColumn("twa",
+        when(col("span_ms") > 0,
+          col("_num").cast("double") / col("span_ms").cast("double")))
+      .drop("_num")
+  }
+
   /** Coalesce overlapping / adjacent CLOSED long intervals per key (gaps
     * and islands): rows whose intervals touch — or sit within `maxGap` of
     * each other — merge into one island. The canonical "stitch raw

@@ -535,6 +535,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0).getInt(1) == 6 && r(1).isNullAt(1))
   }
 
+  test("webp: VP8X/VP8L/VP8 grammars, alpha channels, malformed raises") {
+    import Multimodal.{MediaGen, RealCodec}
+    assert(RealCodec.decode(MediaGen.webpBytes("VP8X", 800, 600))
+      .contains((800, 600, 3, 0L)))
+    assert(RealCodec.decode(MediaGen.webpBytes("VP8X", 16384, 2, alpha = true))
+      .contains((16384, 2, 4, 0L))) // 24-bit dims go past the 14-bit grammars
+    assert(RealCodec.decode(MediaGen.webpBytes("VP8L", 123, 45))
+      .contains((123, 45, 3, 0L)))
+    assert(RealCodec.decode(MediaGen.webpBytes("VP8L", 1, 16384, alpha = true))
+      .contains((1, 16384, 4, 0L))) // 14-bit max
+    assert(RealCodec.decode(MediaGen.webpBytes("VP8 ", 320, 240))
+      .contains((320, 240, 3, 0L)))
+    // broken VP8L signature byte -> loud failure
+    val bad = MediaGen.webpBytes("VP8L", 10, 10)
+    bad(20) = 0x00
+    intercept[java.io.IOException] { RealCodec.decode(bad) }
+    // unknown chunk -> loud failure (not silently stubbed)
+    val odd = MediaGen.webpBytes("VP8X", 4, 4)
+    odd(12) = 'A'; odd(13) = 'L'; odd(14) = 'P'; odd(15) = 'H'
+    intercept[java.io.IOException] { RealCodec.decode(odd) }
+  }
+
   test("real codecs: GIF screen descriptor and BMP DIB header dims from actual bytes") {
     import Multimodal.{MediaGen, RealCodec}
     assert(RealCodec.decode(MediaGen.gifBytes(320, 200)).contains((320, 200, 3, 0L)))

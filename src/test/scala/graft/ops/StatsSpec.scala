@@ -376,6 +376,41 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("mannKendall: hand-computed S, tie-corrected variance, z sign convention") {
+    def ts(i: Int) = new java.sql.Timestamp(i * 1000L)
+    // key u: x = 1,2,2,4 over t=1..4: pairs (i<j): signs
+    // (1,2)+ (1,2)+ (1,4)+ (2,2)0 (2,4)+ (2,4)+ -> S = 5
+    // ties: one group of 2 -> corr = 2*1*9 = 18; n=4:
+    // var = (4*3*13 - 18)/18 = (156-18)/18 = 138/18
+    val df = Seq(("u", 1, 1L), ("u", 2, 2L), ("u", 3, 2L), ("u", 4, 4L),
+      // key d: strictly decreasing 3,2,1 -> S=-3, no ties:
+      // var = (3*2*11)/18 = 66/18
+      ("d", 1, 3L), ("d", 2, 2L), ("d", 3, 1L),
+      // key c: constant -> S=0, var=0 -> z NULL
+      ("c", 1, 7L), ("c", 2, 7L))
+      .map { case (k, t, x) => (k, ts(t), x) }.toDF("k", "t", "x")
+    val r = Stats.mannKendall(df, Seq("k"), "t", "x").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    assert(r("u") == ((4L, 5L, 138.0 / 18.0, Some(4.0 / math.sqrt(138.0 / 18.0)))))
+    assert(r("d") == ((3L, -3L, 66.0 / 18.0, Some(-2.0 / math.sqrt(66.0 / 18.0)))))
+    assert(r("c")._2 == 0L && r("c")._3 == 0.0 && r("c")._4.isEmpty)
+  }
+
+  test("benfordReport: exact digit counts, literal expectations, zero-row digits") {
+    // values: 10,11,199 -> digit 1 x3; 25 -> 2; 0 and -5 excluded
+    val df = Seq(10L, 11L, 199L, 25L, 0L, -5L).toDF("v")
+    val r = Stats.benfordReport(df, "v").orderBy("digit").collect()
+    assert(r.length == 9)
+    assert(r(0).getLong(1) == 3L && r(0).getDouble(2) == 0.75)
+    assert(r(1).getLong(1) == 1L && r(1).getDouble(2) == 0.25)
+    assert((2 until 9).forall(i => r(i).getLong(1) == 0L && r(i).getDouble(2) == 0.0))
+    assert(r(0).getDouble(3) == 0.3010299956639812)
+    assert(r(0).getDouble(4) == 0.75 - 0.3010299956639812)
+    // expectations sum to ~1 (literal sanity)
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+  }
+
   test("giniSplits: pure split scores 0, hand-computed mixed split, multi-feature") {
     // feature f separates labels perfectly at the median; g not at all
     // f: 1,2,3,4 labels a,a,b,b; g: constant 5

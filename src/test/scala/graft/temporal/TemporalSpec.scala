@@ -346,6 +346,23 @@ class WindowsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == expected)
   }
 
+  test("timeWeightedMean: step-series average, single-sample NULL, ties stable") {
+    // key a: v=10 for 4s, v=2 for 6s over span 10s -> (40+12)/10 = 5.2
+    val df = Seq(("a", ts(0), 10L, 1L), ("a", ts(4), 2L, 2L),
+      ("a", ts(10), 99L, 3L), // last sample: bounds the window, weight 0
+      ("s", ts(5), 7L, 4L))   // single sample: no interval
+      .toDF("k", "t", "v", "eid")
+    val r = Windows.timeWeightedMean(df, Seq("k"), "t", "v", Seq("eid"))
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+    assert(r.toSeq == Seq(
+      ("a", 3L, 10000L, Some((10.0 * 4000 + 2.0 * 6000) / 10000.0)),
+      ("s", 1L, 0L, None)))
+    // row mean would be (10+2+99)/3 = 37 — the TWA is nowhere near it
+    assert(r(0)._4.get == 5.2)
+  }
+
   test("mergeIntervals: overlap, nesting, touching, maxGap, invalid rows") {
     val df = Seq(
       ("k", 0L, 10L), ("k", 5L, 7L),   // nested inside [0,10]
