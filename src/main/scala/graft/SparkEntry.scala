@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 209 queries spanning every implemented operator family
+/** Driver contract — 213 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -175,7 +175,10 @@ import graft.temporal.{AsOfJoin, Windows}
   * quartile segmentation (exact discrete-quantile bins), q206
   * Mann-Kendall trend test (tie-corrected, exact integers), q207
   * time-weighted step-series mean, q208 WebP header decode (VP8X/VP8L/
-  * VP8 grammars), q209 Benford first-digit audit (literal expectations).
+  * VP8 grammars), q209 Benford first-digit audit (literal expectations),
+  * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
+  * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
+  * grid resampling with forward fill.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3569,7 +3572,49 @@ object SparkEntry {
     // ---- Benford first-digit audit of doc lengths ----
     "q209_benford" -> ((s, dir) =>
       graft.ops.Stats.benfordReport(t(s, dir, "documents"), "n_chars")
-        .orderBy(col("digit"))))
+        .orderBy(col("digit"))),
+
+    // ---- Theil-Sen robust slope over the q206 daily series ----
+    "q210_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Stats.theilSen(daily, Seq("event_type"), "day", "n_events")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- chi-square term keyness between the even/odd-doc corpora ----
+    "q211_keyness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.chiSquareKeyness(
+          d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+          "text", minCount = 5L)
+        .orderBy(col("term"))
+    }),
+
+    // ---- modularity of the node%4 partition over the q185 link graph ----
+    "q212_modularity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 7 + 1) % 60).as("dst"))
+      val e2 = d.select((col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 3 + 2) % 60).as("dst"))
+      val core = Seq(1, 2, 3).map(o => d.select((col("doc_id") % 24).as("src"),
+        ((col("doc_id") % 24 + o) % 24).as("dst")))
+      val edges = core.foldLeft(e1.unionByName(e2))(_ unionByName _)
+      val assign = s.range(0, 60).select(col("id").as("node"),
+        (col("id") % 4).cast("string").as("comm"))
+      graft.ops.Graph.modularity(edges, "src", "dst", assign, "node", "comm")
+    }),
+
+    // ---- daily-grid resampling with forward fill (as-of per tick) ----
+    "q213_resample" -> ((s, dir) =>
+      graft.temporal.Windows.resampleGrid(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          (col("event_id") % 10).as("state")),
+        Seq("user_id"), "ts", "state", stepMs = 86400000L)
+        .orderBy(col("user_id"), col("grid_ms"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7047,7 +7092,99 @@ object SparkEntry {
         |    / cast(t AS double) END) - expected_share AS deviation
         |FROM d JOIN e ON d.digit = e.digit LEFT JOIN c ON d.digit = c.digit,
         |  tot ORDER BY d.digit""".stripMargin
-    })
+    },
+
+    // q210: pairwise slopes + quantile_disc median (the same discrete
+    // element rule)
+    "q210_theil_sen" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  cast(count(*) AS bigint) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |      cast(b.x - a.x AS double) / cast(b.day - a.day AS double) AS s
+        |      FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |        AND a.day < b.day),
+        |m AS (SELECT event_type, cast(count(*) AS bigint) AS n_pairs,
+        |      quantile_disc(s, 0.5) AS slope FROM p GROUP BY 1)
+        |SELECT c.event_type, coalesce(n_pairs, 0) AS n_pairs, slope
+        |FROM (SELECT DISTINCT event_type FROM daily) c
+        |LEFT JOIN m USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // q211: identical token grammar and fixed-order double chi2 chain
+    "q211_keyness" ->
+      """WITH ta AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9_'']+')) AS term FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9_'']+')) AS term FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT term, cast(count(*) AS bigint) AS n_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, cast(count(*) AS bigint) AS n_b FROM tb GROUP BY 1),
+        |j AS (SELECT term, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM ca FULL OUTER JOIN cb USING (term)
+        |      WHERE coalesce(n_a, 0) + coalesce(n_b, 0) >= 5),
+        |tot AS (SELECT cast(sum(n_a) AS bigint) AS ta_,
+        |        cast(sum(n_b) AS bigint) AS tb_ FROM j)
+        |SELECT term, n_a, n_b,
+        |  CASE WHEN ((cast(n_a AS double) + cast(n_b AS double)) *
+        |             (cast(ta_ - n_a AS double) + cast(tb_ - n_b AS double))) *
+        |            ((cast(n_a AS double) + cast(ta_ - n_a AS double)) *
+        |             (cast(n_b AS double) + cast(tb_ - n_b AS double))) > 0
+        |  THEN (cast(ta_ + tb_ AS double) *
+        |        ((cast(n_a AS double) * cast(tb_ - n_b AS double) -
+        |          cast(n_b AS double) * cast(ta_ - n_a AS double)) *
+        |         (cast(n_a AS double) * cast(tb_ - n_b AS double) -
+        |          cast(n_b AS double) * cast(ta_ - n_a AS double)))) /
+        |       (((cast(n_a AS double) + cast(n_b AS double)) *
+        |         (cast(ta_ - n_a AS double) + cast(tb_ - n_b AS double))) *
+        |        ((cast(n_a AS double) + cast(ta_ - n_a AS double)) *
+        |         (cast(n_b AS double) + cast(tb_ - n_b AS double)))) END AS chi2,
+        |  cast(sign(cast(n_a AS double) * cast(tb_ - n_b AS double) -
+        |       cast(n_b AS double) * cast(ta_ - n_a AS double)) AS bigint)
+        |    AS direction
+        |FROM j, tot ORDER BY term""".stripMargin,
+
+    // q212: same mirrored simple graph + node%4 partition, identical
+    // fixed-order Q chain
+    "q212_modularity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+        |  UNION ALL SELECT doc_id % 60, (doc_id * 3 + 2) % 60 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 1) % 24 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 2) % 24 FROM documents
+        |  UNION ALL SELECT doc_id % 24, (doc_id % 24 + 3) % 24 FROM documents),
+        |s0 AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b
+        |       FROM e WHERE s <> d GROUP BY 1, 2),
+        |tagged AS (SELECT a, b, cast(a % 4 AS varchar) AS ca,
+        |           cast(b % 4 AS varchar) AS cb FROM s0),
+        |m AS (SELECT cast(count(*) AS bigint) AS m_edges,
+        |      cast(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS bigint)
+        |        AS intotal FROM tagged),
+        |deg AS (SELECT c, cast(count(*) AS bigint) AS dc FROM
+        |        (SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged)
+        |        GROUP BY 1),
+        |dt AS (SELECT cast(count(*) AS bigint) AS n_communities,
+        |       cast(sum(dc * dc) AS bigint) AS sumdc2 FROM deg)
+        |SELECT m_edges, n_communities,
+        |  CASE WHEN m_edges > 0 THEN
+        |    cast(intotal AS double) / cast(m_edges AS double) -
+        |    cast(sumdc2 AS double) /
+        |      (cast(m_edges * m_edges AS double) * 4.0) END AS modularity
+        |FROM m, dt""".stripMargin,
+
+    // q213: per-tick correlated as-of lookup (ms DESC, v DESC replicates
+    // the engine's max-on-tie rule)
+    "q213_resample" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_id % 10 AS v
+        |           FROM events),
+        |b AS (SELECT user_id, min(ms) AS lo, max(ms) AS hi FROM s GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(
+        |        lo + 86399999 - (lo + 86399999) % 86400000,
+        |        hi + 1, 86400000)) AS grid_ms
+        |      FROM b
+        |      WHERE lo + 86399999 - (lo + 86399999) % 86400000 <= hi)
+        |SELECT g.user_id, g.grid_ms,
+        |  (SELECT s.v FROM s WHERE s.user_id = g.user_id
+        |   AND s.ms <= g.grid_ms ORDER BY s.ms DESC, s.v DESC LIMIT 1)
+        |    AS value
+        |FROM g ORDER BY user_id, grid_ms""".stripMargin)
 
   /** q202's oracle, generated per (name, sql-expression) feature. */
   private def giniOracleSql(features: Seq[(String, String)],

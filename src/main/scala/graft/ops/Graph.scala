@@ -335,6 +335,58 @@ object Graph {
     * `maxRounds` caps the cost — stopping early yields the same rows an
     * equally-deep unroll produces (document the depth when comparing).
     */
+  /** Newman modularity Q of a node→community assignment over the
+    * undirected simple graph:
+    *
+    *   Q = Σ_c [ in_c / m − (deg_c / 2m)² ]
+    *
+    * computed from exact integer aggregates (within-community edge
+    * counts, community degree sums, m = undirected edge count) with a
+    * fixed-order double chain — how good a partition (e.g.
+    * `Dedup.clusters`' components, or a host grouping) actually is,
+    * before anything downstream trusts it. One row: m_edges,
+    * n_communities, modularity. Unassigned nodes form singleton
+    * communities implicitly (they contribute only the degree term).
+    *
+    * Scale shape: mirrored-edge join against the node-bounded assignment
+    * (twice), two combiner aggregates; no windows.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 assign: DataFrame, nodeCol: String,
+                 communityCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).where(col("a") =!= col("b"))
+    val simple = und
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+    val asg = assign.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("string").as("_c"))
+    // default community = the node itself (singleton)
+    val nodes = simple.select(col("a").as("node"))
+      .union(simple.select(col("b"))).distinct()
+      .join(asg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_c"), concat(lit("_n"), col("node"))).as("_c"))
+    val tagged = simple
+      .join(nodes.select(col("node").as("a"), col("_c").as("_ca")), Seq("a"))
+      .join(nodes.select(col("node").as("b"), col("_c").as("_cb")), Seq("b"))
+    val m = tagged.agg(count(lit(1)).as("m_edges"),
+      sum(when(col("_ca") === col("_cb"), 1L).otherwise(0L)).as("_inTotal"))
+    // community degree sums from the mirrored edge list
+    val mirrored = tagged.select(col("_ca").as("_c"))
+      .unionByName(tagged.select(col("_cb").as("_c")))
+    val degSum = mirrored.groupBy(col("_c")).agg(count(lit(1)).as("_dc"))
+    val degTerm = degSum.agg(count(lit(1)).as("n_communities"),
+      sum(col("_dc") * col("_dc")).as("_sumDc2"))
+    m.crossJoin(degTerm)
+      .select(col("m_edges"), col("n_communities"),
+        when(col("m_edges") > 0,
+          col("_inTotal").cast("double") / col("m_edges").cast("double") -
+            col("_sumDc2").cast("double") /
+              ((col("m_edges") * col("m_edges")).cast("double") * 4.0))
+          .as("modularity"))
+  }
+
   /** Reciprocity of the DIRECTED simple graph (self-loops and duplicate
     * edges dropped): the fraction of edges whose reverse also exists —
     * near 1 on mutual-link cliques (blogroll rings, link exchanges), near

@@ -642,6 +642,85 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Theil–Sen robust slope per key: the DISCRETE median (quantile_disc
+    * element rule, q75 precedent) of all pairwise slopes
+    * (x_j − x_i) / (t_j − t_i) over the (ts-unique) series — the trend
+    * magnitude that one outlier day cannot drag, pairing with
+    * [[mannKendall]]'s drift verdict. Each slope is ONE double division
+    * of exact longs; the median picks an actual slope element, so the
+    * result is engine-reproducible bit-for-bit.
+    *
+    * Same ROLLED-UP-SERIES contract as mannKendall: the pair enumeration
+    * is n²/2 per key. Output: keys..., n_pairs, slope (NULL when the
+    * series has < 2 points).
+    */
+  def theilSen(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val slim = df.select(keys ++ Seq(col(tsCol).cast("long").as("_t"),
+      col(valCol).cast("long").as("_x")): _*)
+    val slopes = slim.as("a").join(slim.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduceOption(_ && _).getOrElse(lit(true)) &&
+          col("a._t") < col("b._t"))
+      .select(keyCols.map(k => col(s"a.$k").as(k)) :+
+        ((col("b._x") - col("a._x")).cast("double") /
+          (col("b._t") - col("a._t")).cast("double")).as("_s"): _*)
+    val ranked = slopes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("_s"))))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val med = ranked
+      .where(col("_rn") ===
+        greatest(lit(1L), ceil(lit(0.5) * col("_np")).cast("long")))
+      .select(keys ++ Seq(col("_np").as("n_pairs"), col("_s").as("slope")): _*)
+    slim.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+      .join(med, keyCols, "left")
+      .select(keys ++ Seq(coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope")): _*)
+  }
+
+  /** Chi-square term keyness between two corpora — "which terms
+    * over-index in A vs B" without libm: per term, the 2×2 contingency
+    * (term count vs rest, corpus A vs B) yields
+    * X² = N (ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). The chain runs in
+    * DOUBLES with a FIXED op order (counts cast first, then det,
+    * products, one division) — deterministic and engine-reproducible,
+    * and immune to the decimal(38) overflow exact products would hit
+    * past ~10⁷ tokens; a ranking statistic needs determinism, not
+    * exactness. `direction` is +1 when the term over-indexes in A.
+    * Terms below `minCount` total are dropped.
+    *
+    * Scale shape: two combiner token aggregates (vocabulary-sized
+    * output), a full-outer join on the term table, then row-local
+    * arithmetic; the corpora never shuffle.
+    */
+  def chiSquareKeyness(a: DataFrame, b: DataFrame, textCol: String,
+                       minCount: Long = 5L): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9_'']+', 0)")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val ca = counts(a).withColumnRenamed("n", "n_a")
+    val cb = counts(b).withColumnRenamed("n", "n_b")
+    val joined = ca.join(cb, Seq("term"), "full")
+      .select(col("term"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .where(col("n_a") + col("n_b") >= minCount)
+    val tot = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val aa = col("n_a").cast("double")
+    val bb = col("n_b").cast("double")
+    val cc = (col("_ta") - col("n_a")).cast("double")
+    val dd = (col("_tb") - col("n_b")).cast("double")
+    val n = (col("_ta") + col("_tb")).cast("double")
+    val det = aa * dd - bb * cc
+    val den = ((aa + bb) * (cc + dd)) * ((aa + cc) * (bb + dd))
+    joined.crossJoin(broadcast(tot))
+      .select(col("term"), col("n_a"), col("n_b"),
+        when(den > 0.0, (n * (det * det)) / den).as("chi2"),
+        signum(det).cast("long").as("direction"))
+  }
+
   /** The Benford log10(1 + 1/d) expectations for d = 1..9 as FIXED
     * decimal literals — the [[benfordReport]] contract constants, shared
     * verbatim with any replaying engine (no run-time libm).

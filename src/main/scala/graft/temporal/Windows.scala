@@ -185,6 +185,50 @@ object Windows {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Resample a step series onto a FIXED time grid with forward fill:
+    * one row per key per `stepMs` tick between the key's first and last
+    * sample, carrying the latest sample value at-or-before the tick —
+    * the "make irregular state ML-ready" transform (equally-spaced
+    * inputs for sequence models), with the as-of discipline built in (a
+    * tick never reads a later sample). Ticks are epoch-aligned
+    * (multiples of stepMs), so two keys' grids line up. Equal-timestamp
+    * samples resolve to the LARGEST value (deterministic tie rule, same
+    * max-struct convention as the as-of join).
+    *
+    * Scale shape: the union-tag forward-fill of [[graft.temporal.AsOfJoin.asOfUnion]]
+    * — ONE shuffle on key, one window; the grid explode is
+    * span/stepMs rows per key (caller picks stepMs to bound it).
+    *
+    * Output: keys..., grid_ms, value (long).
+    */
+  def resampleGrid(df: DataFrame, keys: Seq[String], ts: String,
+                   valCol: String, stepMs: Long): DataFrame = {
+    require(stepMs >= 1, "stepMs must be >= 1")
+    val ms = expr(s"unix_millis(cast($ts as timestamp))")
+    val samples = df.select(keys.map(col) ++ Seq(ms.as("_ms"),
+      col(valCol).cast("long").as("_v")): _*)
+    val grid = samples.groupBy(keys.map(col): _*)
+      .agg(min(col("_ms")).as("_lo"), max(col("_ms")).as("_hi"))
+      // first epoch-aligned tick at or after _lo; none when span < 1 tick
+      .withColumn("_start",
+        (col("_lo") + lit(stepMs - 1) - pmod(col("_lo") + lit(stepMs - 1),
+          lit(stepMs))))
+      .where(col("_start") <= col("_hi"))
+      .select(keys.map(col) :+ explode(
+        sequence(col("_start"), col("_hi"), lit(stepMs))).as("_ms"): _*)
+    val tagged = samples.withColumn("_tag", lit(0))
+      .unionByName(grid.withColumn("_v", lit(null).cast("long"))
+        .withColumn("_tag", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ms").asc, col("_tag").asc, col("_v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("value",
+        last(when(col("_tag") === 0, col("_v")), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+      .select(keys.map(col) ++ Seq(col("_ms").as("grid_ms"), col("value")): _*)
+  }
+
   /** Time-weighted mean of a step series per key: each sample holds its
     * INTEGER value from its ts until the next sample, so
     *

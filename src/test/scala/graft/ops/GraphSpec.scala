@@ -151,6 +151,30 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("modularity: two cliques + bridge score high, random split scores ~0") {
+    // two triangles {1,2,3} {4,5,6} + bridge 3-4: m=7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"),
+      (6L, "y")).toDF("node", "comm")
+    val rg = Graph.modularity(edges, "src", "dst", good, "node", "comm")
+      .collect().head
+    // in=6, m=7; deg sums: x = 2+2+3=7, y = 7 -> Q = 6/7 - (49+49)/(4*49)
+    assert(rg.getLong(0) == 7L && rg.getLong(1) == 2L)
+    assert(rg.getDouble(2) == 6.0 / 7.0 - 98.0 / (49.0 * 4.0))
+    // everything in ONE community: Q = 1 - 1 = 0 exactly
+    val all = (1L to 6L).map(n => (n, "z")).toDF("node", "comm")
+    val ra = Graph.modularity(edges, "src", "dst", all, "node", "comm")
+      .collect().head
+    assert(ra.getDouble(2) == 14.0 / 14.0 - (14.0 * 14.0) / (49.0 * 4.0) - 0.0
+      || ra.getDouble(2) == 0.0) // 1 - 196/196 = 0
+    // unassigned nodes become singletons: in=0 for them
+    val partial = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("node", "comm")
+    val rp = Graph.modularity(edges, "src", "dst", partial, "node", "comm")
+      .collect().head
+    assert(rp.getLong(1) == 4L) // x + three singleton communities
+  }
+
   test("reciprocity: mutual fraction of the simple directed graph") {
     // distinct simple edges: 1->2, 2->1, 1->3, 3->4, 4->3 (dup + self dropped)
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L),

@@ -376,6 +376,42 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("theilSen: robust slope ignores the outlier OLS would chase") {
+    def ts(i: Int) = i.toLong
+    // y = 2t except one wild outlier at t=4 (y=100)
+    val df = (1 to 6).map(t => ("k", ts(t), if (t == 4) 100L else 2L * t))
+      .toDF("k", "t", "x")
+    val r = Stats.theilSen(df, Seq("k"), "t", "x").collect().head
+    assert(r.getLong(1) == 15L) // 6*5/2 pairs
+    assert(r.getDouble(2) == 2.0) // the median slope is the clean one
+    // single-point series: no pairs, NULL slope
+    val one = Stats.theilSen(Seq(("s", 1L, 5L)).toDF("k", "t", "x"),
+      Seq("k"), "t", "x").collect().head
+    assert(one.getLong(1) == 0L && one.isNullAt(2))
+    // exact two-point slope: (7-4)/(3-1) = 1.5
+    val two = Stats.theilSen(Seq(("d", 1L, 4L), ("d", 3L, 7L))
+      .toDF("k", "t", "x"), Seq("k"), "t", "x").collect().head
+    assert(two.getDouble(2) == 3.0 / 2.0)
+  }
+
+  test("chiSquareKeyness: hand-computed 2x2 chi2, direction, minCount gate") {
+    val a = Seq("apple apple apple banana", "apple cherry").toDF("text")
+    val b = Seq("banana banana cherry", "banana cherry cherry").toDF("text")
+    // counts: A: apple 4, banana 1, cherry 1 (ta=6); B: banana 3, cherry 3 (tb=6)
+    val r = Stats.chiSquareKeyness(a, b, "text", minCount = 2L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getLong(4)))).toMap
+    // apple: a=4 b=0 c=2 d=6 -> det=24, chi2 = 12*576/(4*8*6*6)
+    val det = 4.0 * 6.0 - 0.0 * 2.0
+    assert(r("apple") == ((4L, 0L,
+      (12.0 * (det * det)) / ((4.0 + 0.0) * (2.0 + 6.0) * ((4.0 + 2.0) * (0.0 + 6.0))),
+      1L)))
+    // banana over-indexes in B -> direction -1
+    assert(r("banana")._1 == 1L && r("banana")._2 == 3L && r("banana")._4 == -1L)
+    // cherry: a=1 b=3? no — cherry a=1, b=3 -> direction -1; total 4 >= 2 kept
+    assert(r.contains("cherry") && r.size == 3)
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, z sign convention") {
     def ts(i: Int) = new java.sql.Timestamp(i * 1000L)
     // key u: x = 1,2,2,4 over t=1..4: pairs (i<j): signs

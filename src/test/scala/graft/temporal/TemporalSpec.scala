@@ -346,6 +346,28 @@ class WindowsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == expected)
   }
 
+  test("resampleGrid: epoch-aligned ticks, forward fill, no future reads") {
+    // samples at 1.5s (v=10), 4.2s (v=20), 9.9s (v=30); step 2s
+    // ticks: 2,4,6,8 -> fills 10,10,20,20 (9.9s sample is after the last tick)
+    val df = Seq(("k", new Timestamp(1500L), 10L),
+      ("k", new Timestamp(4200L), 20L),
+      ("k", new Timestamp(9900L), 30L),
+      ("s", new Timestamp(100L), 7L)) // span < 1 tick: no grid rows
+      .toDF("k", "t", "v")
+    val r = Windows.resampleGrid(df, Seq("k"), "t", "v", stepMs = 2000L)
+      .orderBy("k", "grid_ms").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("k", 2000L, 10L), ("k", 4000L, 10L), ("k", 6000L, 20L),
+      ("k", 8000L, 20L)))
+    // a sample exactly ON a tick is visible to it (inclusive as-of)
+    val on = Windows.resampleGrid(
+      Seq(("o", new Timestamp(2000L), 5L), ("o", new Timestamp(4000L), 6L))
+        .toDF("k", "t", "v"), Seq("k"), "t", "v", 2000L)
+      .orderBy("grid_ms").collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(on.toSeq == Seq((2000L, 5L), (4000L, 6L)))
+  }
+
   test("timeWeightedMean: step-series average, single-sample NULL, ties stable") {
     // key a: v=10 for 4s, v=2 for 6s over span 10s -> (40+12)/10 = 5.2
     val df = Seq(("a", ts(0), 10L, 1L), ("a", ts(4), 2L, 2L),
