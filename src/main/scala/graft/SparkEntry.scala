@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 213 queries spanning every implemented operator family
+/** Driver contract — 215 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3614,7 +3614,32 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id"), col("ts"),
           (col("event_id") % 10).as("state")),
         Seq("user_id"), "ts", "state", stepMs = 86400000L)
-        .orderBy(col("user_id"), col("grid_ms"))))
+        .orderBy(col("user_id"), col("grid_ms"))),
+
+    // ---- exact two-sample KS distance per language (even vs odd docs) ----
+    "q214_ks_test" -> ((s, dir) =>
+      graft.ops.Stats.ksTest(
+        t(s, dir, "documents").withColumn("side",
+          when(col("doc_id") % 2 === 0, lit("A")).otherwise(lit("B"))),
+        Seq("lang"), "n_chars", "side", "A", "B")
+        .orderBy(col("lang"))),
+
+    // ---- HTML page-metadata extraction (title/description/canonical) ----
+    "q215_html_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("<p>plain</p>"))
+          .otherwise(concat(lit("<html><head><title> Doc\n"),
+            col("doc_id").cast("string"),
+            lit(" </title><meta name=\"description\" content=\""),
+            col("lang"), lit(" sample\"><link rel=\"canonical\" " +
+              "href=\"https://ex.org/d/"),
+            col("doc_id").cast("string"), lit("\"></head></html>")))
+          .as("html"))
+      graft.ops.Curation.htmlMeta(d, "html")
+        .select(col("doc_id"), col("title"), col("meta_description"),
+          col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7171,6 +7196,42 @@ object SparkEntry {
 
     // q213: per-tick correlated as-of lookup (ms DESC, v DESC replicates
     // the engine's max-on-tie rule)
+    // q214: cumulative counts at distinct values, exact integer numerator
+    "q214_ks_test" ->
+      """WITH pv AS (SELECT lang, n_chars AS v,
+        |  cast(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS bigint)
+        |    AS a,
+        |  cast(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS bigint)
+        |    AS b
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, v, a, b,
+        |  sum(a) OVER (PARTITION BY lang ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  sum(b) OVER (PARTITION BY lang ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  sum(a) OVER (PARTITION BY lang) AS na,
+        |  sum(b) OVER (PARTITION BY lang) AS nb FROM pv)
+        |SELECT lang, cast(max(na) AS bigint) AS n_a,
+        |  cast(max(nb) AS bigint) AS n_b,
+        |  cast(max(abs(ca * nb - cb * na)) AS bigint) AS d_num,
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |    cast(max(abs(ca * nb - cb * na)) AS double) /
+        |    cast(max(na) * max(nb) AS double) END AS ks_stat
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q215: the constructed metadata is closed-form; title whitespace
+    // collapses to one space
+    "q215_html_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'Doc ' || cast(doc_id AS varchar) END AS title,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE lang || ' sample' END AS meta_description,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'https://ex.org/d/' || cast(doc_id AS varchar) END
+        |    AS canonical_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q213_resample" ->
       """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_id % 10 AS v
         |           FROM events),

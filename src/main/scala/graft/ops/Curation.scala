@@ -388,6 +388,39 @@ object Curation {
   def htmlExtract(df: DataFrame, htmlCol: String): DataFrame =
     df.withColumn("extracted_text", extractHtmlText(col(htmlCol)))
 
+  /** Page-metadata extraction from raw HTML: `title` (first
+    * `<title>` element, inner whitespace collapsed), `meta_description`
+    * (the content attribute of `<meta name="description" ...>`) and
+    * `canonical_url` (the href of `<link rel="canonical" ...>`). All
+    * three via RE2-portable regexes ((?is) flags, lazy quantifiers, no
+    * lookbehind), so an external engine replays the extraction verbatim;
+    * unmatched → NULL. Attribute-ORDER contract: name/rel must precede
+    * content/href (the overwhelmingly common serialization; a full
+    * attribute parser is a tokenizer, not a regex).
+    *
+    * Scale shape: three codegen'd regexp_extract over the scan — narrow
+    * map, zero shuffle.
+    */
+  def htmlMeta(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    def ex(pattern: String): Column = {
+      val m = regexp_extract(h, pattern, 1)
+      when(m =!= "", m)
+    }
+    df.withColumn("title",
+        when(regexp_extract(h, TitleRe, 1) =!= "",
+          trim(regexp_replace(regexp_extract(h, TitleRe, 1), "\\s+", " "))))
+      .withColumn("meta_description", ex(MetaDescRe))
+      .withColumn("canonical_url", ex(CanonicalRe))
+  }
+
+  /** [[htmlMeta]] grammar (public so oracles replay it verbatim). */
+  final val TitleRe = "(?is)<title[^>]*>(.*?)</title>"
+  final val MetaDescRe =
+    "(?is)<meta[^>]*name\\s*=\\s*[\"']description[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)"
+  final val CanonicalRe =
+    "(?is)<link[^>]*rel\\s*=\\s*[\"']canonical[\"'][^>]*href\\s*=\\s*[\"']([^\"']*)"
+
   /** Outlink edge extraction — the web-graph construction stage. One output
     * row per DOUBLE-QUOTED `href` attribute of an `<a>` tag, in document
     * order: (idCol, link_no, href, target_url) where target_url resolves

@@ -642,6 +642,49 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per key, EXACTLY: with
+    * cumulative counts (ca, cb) at each distinct value (ties fully
+    * absorbed — the ECDF is right-continuous),
+    *
+    *   D = max |ca·n_b − cb·n_a| / (n_a · n_b)
+    *
+    * where the max runs over an exact INTEGER numerator — no float ECDF
+    * subtraction to disagree about — and the one division happens at the
+    * end. The distribution-drift companion to [[graft.ops.Diff.psiDrift]]:
+    * PSI needs binning choices, KS does not. Output: keys..., n_a, n_b,
+    * d_num (the integer max), ks_stat; NULL stat when either side is
+    * empty.
+    *
+    * Scale shape: one combiner groupBy on (key, value) then one per-key
+    * cumulative window over DISTINCT values — the window length is the
+    * value cardinality, not the row count.
+    */
+  def ksTest(df: DataFrame, keyCols: Seq[String], valCol: String,
+             groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val perValue = df
+      .where(col(groupCol) === groupA || col(groupCol) === groupB)
+      .groupBy(keys :+ col(valCol).as("_v"): _*)
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("_b"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy(keys: _*)
+    val cum = perValue
+      .withColumn("_ca", sum(col("_a")).over(w))
+      .withColumn("_cb", sum(col("_b")).over(w))
+      .withColumn("_na", sum(col("_a")).over(whole))
+      .withColumn("_nb", sum(col("_b")).over(whole))
+    cum.groupBy(keys: _*)
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
+          .as("d_num"))
+      .withColumn("ks_stat",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")))
+  }
+
   /** Theil–Sen robust slope per key: the DISCRETE median (quantile_disc
     * element rule, q75 precedent) of all pairwise slopes
     * (x_j − x_i) / (t_j − t_i) over the (ts-unique) series — the trend

@@ -376,6 +376,31 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("ksTest: exact integer numerator, ties absorbed, identical dists give 0") {
+    // A: 1,2,3  B: 1,2,3 -> D = 0
+    val same = (Seq(1L, 2L, 3L).map(("g", _, "A")) ++
+      Seq(1L, 2L, 3L).map(("g", _, "B"))).toDF("k", "v", "side")
+    val r0 = Stats.ksTest(same, Seq("k"), "v", "side", "A", "B").collect().head
+    assert(r0.getLong(3) == 0L && r0.getDouble(4) == 0.0)
+    // A: 1,1,2 (na=3)  B: 2,3 (nb=2); distinct v: 1,2,3
+    // cum: v=1 (2,0) |2*2-0*3|=4; v=2 (3,1) |6-3|=3; v=3 (3,2) |6-6|=0
+    // D = 4/6
+    val df = (Seq(1L, 1L, 2L).map(("g", _, "A")) ++
+      Seq(2L, 3L).map(("g", _, "B"))).toDF("k", "v", "side")
+    val r = Stats.ksTest(df, Seq("k"), "v", "side", "A", "B").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 4.0 / 6.0)
+    // completely separated: D = na*nb
+    val sep = (Seq(1L, 2L).map(("g", _, "A")) ++
+      Seq(9L, 10L, 11L).map(("g", _, "B"))).toDF("k", "v", "side")
+    val rs = Stats.ksTest(sep, Seq("k"), "v", "side", "A", "B").collect().head
+    assert(rs.getLong(3) == 6L && rs.getDouble(4) == 1.0)
+    // one side empty -> NULL stat
+    val emp = Seq(("g", 1L, "A")).toDF("k", "v", "side")
+    assert(Stats.ksTest(emp, Seq("k"), "v", "side", "A", "B")
+      .collect().head.isNullAt(4))
+  }
+
   test("theilSen: robust slope ignores the outlier OLS would chase") {
     def ts(i: Int) = i.toLong
     // y = 2t except one wild outlier at t=4 (y=100)

@@ -119,6 +119,25 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
 
+  test("htmlMeta: title collapse, description/canonical attrs, NULL when absent") {
+    val df = Seq(
+      (1L, "<html><head><title> My\n  Page </title>" +
+        "<meta name=\"description\" content=\"A summary here\">" +
+        "<link rel=\"canonical\" href=\"https://ex.org/p\"></head></html>"),
+      (2L, "<TITLE lang='en'>Caps</TITLE>"),      // case-insensitive + attrs
+      (3L, "<p>no metadata at all</p>"),
+      (4L, "<meta content=\"x\" name=\"description\">")) // wrong attr order
+      .toDF("id", "html")
+    val r = Curation.htmlMeta(df, "html").orderBy("id").collect()
+      .map(x => (x.getLong(0),
+        Option(x.getString(2)), Option(x.getString(3)), Option(x.getString(4))))
+    assert(r.toSeq == Seq(
+      (1L, Some("My Page"), Some("A summary here"), Some("https://ex.org/p")),
+      (2L, Some("Caps"), None, None),
+      (3L, None, None, None),
+      (4L, None, None, None))) // order contract: name before content
+  }
+
   test("csvQuarantine: malformed lines keep the raw text, good rows type") {
     val df = Seq(
       (1L, "7,en,120"),          // clean
