@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 215 queries spanning every implemented operator family
+/** Driver contract — 216 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3639,6 +3639,25 @@ object SparkEntry {
         .select(col("doc_id"), col("title"), col("meta_description"),
           col("canonical_url"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- FLAC STREAMINFO + MP3 CBR header decode (audio metadata) ----
+    "q216_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val rows = Seq(
+        M.MediaRow(1L, "audio", M.MediaGen.flacBytes(44100, 2, 44100L)),
+        M.MediaRow(2L, "audio", M.MediaGen.flacBytes(8000, 1, 20000L)),
+        M.MediaRow(3L, "audio", M.MediaGen.mp3Bytes(128, stereo = true, 16000)),
+        M.MediaRow(4L, "audio",
+          M.MediaGen.mp3Bytes(64, stereo = false, 8000, id3Pad = 500)),
+        M.MediaRow(5L, "audio", {
+          val b = M.MediaGen.flacBytes(44100, 2, 1L); b(4) = 0x04; b }))
+      M.decode(rows.toDS()).toDF()
+        .select(col("media_id"), col("byte_len"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"), col("ok"))
+        .orderBy(col("media_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -7218,6 +7237,19 @@ object SparkEntry {
         |    cast(max(abs(ca * nb - cb * na)) AS double) /
         |    cast(max(na) * max(nb) AS double) END AS ks_stat
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q216: closed-form header fields; mp3 byte_len includes the id3 tag,
+    // the duration estimate does not
+    "q216_audio_meta" ->
+      """SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(42 AS bigint), cast(2 AS bigint),
+        |   cast(1000 AS bigint), true),
+        |  (2, 42, 1, 2500, true),
+        |  (3, 16000, 2, 1000, true),
+        |  (4, 8510, 1, 1000, true),
+        |  (5, 42, 0, 0, false))
+        |AS t(media_id, byte_len, channels, duration_ms, ok)
+        |ORDER BY media_id""".stripMargin,
 
     // q215: the constructed metadata is closed-form; title whitespace
     // collapses to one space

@@ -82,6 +82,8 @@ object Multimodal {
     final val Gif = "gif"
     final val Bmp = "bmp"
     final val Webp = "webp"
+    final val Flac = "flac"
+    final val Mp3 = "mp3"
 
     /** Container sniff by magic bytes; "" = no real decoder for this blob. */
     def sniff(p: Array[Byte]): String =
@@ -94,6 +96,9 @@ object Multimodal {
         (p(4) == '7' || p(4) == '9') && p(5) == 'a') Gif
       else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P') Webp
+      else if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') Flac
+      else if (p.length >= 3 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') Mp3
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0) Mp3
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Bmp
       else ""
 
@@ -118,10 +123,66 @@ object Multimodal {
       case Webp =>
         val (w, h, channels) = parseWebp(p)
         Some((w, h, channels, 0L))
+      case Flac =>
+        val (channels, durationMs) = parseFlac(p)
+        Some((0, 0, channels, durationMs))
+      case Mp3 =>
+        val (channels, durationMs) = parseMp3(p)
+        Some((0, 0, channels, durationMs))
       case Bmp =>
         val (w, h, channels) = parseBmp(p)
         Some((w, h, channels, 0L))
       case _ => None
+    }
+
+    /** FLAC STREAMINFO (the mandatory first metadata block): 20-bit
+      * sample rate, 3-bit channels−1, 36-bit total samples →
+      * duration_ms = samples · 1000 / rate (floor — exact integer).
+      */
+    private def parseFlac(p: Array[Byte]): (Int, Long) = {
+      if (p.length < 42) throw new java.io.IOException("truncated flac")
+      if ((p(4) & 0x7f) != 0) // block type STREAMINFO = 0
+        throw new java.io.IOException("first flac block is not STREAMINFO")
+      val b0 = p(18) & 0xff; val b1 = p(19) & 0xff; val b2 = p(20) & 0xff
+      val rate = (b0 << 12) | (b1 << 4) | (b2 >> 4)
+      if (rate == 0) throw new java.io.IOException("flac sample rate 0")
+      val channels = ((b2 >> 1) & 0x7) + 1
+      // total samples = bits 28..63 of the 64-bit field (low 4 bits of
+      // byte 21 are the top of the 36-bit count)
+      val total = ((p(21) & 0x0fL) << 32) | ((p(22) & 0xffL) << 24) |
+        ((p(23) & 0xffL) << 16) | ((p(24) & 0xffL) << 8) | (p(25) & 0xffL)
+      (channels, total * 1000L / rate)
+    }
+
+    /** MP3: skip an ID3v2 tag (syncsafe 28-bit size), read the first
+      * MPEG-1 Layer III frame header (bitrate + sample-rate tables,
+      * channel mode) and estimate duration from the remaining byte count
+      * at that constant bitrate — exact for CBR files, the standard
+      * header-only estimate otherwise.
+      */
+    private def parseMp3(p: Array[Byte]): (Int, Long) = {
+      var off = 0
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+          ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+        off = 10 + size
+      }
+      if (off + 4 > p.length)
+        throw new java.io.IOException("no mp3 frame after id3 tag")
+      val h0 = p(off) & 0xff; val h1 = p(off + 1) & 0xff
+      val h2 = p(off + 2) & 0xff; val h3 = p(off + 3) & 0xff
+      if (h0 != 0xff || (h1 & 0xfe) != 0xfa) // MPEG-1 Layer III, sync
+        throw new java.io.IOException("unsupported mp3 frame header")
+      val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320) // kbit/s, MPEG-1 Layer III
+      val rates = Array(44100, 48000, 32000, 0)
+      val br = bitrates((h2 >> 4) & 0xf)
+      val sr = rates((h2 >> 2) & 0x3)
+      if (br == 0 || sr == 0)
+        throw new java.io.IOException("free/bad mp3 bitrate or rate")
+      val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+      val audioBytes = (p.length - off).toLong
+      (channels, audioBytes * 8L / br) // bytes*8 / (kbit/s) == ms
     }
 
     /** WebP first chunk after the RIFF/WEBP header — all three container
@@ -740,6 +801,54 @@ object Multimodal {
         .put(chunk.getBytes("US-ASCII")).putInt(payload.length)
         .put(payload)
       bb.array()
+    }
+
+    /** Minimal FLAC: magic + last-flag STREAMINFO block with the given
+      * rate/channels/total-samples (bps fixed at 16); no audio frames.
+      */
+    def flacBytes(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+      val b = new Array[Byte](42)
+      b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+      b(4) = 0x80.toByte // last-metadata-block | type 0 (STREAMINFO)
+      b(7) = 34          // block length
+      b(18) = ((sampleRate >> 12) & 0xff).toByte
+      b(19) = ((sampleRate >> 4) & 0xff).toByte
+      b(20) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 7) << 1) |
+        ((16 - 1) >> 4)).toByte
+      b(21) = ((((16 - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+      b(22) = ((totalSamples >> 24) & 0xff).toByte
+      b(23) = ((totalSamples >> 16) & 0xff).toByte
+      b(24) = ((totalSamples >> 8) & 0xff).toByte
+      b(25) = (totalSamples & 0xff).toByte
+      b
+    }
+
+    /** Minimal MP3: optional ID3v2 tag (syncsafe size = `id3Pad`), then
+      * one MPEG-1 Layer III frame header at 44.1 kHz and `audioBytes`
+      * of filler — the CBR shape [[RealCodec.decode]]'s estimate reads.
+      */
+    def mp3Bytes(bitrateKbps: Int, stereo: Boolean, audioBytes: Int,
+                 id3Pad: Int = 0): Array[Byte] = {
+      val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320)
+      val idx = bitrates.indexOf(bitrateKbps)
+      require(idx > 0, s"unsupported bitrate $bitrateKbps")
+      require(audioBytes >= 4 && id3Pad >= 0, "need a frame header")
+      val tag = if (id3Pad > 0) {
+        val t = new Array[Byte](10 + id3Pad)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+        t(6) = ((id3Pad >> 21) & 0x7f).toByte
+        t(7) = ((id3Pad >> 14) & 0x7f).toByte
+        t(8) = ((id3Pad >> 7) & 0x7f).toByte
+        t(9) = (id3Pad & 0x7f).toByte
+        t
+      } else Array.empty[Byte]
+      val audio = new Array[Byte](audioBytes)
+      audio(0) = 0xff.toByte
+      audio(1) = 0xfb.toByte // MPEG-1 Layer III, no CRC
+      audio(2) = ((idx << 4) | (0 << 2)).toByte // 44.1 kHz
+      audio(3) = (if (stereo) 0x00 else 0xc0).toByte
+      tag ++ audio
     }
 
     /** GIF89a via ImageIO (real encoder): palette image, real LZW body. */

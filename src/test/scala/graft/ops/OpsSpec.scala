@@ -535,6 +535,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0).getInt(1) == 6 && r(1).isNullAt(1))
   }
 
+  test("flac/mp3: STREAMINFO duration, CBR estimate, ID3 skip, malformed raises") {
+    import Multimodal.{MediaGen, RealCodec}
+    // 44.1 kHz stereo, 44100 samples -> exactly 1000 ms
+    assert(RealCodec.decode(MediaGen.flacBytes(44100, 2, 44100L))
+      .contains((0, 0, 2, 1000L)))
+    // 8 kHz mono, 20000 samples -> 2500 ms; 20-bit rate field roundtrips
+    assert(RealCodec.decode(MediaGen.flacBytes(8000, 1, 20000L))
+      .contains((0, 0, 1, 2500L)))
+    // large 36-bit sample count survives
+    assert(RealCodec.decode(MediaGen.flacBytes(96000, 8, 96000L * 3600))
+      .contains((0, 0, 8, 3600000L)))
+    // mp3: 128 kbit/s stereo, 16000 audio bytes -> 16000*8/128 = 1000 ms
+    assert(RealCodec.decode(MediaGen.mp3Bytes(128, stereo = true, 16000))
+      .contains((0, 0, 2, 1000L)))
+    // ID3 tag bytes are EXCLUDED from the estimate; mono mode reads
+    assert(RealCodec.decode(
+        MediaGen.mp3Bytes(64, stereo = false, 8000, id3Pad = 500))
+      .contains((0, 0, 1, 1000L)))
+    // flac with a non-STREAMINFO first block -> loud failure
+    val badFlac = MediaGen.flacBytes(44100, 2, 1L)
+    badFlac(4) = 0x04 // type VORBIS_COMMENT
+    intercept[java.io.IOException] { RealCodec.decode(badFlac) }
+    // id3 tag with no frame after it -> loud failure
+    val badMp3 = MediaGen.mp3Bytes(128, stereo = true, 100, id3Pad = 50).take(30)
+    intercept[java.io.IOException] { RealCodec.decode(badMp3) }
+  }
+
   test("webp: VP8X/VP8L/VP8 grammars, alpha channels, malformed raises") {
     import Multimodal.{MediaGen, RealCodec}
     assert(RealCodec.decode(MediaGen.webpBytes("VP8X", 800, 600))
