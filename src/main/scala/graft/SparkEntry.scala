@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 216 queries spanning every implemented operator family
+/** Driver contract — 218 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3658,7 +3658,19 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("duration_ms"), col("ok"))
         .orderBy(col("media_id"))
-    }))
+    }),
+
+    // ---- Wilcoxon signed-rank over a paired before/after metric ----
+    "q217_wilcoxon" -> ((s, dir) =>
+      graft.ops.Stats.wilcoxonSignedRank(
+        t(s, dir, "documents").select(col("n_chars").as("before"),
+          (col("n_chars") + col("doc_id") % 7 - 3).as("after")),
+        "before", "after")),
+
+    // ---- longest consecutive-day streak per user ----
+    "q218_streaks" -> ((s, dir) =>
+      graft.ops.Behavior.streaks(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("entity"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7237,6 +7249,45 @@ object SparkEntry {
         |    cast(max(abs(ca * nb - cb * na)) AS double) /
         |    cast(max(na) * max(nb) AS double) END AS ks_stat
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q217: identical doubled-rank construction and fixed z chain
+    "q217_wilcoxon" ->
+      """WITH nz AS (SELECT doc_id % 7 - 3 AS dd, abs(doc_id % 7 - 3) AS ad
+        |  FROM documents WHERE doc_id % 7 - 3 <> 0),
+        |r AS (SELECT dd, cast(rank() OVER (ORDER BY ad) * 2 +
+        |      count(*) OVER (PARTITION BY ad) - 1 AS bigint) AS r2 FROM nz),
+        |a AS (SELECT cast(count(*) AS bigint) AS n,
+        |      cast(sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS bigint)
+        |        AS w_plus2 FROM r),
+        |tc AS (SELECT cast(coalesce(sum(t * t * t - t), 0) AS bigint) AS c
+        |       FROM (SELECT count(*) AS t FROM nz GROUP BY ad)),
+        |v AS (SELECT n, w_plus2,
+        |      cast(n * (n + 1) * (n * 2 + 1) * 2 - c AS double) / 12.0
+        |        AS var2 FROM a, tc)
+        |SELECT n, w_plus2,
+        |  CASE WHEN var2 > 0 THEN
+        |    cast(w_plus2 - (n * (n + 1)) // 2 AS double) / sqrt(var2) END AS z
+        |FROM v""".stripMargin,
+
+    // q218: the q189 island rule at day granularity with maxGap 1
+    "q218_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id AS entity,
+        |  epoch_ms(ts) // 86400000 AS d FROM events),
+        |w AS (SELECT entity, d, max(d) OVER (PARTITION BY entity ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM days),
+        |f AS (SELECT entity, d,
+        |      CASE WHEN pm IS NULL OR d > pm + 1 THEN 1 ELSE 0 END AS o
+        |      FROM w),
+        |g AS (SELECT entity, d, sum(o) OVER (PARTITION BY entity ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |      FROM f),
+        |runs AS (SELECT entity, isl, min(d) AS lo, max(d) AS hi,
+        |         count(*) AS nm FROM g GROUP BY 1, 2)
+        |SELECT entity, cast(sum(nm) AS bigint) AS n_active_days,
+        |  cast(count(*) AS bigint) AS n_streaks,
+        |  cast(max(hi - lo + 1) AS bigint) AS longest_streak
+        |FROM runs GROUP BY entity ORDER BY entity""".stripMargin,
 
     // q216: closed-form header fields; mp3 byte_len includes the id3 tag,
     // the duration estimate does not

@@ -317,6 +317,32 @@ object Behavior {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Longest consecutive-day activity streak per entity — the retention
+    * signal leaderboards run on. Distinct active days collapse into runs
+    * via [[graft.temporal.Windows.mergeIntervals]] with maxGap = 1 (day
+    * d+1 touches day d), then the longest island wins. Exact integers
+    * throughout. Output: entity, n_active_days, n_streaks,
+    * longest_streak, current-streak-agnostic (a reporting-time cutoff is
+    * the caller's join).
+    *
+    * Scale shape: one combiner distinct to (entity, day) — the only pass
+    * over the corpus — then the interval merge's per-entity window over
+    * day-counted rows.
+    */
+  def streaks(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(entityCol).as("entity"),
+      expr(s"unix_millis(cast($tsCol as timestamp)) div 86400000").as("_day"))
+      .distinct()
+    val runs = graft.temporal.Windows.mergeIntervals(
+      days.withColumn("_e", col("_day")), Seq("entity"), "_day", "_e",
+      maxGap = 1L)
+    runs.groupBy(col("entity"))
+      .agg(sum(col("n_merged")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("interval_end") - col("interval_start") + 1)
+          .as("longest_streak"))
+  }
+
   /** RFM quartile scoring — the classic engagement segmentation, done
     * bit-exactly: per entity, recency (whole days between its last event
     * and the corpus max-ts day — lower is fresher), frequency (event

@@ -642,6 +642,48 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Wilcoxon signed-rank test on PAIRED integer samples (before/after
+    * per entity): zero differences drop (standard), |diff| gets DOUBLED
+    * average tie ranks (2·rank_min + ties − 1 — exact integers, the
+    * [[spearman]] device), and the statistic is
+    *
+    *   W'₊ = Σ_{diff>0} r'ᵢ  (= 2·W₊, exact bigint),  μ' = n(n+1)/2,
+    *   Var' = [2n(n+1)(2n+1) − Σ_g (t_g³ − t_g)] / 12,
+    *   z = (W'₊ − μ') / sqrt(Var')
+    *
+    * with one fixed-order division chain — the paired drift test when
+    * before/after measurements share entities (re-crawled pages, A/B on
+    * the same hosts), where Welch/MW would waste the pairing. Output one
+    * row: n (non-zero pairs), w_plus2 (the doubled statistic), z (NULL
+    * when Var' = 0). Ranking uses a single-partition window — the
+    * [[spearman]] samples-and-lists contract.
+    */
+  def wilcoxonSignedRank(df: DataFrame, beforeCol: String,
+                         afterCol: String): DataFrame = {
+    val d = (col(afterCol).cast("long") - col(beforeCol).cast("long"))
+    val nz = df.select(d.as("_d")).where(col("_d") =!= 0L)
+      .withColumn("_a", abs(col("_d")))
+    val ranked = nz
+      .withColumn("_r2", rank().over(Window.orderBy(col("_a"))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col("_a"))) - 1)
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_d") > 0, col("_r2")).otherwise(0L)).as("w_plus2"))
+    // tie correction needs group sizes, not ranks — compute separately
+    val ties = nz.groupBy(col("_a")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * col("_t") * col("_t") - col("_t")),
+        lit(0L)).as("_tc"))
+    agg.crossJoin(ties)
+      .withColumn("_mu2", expr("(n * (n + 1)) div 2"))
+      .withColumn("_var2",
+        ((col("n") * (col("n") + 1) * (col("n") * 2 + 1) * 2 - col("_tc"))
+          .cast("double") / lit(12.0)))
+      .select(col("n"), col("w_plus2"),
+        when(col("_var2") > 0.0,
+          (col("w_plus2") - col("_mu2")).cast("double") / sqrt(col("_var2")))
+          .as("z"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance per key, EXACTLY: with
     * cumulative counts (ca, cb) at each distinct value (ties fully
     * absorbed — the ECDF is right-continuous),

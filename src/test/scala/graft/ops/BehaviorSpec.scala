@@ -7,6 +7,20 @@ import graft.SparkSpec
 class BehaviorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaks: day runs with gaps, multi-visit days collapse, singletons") {
+    def t(day: Int, h: Int) = new java.sql.Timestamp(day * 86400000L + h * 3600000L)
+    val df = Seq(
+      // u: days 1,2,3 (3-streak; day 2 visited twice), then 5,6 (2-streak)
+      ("u", t(1, 1)), ("u", t(2, 2)), ("u", t(2, 9)), ("u", t(3, 0)),
+      ("u", t(5, 5)), ("u", t(6, 6)),
+      // v: isolated days 10 and 20
+      ("v", t(10, 0)), ("v", t(20, 0)))
+      .toDF("entity", "ts")
+    val r = Behavior.streaks(df, "entity", "ts").orderBy("entity").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
+  }
+
   test("rfmScores: exact metrics and strict-> quartile bins, hand-checked") {
     def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
     // u1: days 0,9 val 1.005+2.0 -> cents 100+200; u2: day 10 x1; u3: day 5 x3; u4: day 2 x1

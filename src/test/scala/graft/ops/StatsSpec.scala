@@ -376,6 +376,27 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("wilcoxonSignedRank: doubled tie ranks, zero diffs drop, hand z") {
+    // diffs: +1, -1, +2, +2, 0(drops) -> |d| ranks: 1:{1,2} r2 = 2*1+2-1 = 3;
+    // 2:{3,4} r2 = 2*3+2-1 = 7. W'+ = 3 + 7 + 7 = 17; n=4, mu' = 10
+    // ties: t=2 twice -> tc = (8-2)*2 = 12; var' = (2*4*5*9 - 12)/12 = 348/12
+    val df = Seq((10L, 11L), (10L, 9L), (10L, 12L), (5L, 7L), (3L, 3L))
+      .toDF("before", "after")
+    val r = Stats.wilcoxonSignedRank(df, "before", "after").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 17L)
+    assert(r.getDouble(2) == (17.0 - 10.0) / math.sqrt(348.0 / 12.0))
+    // all diffs equal: single tie group, var' = (2n(n+1)(2n+1) - (n^3-n))/12
+    val same = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("before", "after")
+    val rs = Stats.wilcoxonSignedRank(same, "before", "after").collect().head
+    // n=3: ranks all r2 = 2*1+3-1 = 4 -> W'+ = 12; mu'=6; tc = 27-3 = 24
+    // var' = (2*3*4*7 - 24)/12 = 144/12 = 12
+    assert(rs.getLong(1) == 12L && rs.getDouble(2) == 6.0 / math.sqrt(12.0))
+    // no nonzero differences: z NULL
+    val z = Stats.wilcoxonSignedRank(
+      Seq((1L, 1L)).toDF("before", "after"), "before", "after").collect()
+    assert(z.head.getLong(0) == 0L && z.head.isNullAt(2))
+  }
+
   test("ksTest: exact integer numerator, ties absorbed, identical dists give 0") {
     // A: 1,2,3  B: 1,2,3 -> D = 0
     val same = (Seq(1L, 2L, 3L).map(("g", _, "A")) ++
