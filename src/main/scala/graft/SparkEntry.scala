@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 218 queries spanning every implemented operator family
+/** Driver contract — 220 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3670,7 +3670,33 @@ object SparkEntry {
     // ---- longest consecutive-day streak per user ----
     "q218_streaks" -> ((s, dir) =>
       graft.ops.Behavior.streaks(t(s, dir, "events"), "user_id", "ts")
-        .orderBy(col("entity"))))
+        .orderBy(col("entity"))),
+
+    // ---- capture-recapture population estimate from two crawl samples ----
+    "q219_capture_recapture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.captureRecapture(
+        d.where(col("doc_id") % 3 =!= 0).select(col("doc_id").as("id")),
+        d.where(col("doc_id") % 2 === 0).select(col("doc_id").as("id")),
+        "id")
+    }),
+
+    // ---- snapshot time travel: three commits (append, append, replace),
+    //      every version read back frozen ----
+    "q220_time_travel" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val base = java.nio.file.Files.createTempDirectory("q220").toString + "/t"
+      val P = graft.sources.PageTable
+      P.writeSnapshot(d.where(col("doc_id") < 300), base)
+      P.writeSnapshot(d.where(col("doc_id") >= 300), base)
+      P.writeSnapshot(d.where(col("doc_id") < 10), base, append = false)
+      val reads = (1 to 3).map { v =>
+        P.readSnapshot(s, base, v)
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .select(lit(v.toLong).as("version"), col("n"), col("sum_id"))
+      }
+      reads.reduce(_ unionByName _).orderBy(col("version"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7249,6 +7275,35 @@ object SparkEntry {
         |    cast(max(abs(ca * nb - cb * na)) AS double) /
         |    cast(max(na) * max(nb) AS double) END AS ks_stat
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q219: definitional set sizes + the same integer Chapman formula
+    "q219_capture_recapture" ->
+      """WITH a AS (SELECT DISTINCT doc_id AS id FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT doc_id AS id FROM documents
+        |      WHERE doc_id % 2 = 0),
+        |m AS (SELECT cast(count(*) AS bigint) AS n_overlap FROM a
+        |      WHERE id IN (SELECT id FROM b))
+        |SELECT (SELECT cast(count(*) AS bigint) FROM a) AS n_a,
+        |  (SELECT cast(count(*) AS bigint) FROM b) AS n_b, n_overlap,
+        |  ((SELECT count(*) FROM a) + 1) * ((SELECT count(*) FROM b) + 1)
+        |    // (n_overlap + 1) - 1 AS chapman_estimate,
+        |  CASE WHEN n_overlap > 0 THEN
+        |    cast((SELECT count(*) FROM a) * (SELECT count(*) FROM b)
+        |      AS double) / cast(n_overlap AS double) END AS lp_estimate
+        |FROM m""".stripMargin,
+
+    // q220: the three snapshot contents are closed-form over documents
+    "q220_time_travel" ->
+      """SELECT 1 AS version, cast(count(*) AS bigint) AS n,
+        |  cast(sum(doc_id) AS bigint) AS sum_id
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 2, count(*), cast(sum(doc_id) AS bigint) FROM documents
+        |UNION ALL
+        |SELECT 3, count(*), cast(sum(doc_id) AS bigint) FROM documents
+        |WHERE doc_id < 10
+        |ORDER BY version""".stripMargin,
 
     // q217: identical doubled-rank construction and fixed z chain
     "q217_wilcoxon" ->

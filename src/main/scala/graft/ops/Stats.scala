@@ -642,6 +642,34 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Capture–recapture population estimate from two overlapping crawls:
+    * treat crawl A and crawl B as two "captures" of the same underlying
+    * population (the reachable web, a site's URL space) and estimate its
+    * size from the overlap — Chapman's bias-corrected
+    * (n_a+1)(n_b+1) div (m+1) − 1 as EXACT integer floor arithmetic,
+    * plus the naive Lincoln–Petersen n_a·n_b/m (one double division,
+    * NULL at m = 0). The standard "how much of the web are we seeing"
+    * answer when full enumeration is impossible.
+    *
+    * Scale shape: two distinct-counts + one semi-join count on slim id
+    * projections; output is one row.
+    */
+  def captureRecapture(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
+    val ia = a.select(col(idCol).as("_id")).distinct()
+    val ib = b.select(col(idCol).as("_id")).distinct()
+    val na = ia.agg(count(lit(1)).as("n_a"))
+    val nb = ib.agg(count(lit(1)).as("n_b"))
+    val m = ia.join(ib, Seq("_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+    na.crossJoin(nb).crossJoin(m)
+      .withColumn("chapman_estimate",
+        expr("((n_a + 1) * (n_b + 1)) div (n_overlap + 1) - 1"))
+      .withColumn("lp_estimate",
+        when(col("n_overlap") > 0,
+          (col("n_a") * col("n_b")).cast("double") /
+            col("n_overlap").cast("double")))
+  }
+
   /** Wilcoxon signed-rank test on PAIRED integer samples (before/after
     * per entity): zero differences drop (standard), |diff| gets DOUBLED
     * average tie ranks (2·rank_min + ties − 1 — exact integers, the

@@ -126,6 +126,84 @@ object PageTable {
       .parquet(path)
   }
 
+  // ---- snapshot versioning (time travel) -------------------------------
+  //
+  // Iceberg-style commits at toy scale: data directories are APPEND-ONLY
+  // (`data/v<N>/`), and a snapshot is a JSON manifest listing the
+  // directories visible at that version — written LAST via tmp+atomic-move,
+  // so a crashed writer leaves no half-visible snapshot. Readers pin a
+  // version and are immune to concurrent appends; nothing is ever
+  // rewritten, so `readSnapshot(v)` returns bit-identical data forever.
+  // Manifest I/O uses java.nio like `runtime.Manifest` (local-FS sandbox;
+  // a production port swaps in the Hadoop FileSystem API).
+
+  private def snapshotsDir(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_snapshots")
+
+  private val SnapshotRe =
+    """\{"version":(\d+),"dirs":\[([^\]]*)\]\}""".r
+
+  /** Highest committed snapshot version at `path`, 0 when none. */
+  def latestSnapshotVersion(path: String): Int = {
+    val d = snapshotsDir(path)
+    if (!java.nio.file.Files.isDirectory(d)) return 0
+    val it = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt }
+        .foldLeft(0)(math.max)
+    } finally it.close()
+  }
+
+  /** Data directories (relative to `path`) visible at `version`. */
+  def snapshotDirs(path: String, version: Int): Seq[String] = {
+    val f = snapshotsDir(path).resolve(s"v$version.json")
+    val text = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    text match {
+      case SnapshotRe(_, dirs) =>
+        dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+      case _ => throw new java.io.IOException(s"malformed snapshot manifest $f")
+    }
+  }
+
+  /** Commit a new snapshot: write `pages` into a FRESH data directory,
+    * then publish manifest v(N+1) = (previous dirs when `append`) + the
+    * new one. Returns the committed version.
+    */
+  def writeSnapshot(pages: DataFrame, path: String, append: Boolean = true,
+                    compression: String = "zstd"): Int = {
+    val prev = latestSnapshotVersion(path)
+    val v = prev + 1
+    val rel = s"data/v$v"
+    pages.write.option("compression", compression).parquet(s"$path/$rel")
+    val dirs = (if (append && prev > 0) snapshotDirs(path, prev)
+                else Seq.empty) :+ rel
+    val json = dirs.map("\"" + _ + "\"")
+      .mkString(s"""{"version":$v,"dirs":[""", ",", "]}")
+    val dir = snapshotsDir(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v$v.json.tmp")
+    java.nio.file.Files.write(tmp,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(s"v$v.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read the table AS OF `version` (default: latest). */
+  def readSnapshot(spark: SparkSession, path: String,
+                   version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else latestSnapshotVersion(path)
+    require(v > 0, s"no snapshots at $path")
+    val dirs = snapshotDirs(path, v).map(d => s"$path/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Driver-side bucket id of a url — must agree with xxhash64(url) % N.
     * Length is the UTF-8 BYTE count (url.length is chars — using it would
     * hash a truncated prefix for any non-ASCII url and prune wrong buckets).

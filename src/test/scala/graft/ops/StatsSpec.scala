@@ -376,6 +376,21 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("captureRecapture: Chapman and Lincoln-Petersen, duplicate ids collapse") {
+    // A: {1..10}, B: {6..17} -> na=10, nb=12, m=5
+    // Chapman: 11*13 div 6 - 1 = 23 - 1 = 22; LP: 120/5 = 24
+    val a = ((1L to 10L) ++ Seq(3L, 3L)).toDF("id") // dup ids don't inflate
+    val b = (6L to 17L).toDF("id")
+    val r = Stats.captureRecapture(a, b, "id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((10L, 12L, 5L)))
+    assert(r.getLong(3) == 11L * 13L / 6L - 1L)
+    assert(r.getDouble(4) == 120.0 / 5.0)
+    // disjoint captures: LP undefined, Chapman still finite
+    val d = Stats.captureRecapture((1L to 4L).toDF("id"),
+      (10L to 13L).toDF("id"), "id").collect().head
+    assert(d.getLong(2) == 0L && d.getLong(3) == 5L * 5L - 1L && d.isNullAt(4))
+  }
+
   test("wilcoxonSignedRank: doubled tie ranks, zero diffs drop, hand z") {
     // diffs: +1, -1, +2, +2, 0(drops) -> |d| ranks: 1:{1,2} r2 = 2*1+2-1 = 3;
     // 2:{3,4} r2 = 2*3+2-1 = 7. W'+ = 3 + 7 + 7 = 17; n=4, mu' = 10

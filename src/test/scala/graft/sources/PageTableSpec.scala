@@ -113,4 +113,30 @@ class PageTableSpec extends SparkSpec {
     assert(before.keys.filter(_.contains(m0Part)) !=
       stateAfter.keys.filter(_.contains(m0Part)), "touched partition rewritten")
   }
+
+  test("snapshots: time travel across appends and a replace; old versions frozen") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snapshots").toString + "/t"
+    val v1 = PageTable.writeSnapshot((1L to 10L).toDF("id"), dir)
+    val v2 = PageTable.writeSnapshot((11L to 15L).toDF("id"), dir)
+    assert(v1 == 1 && v2 == 2)
+    assert(PageTable.latestSnapshotVersion(dir) == 2)
+    // v1 is frozen at 10 rows; v2 sees the append; default = latest
+    assert(PageTable.readSnapshot(spark, dir, 1).count() == 10L)
+    assert(PageTable.readSnapshot(spark, dir, 2).count() == 15L)
+    assert(PageTable.readSnapshot(spark, dir).count() == 15L)
+    val v1ids = PageTable.readSnapshot(spark, dir, 1)
+      .orderBy("id").as[Long].collect()
+    assert(v1ids.toSeq == (1L to 10L))
+    // replace: v3 starts fresh — and v1/v2 STILL read their old data
+    val v3 = PageTable.writeSnapshot(Seq(99L).toDF("id"), dir, append = false)
+    assert(v3 == 3 && PageTable.readSnapshot(spark, dir).count() == 1L)
+    assert(PageTable.readSnapshot(spark, dir, 2).count() == 15L)
+    assert(PageTable.readSnapshot(spark, dir, 1).count() == 10L)
+    // no snapshots -> loud failure
+    intercept[IllegalArgumentException] {
+      PageTable.readSnapshot(spark,
+        Files.createTempDirectory("empty").toString)
+    }
+  }
 }
