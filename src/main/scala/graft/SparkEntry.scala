@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 220 queries spanning every implemented operator family
+/** Driver contract — 222 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3696,6 +3696,30 @@ object SparkEntry {
           .select(lit(v.toLong).as("version"), col("n"), col("sum_id"))
       }
       reads.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
+    // ---- daily-grid LINEAR interpolation (signal reconstruction;
+    //      explicitly not leakage-safe, unlike q213's forward fill) ----
+    "q221_resample_lerp" -> ((s, dir) =>
+      graft.temporal.Windows.resampleGridLerp(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          (col("event_id") % 10).as("state")),
+        Seq("user_id"), "ts", "state", stepMs = 86400000L)
+        .orderBy(col("user_id"), col("grid_ms"))),
+
+    // ---- HTML table-structure signals over a constructed corpus ----
+    "q222_table_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<table>"),
+            expr("repeat('<tr><td>a</td><td>b</td></tr>', " +
+              "cast(doc_id % 4 + 1 AS int))"),
+            lit("</table>")))
+          .otherwise(lit("<p>prose about a table setting</p>")).as("html"))
+      graft.ops.Curation.htmlTableStats(d, "html")
+        .select(col("doc_id"), col("n_tables"), col("n_rows"),
+          col("n_cells"), col("cells_per_row"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -7275,6 +7299,43 @@ object SparkEntry {
         |    cast(max(abs(ca * nb - cb * na)) AS double) /
         |    cast(max(na) * max(nb) AS double) END AS ks_stat
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q221: per-tick back (ms DESC, v DESC) and fwd (ms ASC, v ASC)
+    // neighbors + the identical fixed-order lerp chain
+    "q221_resample_lerp" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS ms, event_id % 10 AS v
+        |           FROM events),
+        |b AS (SELECT user_id, min(ms) AS lo, max(ms) AS hi FROM s GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(
+        |        lo + 86399999 - (lo + 86399999) % 86400000,
+        |        hi + 1, 86400000)) AS grid_ms
+        |      FROM b
+        |      WHERE lo + 86399999 - (lo + 86399999) % 86400000 <= hi),
+        |x AS (SELECT g.user_id, g.grid_ms,
+        |  (SELECT struct_pack(t := s.ms, v := s.v) FROM s
+        |   WHERE s.user_id = g.user_id AND s.ms <= g.grid_ms
+        |   ORDER BY s.ms DESC, s.v DESC LIMIT 1) AS bk,
+        |  (SELECT struct_pack(t := s.ms, v := s.v) FROM s
+        |   WHERE s.user_id = g.user_id AND s.ms >= g.grid_ms
+        |   ORDER BY s.ms ASC, s.v ASC LIMIT 1) AS fw
+        |  FROM g)
+        |SELECT user_id, grid_ms,
+        |  CASE WHEN bk IS NULL OR fw IS NULL THEN NULL
+        |       WHEN fw.t = bk.t THEN cast(bk.v AS double)
+        |       ELSE cast(bk.v AS double) + cast(fw.v - bk.v AS double) *
+        |            cast(grid_ms - bk.t AS double) /
+        |            cast(fw.t - bk.t AS double) END AS value
+        |FROM x ORDER BY user_id, grid_ms""".stripMargin,
+
+    // q222: the constructed tables are closed-form
+    "q222_table_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_tables,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 1 ELSE 0 END AS n_rows,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 + 1) * 2 ELSE 0 END
+        |    AS n_cells,
+        |  CASE WHEN doc_id % 3 = 0 THEN 2.0 END AS cells_per_row
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

@@ -414,6 +414,23 @@ object Curation {
       .withColumn("canonical_url", ex(CanonicalRe))
   }
 
+  /** HTML table-structure signals: counts of <table>/<tr>/<td|th> open
+    * tags (case-insensitive) plus cells-per-row — data-heavy pages
+    * (specs, stats, schedules) read very differently from prose and many
+    * curation mixes cap or boost them. Pure regexp_count, zero shuffle,
+    * RE2-portable patterns.
+    */
+  def htmlTableStats(df: DataFrame, htmlCol: String): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    def cnt(pat: String): Column = regexp_count(h, lit(pat)).cast("long")
+    df.withColumn("n_tables", cnt("(?i)<table[\\s>]"))
+      .withColumn("n_rows", cnt("(?i)<tr[\\s>]"))
+      .withColumn("n_cells", cnt("(?i)<t[dh][\\s>]"))
+      .withColumn("cells_per_row",
+        when(col("n_rows") > 0,
+          col("n_cells").cast("double") / col("n_rows").cast("double")))
+  }
+
   /** [[htmlMeta]] grammar (public so oracles replay it verbatim). */
   final val TitleRe = "(?is)<title[^>]*>(.*?)</title>"
   final val MetaDescRe =

@@ -229,6 +229,61 @@ object Windows {
       .select(keys.map(col) ++ Seq(col("_ms").as("grid_ms"), col("value")): _*)
   }
 
+  /** [[resampleGrid]] with LINEAR interpolation instead of forward fill:
+    * each tick gets vb + (vf − vb)·(t − tb)/(tf − tb) between its
+    * neighboring samples (fixed-order double chain, engine-
+    * reproducible); a tick exactly on a sample returns that sample, and
+    * ticks before the first or after the last sample are NULL (no
+    * extrapolation). NOT leakage-safe (a tick reads the next sample) —
+    * for signal reconstruction and visualization, not features; the
+    * forward-fill variant is the as-of-safe one.
+    *
+    * Same union-tag single-sort shape, with a backward fill for the
+    * following sample bound to the same window pass.
+    */
+  def resampleGridLerp(df: DataFrame, keys: Seq[String], ts: String,
+                       valCol: String, stepMs: Long): DataFrame = {
+    require(stepMs >= 1, "stepMs must be >= 1")
+    val ms = expr(s"unix_millis(cast($ts as timestamp))")
+    val samples = df.select(keys.map(col) ++ Seq(ms.as("_ms"),
+      col(valCol).cast("long").as("_v")): _*)
+    val grid = samples.groupBy(keys.map(col): _*)
+      .agg(min(col("_ms")).as("_lo"), max(col("_ms")).as("_hi"))
+      .withColumn("_start",
+        (col("_lo") + lit(stepMs - 1) - pmod(col("_lo") + lit(stepMs - 1),
+          lit(stepMs))))
+      .where(col("_start") <= col("_hi"))
+      .select(keys.map(col) :+ explode(
+        sequence(col("_start"), col("_hi"), lit(stepMs))).as("_ms"): _*)
+    val tagged = samples.withColumn("_tag", lit(0))
+      .unionByName(grid.withColumn("_v", lit(null).cast("long"))
+        .withColumn("_tag", lit(1)))
+    // back: samples (tag 0) sort BEFORE a same-ms tick — inclusive as-of.
+    // fwd: ticks sort BEFORE same-ms samples (tag DESC), so a sample ON
+    // the tick is still visible to the following-frame fill.
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ms").asc, col("_tag").asc, col("_v").asc_nulls_first)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ms").asc, col("_tag").desc, col("_v").asc_nulls_first)
+    val sampleRow = when(col("_tag") === 0,
+      struct(col("_ms").as("t"), col("_v").as("v")))
+    val filled = tagged
+      .withColumn("_back", last(sampleRow, ignoreNulls = true)
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_fwd", first(sampleRow, ignoreNulls = true)
+        .over(wf.rowsBetween(0, Window.unboundedFollowing)))
+    val tb = col("_back").getField("t"); val vb = col("_back").getField("v")
+    val tf = col("_fwd").getField("t"); val vf = col("_fwd").getField("v")
+    filled.where(col("_tag") === 1)
+      .withColumn("value",
+        when(col("_back").isNull || col("_fwd").isNull, lit(null))
+          .when(tf === tb, vb.cast("double"))
+          .otherwise(vb.cast("double") +
+            (vf - vb).cast("double") * (col("_ms") - tb).cast("double") /
+              (tf - tb).cast("double")))
+      .select(keys.map(col) ++ Seq(col("_ms").as("grid_ms"), col("value")): _*)
+  }
+
   /** Time-weighted mean of a step series per key: each sample holds its
     * INTEGER value from its ts until the next sample, so
     *

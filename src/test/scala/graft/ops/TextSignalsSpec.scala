@@ -119,6 +119,21 @@ class TextSignalsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
 
+  test("htmlTableStats: open-tag counts, th+td cells, prose gives zeros") {
+    val df = Seq(
+      (1L, "<table class=x><tr><td>a</td><th>b</th></tr><tr><td>c</td></tr></table>"),
+      (2L, "<p>just prose with the word table in it</p>"),
+      (3L, "<TABLE><TR><TD>caps</TD></TR></TABLE>"))
+      .toDF("id", "html")
+    val r = Curation.htmlTableStats(df, "html").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        if (x.isNullAt(5)) None else Some(x.getDouble(5))))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, 3L, Some(1.5)),
+      (2L, 0L, 0L, 0L, None),     // "table" as prose doesn't count
+      (3L, 1L, 1L, 1L, Some(1.0))))
+  }
+
   test("htmlMeta: title collapse, description/canonical attrs, NULL when absent") {
     val df = Seq(
       (1L, "<html><head><title> My\n  Page </title>" +

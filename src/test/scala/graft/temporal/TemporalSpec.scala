@@ -368,6 +368,24 @@ class WindowsSpec extends SparkSpec {
     assert(on.toSeq == Seq((2000L, 5L), (4000L, 6L)))
   }
 
+  test("resampleGridLerp: interpolation, on-sample ticks, edge NULLs") {
+    // samples: (0s, 0), (10s, 100); ticks at 2,4,6,8,10s (step 2s)
+    val df = Seq(("k", new Timestamp(0L), 0L),
+      ("k", new Timestamp(10000L), 100L)).toDF("k", "t", "v")
+    val r = Windows.resampleGridLerp(df, Seq("k"), "t", "v", 2000L)
+      .orderBy("grid_ms").collect()
+      .map(x => (x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((0L, 0.0), (2000L, 20.0), (4000L, 40.0),
+      (6000L, 60.0), (8000L, 80.0), (10000L, 100.0)))
+    // three samples with a direction change interpolate piecewise
+    val pw = Seq(("p", new Timestamp(0L), 0L), ("p", new Timestamp(4000L), 40L),
+      ("p", new Timestamp(8000L), 0L)).toDF("k", "t", "v")
+    val rp = Windows.resampleGridLerp(pw, Seq("k"), "t", "v", 2000L)
+      .orderBy("grid_ms").collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(rp.toSeq == Seq((0L, 0.0), (2000L, 20.0), (4000L, 40.0),
+      (6000L, 20.0), (8000L, 0.0)))
+  }
+
   test("timeWeightedMean: step-series average, single-sample NULL, ties stable") {
     // key a: v=10 for 4s, v=2 for 6s over span 10s -> (40+12)/10 = 5.2
     val df = Seq(("a", ts(0), 10L, 1L), ("a", ts(4), 2L, 2L),
