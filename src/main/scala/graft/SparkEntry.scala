@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 222 queries spanning every implemented operator family
+/** Driver contract — 223 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3720,7 +3720,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tables"), col("n_rows"),
           col("n_cells"), col("cells_per_row"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // ---- deterministic permutation test: is the en-vs-de mean doc
+    //      length difference significant? md5 coin per (row, rep) ----
+    "q223_perm_test" -> ((s, dir) =>
+      graft.ops.Stats.permutationTestMean(t(s, dir, "documents"),
+        "doc_id", "n_chars", "lang", "en", "de", b = 64, seed = "pt")))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7336,6 +7342,44 @@ object SparkEntry {
         |    AS n_cells,
         |  CASE WHEN doc_id % 3 = 0 THEN 2.0 END AS cells_per_row
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q223: full md5-coin -> per-rep means -> extreme-count replay (the
+    // q199 draw machinery with a parity coin instead of a Poisson weight)
+    "q223_perm_test" ->
+      """WITH slim AS (SELECT cast(doc_id AS varchar) AS id, n_chars AS v,
+        |  lang = 'en' AS isa FROM documents WHERE lang IN ('en', 'de')),
+        |obs AS (SELECT
+        |  cast(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS bigint) AS n_a,
+        |  cast(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS bigint) AS n_b,
+        |  cast(cast(sum(CASE WHEN isa THEN v ELSE 0 END) AS bigint)
+        |      AS double) /
+        |    cast(cast(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS bigint)
+        |      AS double) -
+        |  cast(cast(sum(CASE WHEN NOT isa THEN v ELSE 0 END) AS bigint)
+        |      AS double) /
+        |    cast(cast(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS bigint)
+        |      AS double) AS diff_obs FROM slim),
+        |reps AS (SELECT id, v, r FROM slim, unnest(range(1, 65)) u(r)),
+        |coin AS (SELECT v, r,
+        |  (('0x' || substr(md5(id || chr(1) || cast(r AS varchar) || chr(1)
+        |     || 'pt'), 1, 8))::UBIGINT % 2) = 0 AS pa FROM reps),
+        |per AS (SELECT r,
+        |  cast(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS bigint) AS na,
+        |  cast(sum(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS bigint) AS nb,
+        |  cast(sum(CASE WHEN pa THEN v ELSE 0 END) AS bigint) AS sa,
+        |  cast(sum(CASE WHEN NOT pa THEN v ELSE 0 END) AS bigint) AS sb
+        |  FROM coin GROUP BY r),
+        |d AS (SELECT cast(sa AS double) / cast(na AS double) -
+        |        cast(sb AS double) / cast(nb AS double) AS d
+        |      FROM per WHERE na > 0 AND nb > 0),
+        |ext AS (SELECT cast(coalesce(sum(CASE WHEN abs(d.d) >=
+        |      abs((SELECT diff_obs FROM obs)) THEN 1 ELSE 0 END), 0)
+        |    AS bigint) AS n_extreme,
+        |  cast(count(*) AS bigint) AS nreps FROM d)
+        |SELECT obs.n_a, obs.n_b, obs.diff_obs, ext.n_extreme,
+        |  cast(ext.n_extreme + 1 AS double) /
+        |    cast(ext.nreps + 1 AS double) AS p_value
+        |FROM obs, ext""".stripMargin,
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

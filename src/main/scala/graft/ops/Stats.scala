@@ -642,6 +642,61 @@ object Stats {
           .as("winsorized_mean")): _*)
   }
 
+  /** Deterministic permutation test for a difference in group means —
+    * the finite-sample significance check with zero RNG state: per
+    * (row, rep), an md5 coin ([[graft.ops.Reporting.dpCounts]] draw)
+    * reassigns the row to side A or B; each rep's mean difference is a
+    * pair of exact bigint ratios; the p-value is the fraction of reps
+    * whose |permuted diff| ≥ |observed diff| (with the standard +1/(B+1)
+    * smoothing so p is never 0). Bit-exact replay by any SQL engine.
+    *
+    * Output one row: n_a, n_b, diff_obs, n_extreme, p_value. Scale
+    * shape: one B-way explode of a slim (id, value, side) projection +
+    * a B-row aggregate — the [[bootstrapMeanCI]] cost shape.
+    */
+  def permutationTestMean(df: DataFrame, idCol: String, valCol: String,
+                          groupCol: String, groupA: String, groupB: String,
+                          b: Int = 64, seed: String = "pt"): DataFrame = {
+    require(b >= 2, "need at least 2 permutation reps")
+    val slim = df
+      .where(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select(col(idCol).cast("string").as("_id"),
+        col(valCol).cast("long").as("_v"),
+        (col(groupCol) === groupA).as("_isA"))
+    val obs = slim.agg(
+      sum(when(col("_isA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_isA"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_isA"), col("_v")).otherwise(0L)).as("_sa"),
+      sum(when(!col("_isA"), col("_v")).otherwise(0L)).as("_sb"))
+      .withColumn("diff_obs",
+        col("_sa").cast("double") / col("n_a").cast("double") -
+          col("_sb").cast("double") / col("n_b").cast("double"))
+      .drop("_sa", "_sb")
+    val reps = slim.withColumn("_r", explode(sequence(lit(1), lit(b))))
+    val rank = conv(substring(md5(concat_ws("\u0001", col("_id"),
+      col("_r").cast("string"), lit(seed)).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val toA = (rank % 2) === 0
+    val perRep = reps.withColumn("_pa", toA)
+      .groupBy(col("_r"))
+      .agg(sum(when(col("_pa"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_pa"), 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_pa"), col("_v")).otherwise(0L)).as("_sa"),
+        sum(when(!col("_pa"), col("_v")).otherwise(0L)).as("_sb"))
+      .where(col("_na") > 0L && col("_nb") > 0L)
+      .select((col("_sa").cast("double") / col("_na").cast("double") -
+        col("_sb").cast("double") / col("_nb").cast("double")).as("_d"))
+    obs.crossJoin(
+        perRep.crossJoin(obs.select(col("diff_obs").as("_o")))
+          .agg(coalesce(sum(when(abs(col("_d")) >= abs(col("_o")), 1L)
+            .otherwise(0L)), lit(0L)).as("n_extreme"),
+            count(lit(1)).as("_nreps")))
+      .withColumn("p_value",
+        (col("n_extreme") + 1).cast("double") /
+          (col("_nreps") + 1).cast("double"))
+      .drop("_nreps")
+  }
+
   /** Capture–recapture population estimate from two overlapping crawls:
     * treat crawl A and crawl B as two "captures" of the same underlying
     * population (the reachable web, a site's URL space) and estimate its

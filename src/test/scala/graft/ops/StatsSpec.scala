@@ -376,6 +376,40 @@ class StatsSpec extends SparkSpec {
       ("x", 0L, 1L, 0L, Some(0.0), None, Some(0.0)))) // never a label
   }
 
+  test("permutationTestMean: bit-exact JVM replay; null effect gives high p") {
+    // clear effect: A = 100s, B = 1s
+    val df = ((1L to 10L).map(i => (i, 100L, "A")) ++
+      (11L to 20L).map(i => (i, 1L, "B"))).toDF("id", "v", "g")
+    val r = Stats.permutationTestMean(df, "id", "v", "g", "A", "B",
+      b = 32, seed = "s").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 99.0)
+    // independent JVM replay of the whole chain
+    def coinA(id: Long, rep: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((id.toString + "\u0001" + rep + "\u0001s")
+        .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0
+    }
+    val rows = (1L to 10L).map((_, 100L)) ++ (11L to 20L).map((_, 1L))
+    val diffs = (1 to 32).flatMap { rep =>
+      val (a, b2) = rows.partition { case (id, _) => coinA(id, rep) }
+      if (a.isEmpty || b2.isEmpty) None
+      else Some(a.map(_._2).sum.toDouble / a.size -
+        b2.map(_._2).sum.toDouble / b2.size)
+    }
+    val nExtreme = diffs.count(d => math.abs(d) >= 99.0)
+    assert(r.getLong(3) == nExtreme.toLong)
+    assert(r.getDouble(4) == (nExtreme + 1).toDouble / (diffs.size + 1).toDouble)
+    // no real effect: p far from significant
+    val flat = (1L to 40L).map(i => (i, i % 5, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "v", "g")
+    val rf = Stats.permutationTestMean(flat, "id", "v", "g", "A", "B",
+      b = 64, seed = "s2").collect().head
+    assert(rf.getDouble(4) > 0.2)
+  }
+
   test("captureRecapture: Chapman and Lincoln-Petersen, duplicate ids collapse") {
     // A: {1..10}, B: {6..17} -> na=10, nb=12, m=5
     // Chapman: 11*13 div 6 - 1 = 23 - 1 = 22; LP: 120/5 = 24
