@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 223 queries spanning every implemented operator family
+/** Driver contract — 226 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3726,7 +3726,39 @@ object SparkEntry {
     //      length difference significant? md5 coin per (row, rep) ----
     "q223_perm_test" -> ((s, dir) =>
       graft.ops.Stats.permutationTestMean(t(s, dir, "documents"),
-        "doc_id", "n_chars", "lang", "en", "de", b = 64, seed = "pt")))
+        "doc_id", "n_chars", "lang", "en", "de", b = 64, seed = "pt")),
+
+    // ---- SCD Type 2 history build from a constructed changelog ----
+    "q224_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "documents").select(
+        (col("doc_id") % 40).as("entity"), col("doc_id").as("seq"),
+        when(col("doc_id") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("source"), col("n_chars"))
+      graft.ops.Diff.scd2(c, "entity", "seq", "op")
+        .orderBy(col("entity"), col("valid_from_seq"))
+    }),
+
+    // ---- classifier calibration table over a deterministic fixed-point
+    //      score (milli-units) with a correlated label ----
+    "q225_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        ((col("doc_id") * 37) % 1001).as("score_milli"),
+        (((col("doc_id") * 91) % 1000) <
+          ((col("doc_id") * 37) % 1001)).as("y"))
+      graft.ops.Stats.calibrationBins(d, "score_milli", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // ---- Wald SPRT per user over the event stream (H0 p=0.3 vs H1
+    //      p=0.6); the two libm log increments are the contract ----
+    "q226_sprt" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), ((col("event_id") % 5) < 2).as("ok"))
+      graft.ops.Stats.sprt(e, Seq("user_id"), "ts", "ok", 0.3, 0.6,
+          lower = -2.2, upper = 2.2, tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7380,6 +7412,67 @@ object SparkEntry {
         |  cast(ext.n_extreme + 1 AS double) /
         |    cast(ext.nreps + 1 AS double) AS p_value
         |FROM obs, ext""".stripMargin,
+
+    // q224: the standard lead()-window SCD2 identity
+    "q224_scd2" ->
+      """WITH c AS (SELECT doc_id % 40 AS entity, doc_id AS seq,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |  source, n_chars FROM documents),
+        |w AS (SELECT entity, seq, op, source, n_chars,
+        |  lead(seq) OVER (PARTITION BY entity ORDER BY seq) AS vt FROM c)
+        |SELECT entity, source, n_chars, cast(seq AS bigint) AS valid_from_seq,
+        |  cast(vt AS bigint) AS valid_to_seq, vt IS NULL AS is_current
+        |FROM w WHERE op <> 'delete'
+        |ORDER BY entity, valid_from_seq""".stripMargin,
+
+    // q225: fixed-point bin arithmetic is pure integer; the three doubles
+    // are single divisions/subtractions of exact bigints
+    "q225_calibration" ->
+      """WITH b AS (SELECT (doc_id * 37) % 1001 AS s,
+        |  ((doc_id * 91) % 1000) < ((doc_id * 37) % 1001) AS y
+        |  FROM documents),
+        |g AS (SELECT least(s * 10 // 1000, 9) AS bin,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(s) AS bigint) AS sum_score_milli,
+        |  cast(sum(CASE WHEN y THEN 1 ELSE 0 END) AS bigint) AS n_pos
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, sum_score_milli, n_pos,
+        |  cast(sum_score_milli AS double) / cast(n * 1000 AS double)
+        |    AS mean_score,
+        |  cast(n_pos AS double) / cast(n AS double) AS frac_pos,
+        |  cast(n_pos AS double) / cast(n AS double) -
+        |    cast(sum_score_milli AS double) / cast(n * 1000 AS double)
+        |    AS gap
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // q226: cumulative integer counts -> the same two interpolated double
+    // increments -> integer-encoded first crossing (the engine's
+    // sprtWeights values are the literals; ln itself is not the contract)
+    "q226_sprt" -> {
+      val (cs, cf) = graft.ops.Stats.sprtWeights(0.3, 0.6)
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+        |  (event_id % 5) < 2 AS s FROM events),
+        |w AS (SELECT user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+        |  sum(CASE WHEN s THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM e),
+        |m AS (SELECT user_id, t, k,
+        |  CASE WHEN cast(k AS double) * ($cs) +
+        |            cast(t - k AS double) * ($cf) >= 2.2 THEN t * 2 + 1
+        |       WHEN cast(k AS double) * ($cs) +
+        |            cast(t - k AS double) * ($cf) <= -2.2 THEN t * 2
+        |  END AS m FROM w)
+        |SELECT user_id, cast(max(t) AS bigint) AS n_trials,
+        |  cast(max(k) AS bigint) AS n_success,
+        |  cast(min(m) // 2 AS bigint) AS decided_at,
+        |  CASE WHEN min(m) IS NULL THEN 'continue'
+        |       WHEN min(m) % 2 = 1 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

@@ -105,6 +105,37 @@ object Diff {
     base.join(touched, Seq(keyCol), "left_anti").unionByName(winners)
   }
 
+  /** Slowly-changing-dimension Type 2 history build: turn a changelog of
+    * (key, seq, op, payload…) into one validity-interval row per surviving
+    * version — `valid_from_seq` (the change's own sequence), `valid_to_seq`
+    * (the NEXT change's sequence for the key, null while open) and
+    * `is_current`. A `delete` row closes the previous version's interval
+    * (it is the lead() successor) but emits no interval of its own, so a
+    * deleted key simply has no current row.
+    *
+    * Determinism contract: `seqCol` must be unique per key (changelog
+    * sequence); [[applyChangelog]]'s tie caveat applies unchanged.
+    *
+    * Scale shape: ONE per-key window over the changelog — no self-join,
+    * no base-table touch; output is changelog-sized. The classic
+    * warehouse alternative (join each version against the next by
+    * seq+1 lookup) is a second shuffle for nothing.
+    */
+  def scd2(changes: DataFrame, keyCol: String, seqCol: String,
+           opCol: String): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => c == keyCol || c == seqCol || c == opCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol))
+    changes
+      .withColumn("_vt", lead(col(seqCol), 1).over(w))
+      .where(col(opCol) =!= "delete")
+      .select(col(keyCol) +: payload.map(col) :+
+        col(seqCol).cast("long").as("valid_from_seq") :+
+        col("_vt").cast("long").as("valid_to_seq") :+
+        col("_vt").isNull.as("is_current"): _*)
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
     val r = ref.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_ref"))
     val c = cur.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_cur"))

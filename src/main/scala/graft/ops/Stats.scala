@@ -1243,4 +1243,97 @@ object Stats {
           (col("accuracy") - col("expected_agreement")) /
             (lit(1.0) - col("expected_agreement"))))
   }
+
+  /** Wald's sequential probability ratio test per key over a Bernoulli
+    * stream: after t trials with k successes the log-likelihood ratio is
+    *
+    *   llr_t = k·ln(p1/p0) + (t−k)·ln((1−p1)/(1−p0))
+    *
+    * and the test stops at the first t where llr ≥ upper (accept H1:p=p1)
+    * or llr ≤ lower (accept H0:p=p0). k and t are exact window COUNTS, so
+    * llr is two double multiplies + one add per row from integers — no
+    * accumulated float recursion — and any engine given the same four
+    * double constants replays every comparison bit-for-bit (pass the
+    * [[sprtWeights]] values into the external SQL as literals, the
+    * [[PoissonCdf1]] pattern: ln is not contractually identical across
+    * libm implementations, so the CONSTANTS are the contract, not the
+    * formula).
+    *
+    * The first crossing is selected with an integer min over
+    * m = 2·t + (llr ≥ upper), so "which bound, and when" travels through
+    * one aggregate with no argmin struct tricks an external engine might
+    * order differently.
+    *
+    * Output per key: n_trials, n_success, decided_at (null = no decision),
+    * decision ('accept_h1' | 'accept_h0' | 'continue'). Scale shape: one
+    * per-key window over a slim projection + one per-key aggregate;
+    * parallelism = key count. `tieBreak` must make the order total.
+    */
+  def sprt(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           successCol: String, p0: Double, p1: Double,
+           lower: Double, upper: Double,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    require(0 < p0 && p0 < 1 && 0 < p1 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct probabilities in (0, 1)")
+    require(lower < 0 && upper > 0, "need lower < 0 < upper log-bounds")
+    val (cSucc, cFail) = sprtWeights(p0, p1)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = count(lit(1)).over(w)
+    val k = sum(when(col(successCol), 1L).otherwise(0L)).over(w)
+    val llr = k.cast("double") * lit(cSucc) +
+      (t - k).cast("double") * lit(cFail)
+    val m = when(llr >= upper || llr <= lower,
+      t * 2 + when(llr >= upper, 1L).otherwise(0L))
+    df.select(keyCols.map(col) :+ col(successCol).as("_s") :+
+        t.as("_t") :+ k.as("_k") :+ m.as("_m"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_t")).as("n_trials"), max(col("_k")).as("n_success"),
+        min(col("_m")).as("_mm"))
+      .select(keyCols.map(col) :+ col("n_trials") :+ col("n_success") :+
+        expr("_mm div 2").as("decided_at") :+
+        when(col("_mm").isNull, "continue")
+          .when(col("_mm") % 2 === 1, "accept_h1")
+          .otherwise("accept_h0").as("decision"): _*)
+  }
+
+  /** The two SPRT per-trial log-likelihood increments (success, failure)
+    * for H0:p=p0 vs H1:p=p1 — computed ONCE on the JVM and treated as the
+    * cross-engine contract (interpolate into external SQL as literals).
+    */
+  def sprtWeights(p0: Double, p1: Double): (Double, Double) =
+    (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)))
+
+  /** Calibration (reliability) table for a scored binary classifier:
+    * scores arrive in exact FIXED-POINT milli-units (0..1000 — the
+    * deterministic form a score column should take at 100 TB anyway; one
+    * double division happens per BIN, not per row), bin b of `bins` is
+    * `min(score·bins div 1000, bins−1)` (equal-width, top edge closed),
+    * and each bin reports exact counts plus mean_score, frac_pos and the
+    * signed calibration gap — every double a single division/subtraction
+    * of exact bigints, so the table is bit-replayable and the weighted
+    * |gap| sum is the standard ECE.
+    *
+    * Output per non-empty bin: bin, n, sum_score_milli, n_pos,
+    * mean_score, frac_pos, gap (frac_pos − mean_score). Scale shape: one
+    * `bins`-row combiner aggregate over a slim projection — no window, no
+    * shuffle beyond the k-row exchange.
+    */
+  def calibrationBins(df: DataFrame, scoreMilliCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val b = least(expr(s"cast($scoreMilliCol as bigint) * $bins div 1000"),
+      lit(bins - 1L))
+    df.select(b.as("bin"), col(scoreMilliCol).cast("long").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_s")).as("sum_score_milli"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("mean_score", col("sum_score_milli").cast("double") /
+        (col("n") * 1000L).cast("double"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap", col("frac_pos") - col("mean_score"))
+  }
 }

@@ -23,6 +23,28 @@ class DiffSpec extends SparkSpec {
     assert(r2.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("scd2: intervals chain per key, delete closes without emitting") {
+    val changes = Seq(
+      (1L, 10L, "upsert", "a1"), (1L, 20L, "upsert", "a2"),
+      (1L, 30L, "delete", ""), (1L, 40L, "upsert", "a3"), // re-insert
+      (2L, 5L, "upsert", "b1"),                           // single open row
+      (3L, 1L, "upsert", "c1"), (3L, 2L, "delete", ""))   // fully deleted
+      .toDF("id", "seq", "op", "v")
+    val r = Diff.scd2(changes, "id", "seq", "op")
+      .orderBy("id", "valid_from_seq").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      (1L, "a1", 10L, Some(20L), false),
+      (1L, "a2", 20L, Some(30L), false), // closed BY the delete
+      (1L, "a3", 40L, None, true),
+      (2L, "b1", 5L, None, true),
+      (3L, "c1", 1L, Some(2L), false))) // no current row for deleted key
+    // every key has at most one current row; intervals never overlap
+    val cur = r.count(_._5)
+    assert(cur == 2)
+  }
+
   test("schemaDiff: added/removed/type_changed/unchanged, zero jobs") {
     val old = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
     val neu = Seq((1L, 2, true)).toDF("id", "score", "fresh")

@@ -410,6 +410,53 @@ class StatsSpec extends SparkSpec {
     assert(rf.getDouble(4) > 0.2)
   }
 
+  test("sprt: crossings at the JVM-replayed trial, continue when inside") {
+    val (cs, cf) = Stats.sprtWeights(0.5, 0.8)
+    // A: all successes; B: all failures; C: alternating (stays inside)
+    val rows =
+      (1 to 10).map(t => ("A", t.toLong, true)) ++
+        (1 to 6).map(t => ("B", t.toLong, false)) ++
+        (1 to 4).map(t => ("C", t.toLong, t % 2 == 1))
+    val df = rows.toDF("key", "ts", "ok")
+    val r = Stats.sprt(df, Seq("key"), "ts", "ok", 0.5, 0.8, -2.0, 2.0)
+      .orderBy("key").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]), x.getString(4)))
+    // independent JVM replay of the crossing rule
+    def firstCross(seq: Seq[Boolean]): Option[(Long, String)] = {
+      var k = 0
+      seq.zipWithIndex.foreach { case (s, i) =>
+        if (s) k += 1
+        val llr = k * cs + (i + 1 - k) * cf
+        if (llr >= 2.0) return Some(((i + 1).toLong, "accept_h1"))
+        if (llr <= -2.0) return Some(((i + 1).toLong, "accept_h0"))
+      }
+      None
+    }
+    val a = firstCross(Seq.fill(10)(true)).get
+    val b = firstCross(Seq.fill(6)(false)).get
+    assert(r(0) == (("A", 10L, 10L, Some(a._1), a._2)))
+    assert(r(1) == (("B", 6L, 0L, Some(b._1), b._2)))
+    assert(r(2) == (("C", 4L, 2L, None, "continue")))
+    assert(firstCross(Seq(true, false, true, false)).isEmpty)
+  }
+
+  test("calibrationBins: exact fixed-point bins, top edge closed") {
+    val df = Seq(
+      (50L, false), (100L, false),   // bin 0 (s*4 div 1000)
+      (250L, true), (300L, false),   // bin 1
+      (990L, true), (1000L, true))   // 990 -> 3; 1000 -> 4 capped to 3
+      .toDF("score_milli", "y")
+    val r = Stats.calibrationBins(df, "score_milli", "y", bins = 4)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))
+    assert(r(0) == ((0L, 2L, 150L, 0L, 150.0 / 2000.0, 0.0, -150.0 / 2000.0)))
+    assert(r(1) == ((1L, 2L, 550L, 1L, 550.0 / 2000.0, 0.5, 0.5 - 550.0 / 2000.0)))
+    assert(r(2) == ((3L, 2L, 1990L, 2L, 1990.0 / 2000.0, 1.0, 1.0 - 1990.0 / 2000.0)))
+    assert(r.length == 3) // empty bin 2 absent
+  }
+
   test("captureRecapture: Chapman and Lincoln-Petersen, duplicate ids collapse") {
     // A: {1..10}, B: {6..17} -> na=10, nb=12, m=5
     // Chapman: 11*13 div 6 - 1 = 23 - 1 = 22; LP: 120/5 = 24
