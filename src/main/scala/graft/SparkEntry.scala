@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 226 queries spanning every implemented operator family
+/** Driver contract — 228 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3758,6 +3758,28 @@ object SparkEntry {
       graft.ops.Stats.sprt(e, Seq("user_id"), "ts", "ok", 0.3, 0.6,
           lower = -2.2, upper = 2.2, tieBreak = Seq("event_id"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- U-shaped multi-touch attribution, per-channel rollup of exact
+    //      integer micro-credits (order-free sums) ----
+    "q227_attribution" -> ((s, dir) =>
+      graft.ops.Behavior.attribution(t(s, dir, "events"), "user_id", "ts",
+          "event_id", "event_type", Seq("view", "click"), "purchase",
+          valueMicro = 1000000L, model = "position")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_credited"),
+          sum(col("credit_micro")).as("credit_micro"))
+        .orderBy(col("channel"))),
+
+    // ---- grid-bucketed spatial neighbor pairs; the oracle is the
+    //      BRUTE-FORCE predicate (bucketing is lossless by construction,
+    //      so the two must agree exactly) ----
+    "q228_grid_neighbors" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 89) * 0.37).as("x"),
+        (((col("doc_id") * 7) % 83) * 0.29).as("y"))
+      graft.ops.Geo.gridNeighbors(p, "doc_id", "x", "y", eps = 0.75)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -7473,6 +7495,48 @@ object SparkEntry {
         |       ELSE 'accept_h0' END AS decision
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    // q227: full window replay — next-conv stamp, journey size/position,
+    // integer div/mod credit, per-channel rollup
+    "q227_attribution" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ms, user_id,
+        |  event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s AS (SELECT user_id, event_id, event_type, ms,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv
+        |  FROM e),
+        |tch AS (SELECT user_id, event_id, event_type, ms, conv FROM s
+        |  WHERE event_type <> 'purchase' AND conv IS NOT NULL),
+        |j AS (SELECT event_type AS channel,
+        |  count(*) OVER (PARTITION BY user_id, conv) AS n,
+        |  row_number() OVER (PARTITION BY user_id, conv
+        |    ORDER BY ms, event_id) AS pos
+        |  FROM tch),
+        |c AS (SELECT channel,
+        |  CASE WHEN n <= 2 THEN 1000000 // n +
+        |         CASE WHEN pos <= 1000000 % n THEN 1 ELSE 0 END
+        |       WHEN pos = 1 OR pos = n THEN 400000
+        |       ELSE 200000 // (n - 2) +
+        |         CASE WHEN pos - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+        |  END AS credit FROM j)
+        |SELECT channel, cast(count(*) AS bigint) AS n_credited,
+        |  cast(sum(credit) AS bigint) AS credit_micro
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // q228: brute-force pair predicate — independently DIFFERENT plan
+    // shape from the engine's lossless grid bucketing
+    "q228_grid_neighbors" ->
+      """WITH p AS (SELECT doc_id,
+        |  (doc_id % 89) * cast(0.37 AS double) AS x,
+        |  ((doc_id * 7) % 83) * cast(0.29 AS double) AS y FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= cast(0.75 AS double) * cast(0.75 AS double)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

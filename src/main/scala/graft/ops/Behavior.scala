@@ -378,4 +378,80 @@ object Behavior {
       }
       .drop("_g")
   }
+
+  /** Multi-touch conversion attribution in exact integer micro-units —
+    * [[lastTouch]]'s generalization: each conversion's `valueMicro` is
+    * split over ALL the touches on the path since the user's previous
+    * conversion (inclusive journey), under
+    *
+    *  - `linear`:   base `v div n` each, the `v mod n` remainder going
+    *                one micro apiece to the EARLIEST touches;
+    *  - `position`: U-shaped 40/20/40 — first and last touch each get
+    *                `2v div 5`, the middles split the exact leftover
+    *                (`v − 2·(2v div 5)`) by the same div/remainder rule;
+    *                journeys of 1-2 touches fall back to the linear rule.
+    *
+    * All credit is div/mod integer arithmetic, so per-conversion credit
+    * sums to EXACTLY `valueMicro` and any downstream per-channel rollup
+    * is order-free — no float credit ever exists to round.
+    *
+    * Scale shape: the textbook conversions×touches inequality join is
+    * quadratic on bot users; this is two per-user window passes (one
+    * (user, ts) sort to stamp each touch with its next conversion via a
+    * FOLLOWING-frame `first(…, ignoreNulls)`, one (user, conv) window for
+    * journey size/position) — linear per user, no self-join.
+    *
+    * Output per credited touch: user, touch_event_id, channel,
+    * conv_event_id, n_touches, position, credit_micro. Touches with no
+    * later conversion are dropped (they converted nothing).
+    */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, touchTypes: Seq[String],
+                  convType: String, valueMicro: Long,
+                  model: String = "linear"): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and distinct from the conversion type")
+    require(model == "linear" || model == "position", s"unknown model $model")
+    require(valueMicro > 0, "valueMicro must be positive")
+    val isConv = col("_ty") === convType
+    // DESC running frame: "nearest conversion at-or-after this row" as an
+    // O(n) growing-frame last(), not an UNBOUNDED FOLLOWING first() that
+    // Spark re-scans per row (quadratic on a bot user's partition)
+    val wNext = Window.partitionBy(col("user"))
+      .orderBy(col("_ms").desc, col("_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stamped = df
+      .where(col(typeCol).isin(touchTypes :+ convType: _*))
+      .select(col(userCol).as("user"),
+        unix_millis(col(tsCol).cast("timestamp")).as("_ms"),
+        col(idCol).as("_id"), col(typeCol).as("_ty"))
+      .withColumn("conv_event_id",
+        last(when(isConv, col("_id")), ignoreNulls = true).over(wNext))
+      .where(!isConv && col("conv_event_id").isNotNull)
+    val wJourney = Window.partitionBy(col("user"), col("conv_event_id"))
+    val wPos = wJourney.orderBy(col("_ms"), col("_id"))
+    val sized = stamped
+      .withColumn("n_touches", count(lit(1)).over(wJourney))
+      .withColumn("position", row_number().over(wPos))
+    val v = lit(valueMicro)
+    val n = col("n_touches")
+    val pos = col("position")
+    val linBase = expr(s"$valueMicro div n_touches")
+    val linear = linBase +
+      when(pos <= v % n, 1L).otherwise(0L)
+    val f = lit(valueMicro * 2 / 5) // n>=3 first/last share, exact div
+    val pool = v - f * 2
+    val mid = n - 2
+    val credit =
+      if (model == "linear") linear
+      else when(n <= 2, linear)
+        .when(pos === 1 || pos === n, f)
+        .otherwise(expr(s"($valueMicro - 2 * ($valueMicro * 2 div 5)) " +
+          "div (n_touches - 2)") +
+          when(pos - 1 <= pool % mid, 1L).otherwise(0L))
+    sized.select(col("user"), col("_id").as("touch_event_id"),
+      col("_ty").as("channel"), col("conv_event_id"), col("n_touches"),
+      col("position").cast("long").as("position"),
+      credit.as("credit_micro"))
+  }
 }

@@ -21,6 +21,42 @@ class BehaviorSpec extends SparkSpec {
     assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
   }
 
+  test("attribution: linear and U-shape credits conserve value exactly") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val v = 1000001L
+    val df = Seq(
+      // u1 journey 1: view, click -> conv id=3
+      (1L, ts(1), "u1", "view"), (2L, ts(2), "u1", "click"),
+      (3L, ts(3), "u1", "purchase"),
+      // u1 journey 2: three touches -> conv id=7; trailing touch dropped
+      (4L, ts(4), "u1", "view"), (5L, ts(5), "u1", "click"),
+      (6L, ts(6), "u1", "view"), (7L, ts(7), "u1", "purchase"),
+      (8L, ts(8), "u1", "click"),
+      // u2: touches but no conversion -> nothing credited
+      (9L, ts(1), "u2", "view"), (10L, ts(2), "u2", "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    def run(model: String) =
+      Behavior.attribution(df, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click"), "purchase", v, model)
+        .orderBy("conv_event_id", "position").collect()
+        .map(x => (x.getLong(3), x.getLong(1), x.getLong(4), x.getLong(5),
+          x.getLong(6)))
+    val lin = run("linear")
+    assert(lin.toSeq == Seq(
+      (3L, 1L, 2L, 1L, 500001L), (3L, 2L, 2L, 2L, 500000L),
+      (7L, 4L, 3L, 1L, 333334L), (7L, 5L, 3L, 2L, 333334L),
+      (7L, 6L, 3L, 3L, 333333L)))
+    val pos = run("position")
+    assert(pos.toSeq == Seq(
+      (3L, 1L, 2L, 1L, 500001L), (3L, 2L, 2L, 2L, 500000L), // n<=2 linear
+      (7L, 4L, 3L, 1L, 400000L), (7L, 5L, 3L, 2L, 200001L),
+      (7L, 6L, 3L, 3L, 400000L)))
+    // exact conservation per conversion, both models
+    Seq(lin, pos).foreach { r =>
+      r.groupBy(_._1).foreach { case (_, g) => assert(g.map(_._5).sum == v) }
+    }
+  }
+
   test("rfmScores: exact metrics and strict-> quartile bins, hand-checked") {
     def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
     // u1: days 0,9 val 1.005+2.0 -> cents 100+200; u2: day 10 x1; u3: day 5 x3; u4: day 2 x1
