@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 228 queries spanning every implemented operator family
+/** Driver contract — 230 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3779,6 +3779,30 @@ object SparkEntry {
         ((col("doc_id") % 89) * 0.37).as("x"),
         (((col("doc_id") * 7) % 83) * 0.29).as("y"))
       graft.ops.Geo.gridNeighbors(p, "doc_id", "x", "y", eps = 0.75)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- exact α=1/2 EWMA per user (deterministic fold; the oracle
+    //      replays the recursion as a recursive CTE) ----
+    "q229_ewma" -> ((s, dir) =>
+      graft.temporal.Windows.ewmaHalf(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), (col("event_id") % 20).as("x")),
+        Seq("user_id"), "ts", "x", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ---- Fellegi-Sunter linkage over (lang, length-band) blocks ----
+    "q230_linkage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def side(m: Int) = d.where(expr("doc_id div 20") % 2 === m).select(
+        col("doc_id"),
+        concat_ws("|", col("lang"), expr("n_chars div 500")).as("blk"),
+        col("source"), expr("n_chars div 100").as("len_bin"),
+        substring(col("text"), 1, 1).as("initial"))
+      graft.ops.Dedup.linkageScore(side(0), side(1), "doc_id", "doc_id",
+          "blk", Seq(("source", 900L, -300L), ("len_bin", 500L, -500L),
+            ("initial", 300L, -100L)), minScoreMilli = 700L)
         .orderBy(col("id_a"), col("id_b"))
     }))
 
@@ -7537,6 +7561,48 @@ object SparkEntry {
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= cast(0.75 AS double) * cast(0.75 AS double)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q229: the engine's left fold replayed as a recursive CTE — same
+    // op order, so bit-identical doubles even where rounding occurs
+    "q229_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  cast(event_id % 20 AS double) AS v FROM events),
+        |r AS (SELECT user_id, ms, event_id, v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |    AS rn FROM e),
+        |w AS (
+        |  SELECT user_id, event_id, v, rn, v AS ewma FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.v, r.rn, (w.ewma + r.v) / 2
+        |  FROM w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1)
+        |SELECT user_id, event_id, v AS value, ewma FROM w
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // q230: blocked pair join + null-safe agreement sums, all integer
+    "q230_linkage" ->
+      """WITH s AS (SELECT doc_id,
+        |  lang || '|' || cast(n_chars // 500 AS varchar) AS blk,
+        |  source, n_chars // 100 AS len_bin,
+        |  substr(text, 1, 1) AS initial FROM documents),
+        |a AS (SELECT * FROM s WHERE (doc_id // 20) % 2 = 0),
+        |b AS (SELECT * FROM s WHERE (doc_id // 20) % 2 = 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+        |     THEN 1 ELSE 0 END +
+        |   CASE WHEN a.len_bin IS NOT DISTINCT FROM b.len_bin
+        |     THEN 1 ELSE 0 END +
+        |   CASE WHEN a.initial IS NOT DISTINCT FROM b.initial
+        |     THEN 1 ELSE 0 END) AS n_agree,
+        |  (CASE WHEN a.source IS NOT DISTINCT FROM b.source
+        |     THEN 900 ELSE -300 END +
+        |   CASE WHEN a.len_bin IS NOT DISTINCT FROM b.len_bin
+        |     THEN 500 ELSE -500 END +
+        |   CASE WHEN a.initial IS NOT DISTINCT FROM b.initial
+        |     THEN 300 ELSE -100 END) AS score_milli
+        |  FROM a JOIN b ON a.blk = b.blk)
+        |SELECT id_a, id_b, cast(n_agree AS bigint) AS n_agree,
+        |  cast(score_milli AS bigint) AS score_milli
+        |FROM p WHERE score_milli >= 700 ORDER BY id_a, id_b""".stripMargin,
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

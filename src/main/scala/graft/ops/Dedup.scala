@@ -776,4 +776,40 @@ object Dedup {
       .where((col("rank_b") - col("rank_a")).between(1, window))
       .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"))
   }
+
+  /** Fellegi–Sunter record-linkage scoring over blocked candidate pairs:
+    * candidates meet by an equi-join on `blockCol` (choose blocks that
+    * bound candidate counts — the [[fuzzyPairs]] blocking discipline), and
+    * each pair scores Σ over fields of an integer MILLI-weight — the
+    * agreement weight (≈ log₂(m/u) pre-scaled by the caller) when the
+    * field values are null-safe-equal, the disagreement weight otherwise.
+    * Keeping the log-odds weights as caller-supplied integers makes every
+    * score an exact bigint sum (no libm log in the comparison path — the
+    * [[graft.ops.Stats.sprtWeights]] constants-are-the-contract rule) and
+    * the threshold a pure integer predicate.
+    *
+    * Output: id_a, id_b, n_agree, score_milli for pairs with
+    * score_milli ≥ minScoreMilli. Scale shape: one equi-join on the block
+    * key + a narrow per-pair expression; no window, no cross product
+    * outside a block.
+    */
+  def linkageScore(a: DataFrame, b: DataFrame, idColA: String,
+                   idColB: String, blockCol: String,
+                   fields: Seq[(String, Long, Long)],
+                   minScoreMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one compared field")
+    val la = a.select(col(idColA).as("id_a") +: col(blockCol).as("_blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"_a_$f") }: _*)
+    val lb = b.select(col(idColB).as("id_b") +: col(blockCol).as("_blk") +:
+      fields.map { case (f, _, _) => col(f).as(s"_b_$f") }: _*)
+    val agree = fields.map { case (f, _, _) => col(s"_a_$f") <=> col(s"_b_$f") }
+    val score = fields.zip(agree).map { case ((_, wa, wd), eq) =>
+      when(eq, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    val nAgree = agree.map(eq => when(eq, 1L).otherwise(0L)).reduce(_ + _)
+    la.join(lb, Seq("_blk"))
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.as("score_milli"))
+      .where(col("score_milli") >= minScoreMilli)
+  }
 }

@@ -167,6 +167,46 @@ object Windows {
     df.withColumn(s"${valueCol}_decayed", terms.reduce(_ + _))
   }
 
+  /** Exact α=1/2 exponential smoothing per key — the INFINITE-memory
+    * companion to [[decayedSum]]'s k-term truncation: s₁ = v₁,
+    * s_t = (s_{t−1} + v_t) / 2, computed as a deterministic LEFT FOLD over
+    * the (ts, tie)-sorted per-key sequence with a single `aggregate` HOF.
+    * IEEE add and divide-by-2 are exactly-rounded deterministic ops, so
+    * the fold is bit-replayable by any engine that runs the same
+    * recursion in the same order (external SQL: a recursive CTE over
+    * row_number) — and for integer inputs short of 2⁵³ the first ~30
+    * steps are exact dyadic rationals, no rounding at all.
+    *
+    * Bounded-group contract (the [[graft.ops.Curation.packSequences]]
+    * caveat): each key's series is collected to one array, so a key's
+    * history must fit an executor — smooth per (entity, window), not per
+    * all-time hot entity. (ts, tieBreak) must be unique per key.
+    *
+    * Output: keys…, ts, tieBreak…, value (double), ewma (double). Scale
+    * shape: one combiner-free groupBy carrying (ts, v) pairs + a linear
+    * per-key fold; no window, no self-join.
+    */
+  def ewmaHalf(df: DataFrame, keys: Seq[String], ts: String,
+               valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val seqFields = (col(ts).as("t") +:
+      tieBreak.map(c => col(c).as(c))) :+
+      col(valueCol).cast("double").as("v")
+    val folded = df
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(seqFields: _*))).as("_seq"))
+      .withColumn("_sm", expr(
+        "aggregate(_seq, cast(array() as array<double>), (acc, e) -> " +
+          "acc || array(if(size(acc) = 0, e.v, " +
+          "(element_at(acc, -1) + e.v) / 2)))"))
+    folded
+      .select(keys.map(col) :+ col("_sm") :+
+        posexplode(col("_seq")).as(Seq("_i", "_e")): _*)
+      .select(keys.map(col) ++
+        (col("_e.t").as(ts) +: tieBreak.map(c => col(s"_e.$c").as(c))) :+
+        col("_e.v").as("value") :+
+        element_at(col("_sm"), col("_i") + 1).as("ewma"): _*)
+  }
+
   /** SCD2-style validity intervals: each snapshot is valid from its own ts
     * until (exclusive) the key's next snapshot; the newest snapshot has
     * `valid_to` null (open interval). Materializing intervals once turns

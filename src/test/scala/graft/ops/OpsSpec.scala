@@ -115,6 +115,28 @@ class DedupSpec extends SparkSpec {
     assert(lo >= hi)
   }
 
+  test("linkageScore: blocked FS scores, null-safe agreement, threshold") {
+    val a = Seq(
+      (1L, "blkA", "alice", Some(30L)),
+      (2L, "blkA", "bob", None),
+      (3L, "blkB", "carol", Some(40L)))
+      .toDF("ida", "blk", "name", "age")
+    val b = Seq(
+      (10L, "blkA", "alice", Some(30L)), // both agree:   900 + 500 = 1400
+      (11L, "blkA", "alice", Some(31L)), // name only:    900 - 500 =  400
+      (12L, "blkA", "bob", None),        // name + null<=>null agree: 1400
+      (13L, "blkB", "dave", Some(40L)))  // age only:    -300 + 500 =  200
+      .toDF("idb", "blk", "name", "age")
+    val fields = Seq(("name", 900L, -300L), ("age", 500L, -500L))
+    val r = Dedup.linkageScore(a, b, "ida", "idb", "blk", fields,
+        minScoreMilli = 300L)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 10L, 2L, 1400L), (1L, 11L, 1L, 400L),
+      (2L, 12L, 2L, 1400L))) // cross-block (3,13) and sub-threshold absent
+  }
+
   test("sortedNeighborPairs equals the global-window brute force") {
     // heavy key ties (id % 10) so the (key, id) tie-break and partition
     // boundaries are both exercised; 100 rows over 32 range partitions

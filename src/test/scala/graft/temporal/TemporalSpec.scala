@@ -332,6 +332,28 @@ class WindowsSpec extends SparkSpec {
     assert(r.toSeq == Seq(40L, 120L, 44L, 280L))
   }
 
+  test("ewmaHalf: exact dyadic fold per key, seeded at the first value") {
+    val df = Seq(
+      ("u", ts(1), 1L, 8.0),  // s=8
+      ("u", ts(2), 2L, 4.0),  // s=(8+4)/2=6
+      ("u", ts(3), 3L, 1.0),  // s=(6+1)/2=3.5
+      ("u", ts(4), 4L, 3.5),  // s=(3.5+3.5)/2=3.5
+      ("v", ts(9), 5L, 7.0)   // own fold, s=7
+    ).toDF("url", "t", "eid", "x")
+    val r = Windows.ewmaHalf(df, Seq("url"), "t", "x", tieBreak = Seq("eid"))
+      .orderBy("eid").select("ewma").as[Double].collect()
+    assert(r.toSeq == Seq(8.0, 6.0, 3.5, 3.5, 7.0))
+    // tie on ts resolved by tieBreak: order (eid) decides the recursion
+    val tied = Seq(("w", ts(1), 1L, 0.0), ("w", ts(1), 2L, 8.0))
+      .toDF("url", "t", "eid", "x")
+    val rt = Windows.ewmaHalf(tied, Seq("url"), "t", "x", Seq("eid"))
+      .orderBy("eid").select("ewma").as[Double].collect()
+    assert(rt.toSeq == Seq(0.0, 4.0))
+    // value column and ts survive in the output schema
+    val cols = Windows.ewmaHalf(df, Seq("url"), "t", "x", Seq("eid")).columns
+    assert(cols.toSeq == Seq("url", "t", "eid", "value", "ewma"))
+  }
+
   test("decayedSum: tie-break makes equal timestamps deterministic; repartition-stable") {
     val df = Seq(
       ("u", ts(5), 1L, 1.0), ("u", ts(5), 2L, 100.0), ("u", ts(5), 3L, 2.0))
