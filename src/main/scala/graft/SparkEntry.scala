@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 230 queries spanning every implemented operator family
+/** Driver contract — 234 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3804,6 +3804,44 @@ object SparkEntry {
           "blk", Seq(("source", 900L, -300L), ("len_bin", 500L, -500L),
             ("initial", 300L, -100L)), minScoreMilli = 700L)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- quantile normalization of doc length across languages ----
+    "q231_quantile_normalize" -> ((s, dir) =>
+      graft.ops.Stats.quantileNormalize(t(s, dir, "documents"), "lang",
+          "n_chars", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ---- run-length encoding of each user's event-type timeline ----
+    "q232_state_runs" -> ((s, dir) =>
+      graft.temporal.Windows.stateRuns(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", "event_type", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("run_id"), col("state"),
+          unix_millis(col("ts_start").cast("timestamp")).as("start_ms"),
+          unix_millis(col("ts_end").cast("timestamp")).as("end_ms"),
+          col("n_rows"))
+        .orderBy(col("user_id"), col("run_id"))),
+
+    // ---- Pareto cut: which event types carry 80% of the weight ----
+    "q233_pareto" -> ((s, dir) =>
+      graft.ops.Reporting.paretoCut(
+        t(s, dir, "events").select(col("event_type"),
+          (col("event_id") % 50).as("w")),
+        "event_type", "w", 80L, 100L)
+        .orderBy(col("rank"))),
+
+    // ---- sentence segmentation stats over a constructed corpus ----
+    "q234_sentence_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(expr("repeat('Word word. ', cast(doc_id % 4 as int))"),
+          lit("Tail end!")).as("text"))
+      graft.ops.Curation.sentenceStats(d, "text")
+        .select(col("doc_id"), col("n_sentences"),
+          col("sum_sentence_chars"), col("max_sentence_chars"),
+          col("mean_sentence_chars"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -7603,6 +7641,68 @@ object SparkEntry {
         |SELECT id_a, id_b, cast(n_agree AS bigint) AS n_agree,
         |  cast(score_milli AS bigint) AS score_milli
         |FROM p WHERE score_milli >= 700 ORDER BY id_a, id_b""".stripMargin,
+
+    // q231: same integer midpoint rule; the pooled rank is a plain global
+    // window here (oracle scale), a range-partitioned rank in the engine
+    "q231_quantile_normalize" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars AS v FROM documents),
+        |p AS (SELECT v, row_number() OVER (ORDER BY v, lang, doc_id) - 1
+        |        AS idx FROM s),
+        |g AS (SELECT doc_id, lang, v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY lang) AS n,
+        |  (SELECT count(*) FROM s) AS total FROM s),
+        |m AS (SELECT doc_id, lang, v,
+        |  ((2 * r - 1) * total) // (2 * n) AS idx FROM g)
+        |SELECT m.doc_id, m.lang, cast(m.v AS bigint) AS value,
+        |  cast(p.v AS bigint) AS normalized
+        |FROM m JOIN p ON m.idx = p.idx ORDER BY m.doc_id""".stripMargin,
+
+    // q232: lag + prefix-sum island id; first row always opens run 1
+    "q232_state_runs" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |w AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) > 1
+        |    AND lag(event_type) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) IS NOT DISTINCT FROM event_type
+        |  THEN 0 ELSE 1 END AS chg FROM e),
+        |r AS (SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM w)
+        |SELECT user_id, cast(run_id AS bigint) AS run_id,
+        |  event_type AS state, epoch_ms(min(ts)) AS start_ms,
+        |  epoch_ms(max(ts)) AS end_ms, cast(count(*) AS bigint) AS n_rows
+        |FROM r GROUP BY user_id, run_id, event_type
+        |ORDER BY user_id, run_id""".stripMargin,
+
+    // q233: rank/cumulative window over the key-bounded aggregate only
+    "q233_pareto" ->
+      """WITH k AS (SELECT event_type AS key,
+        |  cast(sum(event_id % 50) AS bigint) AS weight
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT cast(sum(weight) AS bigint) AS total FROM k),
+        |r AS (SELECT key, weight,
+        |  row_number() OVER (ORDER BY weight DESC, key ASC) AS rank,
+        |  sum(weight) OVER (ORDER BY weight DESC, key ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM k)
+        |SELECT r.key, r.weight, cast(r.rank AS bigint) AS rank,
+        |  cast(r.cum AS bigint) AS cum_weight,
+        |  cast(r.weight AS double) / cast(t.total AS double) AS share,
+        |  (r.cum - r.weight) * 100 < 80 * t.total AS in_cut
+        |FROM r, t ORDER BY rank""".stripMargin,
+
+    // q234: the constructed corpus is closed-form in doc_id
+    "q234_sentence_stats" ->
+      """SELECT doc_id, cast(doc_id % 4 + 1 AS bigint) AS n_sentences,
+        |  cast(10 * (doc_id % 4) + 9 AS bigint) AS sum_sentence_chars,
+        |  cast(CASE WHEN doc_id % 4 > 0 THEN 10 ELSE 9 END AS bigint)
+        |    AS max_sentence_chars,
+        |  cast(10 * (doc_id % 4) + 9 AS double) /
+        |    cast(doc_id % 4 + 1 AS double) AS mean_sentence_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q219: definitional set sizes + the same integer Chapman formula
     "q219_capture_recapture" ->

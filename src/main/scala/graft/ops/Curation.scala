@@ -190,6 +190,33 @@ object Curation {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-document sentence segmentation stats: sentences split at
+    * whitespace AFTER a terminator (`(?<=[.!?])\s+` — the lookbehind
+    * keeps the terminator with its sentence), empties dropped. Sentence
+    * COUNT and length moments are the cheap fluency signals sitting
+    * between [[repetitionStats]]' word level and the document level —
+    * wall-of-text pages (one endless "sentence") and listicle fragments
+    * (dozens of 3-char ones) both surface here.
+    *
+    * Output: input + n_sentences, sum_sentence_chars, max_sentence_chars,
+    * mean_sentence_chars (one exact division; 0-sentence rows report 0).
+    * Scale shape: per-row array HOFs, fully codegen'd, zero shuffle.
+    */
+  def sentenceStats(df: DataFrame, textCol: String): DataFrame = {
+    val sents = filter(split(col(textCol), "(?<=[.!?])\\s+"),
+      s => length(s) > 0)
+    val n = size(sents).cast("long")
+    val sumLen = aggregate(sents, lit(0L), (acc, s) => acc + length(s))
+    df.withColumn("n_sentences", n)
+      .withColumn("sum_sentence_chars", sumLen)
+      .withColumn("max_sentence_chars",
+        coalesce(array_max(transform(sents, s => length(s).cast("long"))),
+          lit(0L)))
+      .withColumn("mean_sentence_chars",
+        when(n > 0, sumLen.cast("double") / n.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** URL structure features for web-corpus curation: scheme/host/path
     * split by RE2-portable regexes (NOT java.net parsing — the patterns
     * mean the same thing in any engine, so the op is oracle-stable),

@@ -275,4 +275,38 @@ object Reporting {
     }
     one.select(explode(array(stacked: _*)).as("_r")).select(col("_r.*"))
   }
+
+  /** Pareto contribution cut ("which hosts are 80% of the crawl"): keys
+    * rank by total integer weight descending (key asc tie-break), carry
+    * exact cumulative weights, and a key is IN the cut iff the cumulative
+    * weight BEFORE it is still short of `pctNum/pctDen` of the total —
+    * compared cross-multiplied in bigints (`(cum − w)·pctDen <
+    * pctNum·total`), so the flag is exact and the cut always includes the
+    * key that crosses the threshold. `share` is the key's one-division
+    * fraction for reporting.
+    *
+    * Scale shape: the event volume collapses to one combiner aggregate
+    * per key FIRST; the rank/cumulative window runs over the key-bounded
+    * table only (hosts, languages, sources — not rows). Output per key:
+    * key, weight, rank, cum_weight, share, in_cut.
+    */
+  def paretoCut(df: DataFrame, keyCol: String, weightCol: String,
+                pctNum: Long = 80L, pctDen: Long = 100L): DataFrame = {
+    require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen,
+      "need 0 < pctNum <= pctDen")
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(weightCol).cast("long")).as("weight"))
+    val tot = perKey.agg(sum(col("weight")).as("_total"))
+    val w = Window.orderBy(col("weight").desc, col("key").asc)
+    perKey.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_weight", sum(col("weight")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("share",
+        col("weight").cast("double") / col("_total").cast("double"))
+      .withColumn("in_cut",
+        (col("cum_weight") - col("weight")) * pctDen <
+          lit(pctNum) * col("_total"))
+      .drop("_total")
+  }
 }

@@ -1336,4 +1336,57 @@ object Stats {
         col("n_pos").cast("double") / col("n").cast("double"))
       .withColumn("gap", col("frac_pos") - col("mean_score"))
   }
+
+  /** Quantile normalization across groups (the batch-effect correction
+    * from expression arrays, applied to corpus scores: make every group's
+    * score DISTRIBUTION identical to the pooled one so cross-group
+    * thresholds mean the same thing). Each row's within-group rank r of n
+    * maps to the pooled sorted value at 0-based index
+    *
+    *   idx = ((2r − 1) · N) div (2n)
+    *
+    * — the exact integer midpoint rule (r=1 → low tail, r=n → index < N),
+    * so the mapping is pure bigint arithmetic over two rank tables and
+    * replays anywhere; no interpolation, no float percentiles.
+    *
+    * Scale shape: within-group ranks are per-group windows; the POOLED
+    * rank is computed with the [[graft.ops.Dedup.sortedNeighborPairs]]
+    * range-partition discipline (local row_number + broadcast partition
+    * offsets — never a single-partition global window); the map-in is one
+    * integer equi-join on idx. (value, id) must be totally ordered per
+    * group — `idCol` breaks value ties deterministically.
+    *
+    * Output: idCol, groupCol, value (long), normalized (long — a value
+    * drawn from the pooled multiset). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+                        idCol: String): DataFrame = {
+    val slim = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      col(valCol).cast("long").as("_v"))
+    // pooled global rank, range-partitioned (no single-partition window)
+    val sorted = slim.select(col("_v"), col("_g"), col("_id"))
+      .repartitionByRange(col("_v"), col("_g"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val local = sorted.withColumn("_r", row_number().over(
+      Window.partitionBy(col("_pid"))
+        .orderBy(col("_v"), col("_g"), col("_id"))))
+    val sizes = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    val offs = sizes.withColumn("_off",
+      coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val pooled = local.join(broadcast(offs), "_pid")
+      .select((col("_off") + col("_r") - 1).as("_idx"),
+        col("_v").as("_pooled_v"))
+    val n = slim.agg(count(lit(1)).as("_total"))
+    val wg = Window.partitionBy(col("_g"))
+    val ranked = slim
+      .withColumn("_r", row_number().over(
+        wg.orderBy(col("_v"), col("_id"))))
+      .withColumn("_gn", count(lit(1)).over(wg))
+      .crossJoin(broadcast(n))
+      .withColumn("_idx", expr("((2 * _r - 1) * _total) div (2 * _gn)"))
+    ranked.join(pooled, Seq("_idx"))
+      .select(col("_id").as(idCol), col("_g").as(groupCol),
+        col("_v").as("value"), col("_pooled_v").as("normalized"))
+  }
 }

@@ -207,6 +207,33 @@ object Windows {
         element_at(col("_sm"), col("_i") + 1).as("ewma"): _*)
   }
 
+  /** Run-length encoding of a keyed state timeline (gaps-and-islands):
+    * consecutive rows with the SAME state (null-safe) collapse into one
+    * run with its span and size — crawl-status timelines, availability
+    * stretches, label stability. The island id is the classic running
+    * count of change points (`lag` + prefix sum), so the whole op is one
+    * per-key window pass + one run-sized aggregate; no self-join.
+    *
+    * (ts, tieBreak) must be a total order per key. Output: keys…, run_id
+    * (1-based per key), state, ts_start, ts_end, n_rows. */
+  def stateRuns(df: DataFrame, keys: Seq[String], ts: String,
+                stateCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(ts).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    // lag over a STRUCT is null only at the partition's first row, so a
+    // leading null state still opens run 1 (bare lag(state) couldn't tell
+    // "first row" from "previous state was null")
+    val changed = when(lag(struct(col(stateCol)), 1).over(w).isNull, 1L)
+      .when(lag(col(stateCol), 1).over(w) <=> col(stateCol), 0L)
+      .otherwise(1L)
+    df.withColumn("_chg", changed)
+      .withColumn("run_id", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("run_id"): _*)
+      .agg(first(col(stateCol)).as("state"), min(col(ts)).as("ts_start"),
+        max(col(ts)).as("ts_end"), count(lit(1)).as("n_rows"))
+  }
+
   /** SCD2-style validity intervals: each snapshot is valid from its own ts
     * until (exclusive) the key's next snapshot; the newest snapshot has
     * `valid_to` null (open interval). Materializing intervals once turns

@@ -63,6 +63,22 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("sentenceStats: lookbehind split keeps terminators, empty-safe") {
+    val df = Seq(
+      (1L, "Hi there. Ok!  Really?"),    // 3 sentences, double space ok
+      (2L, "no terminator at all"),      // whole string = 1 sentence
+      (3L, ""),                          // zero sentences
+      (4L, "One. Two."))                 // trailing terminator, no tail
+      .toDF("id", "text")
+    val r = Curation.sentenceStats(df, "text").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getDouble(5)))
+    assert(r(0) == ((1L, 3L, 19L, 9L, 19.0 / 3.0))) // "Hi there."=9 "Ok!"=3 "Really?"=7
+    assert(r(1) == ((2L, 1L, 20L, 20L, 20.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0L, 0.0)))
+    assert(r(3) == ((4L, 2L, 8L, 4L, 4.0))) // "One."=4, "Two."=4
+  }
+
   test("stratifiedSample: deterministic, rate-proportional, payload-independent") {
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
     val kept = Curation.stratifiedSample(df, "id", "lang", Map("en" -> 0.5), defaultRate = 0.1)

@@ -91,6 +91,25 @@ class ReportingSpec extends SparkSpec {
       (3L, "*", "*", true)))
   }
 
+  test("paretoCut: cross-multiplied threshold, crossing key included") {
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L),
+      ("a", 0L)).toDF("host", "w") // duplicate key rows pre-aggregate
+    val r = Reporting.paretoCut(df, "host", "w", 80L, 100L)
+      .orderBy("rank").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getBoolean(5)))
+    assert(r.toSeq == Seq(
+      ("a", 50L, 1L, 50L, 0.50, true),   // before-cum 0 < 80
+      ("b", 30L, 2L, 80L, 0.30, true),   // before-cum 50 < 80
+      ("c", 15L, 3L, 95L, 0.15, false),  // before-cum 80: NOT < 80
+      ("d", 5L, 4L, 100L, 0.05, false)))
+    // weight ties rank by key asc, deterministically
+    val t2 = Seq(("x", 10L), ("y", 10L)).toDF("host", "w")
+    val rt = Reporting.paretoCut(t2, "host", "w", 50L, 100L)
+      .orderBy("rank").collect().map(x => (x.getString(0), x.getBoolean(5)))
+    assert(rt.toSeq == Seq(("x", true), ("y", false)))
+  }
+
   test("simpsonDiversity: integer parts hand-checked; monoculture reads 1.0") {
     val df = Seq(("en", "s1"), ("en", "s1"), ("en", "s2"),
       ("de", "s1")).toDF("lang", "source")

@@ -457,6 +457,27 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("quantileNormalize: integer midpoint rule against hand-computed map") {
+    // pooled sorted: [1,2,3,10,20,30,100], N=7
+    val df = Seq(
+      (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g2", 1L), (5L, "g2", 2L), (6L, "g2", 3L), (7L, "g2", 100L))
+      .toDF("id", "g", "v")
+    val r = Stats.quantileNormalize(df, "g", "v", "id")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    // g1 (n=3): idx = (2r-1)*7 div 6 -> 1, 3, 5 -> 2, 10, 30
+    // g2 (n=4): idx = (2r-1)*7 div 8 -> 0, 2, 4, 6 -> 1, 3, 20, 100
+    assert(r.toSeq == Seq((1L, 10L, 2L), (2L, 20L, 10L), (3L, 30L, 30L),
+      (4L, 1L, 1L), (5L, 2L, 3L), (6L, 3L, 20L), (7L, 100L, 100L)))
+    // identical distributions stay fixed: one group == pooled
+    val one = Seq((1L, "g", 5L), (2L, "g", 7L), (3L, "g", 9L))
+      .toDF("id", "g", "v")
+    val ro = Stats.quantileNormalize(one, "g", "v", "id")
+      .orderBy("id").collect().map(x => (x.getLong(2), x.getLong(3)))
+    assert(ro.forall { case (v, nv) => v == nv })
+  }
+
   test("captureRecapture: Chapman and Lincoln-Petersen, duplicate ids collapse") {
     // A: {1..10}, B: {6..17} -> na=10, nb=12, m=5
     // Chapman: 11*13 div 6 - 1 = 23 - 1 = 22; LP: 120/5 = 24

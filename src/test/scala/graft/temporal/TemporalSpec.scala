@@ -354,6 +354,27 @@ class WindowsSpec extends SparkSpec {
     assert(cols.toSeq == Seq("url", "t", "eid", "value", "ewma"))
   }
 
+  test("stateRuns: islands collapse, null-safe state equality, spans exact") {
+    val df = Seq(
+      ("u", ts(1), 1L, Some("A")), ("u", ts(2), 2L, Some("A")),
+      ("u", ts(3), 3L, Some("B")), ("u", ts(4), 4L, Some("B")),
+      ("u", ts(5), 5L, Some("B")), ("u", ts(6), 6L, Some("A")),
+      ("v", ts(1), 7L, None), ("v", ts(2), 8L, None),
+      ("v", ts(3), 9L, Some("A")))
+      .toDF("url", "t", "eid", "state")
+    val r = Windows.stateRuns(df, Seq("url"), "t", "state", Seq("eid"))
+      .orderBy("url", "run_id").collect()
+      .map(x => (x.getString(0), x.getLong(1), Option(x.getString(2)),
+        x.getTimestamp(3).getTime / 1000, x.getTimestamp(4).getTime / 1000,
+        x.getLong(5)))
+    assert(r.toSeq == Seq(
+      ("u", 1L, Some("A"), 1L, 2L, 2L),
+      ("u", 2L, Some("B"), 3L, 5L, 3L),
+      ("u", 3L, Some("A"), 6L, 6L, 1L),
+      ("v", 1L, None, 1L, 2L, 2L), // null == null: one run
+      ("v", 2L, Some("A"), 3L, 3L, 1L)))
+  }
+
   test("decayedSum: tie-break makes equal timestamps deterministic; repartition-stable") {
     val df = Seq(
       ("u", ts(5), 1L, 1.0), ("u", ts(5), 2L, 100.0), ("u", ts(5), 3L, 2.0))
