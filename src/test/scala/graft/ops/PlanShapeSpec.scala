@@ -202,6 +202,54 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).size <= 2, s"window split:\n$plan")
   }
 
+  test("sentenceStats is a narrow row-local map (zero Exchange)") {
+    val df = Seq((1L, "One. Two.")).toDF("id", "text")
+    val plan = Curation.sentenceStats(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"sentenceStats shuffled:\n$plan")
+  }
+
+  test("sprt / stateRuns / scd2 / attribution: ONE key exchange each — " +
+    "the later window/aggregate reuses the key partitioning") {
+    val ev = Seq.tabulate(60)(i =>
+      (s"u${i % 3}", i.toLong, i.toLong, i % 2 == 0)).toDF("u", "t", "id", "ok")
+    val p1 = Stats.sprt(ev, Seq("u"), "t", "ok", 0.3, 0.6, -2.0, 2.0,
+      Seq("id")).queryExecution.executedPlan.toString
+    assert(shuffles(p1) == 1, s"sprt expected one shuffle:\n$p1")
+    val st = ev.withColumn("state", when(col("ok"), "a").otherwise("b"))
+    val p2 = graft.temporal.Windows.stateRuns(st, Seq("u"), "t", "state",
+      Seq("id")).queryExecution.executedPlan.toString
+    assert(shuffles(p2) == 1, s"stateRuns expected one shuffle:\n$p2")
+    val ch = Seq.tabulate(40)(i =>
+      (i.toLong % 5, i.toLong, if (i % 7 == 0) "delete" else "upsert",
+        s"v$i")).toDF("k", "seq", "op", "v")
+    val p3 = Diff.scd2(ch, "k", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p3) == 1, s"scd2 expected one shuffle:\n$p3")
+    val tev = Seq.tabulate(40)(i => (i.toLong, new java.sql.Timestamp(i),
+      s"u${i % 3}", if (i % 5 == 0) "purchase" else "view"))
+      .toDF("eid", "ts", "u", "ty")
+    val p4 = Behavior.attribution(tev, "u", "ts", "eid", "ty", Seq("view"),
+      "purchase", 1000L).queryExecution.executedPlan.toString
+    assert(shuffles(p4) == 1, s"attribution expected one shuffle:\n$p4")
+  }
+
+  test("calibrationBins: one combiner aggregate; gridNeighbors: no cartesian") {
+    val sc = Seq.tabulate(50)(i => ((i * 13L) % 1001, i % 2 == 0))
+      .toDF("s", "y")
+    val p1 = Stats.calibrationBins(sc, "s", "y", 10)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p1) == 1 && p1.contains("HashAggregate"),
+      s"calibrationBins shape:\n$p1")
+    val pts = Seq.tabulate(30)(i => (i.toLong, (i % 6) * 1.0, (i % 5) * 1.0))
+      .toDF("id", "x", "y")
+    val p2 = Geo.gridNeighbors(pts, "id", "x", "y", 1.5)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"gridNeighbors must join on cell keys:\n$p2")
+  }
+
   test("giniSplits joins each feature against a BROADCAST threshold table") {
     val df = Seq.tabulate(80)(i => ((i % 9).toLong, s"y${i % 2}")).toDF("f", "y")
     val plan = Stats.giniSplits(df, "y", Seq("f"), Seq(0.5))
