@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 234 queries spanning every implemented operator family
+/** Driver contract — 237 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3842,7 +3842,36 @@ object SparkEntry {
           col("sum_sentence_chars"), col("max_sentence_chars"),
           col("mean_sentence_chars"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // ---- DBSCAN over the q228 point cloud (bucketed candidates + CC
+    //      engine-side; the oracle is brute force + recursive closure) ----
+    "q235_dbscan" -> ((s, dir) => {
+      val p = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") % 89) * 0.37).as("x"),
+        (((col("doc_id") * 7) % 83) * 0.29).as("y"))
+      graft.ops.Geo.dbscan(p, "doc_id", "x", "y", eps = 0.75, minPts = 3)
+        .orderBy(col("id"))
+    }),
+
+    // ---- deterministic word dropout over a constructed token stream ----
+    "q236_word_dropout" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(
+          sequence(lit(0), (col("doc_id") % 6 + 1).cast("int")),
+          j => concat(lit("tok"), j))).as("text"))
+      graft.ops.Lm.wordDropout(d, "doc_id", "text", dropOneIn = 4,
+          seed = "wd")
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          col("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic negative sampling over the dense doc-id space ----
+    "q237_negative_samples" -> ((s, dir) =>
+      graft.ops.Lm.negativeSamples(t(s, dir, "documents"), "doc_id",
+          k = 4, seed = "ns")
+        .orderBy(col("doc_id"), col("neg_rank"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7693,6 +7722,76 @@ object SparkEntry {
         |  cast(r.weight AS double) / cast(t.total AS double) AS share,
         |  (r.cum - r.weight) * 100 < 80 * t.total AS in_cut
         |FROM r, t ORDER BY rank""".stripMargin,
+
+    // q235: brute-force pairs, textbook deg+1 core rule, min-label
+    // closure over core-core edges (the q48 reach idiom), min-core
+    // border assignment
+    "q235_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT doc_id AS id,
+        |  (doc_id % 89) * cast(0.37 AS double) AS x,
+        |  ((doc_id * 7) % 83) * cast(0.29 AS double) AS y FROM documents),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= cast(0.75 AS double) * cast(0.75 AS double)),
+        |nb AS (SELECT id_a AS id, id_b AS nbr FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |deg AS (SELECT id, count(*) AS d FROM nb GROUP BY id),
+        |core AS (SELECT p.id FROM p LEFT JOIN deg ON p.id = deg.id
+        |  WHERE coalesce(deg.d, 0) + 1 >= 3),
+        |ce AS (SELECT n.id AS a, n.nbr AS b FROM nb n
+        |  WHERE n.id IN (SELECT id FROM core)
+        |    AND n.nbr IN (SELECT id FROM core)),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, ce.b FROM reach JOIN ce ON reach.r = ce.a),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |brd AS (SELECT nb.id, min(comp.cluster_id) AS cluster_id
+        |  FROM nb JOIN comp ON nb.nbr = comp.id
+        |  WHERE nb.id NOT IN (SELECT id FROM core)
+        |  GROUP BY nb.id)
+        |SELECT p.id,
+        |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+        |       WHEN brd.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  cast(coalesce(comp.cluster_id, brd.cluster_id) AS bigint)
+        |    AS cluster_id
+        |FROM p LEFT JOIN comp ON p.id = comp.id
+        |LEFT JOIN brd ON p.id = brd.id
+        |ORDER BY p.id""".stripMargin,
+
+    // q236: positional md5 coin re-dealt; tokens reassembled in order
+    "q236_word_dropout" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 2 AS k FROM documents),
+        |tok AS (SELECT doc_id, k, unnest(range(0, k)) AS j FROM d),
+        |c AS (SELECT doc_id, j,
+        |  ('0x' || substr(md5(cast(doc_id AS varchar) || chr(1) ||
+        |     cast(j AS varchar) || chr(1) || 'wd'), 1, 8))::UBIGINT % 4
+        |    AS coin FROM tok),
+        |kept AS (SELECT doc_id, j FROM c WHERE coin <> 0),
+        |g AS (SELECT doc_id, count(*) AS n_kept,
+        |  string_agg('tok' || cast(j AS varchar), ' ' ORDER BY j)
+        |    AS text_out FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, cast(d.k AS bigint) AS n_tokens,
+        |  cast(coalesce(g.n_kept, 0) AS bigint) AS n_kept,
+        |  coalesce(g.text_out, '') AS text_out
+        |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q237: 12-hex md5 integer mod n, +1 probe on self-collision
+    "q237_negative_samples" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id, unnest(range(1, 5)) AS neg_rank
+        |      FROM documents),
+        |r AS (SELECT doc_id, neg_rank,
+        |  ('0x' || substr(md5(cast(doc_id AS varchar) || chr(1) ||
+        |     cast(neg_rank AS varchar) || chr(1) || 'ns'), 1, 12))::UBIGINT
+        |    % (SELECT n FROM n) AS raw FROM d)
+        |SELECT doc_id, cast(neg_rank AS bigint) AS neg_rank,
+        |  cast(CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM n)
+        |       ELSE raw END AS bigint) AS neg_id
+        |FROM r ORDER BY doc_id, neg_rank""".stripMargin,
 
     // q234: the constructed corpus is closed-form in doc_id
     "q234_sentence_stats" ->

@@ -50,4 +50,59 @@ object Geo {
       .where(col("id_a") < col("id_b") && d2 <= lit(eps * eps))
       .select(col("id_a"), col("id_b"), d2.as("dist2"))
   }
+
+  /** DBSCAN density clustering, composed from [[gridNeighbors]] (the
+    * lossless candidate generator) + [[graft.ops.Dedup.clusters]] (the
+    * min-label CC engine): a point is `core` when its eps-neighborhood —
+    * point itself included, the textbook count — holds ≥ minPts points;
+    * clusters are connected components over CORE-CORE edges labelled by
+    * min core id; a non-core point with ≥ 1 core neighbor is `border`,
+    * assigned the MIN cluster id among its core neighbors (the
+    * deterministic resolution of DBSCAN's classic border ambiguity, which
+    * textbook DBSCAN leaves to visit order); everything else is `noise`.
+    *
+    * Output: id, role ('core'|'border'|'noise'), cluster_id (null for
+    * noise). Scale shape: everything downstream of the pair join is
+    * pair- or label-sized — degrees by combiner groupBy, CC on the core
+    * subgraph only, border assignment one aggregate over core-adjacent
+    * pairs; the point payload never re-shuffles.
+    */
+  def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
+             eps: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val pairs = gridNeighbors(df, idCol, xCol, yCol, eps)
+    val ids = df.select(col(idCol).as("id"))
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("_deg"))
+    val marked = ids.join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("_deg"), lit(0L)) + 1 >= minPts).as("_core"))
+    val cores = marked.where(col("_core")).select(col("id"))
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"))
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"))
+    val comp = graft.ops.Dedup.clusters(coreEdges, "id_a", "id_b")
+    val coreLabels = cores.join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val nbr = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val borderAssign = marked.where(!col("_core"))
+      .join(nbr, Seq("id"))
+      .join(coreLabels.select(col("id").as("nbr"), col("cluster_id")),
+        Seq("nbr"))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    marked
+      .join(coreLabels.withColumnRenamed("cluster_id", "_cc"),
+        Seq("id"), "left")
+      .join(borderAssign.withColumnRenamed("cluster_id", "_bc"),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("_core"), lit("core"))
+          .when(col("_bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("_core"), col("_cc")).otherwise(col("_bc"))
+          .as("cluster_id"))
+  }
 }

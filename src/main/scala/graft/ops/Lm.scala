@@ -312,4 +312,57 @@ object Lm {
         col("_T").as("total_tokens"),
         (col("_cn").cast("double") / col("_T").cast("double")).as("coverage"))
   }
+
+  /** Deterministic word dropout — the masking-style augmentation a
+    * contrastive/denoising pretraining pipeline applies, with zero RNG
+    * state: token position i of row id drops iff the
+    * [[graft.ops.Reporting.dpCounts]]-style md5 draw on
+    * (id, i, seed) lands on 0 mod `dropOneIn`. The draw keys on POSITION,
+    * not token text, so any engine replays it without agreeing on string
+    * hashing. Runs as one positional `filter` HOF per row — narrow,
+    * codegen'd, zero shuffle.
+    *
+    * Output: input + n_tokens, n_kept, text_out (kept tokens re-joined by
+    * single spaces). */
+  def wordDropout(df: DataFrame, idCol: String, textCol: String,
+                  dropOneIn: Int, seed: String): DataFrame = {
+    require(dropOneIn >= 2, "dropOneIn must be >= 2")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val kept = filter(toks, (_, i) =>
+      conv(substring(md5(concat_ws("",
+        col(idCol).cast("string"), i.cast("string"), lit(seed))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % dropOneIn =!= 0)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("text_out", array_join(kept, " "))
+  }
+
+  /** Deterministic negative sampling over a DENSE id space [0, n): each
+    * anchor id draws `k` negatives, draw j being the md5 integer of
+    * (id, j, seed) mod n, with the accidental-positive collision resolved
+    * by a +1 (mod n) probe — pure arithmetic, exact replay anywhere, and
+    * at corpus scale a narrow `k`-way explode with no join and no
+    * shuffle (the id-space size arrives by broadcast).
+    *
+    * Contract: ids must be dense 0..n−1 (the natural state after
+    * [[graft.ops.Curation.shuffleShards]]-style reindexing); `n` is
+    * computed from the corpus. Output: idCol, neg_rank (1..k), neg_id.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+                      seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.agg(count(lit(1)).as("_n"))
+    val draws = df.select(col(idCol))
+      .crossJoin(broadcast(n))
+      .withColumn("neg_rank", explode(sequence(lit(1L), lit(k.toLong))))
+    val raw = conv(substring(md5(concat_ws("",
+      col(idCol).cast("string"), col("neg_rank").cast("string"), lit(seed))
+      .cast("binary")), 1, 12), 16, 10).cast("long") % col("_n")
+    draws
+      .withColumn("_raw", raw)
+      .withColumn("neg_id",
+        when(col("_raw") === col(idCol).cast("long"),
+          (col("_raw") + 1) % col("_n")).otherwise(col("_raw")))
+      .select(col(idCol), col("neg_rank"), col("neg_id"))
+  }
 }

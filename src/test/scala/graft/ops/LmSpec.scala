@@ -95,4 +95,38 @@ class LmSpec extends SparkSpec {
       .collect().head
     assert(tie.getLong(1) == 3L) // a(2) + b(1)
   }
+
+  private def md5Coin(parts: Seq[String], hexLen: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(parts.mkString("").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, hexLen), 16)
+  }
+
+  test("wordDropout: positional md5 coin, JVM-replayed; empty text safe") {
+    val df = Seq((42L, "a b  c d e f"), (7L, "")).toDF("id", "text")
+    val r = Lm.wordDropout(df, "id", "text", dropOneIn = 3, seed = "wd")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getString(4)))
+    val toks = Seq("a", "b", "c", "d", "e", "f")
+    val kept = toks.zipWithIndex.collect {
+      case (t, i) if md5Coin(Seq("42", i.toString, "wd"), 8) % 3 != 0 => t
+    }
+    assert(r(1) == ((42L, 6L, kept.length.toLong, kept.mkString(" "))))
+    assert(r(0) == ((7L, 0L, 0L, "")))
+    assert(kept.length > 0 && kept.length < 6) // coin actually both-sided
+  }
+
+  test("negativeSamples: dense-id draws, collision probes to +1 mod n") {
+    val df = (0L until 10L).toDF("id")
+    val r = Lm.negativeSamples(df, "id", k = 3, seed = "ns")
+      .orderBy("id", "neg_rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 30)
+    r.foreach { case (id, j, neg) =>
+      val raw = md5Coin(Seq(id.toString, j.toString, "ns"), 12) % 10
+      val want = if (raw == id) (raw + 1) % 10 else raw
+      assert(neg == want && neg != id && neg >= 0 && neg < 10)
+    }
+  }
 }
