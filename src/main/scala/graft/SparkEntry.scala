@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 237 queries spanning every implemented operator family
+/** Driver contract — 240 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3871,7 +3871,37 @@ object SparkEntry {
     "q237_negative_samples" -> ((s, dir) =>
       graft.ops.Lm.negativeSamples(t(s, dir, "documents"), "doc_id",
           k = 4, seed = "ns")
-        .orderBy(col("doc_id"), col("neg_rank"))))
+        .orderBy(col("doc_id"), col("neg_rank"))),
+
+    // ---- minority-size class rebalancing by md5 rank ----
+    "q238_balance_classes" -> ((s, dir) =>
+      graft.ops.Curation.balanceClasses(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", seed = "bal")
+        .select(col("doc_id"), col("lang"), col("class_n"),
+          col("sample_rank"))
+        .orderBy(col("doc_id"))),
+
+    // ---- item-item cosine from user co-visitation ----
+    "q239_item_similarity" -> ((s, dir) =>
+      graft.ops.Relevance.itemSimilarity(
+        t(s, dir, "events").select(col("user_id"),
+          (col("event_id") % 30).as("item")),
+        "user_id", "item", minCo = 2L, topK = 5)
+        .orderBy(col("item"), col("rank"))),
+
+    // ---- personalized PageRank from a 3-node seed set over the q74
+    //      synthetic link graph ----
+    "q240_personalized_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 1) % 50).as("dst"))
+      val e2 = d.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 3 + 2) % 50).as("dst"))
+      graft.ops.Graph.personalizedPageRankInt(e1.unionByName(e2),
+          "src", "dst", seeds = Seq(0L, 1L, 2L), iters = 4)
+        .orderBy(col("node"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7793,6 +7823,44 @@ object SparkEntry {
         |       ELSE raw END AS bigint) AS neg_id
         |FROM r ORDER BY doc_id, neg_rank""".stripMargin,
 
+    // q238: identical md5 rank + minority count, window replay
+    "q238_balance_classes" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  md5('bal' || chr(1) || cast(doc_id AS varchar)) AS h
+        |  FROM documents),
+        |c AS (SELECT lang, cast(count(*) AS bigint) AS class_n FROM s
+        |      GROUP BY lang),
+        |m AS (SELECT min(class_n) AS minn FROM c),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM s)
+        |SELECT r.doc_id, r.lang, c.class_n,
+        |  cast(r.rk AS bigint) AS sample_rank
+        |FROM r JOIN c USING (lang), m WHERE r.rk <= m.minn
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // q239: incidence-dedup, basket-local pair counts, IEEE sqrt cosine
+    "q239_item_similarity" ->
+      """WITH b AS (SELECT DISTINCT user_id AS bk, event_id % 30 AS it
+        |           FROM events),
+        |cnt AS (SELECT it, cast(count(*) AS bigint) AS n FROM b
+        |        GROUP BY it),
+        |p AS (SELECT a.it AS i, c.it AS j, cast(count(*) AS bigint) AS co
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it <> c.it
+        |  GROUP BY a.it, c.it HAVING count(*) >= 2),
+        |sc AS (SELECT p.i, p.j, p.co, ci.n AS n_item, cj.n AS n_other,
+        |  cast(p.co AS double) / sqrt(cast(ci.n * cj.n AS double))
+        |    AS cos_sim
+        |  FROM p JOIN cnt ci ON p.i = ci.it JOIN cnt cj ON p.j = cj.it),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY i
+        |        ORDER BY cos_sim DESC, j ASC) AS rank FROM sc)
+        |SELECT i AS item, j AS other, co, n_item, n_other, cos_sim,
+        |  cast(rank AS bigint) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+
+    // q240: the q74 unrolled-iteration recipe with a seed-gated restart
+    "q240_personalized_pagerank" -> pprOracleSql,
+
     // q234: the constructed corpus is closed-form in doc_id
     "q234_sentence_stats" ->
       """SELECT doc_id, cast(doc_id % 4 + 1 AS bigint) AS n_sentences,
@@ -8113,6 +8181,34 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |od AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
        |r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank_int FROM nodes),
+       |$iters
+       |SELECT node, rank_int FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** q240's oracle: [[pageRankOracleSql]]'s recipe with the restart term
+    * gated on the seed set {0,1,2} — rank starts at Scale on seeds / 0
+    * elsewhere, and only seeds receive the 150000000 base each round.
+    */
+  private def pprOracleSql: String = {
+    val iters = (1 to 4).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node, sum(r.rank_int // o.outdeg) AS s
+         |  FROM edges e JOIN $prev r ON e.src = r.node JOIN od o ON e.src = o.node
+         |  GROUP BY e.dst),
+         |r$k AS (SELECT n.node,
+         |  cast(CASE WHEN n.node IN (0, 1, 2) THEN 150000000 ELSE 0 END +
+         |    (85 * coalesce(c.s, 0)) // 100 AS bigint) AS rank_int
+         |  FROM nodes n LEFT JOIN c$k c USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT doc_id % 50 AS src, (doc_id * 7 + 1) % 50 AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id % 50, (doc_id * 3 + 2) % 50 FROM documents),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |od AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node,
+       |  cast(CASE WHEN node IN (0, 1, 2) THEN 1000000000 ELSE 0 END
+       |    AS bigint) AS rank_int FROM nodes),
        |$iters
        |SELECT node, rank_int FROM r4 ORDER BY node""".stripMargin
   }

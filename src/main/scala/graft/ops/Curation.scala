@@ -64,6 +64,41 @@ object Curation {
     df.where(rank < thr)
   }
 
+  /** Deterministic class rebalancing to the MINORITY size: every class
+    * keeps exactly `min-class-count` rows — the ones with the smallest
+    * (md5(seed, id), id) draw — so a skewed label column (lang, quality
+    * tier, topic) becomes uniform without RNG state and identically on
+    * re-runs. Where [[stratifiedSample]] takes caller-set RATES (keep
+    * fraction is known, zero shuffle), this derives the target from the
+    * data itself and pays one per-class ranking for exactness.
+    *
+    * Output: input columns + class_n (pre-balance class size) + sample
+    * rank within class; exactly minN rows per class survive. Scale shape:
+    * one per-class window over a slim (id, class, hash) projection joined
+    * back by id, plus a class-bounded count aggregate broadcast in; the
+    * majority class is the hot partition — for approximate balance at
+    * extreme skew prefer [[stratifiedSample]] with computed rates.
+    */
+  def balanceClasses(df: DataFrame, idCol: String, classCol: String,
+                     seed: String): DataFrame = {
+    val h = md5(concat_ws("", lit(seed), col(idCol).cast("string"))
+      .cast("binary"))
+    val slim = df.select(col(idCol).as("_bid"), col(classCol).as("_bc"),
+      h.as("_bh"))
+    val counts = slim.groupBy(col("_bc")).agg(count(lit(1)).as("class_n"))
+    val minN = counts.agg(min(col("class_n")).as("_minN"))
+    val ranked = slim
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bc"))
+          .orderBy(col("_bh"), col("_bid"))).cast("long"))
+      .crossJoin(broadcast(minN))
+      .where(col("sample_rank") <= col("_minN"))
+      .join(broadcast(counts), Seq("_bc"))
+      .select(col("_bid"), col("class_n"), col("sample_rank"))
+    df.join(ranked, col(idCol) === col("_bid"))
+      .drop("_bid")
+  }
+
   /** Entity-safe deterministic train/val/test split assignment. The split
     * is a pure function of the KEY (not the row): bucket = 32-bit md5 rank
     * of the key mod sum(weights), mapped to the first split whose

@@ -118,6 +118,57 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRankInt]] with the teleport mass
+    * restricted to a SEED set (topic-/site-conditioned authority: "which
+    * pages does the quality seed list endorse, transitively"). Identical
+    * exact-integer schedule, except the restart term
+    * `Scale·(1−d)` lands only on seed nodes — everything else receives
+    * rank purely through in-links — and ranks start at `Scale` on seeds,
+    * 0 elsewhere. Dangling mass is dropped, as in [[pageRankInt]] (the
+    * documented trade for exact replayability). Same unrolled-CTE oracle
+    * recipe; same localCheckpoint-per-iteration lineage discipline.
+    *
+    * Returns (node, rank_int). Scale shape identical to [[pageRankInt]]:
+    * per iteration one edges→ranks join + one slim aggregate; the seed
+    * set rides a broadcast semi-join column.
+    */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: Seq[Long],
+                              iters: Int = 4, dampNum: Long = 85,
+                              dampDen: Long = 100): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed node")
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen && dampDen > 0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("_seed", col("node").isin(seeds.map(Long.box): _*))
+      .persist()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val baseTerm = Scale * (dampDen - dampNum) / dampDen
+    var ranks = nodes.withColumn("rank_int",
+      when(col("_seed"), lit(Scale)).otherwise(lit(0L)))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank_int")), Seq("src"))
+        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_int div outdeg")).as("_in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("_seed"),
+          (when(col("_seed"), lit(baseTerm)).otherwise(lit(0L)) +
+            expr(s"(${dampNum}L * coalesce(_in, 0L)) div ${dampDen}L"))
+            .as("rank_int"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks.select(col("node"), col("rank_int"))
+  }
+
   /** Deterministic EXACT-INTEGER HITS (hubs & authorities) — the companion
     * structure signal to [[pageRankInt]]: PageRank measures endorsement
     * flow, HITS separates pages that ARE good sources (authorities) from

@@ -395,4 +395,43 @@ object Relevance {
         dcg.as("dcg"), idcg.as("idcg"),
         when(idcg > 0, dcg / idcg).as("ndcg"))
   }
+
+  /** Item-item cosine similarity from co-occurrence ("users who visited
+    * this host also visited…", related-query mining over sessions): for
+    * items a, b appearing in `n_a`, `n_b` baskets and co-occurring in
+    * `co`, cos(a,b) = co / √(n_a·n_b) over BINARY incidence vectors. IEEE
+    * `sqrt` is correctly rounded, so unlike `ln` the score IS
+    * bit-replayable cross-engine ([[Graph.hitsInt]] avoids sqrt only
+    * because iterated rescaling compounds; a single terminal sqrt does
+    * not). Ties in similarity rank by other-item id ascending.
+    *
+    * Output per directed (item, other): co, n_item, n_other, cos_sim,
+    * rank (1..topK per item). Scale shape: baskets dedup to (basket,
+    * item) incidence FIRST; the pair join is basket-local (quadratic in
+    * BASKET size, not corpus — cap giant baskets upstream with
+    * [[graft.ops.Curation.capPerKey]]); the top-k window partitions by
+    * item over the pair table. */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+                     minCo: Long = 1L, topK: Int = 10): DataFrame = {
+    require(topK >= 1 && minCo >= 1, "topK and minCo must be >= 1")
+    val b = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val cnt = b.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
+    val pairs = b.join(b.select(col("_b"), col("_i").as("_j")), Seq("_b"))
+      .where(col("_i") =!= col("_j"))
+      .groupBy(col("_i"), col("_j")).agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val scored = pairs
+      .join(cnt.select(col("_i"), col("_n").as("n_item")), Seq("_i"))
+      .join(cnt.select(col("_i").as("_j"), col("_n").as("n_other")),
+        Seq("_j"))
+      .withColumn("cos_sim", col("co").cast("double") /
+        sqrt((col("n_item") * col("n_other")).cast("double")))
+    val w = Window.partitionBy(col("_i"))
+      .orderBy(col("cos_sim").desc, col("_j").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("_i").as("item"), col("_j").as("other"), col("co"),
+        col("n_item"), col("n_other"), col("cos_sim"), col("rank"))
+  }
 }

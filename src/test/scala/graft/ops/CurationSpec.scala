@@ -63,6 +63,32 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("balanceClasses: every class trimmed to the minority size, md5 order") {
+    val df = (Seq.tabulate(5)(i => (i.toLong, "big")) ++
+      Seq((10L, "small"), (11L, "small")) ++
+      Seq.tabulate(3)(i => (20L + i, "mid"))).toDF("id", "cls")
+    val r = Curation.balanceClasses(df, "id", "cls", seed = "bal")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    // exactly minN = 2 survivors per class; class_n is the PRE-balance size
+    val byClass = r.groupBy(_._2)
+    assert(byClass.keySet == Set("big", "small", "mid"))
+    assert(byClass.values.forall(_.length == 2))
+    assert(byClass("big").head._3 == 5L && byClass("mid").head._3 == 3L)
+    assert(r.forall(row => row._4 >= 1L && row._4 <= 2L))
+    // survivors are the 2 smallest (md5 hex, id) draws — JVM replay
+    def hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(("bal\u0001" + id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expectBig = (0L until 5L).sortBy(i => (hex(i), i)).take(2).toSet
+    assert(byClass("big").map(_._1).toSet == expectBig)
+    // deterministic across runs
+    val r2 = Curation.balanceClasses(df, "id", "cls", "bal")
+      .collect().map(_.getLong(0)).toSet
+    assert(r2 == r.map(_._1).toSet)
+  }
+
   test("sentenceStats: lookbehind split keeps terminators, empty-safe") {
     val df = Seq(
       (1L, "Hi there. Ok!  Really?"),    // 3 sentences, double space ok

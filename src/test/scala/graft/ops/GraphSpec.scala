@@ -48,6 +48,28 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == r(3L)) // symmetric nodes tie exactly (integer arithmetic)
   }
 
+  test("personalizedPageRankInt: seed-only teleport, JVM-replayed 2 iters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
+    val df = edges.toDF("s", "d")
+    val r = Graph.personalizedPageRankInt(df, "s", "d", seeds = Seq(1L),
+        iters = 2).orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // exact-integer replay with the same schedule
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(n => n -> (if (n == 1L) 1000000000L else 0L)).toMap
+    for (_ <- 0 until 2) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(n => n -> ((if (n == 1L) 150000000L else 0L) +
+        85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(r.toSeq == nodes.map(n => (n, rank(n))))
+    // non-seed leaf (4) ends at zero: nothing links to it, no teleport
+    assert(rank(4L) == 0L)
+  }
+
   test("hitsInt: star graph, hand-computed integer hub/auth after one iteration") {
     // A(0)->B(1), A->C(2), D(3)->B.  h0 = 1e6 everywhere.
     // auth raw: B = 2e6, C = 1e6; max 2e6 -> a1: B = 1e6, C = 5e5, A = D = 0.

@@ -229,4 +229,23 @@ class RelevanceSpec extends SparkSpec {
     assert(r(2).getDouble(1) == 0.5 && r(2).getDouble(2) == 1.0)
     assert(r(2).getDouble(3) == 1.0 / 3.0 && r(2).getDouble(6) == 1.0)
   }
+
+  test("itemSimilarity: binary cosine, similarity-tie ranks by other asc") {
+    val df = Seq(("b1", "x"), ("b1", "y"), ("b1", "z"),
+      ("b2", "x"), ("b2", "y"), ("b3", "x"), ("b3", "w"),
+      ("b1", "x")) // duplicate incidence collapses
+      .toDF("basket", "item")
+    val r = Relevance.itemSimilarity(df, "basket", "item", topK = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(5), x.getLong(6)))
+    val m = r.map(t => (t._1, t._5) -> (t._2, t._3, t._4)).toMap
+    assert(m(("x", 1L)) == (("y", 2L, 2.0 / math.sqrt(6.0))))
+    // z and w tie at 1/sqrt(3): w wins rank 2 by id asc, z is cut by topK
+    assert(m(("x", 2L)) == (("w", 1L, 1.0 / math.sqrt(3.0))))
+    assert(m(("y", 1L)) == (("x", 2L, 2.0 / math.sqrt(6.0))))
+    assert(m(("y", 2L)) == (("z", 1L, 1.0 / math.sqrt(2.0))))
+    assert(m(("z", 1L)) == (("y", 1L, 1.0 / math.sqrt(2.0))))
+    assert(m(("w", 1L)) == (("x", 1L, 1.0 / math.sqrt(3.0))))
+    assert(r.length == 7) // x:2, y:2, z:2, w:1
+  }
 }
