@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 240 queries spanning every implemented operator family
+/** Driver contract — 243 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3901,7 +3901,30 @@ object SparkEntry {
       graft.ops.Graph.personalizedPageRankInt(e1.unionByName(e2),
           "src", "dst", seeds = Seq(0L, 1L, 2L), iters = 4)
         .orderBy(col("node"))
-    }))
+    }),
+
+    // ---- Kaplan-Meier survival per language over synthetic durations ----
+    "q241_kaplan_meier" -> ((s, dir) =>
+      graft.ops.Stats.kaplanMeier(
+        t(s, dir, "documents").select(col("lang"),
+          expr("n_chars div 50").as("dur"),
+          (col("doc_id") % 3 =!= 0).as("ev")),
+        Seq("lang"), "dur", "ev")
+        .orderBy(col("lang"), col("t"))),
+
+    // ---- Goh-Barabasi burstiness of each user's event stream ----
+    "q242_burstiness" -> ((s, dir) =>
+      graft.ops.Stats.burstiness(t(s, dir, "events"), Seq("user_id"),
+          "ts", tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"))),
+
+    // ---- entry/exit/bounce pages over 6h-gap sessions ----
+    "q243_entry_exit" -> ((s, dir) =>
+      graft.ops.Behavior.entryExitPages(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", gapSeconds = 21600L)
+        .orderBy(col("page"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7860,6 +7883,93 @@ object SparkEntry {
 
     // q240: the q74 unrolled-iteration recipe with a seed-gated restart
     "q240_personalized_pagerank" -> pprOracleSql,
+
+    // q241: suffix-sum risk sets + the same fold product as a recursive
+    // CTE (events-before-censoring at equal t is implicit in the grid)
+    "q241_kaplan_meier" ->
+      """WITH RECURSIVE b AS (SELECT lang, n_chars // 50 AS t,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS e
+        |  FROM documents),
+        |g AS (SELECT lang, t, cast(sum(e) AS bigint) AS d,
+        |  cast(sum(1 - e) AS bigint) AS c FROM b GROUP BY lang, t),
+        |n AS (SELECT lang, t, d, c,
+        |  sum(d + c) OVER (PARTITION BY lang ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY t) AS rn FROM g),
+        |w AS (
+        |  SELECT lang, t, d, c, n, rn,
+        |    cast(n - d AS double) / cast(n AS double) AS s
+        |  FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.lang, x.t, x.d, x.c, x.n, x.rn,
+        |    w.s * (cast(x.n - x.d AS double) / cast(x.n AS double))
+        |  FROM w JOIN n x ON x.lang = w.lang AND x.rn = w.rn + 1)
+        |SELECT lang, t, cast(n AS bigint) AS n_at_risk, d AS n_events,
+        |  c AS n_censored, s AS survival
+        |FROM w ORDER BY lang, t""".stripMargin,
+
+    // q242: exact gap moments, the fixed mu/sigma/B formula replayed
+    "q242_burstiness" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  epoch_ms(ts) // 1000 AS sec FROM events),
+        |g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS g FROM e),
+        |a AS (SELECT user_id, cast(count(*) AS bigint) AS n_gaps,
+        |  cast(sum(g) AS bigint) AS sum_gap_s,
+        |  cast(sum(g * g) AS bigint) AS sq
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id),
+        |s AS (SELECT user_id, n_gaps, sum_gap_s,
+        |  cast(sum_gap_s AS double) / cast(n_gaps AS double) AS m,
+        |  sqrt(greatest(cast(sq AS double) / cast(n_gaps AS double) -
+        |    (cast(sum_gap_s AS double) / cast(n_gaps AS double)) *
+        |    (cast(sum_gap_s AS double) / cast(n_gaps AS double)),
+        |    cast(0 AS double))) AS sd FROM a)
+        |SELECT user_id, n_gaps, sum_gap_s, m AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 2 THEN sd END AS std_gap_s,
+        |  CASE WHEN n_gaps >= 2 AND sd + m > 0 THEN (sd - m) / (sd + m)
+        |    END AS burstiness
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // q243: gap-rule sessions (floor-second deltas, the engine's rule),
+    // first/last by (ts, event_id), exact count rollups
+    "q243_entry_exit" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type AS pg,
+        |  epoch_ms(ts) // 1000 AS sec FROM events),
+        |s AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |    OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY ts, event_id) AS rf,
+        |  row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY ts DESC, event_id DESC) AS rl,
+        |  count(*) OVER (PARTITION BY user_id, sid) AS n FROM s2),
+        |per AS (SELECT user_id, sid,
+        |  max(CASE WHEN rf = 1 THEN pg END) AS entry_page,
+        |  max(CASE WHEN rl = 1 THEN pg END) AS exit_page,
+        |  max(n) AS n FROM r GROUP BY user_id, sid),
+        |tot AS (SELECT cast(count(*) AS bigint) AS n_sessions FROM per),
+        |en AS (SELECT entry_page AS page, cast(count(*) AS bigint)
+        |    AS n_entries,
+        |  cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_bounces FROM per GROUP BY 1),
+        |ex AS (SELECT exit_page AS page, cast(count(*) AS bigint)
+        |    AS n_exits FROM per GROUP BY 1)
+        |SELECT coalesce(en.page, ex.page) AS page,
+        |  coalesce(n_entries, 0) AS n_entries,
+        |  coalesce(n_exits, 0) AS n_exits,
+        |  coalesce(n_bounces, 0) AS n_bounces, tot.n_sessions,
+        |  cast(coalesce(n_entries, 0) AS double) /
+        |    cast(tot.n_sessions AS double) AS entry_rate,
+        |  cast(coalesce(n_exits, 0) AS double) /
+        |    cast(tot.n_sessions AS double) AS exit_rate,
+        |  CASE WHEN coalesce(n_entries, 0) > 0 THEN
+        |    cast(coalesce(n_bounces, 0) AS double) /
+        |      cast(n_entries AS double) END AS bounce_rate
+        |FROM en FULL OUTER JOIN ex ON en.page = ex.page, tot
+        |ORDER BY page""".stripMargin,
 
     // q234: the constructed corpus is closed-form in doc_id
     "q234_sentence_stats" ->

@@ -379,6 +379,54 @@ object Behavior {
       .drop("_g")
   }
 
+  /** Entry/exit/bounce analysis per page over gap-sessionized visits —
+    * the classic web-analytics rollup: a session's ENTRY page is its
+    * (ts, id)-first event's page, EXIT its last, and a BOUNCE is a
+    * single-event session (entry == exit == the bounce page). Sessions
+    * come from [[graft.temporal.Windows.sessionize]]'s gap rule; the
+    * per-session reduction is one min/max-of-struct aggregate (no second
+    * window), and the per-page rollup divides exact counts by the exact
+    * session total once per rate.
+    *
+    * Output per page: n_entries, n_exits, n_bounces, n_sessions (global
+    * total on every row for context), entry_rate, exit_rate,
+    * bounce_rate (of this page's entries; null when 0). Scale shape:
+    * one (user)-window sessionization pass + one session-level combiner
+    * aggregate + one page-level aggregate; the session total rides a
+    * broadcast crossJoin.
+    */
+  def entryExitPages(df: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, pageCol: String,
+                     gapSeconds: Long): DataFrame = {
+    val sess = graft.temporal.Windows.sessionize(
+      df.select(col(userCol).as("user"), col(tsCol).as("_ts"),
+        col(idCol).as("_id"), col(pageCol).as("_pg")),
+      Seq("user"), "_ts", gapSeconds)
+    val perSession = sess.groupBy(col("user"), col("session_no"))
+      .agg(min(struct(col("_ts"), col("_id"), col("_pg"))).as("_first"),
+        max(struct(col("_ts"), col("_id"), col("_pg"))).as("_last"),
+        count(lit(1)).as("_n"))
+      .select(col("_first._pg").as("entry_page"),
+        col("_last._pg").as("exit_page"), col("_n"))
+    val total = perSession.agg(count(lit(1)).as("n_sessions"))
+    val entries = perSession.groupBy(col("entry_page").as("page"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("_n") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = perSession.groupBy(col("exit_page").as("page"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("page"), "full_outer")
+      .select(col("page"), coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+      .crossJoin(broadcast(total))
+      .withColumn("entry_rate",
+        col("n_entries").cast("double") / col("n_sessions").cast("double"))
+      .withColumn("exit_rate",
+        col("n_exits").cast("double") / col("n_sessions").cast("double"))
+      .withColumn("bounce_rate", when(col("n_entries") > 0,
+        col("n_bounces").cast("double") / col("n_entries").cast("double")))
+  }
+
   /** Multi-touch conversion attribution in exact integer micro-units —
     * [[lastTouch]]'s generalization: each conversion's `valueMicro` is
     * split over ALL the touches on the path since the user's previous

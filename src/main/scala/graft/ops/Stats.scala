@@ -1337,6 +1337,89 @@ object Stats {
       .withColumn("gap", col("frac_pos") - col("mean_score"))
   }
 
+  /** Kaplan–Meier survival estimator per key over (duration, event)
+    * observations (how long until a page goes stale / a user churns /
+    * a crawl stops revisiting — right-censored rows carry
+    * `eventCol = false`): at each distinct duration t with d events out
+    * of n at risk, S(t) multiplies by (n−d)/n, events-before-censoring
+    * at equal t (the textbook convention). The risk counts are EXACT
+    * suffix sums over the per-(key, t) aggregate; the survival curve is
+    * a deterministic LEFT-FOLD product over the sorted factor list (the
+    * [[graft.temporal.Windows.ewmaHalf]] recipe — IEEE multiply/divide
+    * replayed in order by a recursive-CTE oracle is bit-identical).
+    *
+    * Bounded-group contract: distinct durations per key are collected to
+    * one array (time-grid-bounded, not corpus-bounded). Output per
+    * (key, t): n_at_risk, n_events, n_censored, survival. Scale shape:
+    * one combiner aggregate to the (key, t) grid, one per-key window
+    * over the grid, one per-key fold.
+    */
+  def kaplanMeier(df: DataFrame, keyCols: Seq[String], durationCol: String,
+                  eventCol: String): DataFrame = {
+    val perT = df
+      .select(keyCols.map(col) :+ col(durationCol).cast("long").as("t") :+
+        col(eventCol).cast("boolean").as("_e"): _*)
+      .groupBy(keyCols.map(col) :+ col("t"): _*)
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("_e"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risked = perT.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+    val folded = risked
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"),
+        col("n")))).as("_seq"))
+      .withColumn("_s", expr(
+        "aggregate(_seq, cast(array() as array<double>), (acc, e) -> " +
+          "acc || array(if(size(acc) = 0, 1.0d, element_at(acc, -1)) * " +
+          "(cast(e.n - e.d as double) / cast(e.n as double))))"))
+    folded
+      .select(keyCols.map(col) :+ col("_s") :+
+        posexplode(col("_seq")).as(Seq("_i", "_e")): _*)
+      .select(keyCols.map(col) :+ col("_e.t").as("t") :+
+        col("_e.n").as("n_at_risk") :+ col("_e.d").as("n_events") :+
+        col("_e.c").as("n_censored") :+
+        element_at(col("_s"), col("_i") + 1).as("survival"): _*)
+  }
+
+  /** Burstiness index of a keyed event stream — the Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over inter-event gaps: −1 ≈ perfectly periodic
+    * (crawler-friendly cadence), 0 ≈ Poisson, →1 ≈ bursty (event storms,
+    * bot bursts). Gap moments are EXACT integer window sums; μ, σ and B
+    * are a fixed handful of IEEE divisions plus one correctly-rounded
+    * sqrt ([[graft.ops.Relevance.itemSimilarity]]'s argument), so any
+    * engine replays them bit-for-bit. Variance uses the population form
+    * Σg²/n − μ² (deterministic; documented in preference to a second
+    * pass). Keys with < 2 gaps report null std/burstiness.
+    *
+    * Output per key: n_gaps, sum_gap_s, mean_gap_s, std_gap_s,
+    * burstiness. Scale shape: one per-key window for the lag + one
+    * combiner aggregate. */
+  def burstiness(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val gap = (sec - lag(sec, 1).over(w)).as("_g")
+    val gaps = df.select(keyCols.map(col) :+ gap: _*)
+      .where(col("_g").isNotNull)
+    val agged = gaps.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("sum_gap_s"),
+        sum(col("_g") * col("_g")).as("_sq"))
+    val m = col("sum_gap_s").cast("double") / col("n_gaps").cast("double")
+    val variance = col("_sq").cast("double") / col("n_gaps").cast("double") -
+      (col("sum_gap_s").cast("double") / col("n_gaps").cast("double")) *
+        (col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+    val s = sqrt(greatest(variance, lit(0.0)))
+    agged
+      .withColumn("mean_gap_s", m)
+      .withColumn("std_gap_s", when(col("n_gaps") >= 2, s))
+      .withColumn("burstiness",
+        when(col("n_gaps") >= 2 && (s + m) > 0.0, (s - m) / (s + m)))
+      .drop("_sq")
+  }
+
   /** Quantile normalization across groups (the batch-effect correction
     * from expression arrays, applied to corpus scores: make every group's
     * score DISTRIBUTION identical to the pooled one so cross-group

@@ -21,6 +21,30 @@ class BehaviorSpec extends SparkSpec {
     assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
   }
 
+  test("entryExitPages: entry/exit by (ts,id) order, bounces, exact rates") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("u", t(1), 1L, "A"), ("u", t(2), 2L, "B"), ("u", t(3), 3L, "C"),
+      ("u", t(1000), 4L, "D"),  // second session, single event = bounce
+      ("v", t(1), 5L, "A"))     // bounce on A
+      .toDF("user", "ts", "eid", "page")
+    val r = Behavior.entryExitPages(df, "user", "ts", "eid", "page",
+        gapSeconds = 60L)
+      .orderBy("page").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))
+    // 3 sessions total: (u: A..C), (u: D), (v: A)
+    assert(r.toSeq == Seq(
+      ("A", 2L, 1L, 1L, 3L, 2.0 / 3.0, 1.0 / 3.0),
+      ("C", 0L, 1L, 0L, 3L, 0.0, 1.0 / 3.0),
+      ("D", 1L, 1L, 1L, 3L, 1.0 / 3.0, 1.0 / 3.0)))
+    val br = Behavior.entryExitPages(df, "user", "ts", "eid", "page", 60L)
+      .orderBy("page").collect()
+    assert(br(0).getDouble(7) == 0.5)  // A: 1 bounce of 2 entries
+    assert(br(1).isNullAt(7))          // C: no entries -> null
+    assert(br(2).getDouble(7) == 1.0)  // D: bounce of its only entry
+  }
+
   test("attribution: linear and U-shape credits conserve value exactly") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val v = 1000001L

@@ -457,6 +457,51 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("kaplanMeier: textbook risk sets and fold product, censoring exact") {
+    val df = Seq(("k", 1L, true), ("k", 2L, true), ("k", 2L, false),
+      ("k", 3L, true), ("k", 5L, false),
+      ("j", 4L, true)) // second key folds independently
+      .toDF("g", "dur", "ev")
+    val r = Stats.kaplanMeier(df, Seq("g"), "dur", "ev")
+      .orderBy("g", "t").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))
+    val s1 = 4.0 / 5.0
+    val s2 = s1 * (3.0 / 4.0)
+    val s3 = s2 * (1.0 / 2.0)
+    assert(r.toSeq == Seq(
+      ("j", 4L, 1L, 1L, 0L, 0.0),
+      ("k", 1L, 5L, 1L, 0L, s1),
+      ("k", 2L, 4L, 1L, 1L, s2),
+      ("k", 3L, 2L, 1L, 0L, s3),
+      ("k", 5L, 1L, 0L, 1L, s3 * 1.0)))
+  }
+
+  test("burstiness: periodic reads -1, exact moment arithmetic, null guards") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = (Seq(0L, 10L, 20L, 30L).map(s => ("per", t(s), s)) ++
+      Seq(0L, 1L, 2L, 100L).map(s => ("bur", t(s), s)) ++
+      Seq(0L, 7L).map(s => ("two", t(s), s)) ++
+      Seq(("one", t(0), 0L))).toDF("k", "ts", "eid")
+    val r = Stats.burstiness(df, Seq("k"), "ts", Seq("eid"))
+      .orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("bur", 3L, 100L), ("per", 3L, 30L),
+      ("two", 1L, 7L))) // single-event key absent entirely
+    val m = Stats.burstiness(df, Seq("k"), "ts", Seq("eid"))
+      .orderBy("k").collect()
+    // per: var 0 -> B = -1 exactly
+    assert(m(1).getDouble(4) == 0.0 && m(1).getDouble(5) == -1.0)
+    // bur: replay the fixed formula
+    val mu = 100.0 / 3.0
+    val vr = 9606.0 / 3.0 - mu * mu
+    val sd = math.sqrt(vr)
+    assert(m(0).getDouble(4) == sd)
+    assert(m(0).getDouble(5) == (sd - mu) / (sd + mu))
+    // two: one gap -> std/burstiness null
+    assert(m(2).isNullAt(4) && m(2).isNullAt(5))
+  }
+
   test("quantileNormalize: integer midpoint rule against hand-computed map") {
     // pooled sorted: [1,2,3,10,20,30,100], N=7
     val df = Seq(
