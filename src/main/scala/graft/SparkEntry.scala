@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 243 queries spanning every implemented operator family
+/** Driver contract — 246 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3924,7 +3924,34 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id"), col("ts"),
           col("event_id"), col("event_type")),
         "user_id", "ts", "event_id", "event_type", gapSeconds = 21600L)
-        .orderBy(col("page"))))
+        .orderBy(col("page"))),
+
+    // ---- difference-in-differences over a deterministic rollout split ----
+    "q244_diff_in_diff" -> ((s, dir) =>
+      graft.ops.Stats.diffInDiff(
+        t(s, dir, "events").select((col("user_id") % 2 === 0).as("treated"),
+          ((col("event_id") % 7) < 3).as("post"),
+          (col("event_id") % 40).as("y")),
+        "treated", "post", "y")),
+
+    // ---- Wilson lower-bound ranking of event types by success rate ----
+    "q245_wilson" -> ((s, dir) =>
+      graft.ops.Stats.wilsonLowerBound(
+        t(s, dir, "events").select(col("event_type"),
+          (col("event_id") % 3 === 0).as("ok")),
+        Seq("event_type"), "ok")
+        .orderBy(col("event_type"))),
+
+    // ---- exponential-backoff revisit scheduling from change flags ----
+    "q246_revisit_schedule" -> ((s, dir) =>
+      graft.temporal.Windows.revisitSchedule(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), (col("event_id") % 4 === 0).as("changed")),
+        Seq("user_id"), "ts", "changed", baseS = 300L, maxS = 86400L,
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("unchanged_run"),
+          col("next_interval_s"))
+        .orderBy(col("user_id"), col("event_id"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7883,6 +7910,72 @@ object SparkEntry {
 
     // q240: the q74 unrolled-iteration recipe with a seed-gated restart
     "q240_personalized_pagerank" -> pprOracleSql,
+
+    // q244: four CASE-sum cells, one division per mean, three subtracts
+    "q244_diff_in_diff" ->
+      """WITH b AS (SELECT user_id % 2 = 0 AS t, (event_id % 7) < 3 AS p,
+        |  event_id % 40 AS y FROM events),
+        |a AS (SELECT
+        |  cast(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_t_pre,
+        |  cast(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_t_post,
+        |  cast(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_c_pre,
+        |  cast(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_c_post,
+        |  cast(sum(CASE WHEN t AND NOT p THEN y ELSE 0 END) AS bigint)
+        |    AS s_t_pre,
+        |  cast(sum(CASE WHEN t AND p THEN y ELSE 0 END) AS bigint)
+        |    AS s_t_post,
+        |  cast(sum(CASE WHEN NOT t AND NOT p THEN y ELSE 0 END) AS bigint)
+        |    AS s_c_pre,
+        |  cast(sum(CASE WHEN NOT t AND p THEN y ELSE 0 END) AS bigint)
+        |    AS s_c_post FROM b),
+        |m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  cast(s_t_pre AS double) / cast(n_t_pre AS double) AS mean_t_pre,
+        |  cast(s_t_post AS double) / cast(n_t_post AS double)
+        |    AS mean_t_post,
+        |  cast(s_c_pre AS double) / cast(n_c_pre AS double) AS mean_c_pre,
+        |  cast(s_c_post AS double) / cast(n_c_post AS double)
+        |    AS mean_c_post FROM a)
+        |SELECT *, (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+        |  AS did FROM m""".stripMargin,
+
+    // q245: the closed-form bound with the engine's exact z literals
+    "q245_wilson" -> {
+      val z = 1.96
+      s"""WITH a AS (SELECT event_type,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_success FROM events GROUP BY event_type),
+        |b AS (SELECT *, cast(n AS double) AS nn,
+        |  cast(n_success AS double) / cast(n AS double) AS p FROM a)
+        |SELECT event_type, n, n_success, p AS p_hat,
+        |  (p + ${z * z} / (cast(2 AS double) * nn) -
+        |   $z * sqrt(p * (cast(1 AS double) - p) / nn +
+        |     ${z * z} / (cast(4 AS double) * nn * nn))) /
+        |  (cast(1 AS double) + ${z * z} / nn) AS wilson_lb
+        |FROM b ORDER BY event_type""".stripMargin
+    },
+
+    // q246: running-max-of-changed-rn run counter, integer shift backoff
+    "q246_revisit_schedule" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_id % 4 = 0 AS chg
+        |           FROM events),
+        |r AS (SELECT user_id, ts, event_id, chg,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS rn FROM e),
+        |m AS (SELECT *, max(CASE WHEN chg THEN rn END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crn
+        |  FROM r)
+        |SELECT user_id, event_id,
+        |  cast(rn - coalesce(crn, 0) AS bigint) AS unchanged_run,
+        |  cast(least(86400, 300 * (1::BIGINT <<
+        |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
+        |    AS next_interval_s
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
 
     // q241: suffix-sum risk sets + the same fold product as a recursive
     // CTE (events-before-censoring at equal t is implicit in the grid)

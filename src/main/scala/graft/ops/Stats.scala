@@ -1337,6 +1337,66 @@ object Stats {
       .withColumn("gap", col("frac_pos") - col("mean_score"))
   }
 
+  /** Difference-in-differences point estimate: with a treated/control
+    * flag and a pre/post flag, DiD = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre) — the standard "parallel trends" causal read
+    * of a rollout (did the new crawler policy change fetch latency
+    * beyond what the control fleet drifted). Four cell means, each ONE
+    * double division of exact bigint sums; the estimate is three IEEE
+    * subtractions. Cells with no rows make the estimate null rather
+    * than silently zero.
+    *
+    * Output one row: n per cell, mean per cell (t_pre, t_post, c_pre,
+    * c_post), did. Scale shape: one combiner aggregate, no shuffle
+    * beyond the single-row exchange. */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 valCol: String): DataFrame = {
+    def cell(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col(valCol).cast("long")).otherwise(0L)).as(s"_s_$tag"))
+    val t = col(treatedCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    val cells = cell("t_pre", t && !p) ++ cell("t_post", t && p) ++
+      cell("c_pre", !t && !p) ++ cell("c_post", !t && p)
+    def mean(tag: String) = when(col(s"n_$tag") > 0,
+      col(s"_s_$tag").cast("double") / col(s"n_$tag").cast("double"))
+    df.agg(cells.head, cells.tail: _*)
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), mean("t_pre").as("mean_t_pre"),
+        mean("t_post").as("mean_t_post"), mean("c_pre").as("mean_c_pre"),
+        mean("c_post").as("mean_c_post"))
+      .withColumn("did",
+        (col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre")))
+  }
+
+  /** Wilson score lower bound per key — the "sort by rating" rule that
+    * doesn't let 1-for-1 beat 480-for-500: with p̂ = k/n and a FIXED z
+    * literal (caller-supplied, default 1.96; the constant is part of the
+    * contract, not derived from any erf), the bound is the closed-form
+    *
+    *   (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * — divisions, multiplies and one correctly-rounded sqrt, all
+    * bit-replayable. Keys with n = 0 are absent by construction.
+    *
+    * Output per key: n, n_success, p_hat, wilson_lb. Scale shape: one combiner
+    * aggregate + a narrow row expression. */
+  def wilsonLowerBound(df: DataFrame, keyCols: Seq[String],
+                       successCol: String, z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val agged = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("n_success"))
+    val n = col("n").cast("double")
+    val p = col("n_success").cast("double") / n
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    agged.withColumn("p_hat", p).withColumn("wilson_lb", lb)
+  }
+
   /** Kaplan–Meier survival estimator per key over (duration, event)
     * observations (how long until a page goes stale / a user churns /
     * a crawl stops revisiting — right-censored rows carry

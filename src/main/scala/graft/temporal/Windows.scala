@@ -207,6 +207,40 @@ object Windows {
         element_at(col("_sm"), col("_i") + 1).as("ewma"): _*)
   }
 
+  /** Adaptive revisit scheduling from change history — the crawl-policy
+    * rule "back off exponentially while a page stays unchanged": at each
+    * snapshot, `unchanged_run` counts the consecutive unchanged snapshots
+    * ENDING at that row (0 whenever the row itself changed — computed as
+    * rn − running-max(rn where changed), one window, no recursion), and
+    * the next fetch is scheduled `min(maxS, baseS · 2^min(run, 30))`
+    * seconds out — pure integer shift arithmetic, replayable anywhere.
+    * Feed it [[revisitDiff]]'s changed flag; the latest row per key IS
+    * the live schedule ([[latestSnapshot]] downstream).
+    *
+    * Output: input + unchanged_run + next_interval_s. Scale shape: one
+    * per-key window over the snapshot table. (ts, tieBreak) must
+    * totally order each key.
+    */
+  def revisitSchedule(df: DataFrame, keys: Seq[String], ts: String,
+                      changedCol: String, baseS: Long, maxS: Long,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(baseS >= 1 && maxS >= baseS, "need 1 <= baseS <= maxS")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy((col(ts) +: tieBreak.map(col)).map(_.asc): _*)))
+      .withColumn("_crn",
+        max(when(col(changedCol), col("_rn"))).over(w))
+      .withColumn("unchanged_run",
+        (col("_rn") - coalesce(col("_crn"), lit(0))).cast("long"))
+      .withColumn("next_interval_s", least(lit(maxS),
+        expr(s"${baseS}L * shiftleft(1L, " +
+          "cast(least(unchanged_run, 30) as int))")))
+      .drop("_rn", "_crn")
+  }
+
   /** Run-length encoding of a keyed state timeline (gaps-and-islands):
     * consecutive rows with the SAME state (null-safe) collapse into one
     * run with its span and size — crawl-status timelines, availability

@@ -457,6 +457,43 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("diffInDiff: four exact cell means; empty cell nulls the estimate") {
+    val df = Seq(
+      (true, false, 10L), (true, false, 12L), // T,pre mean 11
+      (true, true, 20L),                      // T,post mean 20
+      (false, false, 5L),                     // C,pre mean 5
+      (false, true, 7L), (false, true, 9L))   // C,post mean 8
+      .toDF("treated", "post", "y")
+    val r = Stats.diffInDiff(df, "treated", "post", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getDouble(4) == 11.0 && r.getDouble(5) == 20.0)
+    assert(r.getDouble(6) == 5.0 && r.getDouble(7) == 8.0)
+    assert(r.getDouble(8) == (20.0 - 11.0) - (8.0 - 5.0))
+    // no control-post rows -> did null, other cells intact
+    val r2 = Stats.diffInDiff(df.where(!(col("treated") === false &&
+      col("post") === true)), "treated", "post", "y").collect().head
+    assert(r2.isNullAt(7) && r2.isNullAt(8) && r2.getDouble(5) == 20.0)
+  }
+
+  test("wilsonLowerBound: formula replay; 1-of-1 ranks below 480-of-500") {
+    val df = (Seq.tabulate(500)(i => ("big", i < 480)) ++
+      Seq(("tiny", true))).toDF("grp", "ok")
+    val r = Stats.wilsonLowerBound(df, Seq("grp"), "ok").orderBy("grp")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    def wilson(k: Long, n: Long): Double = {
+      val z = 1.96; val z2 = z * z
+      val nn = n.toDouble; val p = k.toDouble / nn
+      (p + z2 / (2.0 * nn) -
+        z * math.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn))) /
+        (1.0 + z2 / nn)
+    }
+    assert(r(0) == (("big", 500L, 480L, 480.0 / 500.0, wilson(480, 500))))
+    assert(r(1) == (("tiny", 1L, 1L, 1.0, wilson(1, 1))))
+    assert(wilson(1, 1) < wilson(480, 500)) // the point of the bound
+  }
+
   test("kaplanMeier: textbook risk sets and fold product, censoring exact") {
     val df = Seq(("k", 1L, true), ("k", 2L, true), ("k", 2L, false),
       ("k", 3L, true), ("k", 5L, false),

@@ -354,6 +354,27 @@ class WindowsSpec extends SparkSpec {
     assert(cols.toSeq == Seq("url", "t", "eid", "value", "ewma"))
   }
 
+  test("revisitSchedule: exponential backoff resets on change, capped") {
+    val df = Seq(
+      ("u", ts(1), 1L, true), ("u", ts(2), 2L, false),
+      ("u", ts(3), 3L, false), ("u", ts(4), 4L, false),
+      ("u", ts(5), 5L, true), ("u", ts(6), 6L, false),
+      ("v", ts(1), 7L, false), ("v", ts(2), 8L, false))
+      .toDF("url", "t", "eid", "changed")
+    val r = Windows.revisitSchedule(df, Seq("url"), "t", "changed",
+        baseS = 60L, maxS = 3600L, tieBreak = Seq("eid"))
+      .orderBy("eid").collect()
+      .map(x => (x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq((0L, 60L), (1L, 120L), (2L, 240L), (3L, 480L),
+      (0L, 60L), (1L, 120L), (1L, 120L), (2L, 240L)))
+    // deep runs cap at maxS, not overflow
+    val long = (1 to 40).map(i => ("w", ts(i.toLong), 100L + i, false))
+      .toDF("url", "t", "eid", "changed")
+    val rl = Windows.revisitSchedule(long, Seq("url"), "t", "changed",
+        60L, 3600L, Seq("eid")).orderBy("eid").collect()
+    assert(rl.last.getLong(5) == 3600L)
+  }
+
   test("stateRuns: islands collapse, null-safe state equality, spans exact") {
     val df = Seq(
       ("u", ts(1), 1L, Some("A")), ("u", ts(2), 2L, Some("A")),
