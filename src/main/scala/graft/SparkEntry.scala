@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 246 queries spanning every implemented operator family
+/** Driver contract — 248 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3951,7 +3951,31 @@ object SparkEntry {
         tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("unchanged_run"),
           col("next_interval_s"))
-        .orderBy(col("user_id"), col("event_id"))))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ---- politeness token bucket per user over the event stream ----
+    "q247_token_bucket" -> ((s, dir) =>
+      graft.ops.Behavior.tokenBucket(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), (col("event_id") % 150000).as("cost")),
+        Seq("user_id"), "ts", "cost", capacity = 200000L,
+        refillPerSec = 1L, tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ---- canonical-chain resolution by pointer jumping (chains down to
+    //      multiples of 10, plus a constructed 2-cycle) ----
+    "q248_canonical_chains" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chain = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("f"), (col("doc_id") - 1).as("t"))
+      val cyc = d.where(col("doc_id") === 0)
+        .select(lit(1000000L).as("f"), lit(1000001L).as("t"))
+        .unionByName(d.where(col("doc_id") === 0)
+          .select(lit(1000001L).as("f"), lit(1000000L).as("t")))
+      graft.ops.Curation.resolveCanonicalChains(
+          chain.unionByName(cyc), "f", "t")
+        .orderBy(col("url"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -7976,6 +8000,48 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q247: the fold replayed as a recursive CTE — refill, cap, drain
+    "q247_token_bucket" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  event_id % 150000 AS c FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ms, event_id) AS rn FROM e),
+        |w(user_id, ms, event_id, c, rn, lb, acc, lvl) AS (
+        |  SELECT user_id, ms, event_id, c, rn, 200000,
+        |    c <= 200000,
+        |    CASE WHEN c <= 200000 THEN 200000 - c ELSE 200000 END
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.ms, x.event_id, x.c, x.rn,
+        |    least(200000, w.lvl + ((x.ms - w.ms) // 1000)),
+        |    x.c <= least(200000, w.lvl + ((x.ms - w.ms) // 1000)),
+        |    least(200000, w.lvl + ((x.ms - w.ms) // 1000)) -
+        |      CASE WHEN x.c <= least(200000, w.lvl +
+        |        ((x.ms - w.ms) // 1000)) THEN x.c ELSE 0 END
+        |  FROM w JOIN r x ON x.user_id = w.user_id AND x.rn = w.rn + 1)
+        |SELECT user_id, cast(ms AS bigint) AS ts_ms, event_id,
+        |  cast(c AS bigint) AS cost, cast(lb AS bigint) AS level_before,
+        |  acc AS accepted, cast(lvl AS bigint) AS level_after
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    // q248: 2^8 single steps replay the 8 pointer-jumping rounds exactly
+    "q248_canonical_chains" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id AS u, doc_id - 1 AS v FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT 1000000, 1000001 FROM documents WHERE doc_id = 0
+        |  UNION ALL SELECT 1000001, 1000000 FROM documents WHERE doc_id = 0),
+        |mm AS (SELECT u, min(v) AS v FROM m GROUP BY u),
+        |r(u, v, d) AS (
+        |  SELECT u, v, 1 FROM mm
+        |  UNION ALL
+        |  SELECT r.u, mm.v, r.d + 1 FROM r JOIN mm ON r.v = mm.u
+        |  WHERE r.d < 256),
+        |f AS (SELECT u, arg_max(v, d) AS canonical FROM r GROUP BY u)
+        |SELECT f.u AS url, f.canonical, t.u IS NULL AS resolved
+        |FROM f LEFT JOIN mm t ON f.canonical = t.u
+        |ORDER BY url""".stripMargin,
 
     // q241: suffix-sum risk sets + the same fold product as a recursive
     // CTE (events-before-censoring at equal t is implicit in the grid)

@@ -379,6 +379,60 @@ object Behavior {
       .drop("_g")
   }
 
+  /** Deterministic token-bucket simulation over a keyed event stream —
+    * the crawl-politeness / rate-limit audit ("which fetches would a
+    * budget of `capacity` tokens refilled at `refillPerSec` have
+    * rejected"): per key in (ts, tie) order, the bucket level refills by
+    * `refillPerSec · gap_seconds` (integer), caps at `capacity`, and an
+    * event is ACCEPTED iff its `cost` fits, draining the bucket; rejects
+    * drain nothing. The recursion is a per-key LEFT FOLD over collected
+    * (ts, cost) arrays (the [[graft.temporal.Windows.ewmaHalf]] vehicle —
+    * level depends on which PRIOR events were accepted, so no prefix-sum
+    * identity exists), all arithmetic int64; a recursive-CTE oracle
+    * replays it exactly. Bounded-group contract as ewmaHalf.
+    *
+    * The first event of a key sees a FULL bucket. Output: keys…, ts,
+    * tie…, cost, level_before, accepted, level_after. */
+  def tokenBucket(df: DataFrame, keys: Seq[String], tsCol: String,
+                  costCol: String, capacity: Long, refillPerSec: Long,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    require(capacity >= 1 && refillPerSec >= 0,
+      "need capacity >= 1 and refillPerSec >= 0")
+    val seqFields = (unix_millis(col(tsCol).cast("timestamp")).as("ms") +:
+      tieBreak.map(c => col(c).as(c))) :+ col(costCol).cast("long").as("c")
+    // fold state rides a running array of structs (prev_ms, level_after);
+    // each step refills from the previous element then drains on accept
+    val fold = s"""aggregate(_seq,
+      cast(array() as array<struct<ms: bigint, lvl: bigint>>),
+      (acc, e) -> acc || array(named_struct('ms', e.ms, 'lvl',
+        if(size(acc) = 0,
+          if(e.c <= ${capacity}L, ${capacity}L - e.c, ${capacity}L),
+          least(${capacity}L, element_at(acc, -1).lvl +
+            $refillPerSec * ((e.ms - element_at(acc, -1).ms) div 1000)) -
+          if(e.c <= least(${capacity}L, element_at(acc, -1).lvl +
+            $refillPerSec * ((e.ms - element_at(acc, -1).ms) div 1000)),
+            e.c, 0L)))))"""
+    val folded = df
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(seqFields: _*))).as("_seq"))
+      .withColumn("_lv", expr(fold))
+    folded
+      .select(keys.map(col) :+ col("_seq") :+ col("_lv") :+
+        posexplode(col("_seq")).as(Seq("_i", "_e")): _*)
+      .withColumn("_before", expr(
+        s"""if(_i = 0, ${capacity}L,
+           |  least(${capacity}L, element_at(_lv, _i).lvl +
+           |    $refillPerSec *
+           |    ((_e.ms - element_at(_lv, _i).ms) div 1000)))""".stripMargin))
+      .select(keys.map(col) ++
+        (col("_e.ms").as("ts_ms") +: tieBreak.map(c =>
+          col(s"_e.$c").as(c))) :+ col("_e.c").as("cost") :+
+        col("_before").as("level_before") :+
+        (col("_e.c") <= col("_before")).as("accepted") :+
+        element_at(col("_lv"), col("_i") + 1).getField("lvl")
+          .as("level_after"): _*)
+  }
+
   /** Entry/exit/bounce analysis per page over gap-sessionized visits —
     * the classic web-analytics rollup: a session's ENTRY page is its
     * (ts, id)-first event's page, EXIT its last, and a BOUNCE is a

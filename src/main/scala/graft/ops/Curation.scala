@@ -99,6 +99,44 @@ object Curation {
       .drop("_bid")
   }
 
+  /** Resolve rel=canonical / redirect CHAINS to their terminal target by
+    * POINTER JUMPING: each round replaces every pointer with its
+    * pointer's pointer, so a chain of depth d resolves in ⌈log₂ d⌉
+    * label-sized self-joins (maxIters = 8 covers depth 256) instead of d
+    * sequential lookups — the [[graft.ops.Dedup.clusters]] scale
+    * discipline applied to a functional graph. Multiple outgoing edges
+    * per source dedupe to the MIN target (deterministic); a node whose
+    * final target still has an outgoing edge after the rounds sits on a
+    * CYCLE (or a >256 chain) and reports `resolved = false` — after k
+    * rounds the pointer is exactly f^(2^k), which an external engine
+    * replays by walking 2^k single steps.
+    *
+    * Output: url, canonical, resolved. Scale shape: maxIters edge-table
+    * self-joins on the pointer key, localCheckpoint per round; the page
+    * payload is never touched. */
+  def resolveCanonicalChains(edges: DataFrame, fromCol: String,
+                             toCol: String, maxIters: Int = 8): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 20, "need 1 <= maxIters <= 20")
+    val base = edges.select(col(fromCol).as("u"), col(toCol).as("v"))
+      .groupBy(col("u")).agg(min(col("v")).as("v"))
+      .persist()
+    var ptr = base
+    for (_ <- 0 until maxIters) {
+      ptr = ptr
+        .join(ptr.select(col("u").as("_v2"), col("v").as("_w")),
+          col("v") === col("_v2"), "left")
+        .select(col("u"), coalesce(col("_w"), col("v")).as("v"))
+        .localCheckpoint()
+    }
+    val out = ptr
+      .join(base.select(col("u").as("_t")), col("v") === col("_t"),
+        "left")
+      .select(col("u").as("url"), col("v").as("canonical"),
+        col("_t").isNull.as("resolved"))
+    base.unpersist()
+    out
+  }
+
   /** Entity-safe deterministic train/val/test split assignment. The split
     * is a pure function of the KEY (not the row): bucket = 32-bit md5 rank
     * of the key mod sum(weights), mapped to the first split whose

@@ -21,6 +21,28 @@ class BehaviorSpec extends SparkSpec {
     assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
   }
 
+  test("tokenBucket: refill/cap/drain fold, rejects leave level intact") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      ("h", t(0), 1L, 4L),    // full bucket 10 -> accept -> 6
+      ("h", t(2), 2L, 9L),    // refill 2 -> 8, reject (9 > 8)
+      ("h", t(3), 3L, 8L),    // refill 1 -> 9, accept -> 1
+      ("h", t(100), 4L, 3L),  // refill caps at 10, accept -> 7
+      ("g", t(0), 5L, 20L))   // cost > capacity: reject on a full bucket
+      .toDF("host", "ts", "eid", "cost")
+    val r = Behavior.tokenBucket(df, Seq("host"), "ts", "cost",
+        capacity = 10L, refillPerSec = 1L, tieBreak = Seq("eid"))
+      .orderBy("eid").collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getBoolean(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 10L, true, 6L),
+      (2L, 9L, 8L, false, 8L),
+      (3L, 8L, 9L, true, 1L),
+      (4L, 3L, 10L, true, 7L),
+      (5L, 20L, 10L, false, 10L)))
+  }
+
   test("entryExitPages: entry/exit by (ts,id) order, bounces, exact rates") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     val df = Seq(

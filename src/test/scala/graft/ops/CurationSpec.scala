@@ -63,6 +63,21 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("resolveCanonicalChains: chains resolve, cycles flag, dup edges min") {
+    val edges = Seq((1L, 2L), (1L, 9L), // dup outgoing: min target 2 wins
+      (2L, 3L), (3L, 4L),               // chain to terminal 4
+      (7L, 3L),                         // side entry joins the chain
+      (5L, 6L), (6L, 5L))               // 2-cycle: never resolves
+      .toDF("f", "t")
+    val r = Curation.resolveCanonicalChains(edges, "f", "t")
+      .orderBy("url").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, true), (2L, 4L, true), (3L, 4L, true),
+      (5L, 5L, false), (6L, 6L, false), // f^256 on a 2-cycle = identity
+      (7L, 4L, true)))
+  }
+
   test("balanceClasses: every class trimmed to the minority size, md5 order") {
     val df = (Seq.tabulate(5)(i => (i.toLong, "big")) ++
       Seq((10L, "small"), (11L, "small")) ++
