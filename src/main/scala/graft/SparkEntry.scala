@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 248 queries spanning every implemented operator family
+/** Driver contract — 249 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3975,7 +3975,12 @@ object SparkEntry {
       graft.ops.Curation.resolveCanonicalChains(
           chain.unionByName(cyc), "f", "t")
         .orderBy(col("url"))
-    }))
+    }),
+
+    // ---- Mann-Whitney + Cliff's delta: en vs de doc lengths ----
+    "q249_mann_whitney" -> ((s, dir) =>
+      graft.ops.Stats.mannWhitney(t(s, dir, "documents"), "lang",
+        "n_chars", "en", "de")))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8000,6 +8005,37 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q249: doubled tie ranks, exact u2, one-division delta, fixed-form
+    // tie-corrected z (sqrt is IEEE-exact)
+    "q249_mann_whitney" ->
+      """WITH s AS (SELECT lang = 'en' AS isa, n_chars AS v
+        |           FROM documents WHERE lang IN ('en', 'de')),
+        |r AS (SELECT isa,
+        |  rank() OVER (ORDER BY v) * 2 + count(*) OVER (PARTITION BY v)
+        |    - 1 AS dr FROM s),
+        |a AS (SELECT
+        |  cast(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS bigint) AS n_a,
+        |  cast(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_b,
+        |  cast(sum(CASE WHEN isa THEN dr ELSE 0 END) AS bigint) AS ra2
+        |  FROM r),
+        |tc AS (SELECT cast(coalesce(sum(t * t * t - t), 0) AS bigint)
+        |  AS tcorr FROM (SELECT count(*) AS t FROM s GROUP BY v)),
+        |j AS (SELECT a.n_a, a.n_b, a.ra2 - a.n_a * (a.n_a + 1) AS u2,
+        |  tc.tcorr, a.n_a + a.n_b AS n FROM a, tc),
+        |v AS (SELECT *, cast(n_a * n_b AS double) / cast(12 AS double) *
+        |  (cast(n + 1 AS double) -
+        |   cast(tcorr AS double) / cast(n * (n - 1) AS double)) AS varu
+        |  FROM j)
+        |SELECT n_a, n_b, u2,
+        |  cast(u2 AS double) / cast(n_a * n_b AS double) -
+        |    cast(1 AS double) AS cliffs_delta,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varu > 0 THEN
+        |    (cast(u2 AS double) / cast(2 AS double) -
+        |     cast(n_a * n_b AS double) / cast(2 AS double)) / sqrt(varu)
+        |  END AS z
+        |FROM v""".stripMargin,
 
     // q247: the fold replayed as a recursive CTE — refill, cap, drain
     "q247_token_bucket" ->

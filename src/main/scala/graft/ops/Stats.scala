@@ -1337,6 +1337,47 @@ object Stats {
       .withColumn("gap", col("frac_pos") - col("mean_score"))
   }
 
+  /** Mann–Whitney rank-sum test + Cliff's delta between two groups —
+    * the unpaired nonparametric companion to [[wilcoxonSignedRank]]
+    * (and the robust alternative to [[welchTest]] when outliers own the
+    * mean): DOUBLED integer tie ranks (the [[spearman]] device) keep the
+    * rank sum exact, `u2 = 2·U_A = R_A² − n_a(n_a+1)` stays a bigint,
+    * Cliff's effect size falls out as `u2/(n_a·n_b) − 1` (one division),
+    * and the tie-corrected normal z uses the fixed textbook variance —
+    * divisions and one IEEE sqrt, replayable anywhere.
+    *
+    * Sample-scale contract (the [[spearman]] caveat): the rank windows
+    * are global — run it per stratum at corpus scale, not over one
+    * unbounded group. Output one row: n_a, n_b, u2, cliffs_delta, z.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val slim = df
+      .where(col(groupCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select((col(groupCol) === groupA).as("_isA"),
+        col(valCol).cast("long").as("_v"))
+    val dbl = (rank().over(Window.orderBy(col("_v"))) * 2 +
+      count(lit(1)).over(Window.partitionBy(col("_v"))) - 1).cast("long")
+    val agg = slim.withColumn("_dr", dbl).agg(
+      sum(when(col("_isA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_isA"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_isA"), col("_dr")).otherwise(0L)).as("_ra2"))
+    val ties = slim.groupBy(col("_v")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * col("_t") * col("_t") - col("_t")),
+        lit(0L)).as("_tcorr"))
+    val u2 = col("_ra2") - col("n_a") * (col("n_a") + 1)
+    val n = col("n_a") + col("n_b")
+    val prodD = (col("n_a") * col("n_b")).cast("double")
+    val varU = prodD / 12.0 *
+      ((n + 1).cast("double") -
+        col("_tcorr").cast("double") / (n * (n - 1)).cast("double"))
+    val z = (u2.cast("double") / 2.0 - prodD / 2.0) / sqrt(varU)
+    agg.crossJoin(ties)
+      .select(col("n_a"), col("n_b"), u2.as("u2"),
+        (u2.cast("double") / prodD - 1.0).as("cliffs_delta"),
+        when(col("n_a") > 0 && col("n_b") > 0 && varU > 0.0, z).as("z"))
+  }
+
   /** Difference-in-differences point estimate: with a treated/control
     * flag and a pre/post flag, DiD = (ȳ_T,post − ȳ_T,pre) −
     * (ȳ_C,post − ȳ_C,pre) — the standard "parallel trends" causal read

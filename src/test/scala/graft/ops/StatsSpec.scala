@@ -457,6 +457,29 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("mannWhitney: doubled-rank U, Cliff's delta, tie correction") {
+    // complete separation: A = {3,5} all above B = {1,2} -> delta = 1
+    val df = Seq(("A", 3L), ("A", 5L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 8L)))
+    assert(r.getDouble(3) == 1.0)
+    // ties: A={1,2}, B={1,3} -> U_A = 1.5 -> u2 = 3, delta = -0.25
+    val t = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 3L)).toDF("g", "v")
+    val rt = Stats.mannWhitney(t, "g", "v", "A", "B").collect().head
+    assert(rt.getLong(2) == 3L)
+    assert(rt.getDouble(3) == 3.0 / 4.0 - 1.0)
+    // z replay: tcorr = 2^3-2 = 6, n = 4
+    val prod = 4.0
+    val varU = prod / 12.0 * (5.0 - 6.0 / 12.0)
+    val zExp = (3.0 / 2.0 - prod / 2.0) / math.sqrt(varU)
+    assert(rt.getDouble(4) == zExp)
+    // identical groups: delta 0, z 0
+    val e = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val re = Stats.mannWhitney(e, "g", "v", "A", "B").collect().head
+    assert(re.getDouble(3) == 0.0 && re.getDouble(4) == 0.0)
+  }
+
   test("diffInDiff: four exact cell means; empty cell nulls the estimate") {
     val df = Seq(
       (true, false, 10L), (true, false, 12L), // T,pre mean 11
