@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 249 queries spanning every implemented operator family
+/** Driver contract — 250 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3980,7 +3980,22 @@ object SparkEntry {
     // ---- Mann-Whitney + Cliff's delta: en vs de doc lengths ----
     "q249_mann_whitney" -> ((s, dir) =>
       graft.ops.Stats.mannWhitney(t(s, dir, "documents"), "lang",
-        "n_chars", "en", "de")))
+        "n_chars", "en", "de")),
+
+    // ---- three-way merge of two divergent curation branches ----
+    "q250_three_way_merge" -> ((s, dir) => {
+      val b = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val o = b.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1000)
+            .otherwise(col("n_chars")).as("n_chars"))
+      val th = b.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, col("n_chars") + 2000)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Diff.threeWayMerge(b, o, th, "doc_id")
+        .orderBy(col("doc_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8005,6 +8020,43 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q250: the classic 3-way rule spelled out over presence flags and
+    // null-safe field comparisons (base carries every key here)
+    "q250_three_way_merge" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        |o AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |    AS n_chars FROM documents WHERE doc_id % 17 <> 0),
+        |t AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 2000 ELSE n_chars END
+        |    AS n_chars FROM documents),
+        |j AS (SELECT b.doc_id AS id, b.source AS bs, b.n_chars AS bn,
+        |  o.doc_id IS NOT NULL AS op, o.source AS os, o.n_chars AS onc,
+        |  t.doc_id IS NOT NULL AS tp, t.source AS tsrc, t.n_chars AS tn
+        |  FROM b LEFT JOIN o ON b.doc_id = o.doc_id
+        |  LEFT JOIN t ON b.doc_id = t.doc_id),
+        |c AS (SELECT id, op, tp, os, onc, tsrc, tn,
+        |  NOT (op AND os IS NOT DISTINCT FROM bs
+        |       AND onc IS NOT DISTINCT FROM bn) AS oc,
+        |  NOT (tp AND tsrc IS NOT DISTINCT FROM bs
+        |       AND tn IS NOT DISTINCT FROM bn) AS tc,
+        |  (op = tp) AND (NOT op OR (os IS NOT DISTINCT FROM tsrc
+        |       AND onc IS NOT DISTINCT FROM tn)) AS same_ot FROM j)
+        |SELECT id AS doc_id,
+        |  CASE WHEN NOT oc AND NOT tc THEN 'unchanged'
+        |       WHEN NOT oc THEN 'theirs'
+        |       WHEN NOT tc THEN 'ours'
+        |       WHEN same_ot THEN 'both_same'
+        |       ELSE 'conflict' END AS status,
+        |  CASE WHEN NOT oc THEN (CASE WHEN tp THEN tsrc END)
+        |       WHEN NOT tc THEN (CASE WHEN op THEN os END)
+        |       WHEN same_ot THEN (CASE WHEN op THEN os END) END AS source,
+        |  CASE WHEN NOT oc THEN (CASE WHEN tp THEN tn END)
+        |       WHEN NOT tc THEN (CASE WHEN op THEN onc END)
+        |       WHEN same_ot THEN (CASE WHEN op THEN onc END) END
+        |    AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // q249: doubled tie ranks, exact u2, one-division delta, fixed-form
     // tie-corrected z (sqrt is IEEE-exact)

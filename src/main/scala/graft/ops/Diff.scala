@@ -136,6 +136,48 @@ object Diff {
         col("_vt").isNull.as("is_current"): _*)
   }
 
+  /** Three-way merge of two divergent snapshots against their common
+    * base — the reconciliation step when two crawl/curation branches
+    * edited the same table: per key (present in ANY of the three), a
+    * side "changed" iff its payload struct differs null-safely from the
+    * base (absence counts as a change, so adds and deletes participate),
+    * and the outcome is the classic rule — only one side changed → take
+    * it; both changed identically → take either (`both_same`); both
+    * changed apart → `conflict` (merged payload null, sides preserved
+    * for the resolver); neither → `unchanged`.
+    *
+    * Output: keyCol, status ('unchanged'|'ours'|'theirs'|'both_same'|
+    * 'conflict'), merged payload columns (null when the winning side
+    * deleted the key, or on conflict). Scale shape: two key equi-joins
+    * (base⟗ours⟗theirs), payloads ride as structs, no window.
+    */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+                    keyCol: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol).toSeq
+    require(payload.nonEmpty &&
+      payload.forall(c => ours.columns.contains(c) &&
+        theirs.columns.contains(c)),
+      "all three inputs must share the base payload columns")
+    def side(df: DataFrame, tag: String) = df.select(
+      col(keyCol).as("_k"),
+      struct(payload.map(col): _*).as(s"_$tag"))
+    val joined = side(base, "b")
+      .join(side(ours, "o"), Seq("_k"), "full_outer")
+      .join(side(theirs, "t"), Seq("_k"), "full_outer")
+    val oursChanged = !(col("_o") <=> col("_b"))
+    val theirsChanged = !(col("_t") <=> col("_b"))
+    val winner = when(!oursChanged, col("_t"))
+      .when(!theirsChanged, col("_o"))
+      .when(col("_o") <=> col("_t"), col("_o"))
+    val status = when(!oursChanged && !theirsChanged, "unchanged")
+      .when(!oursChanged, "theirs")
+      .when(!theirsChanged, "ours")
+      .when(col("_o") <=> col("_t"), "both_same")
+      .otherwise("conflict")
+    joined.select(col("_k").as(keyCol) +: status.as("status") +:
+      payload.map(c => winner.getField(c).as(c)): _*)
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
     val r = ref.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_ref"))
     val c = cur.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_cur"))

@@ -23,6 +23,26 @@ class DiffSpec extends SparkSpec {
     assert(r2.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("threeWayMerge: classic outcomes incl. adds, deletes, conflicts") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f")).toDF("id", "v")
+    val ours = Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D1"), (5L, "E"),
+      (7L, "new")).toDF("id", "v") // 6 deleted, 7 added
+    val theirs = Seq((1L, "a"), (2L, "b"), (3L, "C"), (4L, "D2"),
+      (5L, "E"), (6L, "f")).toDF("id", "v")
+    val r = Diff.threeWayMerge(base, ours, theirs, "id")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.getString(2))))
+    assert(r.toSeq == Seq(
+      (1L, "unchanged", Some("a")),
+      (2L, "ours", Some("B")),
+      (3L, "theirs", Some("C")),
+      (4L, "conflict", None),     // D1 vs D2
+      (5L, "both_same", Some("E")),
+      (6L, "ours", None),         // our delete wins (theirs untouched)
+      (7L, "ours", Some("new")))) // added only by us; theirs untouched
+  }
+
   test("scd2: intervals chain per key, delete closes without emitting") {
     val changes = Seq(
       (1L, 10L, "upsert", "a1"), (1L, 20L, "upsert", "a2"),
