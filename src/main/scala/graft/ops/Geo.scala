@@ -70,7 +70,10 @@ object Geo {
   def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
              eps: Double, minPts: Int): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
-    val pairs = gridNeighbors(df, idCol, xCol, yCol, eps)
+    // three consumers (degrees, core-core edges, border adjacency) —
+    // materialize the pair join ONCE as an eager leaf (the repo's
+    // iterative-op discipline; a bare persist would leak past return)
+    val pairs = gridNeighbors(df, idCol, xCol, yCol, eps).localCheckpoint()
     val ids = df.select(col(idCol).as("id"))
     val deg = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
