@@ -462,6 +462,9 @@ object Behavior {
         count(lit(1)).as("_n"))
       .select(col("_first._pg").as("entry_page"),
         col("_last._pg").as("exit_page"), col("_n"))
+      // session-bounded; eager leaf so total/entries/exits don't each
+      // re-run the sessionization window pass
+      .localCheckpoint()
     val total = perSession.agg(count(lit(1)).as("n_sessions"))
     val entries = perSession.groupBy(col("entry_page").as("page"))
       .agg(count(lit(1)).as("n_entries"),

@@ -85,7 +85,10 @@ object Curation {
       .cast("binary"))
     val slim = df.select(col(idCol).as("_bid"), col(classCol).as("_bc"),
       h.as("_bh"))
+    // class-bounded count table; eager leaf so minN doesn't re-run the
+    // corpus aggregate a second time
     val counts = slim.groupBy(col("_bc")).agg(count(lit(1)).as("class_n"))
+      .localCheckpoint()
     val minN = counts.agg(min(col("class_n")).as("_minN"))
     val ranked = slim
       .withColumn("sample_rank", row_number().over(

@@ -294,8 +294,11 @@ object Reporting {
                 pctNum: Long = 80L, pctDen: Long = 100L): DataFrame = {
     require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen,
       "need 0 < pctNum <= pctDen")
+    // key-bounded aggregate; eager leaf so the total and the ranked pass
+    // don't each re-run the corpus aggregate
     val perKey = df.groupBy(col(keyCol).as("key"))
       .agg(sum(col(weightCol).cast("long")).as("weight"))
+      .localCheckpoint()
     val tot = perKey.agg(sum(col("weight")).as("_total"))
     val w = Window.orderBy(col("weight").desc, col("key").asc)
     perKey.crossJoin(broadcast(tot))
