@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 250 queries spanning every implemented operator family
+/** Driver contract — 252 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -3995,7 +3995,26 @@ object SparkEntry {
           .otherwise(col("n_chars")).as("n_chars"))
       graft.ops.Diff.threeWayMerge(b, o, th, "doc_id")
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // ---- weighted (multiset) Jaccard near-dups over a prefixed-copy
+    //      corpus (df cap above corpus max-df => exact) ----
+    "q251_weighted_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 150)
+      val docs = d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000).as("id"),
+          concat(lit("prefixtoken "), col("text")).as("text")))
+      graft.ops.Dedup.weightedJaccardPairs(docs, "id", "text",
+          threshold = 0.5, maxTokenDf = 1000000)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Gini concentration of event mass across users ----
+    "q252_gini" -> ((s, dir) =>
+      graft.ops.Reporting.giniCoefficient(
+        t(s, dir, "events").select(col("user_id"),
+          (col("event_id") % 100).as("w")),
+        "user_id", "w")))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8020,6 +8039,49 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q251: token-count CTEs, shared-token min sums, the min/max identity
+    "q251_weighted_jaccard" ->
+      """WITH docs AS (SELECT doc_id AS id, text FROM documents
+        |  WHERE doc_id < 150
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text
+        |  FROM documents WHERE doc_id < 150),
+        |w AS (SELECT id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS t
+        |  FROM docs),
+        |c AS (SELECT id, t, cast(count(*) AS bigint) AS c FROM w
+        |      GROUP BY id, t),
+        |tot AS (SELECT id, cast(sum(c) AS bigint) AS tot FROM c
+        |        GROUP BY id),
+        |sh AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  cast(sum(least(a.c, b.c)) AS bigint) AS min_sum
+        |  FROM c a JOIN c b ON a.t = b.t AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |j AS (SELECT sh.id_a, sh.id_b, sh.min_sum,
+        |  cast(sh.min_sum AS double) /
+        |    cast(ta.tot + tb.tot - sh.min_sum AS double)
+        |    AS weighted_jaccard
+        |  FROM sh JOIN tot ta ON sh.id_a = ta.id
+        |  JOIN tot tb ON sh.id_b = tb.id)
+        |SELECT * FROM j WHERE weighted_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q252: rank-sum identity, tie-order-free; two divisions
+    "q252_gini" ->
+      """WITH k AS (SELECT user_id AS key,
+        |  cast(sum(event_id % 100) AS bigint) AS w FROM events
+        |  GROUP BY user_id),
+        |r AS (SELECT w, row_number() OVER (ORDER BY w, key) AS i FROM k),
+        |a AS (SELECT cast(count(*) AS bigint) AS n_keys,
+        |  cast(sum(w) AS bigint) AS total_weight,
+        |  cast(sum(i * w) AS bigint) AS s FROM r)
+        |SELECT n_keys, total_weight,
+        |  CASE WHEN n_keys > 0 AND total_weight > 0 THEN
+        |    cast(2 AS double) * cast(s AS double) /
+        |      cast(n_keys * total_weight AS double) -
+        |    cast(n_keys + 1 AS double) / cast(n_keys AS double) END
+        |    AS gini
+        |FROM a""".stripMargin,
 
     // q250: the classic 3-way rule spelled out over presence flags and
     // null-safe field comparisons (base carries every key here)

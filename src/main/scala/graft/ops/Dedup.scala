@@ -777,6 +777,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"))
   }
 
+  /** Weighted (multiset) Jaccard pairs over word COUNTS — the similarity
+    * [[ngramJaccardPairs]]'s set semantics underestimates for repetitive
+    * pages: J_w = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)), with
+    * Σmax = tot_a + tot_b − Σmin, so only the shared-token join is ever
+    * computed and every part is an exact bigint (one terminal division).
+    * Same inverted-index + df-cap discipline as the set variant (the cap
+    * trades hot-token postings for a lower-bounded score; set it above
+    * the corpus max-df to make the score exact).
+    *
+    * Output: id_a, id_b, min_sum, weighted_jaccard (≥ threshold). Scale
+    * shape: token counts by combiner groupBy, hot-token anti-join, one
+    * postings self-join bounded by pruned df, totals joined in by id. */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5,
+                           maxTokenDf: Int = 1000): DataFrame = {
+    val words = regexp_extract_all(lower(col(textCol)),
+      lit("[a-z0-9_']+"), lit(0))
+    val counts = df.select(col(idCol).as("_id"), explode(words).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_c"))
+    val tot = counts.groupBy(col("_id")).agg(sum(col("_c")).as("_tot"))
+    val hot = counts.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxTokenDf).select(col("_t"))
+    val pruned = counts.join(hot, Seq("_t"), "left_anti")
+    val shared = pruned.as("x")
+      .join(pruned.as("y"), col("x._t") === col("y._t"))
+      .where(col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .agg(sum(least(col("x._c"), col("y._c"))).as("min_sum"))
+    shared
+      .join(tot.select(col("_id").as("id_a"), col("_tot").as("_ta")),
+        Seq("id_a"))
+      .join(tot.select(col("_id").as("id_b"), col("_tot").as("_tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("min_sum"),
+        (col("min_sum").cast("double") /
+          (col("_ta") + col("_tb") - col("min_sum")).cast("double"))
+          .as("weighted_jaccard"))
+      .where(col("weighted_jaccard") >= threshold)
+  }
+
   /** Fellegi–Sunter record-linkage scoring over blocked candidate pairs:
     * candidates meet by an equi-join on `blockCol` (choose blocks that
     * bound candidate counts — the [[fuzzyPairs]] blocking discipline), and

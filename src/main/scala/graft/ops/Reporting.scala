@@ -290,6 +290,38 @@ object Reporting {
     * table only (hosts, languages, sources — not rows). Output per key:
     * key, weight, rank, cum_weight, share, in_cut.
     */
+  /** Gini coefficient of a keyed weight distribution — the one-number
+    * inequality reading next to [[paretoCut]]'s cut list ("how
+    * concentrated is crawl mass across hosts"): with per-key totals w
+    * sorted ascending and ranked 1..n,
+    *
+    *   G = 2·Σ(i·wᵢ) / (n·W) − (n+1)/n
+    *
+    * Σ(i·wᵢ) is an exact bigint (tie order is irrelevant — equal weights
+    * contribute the same sum under any rank permutation), so G is two
+    * divisions and a subtract: bit-replayable. 0 = perfectly even,
+    * (n−1)/n = one key owns everything.
+    *
+    * Output one row: n_keys, total_weight, gini (null when n·W = 0).
+    * Scale shape: one combiner aggregate per key, then rank/sum windows
+    * over the KEY-BOUNDED table only (the [[paretoCut]] caveat). */
+  def giniCoefficient(df: DataFrame, keyCol: String,
+                      weightCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val ranked = perKey.withColumn("_i",
+      row_number().over(Window.orderBy(col("w"), col("key"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_keys"), sum(col("w")).as("total_weight"),
+        sum(col("_i") * col("w")).as("_s"))
+      .withColumn("gini",
+        when(col("n_keys") > 0 && col("total_weight") > 0,
+          lit(2.0) * col("_s").cast("double") /
+            (col("n_keys") * col("total_weight")).cast("double") -
+            (col("n_keys") + 1).cast("double") /
+              col("n_keys").cast("double")))
+      .drop("_s")
+  }
+
   def paretoCut(df: DataFrame, keyCol: String, weightCol: String,
                 pctNum: Long = 80L, pctDen: Long = 100L): DataFrame = {
     require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen,

@@ -115,6 +115,26 @@ class DedupSpec extends SparkSpec {
     assert(lo >= hi)
   }
 
+  test("weightedJaccardPairs: multiset min/max identity, df cap prunes") {
+    val df = Seq(
+      (1L, "a a b"), (2L, "a b b"),      // min 2, tot 3+3 -> J = 2/4
+      (3L, "a a b"),                      // identical to 1 -> J = 1
+      (4L, "zz zz zz"))                   // disjoint from all
+      .toDF("id", "text")
+    val r = Dedup.weightedJaccardPairs(df, "id", "text", threshold = 0.4)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getDouble(3)))).toMap
+    assert(r((1L, 2L)) == ((2L, 0.5)))
+    assert(r((1L, 3L)) == ((3L, 1.0)))
+    assert(r((2L, 3L)) == ((2L, 0.5)))
+    assert(r.size == 3) // doc 4 pairs with nobody
+    // a token in > maxTokenDf docs is pruned from the index: with cap 2,
+    // 'a' and 'b' (df 3) drop, so no pair survives
+    val pruned = Dedup.weightedJaccardPairs(df, "id", "text", 0.4,
+      maxTokenDf = 2)
+    assert(pruned.count() == 0)
+  }
+
   test("linkageScore: blocked FS scores, null-safe agreement, threshold") {
     val a = Seq(
       (1L, "blkA", "alice", Some(30L)),

@@ -91,6 +91,21 @@ class ReportingSpec extends SparkSpec {
       (3L, "*", "*", true)))
   }
 
+  test("giniCoefficient: even -> 0, monopoly -> (n-1)/n, tie-order-free") {
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L)).toDF("k", "w")
+    val re = Reporting.giniCoefficient(even, "k", "w").collect().head
+    assert(re.getLong(0) == 4L && re.getLong(1) == 4L)
+    assert(re.getDouble(2) == 0.0)
+    val mono = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 10L)).toDF("k", "w")
+    val rm = Reporting.giniCoefficient(mono, "k", "w").collect().head
+    assert(rm.getDouble(2) == 2.0 * 40.0 / 40.0 - 5.0 / 4.0) // (n-1)/n
+    // hand case with duplicate-key rows pre-aggregating: a=1+2=3, b=5
+    val dup = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "w")
+    val rd = Reporting.giniCoefficient(dup, "k", "w").collect().head
+    // sorted [3,5]: S = 1*3 + 2*5 = 13; G = 26/16 - 3/2 = 0.125
+    assert(rd.getDouble(2) == 2.0 * 13.0 / 16.0 - 3.0 / 2.0)
+  }
+
   test("paretoCut: cross-multiplied threshold, crossing key included") {
     val df = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L),
       ("a", 0L)).toDF("host", "w") // duplicate key rows pre-aggregate
