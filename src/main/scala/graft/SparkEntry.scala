@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 252 queries spanning every implemented operator family
+/** Driver contract — 254 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4014,7 +4014,26 @@ object SparkEntry {
       graft.ops.Reporting.giniCoefficient(
         t(s, dir, "events").select(col("user_id"),
           (col("event_id") % 100).as("w")),
-        "user_id", "w")))
+        "user_id", "w")),
+
+    // ---- forecast scorecard vs the naive lag-1 baseline ----
+    "q253_forecast_eval" -> ((s, dir) =>
+      graft.ops.Stats.forecastEval(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), (col("event_id") % 30).as("a"),
+          ((col("event_id") * 7) % 30).as("p")),
+        Seq("user_id"), "ts", "a", "p", tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"))),
+
+    // ---- URL path-hierarchy rollup over constructed site paths ----
+    "q254_path_rollup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(concat(lit("/s"),
+        (col("doc_id") % 4).cast("string"), lit("/p"),
+        (col("doc_id") % 6).cast("string"), lit("/q"),
+        (col("doc_id") % 3).cast("string")).as("path"))
+      graft.ops.Curation.pathRollup(d, "path")
+        .orderBy(col("prefix"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8039,6 +8058,41 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q253: lag window + exact abs-error sums, like-for-like row set
+    "q253_forecast_eval" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_id % 30 AS a,
+        |  (event_id * 7) % 30 AS p FROM events),
+        |w AS (SELECT user_id, a, p,
+        |  lag(a) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+        |  FROM e),
+        |s AS (SELECT user_id, cast(count(*) AS bigint) AS n,
+        |  cast(sum(abs(a - p)) AS bigint) AS sum_abs_err,
+        |  cast(sum(abs(a - nv)) AS bigint) AS sum_abs_naive_err
+        |  FROM w WHERE nv IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n, sum_abs_err, sum_abs_naive_err,
+        |  cast(sum_abs_err AS double) / cast(n AS double) AS mae_pred,
+        |  cast(sum_abs_naive_err AS double) / cast(n AS double)
+        |    AS mae_naive,
+        |  CASE WHEN sum_abs_naive_err > 0 THEN
+        |    (cast(sum_abs_err AS double) / cast(n AS double)) /
+        |    (cast(sum_abs_naive_err AS double) / cast(n AS double)) END
+        |    AS mase
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // q254: list_slice prefixes, empty segments filtered, exact counts
+    "q254_path_rollup" ->
+      """WITH p AS (SELECT '/s' || cast(doc_id % 4 AS varchar) ||
+        |  '/p' || cast(doc_id % 6 AS varchar) ||
+        |  '/q' || cast(doc_id % 3 AS varchar) AS path FROM documents),
+        |w AS (SELECT list_filter(string_split(path, '/'), x -> x <> '')
+        |        AS segs FROM p),
+        |e AS (SELECT i,
+        |  '/' || array_to_string(list_slice(segs, 1, i), '/') AS prefix
+        |  FROM w, unnest(range(1, len(segs) + 1)) AS t(i))
+        |SELECT prefix, cast(i AS bigint) AS depth,
+        |  cast(count(*) AS bigint) AS n_pages
+        |FROM e GROUP BY prefix, i ORDER BY prefix""".stripMargin,
 
     // q251: token-count CTEs, shared-token min sums, the min/max identity
     "q251_weighted_jaccard" ->

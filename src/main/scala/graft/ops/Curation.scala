@@ -102,6 +102,30 @@ object Curation {
       .drop("_bid")
   }
 
+  /** URL path-hierarchy rollup: every page contributes a count to EACH
+    * cumulative path prefix ("/a", "/a/b", "/a/b/c") — the site-structure
+    * view a crawl planner reads ("which sections hold the mass") that a
+    * flat per-path groupBy can't answer without N queries. Prefixes are
+    * built with a `transform(sequence…)` + `slice` HOF (depth-bounded
+    * explode, no UDF); empty segments from '//' or trailing '/' drop.
+    *
+    * Output: (prefix, depth, n_pages), one row per observed prefix.
+    * Scale shape: per-row prefix explode (×path-depth, bounded small) +
+    * one combiner groupBy on the prefix — the page payload never moves.
+    */
+  def pathRollup(df: DataFrame, pathCol: String): DataFrame = {
+    val segs = filter(split(col(pathCol), "/"), s => length(s) > 0)
+    val prefixes = expr(
+      "transform(sequence(1, size(_segs)), i -> " +
+        "named_struct('prefix', concat('/', array_join(slice(_segs, 1, i), '/')), " +
+        "'depth', cast(i as bigint)))")
+    df.select(segs.as("_segs"))
+      .where(size(col("_segs")) > 0)
+      .select(explode(prefixes).as("_p"))
+      .groupBy(col("_p.prefix").as("prefix"), col("_p.depth").as("depth"))
+      .agg(count(lit(1)).as("n_pages"))
+  }
+
   /** Resolve rel=canonical / redirect CHAINS to their terminal target by
     * POINTER JUMPING: each round replaces every pointer with its
     * pointer's pointer, so a chain of depth d resolves in ⌈log₂ d⌉

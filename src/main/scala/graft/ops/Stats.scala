@@ -1337,6 +1337,47 @@ object Stats {
       .withColumn("gap", col("frac_pos") - col("mean_score"))
   }
 
+  /** Forecast evaluation per key against the one-step NAIVE baseline —
+    * the honest "is the model better than copying yesterday" scorecard:
+    * over the (ts, tie)-ordered series, MAE of the prediction and MAE of
+    * the naive lag-1 forecast are EXACT integer sums of absolute errors
+    * (rows without a lag — each key's first — are excluded from BOTH so
+    * the comparison is like-for-like), and
+    *
+    *   MASE = mae_pred / mae_naive
+    *
+    * is one division of two one-division doubles. mase is null when the
+    * naive error is 0 (a constant series can't be beaten honestly).
+    *
+    * Output per key: n (scored rows), sum_abs_err, sum_abs_naive_err,
+    * mae_pred, mae_naive, mase. Scale shape: one per-key window (lag) +
+    * one combiner aggregate. */
+  def forecastEval(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   actualCol: String, predCol: String,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val a = col(actualCol).cast("long")
+    val p = col(predCol).cast("long")
+    val naive = lag(a, 1).over(w)
+    val scored = df
+      .select(keyCols.map(col) :+ a.as("_a") :+ p.as("_p") :+
+        naive.as("_n"): _*)
+      .where(col("_n").isNotNull)
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("_a") - col("_p"))).as("sum_abs_err"),
+        sum(abs(col("_a") - col("_n"))).as("sum_abs_naive_err"))
+      .withColumn("mae_pred",
+        col("sum_abs_err").cast("double") / col("n").cast("double"))
+      .withColumn("mae_naive",
+        col("sum_abs_naive_err").cast("double") / col("n").cast("double"))
+      .withColumn("mase", when(col("sum_abs_naive_err") > 0,
+        (col("sum_abs_err").cast("double") / col("n").cast("double")) /
+          (col("sum_abs_naive_err").cast("double") /
+            col("n").cast("double"))))
+  }
+
   /** Mann–Whitney rank-sum test + Cliff's delta between two groups —
     * the unpaired nonparametric companion to [[wilcoxonSignedRank]]
     * (and the robust alternative to [[welchTest]] when outliers own the

@@ -63,6 +63,16 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("pathRollup: cumulative prefixes, empty segments drop, counts exact") {
+    val df = Seq("/a/b/c", "/a/b", "/a//b/", "/x", "/", "").toDF("path")
+    val r = Curation.pathRollup(df, "path").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    // '/a//b/' normalizes to /a/b; '/' and '' contribute nothing
+    assert(r == Set(
+      ("/a", 1L, 3L), ("/a/b", 2L, 3L), ("/a/b/c", 3L, 1L),
+      ("/x", 1L, 1L)))
+  }
+
   test("resolveCanonicalChains: chains resolve, cycles flag, dup edges min") {
     val edges = Seq((1L, 2L), (1L, 9L), // dup outgoing: min target 2 wins
       (2L, 3L), (3L, 4L),               // chain to terminal 4

@@ -457,6 +457,24 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("forecastEval: exact MAEs vs naive, first rows excluded, null MASE") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      // k: actual 10,12,11; pred 9,11,13 -> scored rows 2 (ts 2,3):
+      // |12-11|+|11-13| = 3 ; naive |12-10|+|11-12| = 3 -> mase 1.0
+      ("k", t(1), 10L, 9L), ("k", t(2), 12L, 11L), ("k", t(3), 11L, 13L),
+      // c: constant series -> naive MAE 0 -> mase null
+      ("c", t(1), 5L, 6L), ("c", t(2), 5L, 5L))
+      .toDF("g", "ts", "a", "p")
+    val r = Stats.forecastEval(df, Seq("g"), "ts", "a", "p")
+      .orderBy("g").collect()
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == 3L &&
+      r(1).getLong(3) == 3L)
+    assert(r(1).getDouble(4) == 1.5 && r(1).getDouble(5) == 1.5)
+    assert(r(1).getDouble(6) == 1.0)
+    assert(r(0).getLong(1) == 1L && r(0).getLong(3) == 0L && r(0).isNullAt(6))
+  }
+
   test("mannWhitney: doubled-rank U, Cliff's delta, tie correction") {
     // complete separation: A = {3,5} all above B = {1,2} -> delta = 1
     val df = Seq(("A", 3L), ("A", 5L), ("B", 1L), ("B", 2L))
