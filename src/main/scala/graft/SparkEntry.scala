@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 254 queries spanning every implemented operator family
+/** Driver contract — 256 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4033,7 +4033,22 @@ object SparkEntry {
         (col("doc_id") % 3).cast("string")).as("path"))
       graft.ops.Curation.pathRollup(d, "path")
         .orderBy(col("prefix"))
-    }))
+    }),
+
+    // ---- single-number expected calibration error (exact numerator) ----
+    "q255_ece" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        ((col("doc_id") * 37) % 1001).as("score_milli"),
+        (((col("doc_id") * 91) % 1000) <
+          ((col("doc_id") * 37) % 1001)).as("y"))
+      graft.ops.Stats.ece(d, "score_milli", "y", bins = 10)
+    }),
+
+    // ---- long-run event-type mix by integer power iteration ----
+    "q256_stationary" -> ((s, dir) =>
+      graft.ops.Behavior.stationaryDistribution(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", iters = 4)
+        .orderBy(col("state"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8059,6 +8074,25 @@ object SparkEntry {
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
 
+    // q255: the q225 bins collapsed through the exact-bigint numerator
+    "q255_ece" ->
+      """WITH b AS (SELECT (doc_id * 37) % 1001 AS s,
+        |  ((doc_id * 91) % 1000) < ((doc_id * 37) % 1001) AS y
+        |  FROM documents),
+        |g AS (SELECT least(s * 10 // 1000, 9) AS bin,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(s) AS bigint) AS sum_score_milli,
+        |  cast(sum(CASE WHEN y THEN 1 ELSE 0 END) AS bigint) AS n_pos
+        |  FROM b GROUP BY 1)
+        |SELECT cast(sum(n) AS bigint) AS n,
+        |  cast(count(*) AS bigint) AS bins_used,
+        |  cast(sum(abs(1000 * n_pos - sum_score_milli)) AS double) /
+        |    cast(1000 * sum(n) AS double) AS ece
+        |FROM g""".stripMargin,
+
+    // q256: the transition matrix once, then 4 unrolled integer rounds
+    "q256_stationary" -> stationaryOracleSql,
+
     // q253: lag window + exact abs-error sums, like-for-like row set
     "q253_forecast_eval" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_id % 30 AS a,
@@ -8684,6 +8718,42 @@ object SparkEntry {
        |    AS bigint) AS rank_int FROM nodes),
        |$iters
        |SELECT node, rank_int FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** q256's oracle: Behavior.stationaryDistribution's 4 integer power-
+    * iteration rounds unrolled — (π·n) div tot moved per edge, sink
+    * states keep their mass.
+    */
+  private def stationaryOracleSql: String = {
+    val iters = (1 to 4).map { k =>
+      val prev = s"p${k - 1}"
+      s"""mv$k AS (SELECT m.to_type AS state,
+         |  sum(p.pi_int * m.n // t._tot) AS s
+         |  FROM m JOIN $prev p ON m.from_type = p.state
+         |  JOIN tots t ON m.from_type = t.from_type
+         |  GROUP BY m.to_type),
+         |p$k AS (SELECT st.state,
+         |  cast(coalesce(mv.s, 0) +
+         |    CASE WHEN st.state IN (SELECT from_type FROM tots) THEN 0
+         |         ELSE pv.pi_int END AS bigint) AS pi_int
+         |  FROM states st LEFT JOIN mv$k mv USING (state)
+         |  JOIN $prev pv USING (state))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lagd AS (SELECT user_id,
+       |  lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS ft,
+       |  event_type AS tt FROM events),
+       |m AS (SELECT ft AS from_type, tt AS to_type,
+       |  cast(count(*) AS bigint) AS n FROM lagd
+       |  WHERE ft IS NOT NULL GROUP BY ft, tt),
+       |tots AS (SELECT from_type, cast(sum(n) AS bigint) AS _tot FROM m
+       |         GROUP BY from_type),
+       |states AS (SELECT from_type AS state FROM m
+       |           UNION SELECT to_type FROM m),
+       |p0 AS (SELECT state, cast(1000000 AS bigint) AS pi_int
+       |       FROM states),
+       |$iters
+       |SELECT state, pi_int FROM p4 ORDER BY state""".stripMargin
   }
 
   /** q141's oracle: Graph.hitsInt's 3 synchronous iterations unrolled as

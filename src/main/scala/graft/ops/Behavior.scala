@@ -379,6 +379,58 @@ object Behavior {
       .drop("_g")
   }
 
+  /** Long-run state mix of the [[transitionMatrix]] chain by exact-
+    * integer power iteration — "where do user journeys SETTLE", the
+    * steady-state complement to the one-step matrix: π starts uniform at
+    * fixed-point `scale`, and each round
+    *
+    *   π'_j = Σ_i (π_i · n_ij) div tot_i
+    *
+    * (the [[graft.ops.Graph.pageRankInt]] integer-division schedule over
+    * the |types|²-bounded count table — deterministic, engine-replayable
+    * by unrolled CTEs; the div drops ≤ |types| units of mass per state
+    * per round, documented bias in exchange for exactness). States with
+    * no outgoing pairs keep their mass (self-loop semantics, so the
+    * total never drains through a sink).
+    *
+    * Output per state: state, pi_int (fixed-point), after `iters`
+    * rounds. Scale shape: the event volume collapses to the transition
+    * counts ONCE; every iteration is a |types|²-row join. */
+  def stationaryDistribution(df: DataFrame, userCol: String, tsCol: String,
+                             idCol: String, typeCol: String,
+                             iters: Int = 8,
+                             scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && scale >= 1, "need iters >= 0 and scale >= 1")
+    val m = transitionMatrix(df, userCol, tsCol, idCol, typeCol)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .localCheckpoint()
+    val tots = m.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    val states = m.select(col("from_type").as("state"))
+      .unionByName(m.select(col("to_type").as("state"))).distinct()
+      .localCheckpoint()
+    var pi = states.withColumn("pi_int", lit(scale))
+    for (_ <- 0 until iters) {
+      val moved = m
+        .join(pi.select(col("state").as("from_type"), col("pi_int")),
+          Seq("from_type"))
+        .join(tots, Seq("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(expr("pi_int * n div _tot")).as("_in"))
+      // states with no outgoing pairs keep their mass (self-loop)
+      val kept = pi.join(tots.select(col("from_type").as("state")),
+          Seq("state"), "left_anti")
+        .select(col("state"), col("pi_int").as("_keep"))
+      pi = states
+        .join(moved, Seq("state"), "left")
+        .join(kept, Seq("state"), "left")
+        .select(col("state"),
+          (coalesce(col("_in"), lit(0L)) +
+            coalesce(col("_keep"), lit(0L))).as("pi_int"))
+        .localCheckpoint()
+    }
+    pi
+  }
+
   /** Deterministic token-bucket simulation over a keyed event stream —
     * the crawl-politeness / rate-limit audit ("which fetches would a
     * budget of `capacity` tokens refilled at `refillPerSec` have

@@ -1562,6 +1562,31 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Expected calibration error as ONE exact-rational number — the
+    * [[calibrationBins]] table collapsed without float accumulation:
+    * per bin, n·|frac_pos − mean_score| = |1000·n_pos − Σscore| / 1000n
+    * · n, so
+    *
+    *   ECE = Σ_bins |1000·n_pos_b − Σscore_b|  /  (1000·N)
+    *
+    * — the numerator is an exact bigint sum (no per-bin doubles to
+    * re-add in engine-specific order), the whole statistic is one
+    * terminal division. Same fixed-point milli-score contract as the
+    * table op.
+    *
+    * Output one row: n, bins_used, ece. Scale shape: one bins-row
+    * combiner aggregate + a bins-row reduction. */
+  def ece(df: DataFrame, scoreMilliCol: String, labelCol: String,
+          bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, scoreMilliCol, labelCol, bins)
+    b.agg(sum(col("n")).as("n"), count(lit(1)).as("bins_used"),
+        sum(abs(lit(1000L) * col("n_pos") - col("sum_score_milli")))
+          .as("_num"))
+      .withColumn("ece", col("_num").cast("double") /
+        (lit(1000L) * col("n")).cast("double"))
+      .drop("_num")
+  }
+
   /** Quantile normalization across groups (the batch-effect correction
     * from expression arrays, applied to corpus scores: make every group's
     * score DISTRIBUTION identical to the pooled one so cross-group

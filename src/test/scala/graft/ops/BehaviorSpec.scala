@@ -21,6 +21,39 @@ class BehaviorSpec extends SparkSpec {
     assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
   }
 
+  test("stationaryDistribution: integer power iteration, sink keeps mass") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1: A->B->A->B ; u2: A->A ; u3: B->C (C is a sink)
+    val df = Seq(
+      (1L, t(1), "u1", "A"), (2L, t(2), "u1", "B"),
+      (3L, t(3), "u1", "A"), (4L, t(4), "u1", "B"),
+      (5L, t(1), "u2", "A"), (6L, t(2), "u2", "A"),
+      (7L, t(1), "u3", "B"), (8L, t(2), "u3", "C"))
+      .toDF("eid", "ts", "u", "ty")
+    val iters = 3
+    val r = Behavior.stationaryDistribution(df, "u", "ts", "eid", "ty",
+        iters = iters).orderBy("state").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // JVM replay: counts A->B 2, A->A 1 (totA 3); B->A 1, B->C 1 (totB 2)
+    val n = Map(("A", "B") -> 2L, ("A", "A") -> 1L,
+      ("B", "A") -> 1L, ("B", "C") -> 1L)
+    val tot = Map("A" -> 3L, "B" -> 2L)
+    var pi = Map("A" -> 1000000L, "B" -> 1000000L, "C" -> 1000000L)
+    for (_ <- 0 until iters) {
+      val moved = Seq("A", "B", "C").map { s =>
+        s -> n.collect { case ((f, to), c) if to == s =>
+          pi(f) * c / tot(f)
+        }.sum
+      }.toMap
+      pi = Seq("A", "B", "C").map { s =>
+        s -> (moved(s) + (if (tot.contains(s)) 0L else pi(s)))
+      }.toMap
+    }
+    assert(r.toSeq == Seq(("A", pi("A")), ("B", pi("B")), ("C", pi("C"))))
+    // the sink accumulated strictly more than its initial mass
+    assert(pi("C") > 1000000L)
+  }
+
   test("tokenBucket: refill/cap/drain fold, rejects leave level intact") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     val df = Seq(

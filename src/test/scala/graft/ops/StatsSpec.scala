@@ -457,6 +457,21 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("ece: exact-rational numerator over the calibration bins") {
+    val df = Seq(
+      (50L, false), (100L, false),   // bin0: |0 - 150|     = 150
+      (250L, true), (300L, false),   // bin1: |1000 - 550|  = 450
+      (990L, true), (1000L, true))   // bin3: |2000 - 1990| = 10
+      .toDF("score_milli", "y")
+    val r = Stats.ece(df, "score_milli", "y", bins = 4).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 610.0 / 6000.0)
+    // a perfectly calibrated constant: score 500, half positive -> ece 0
+    val p = Seq((500L, true), (500L, false)).toDF("score_milli", "y")
+    assert(Stats.ece(p, "score_milli", "y", 4).collect().head
+      .getDouble(2) == 0.0)
+  }
+
   test("forecastEval: exact MAEs vs naive, first rows excluded, null MASE") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     val df = Seq(
