@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 256 queries spanning every implemented operator family
+/** Driver contract — 258 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4048,7 +4048,25 @@ object SparkEntry {
     "q256_stationary" -> ((s, dir) =>
       graft.ops.Behavior.stationaryDistribution(t(s, dir, "events"),
           "user_id", "ts", "event_id", "event_type", iters = 4)
-        .orderBy(col("state"))))
+        .orderBy(col("state"))),
+
+    // ---- knee of the doc-length histogram (exact chord argmax) ----
+    "q257_knee" -> ((s, dir) => {
+      val curve = t(s, dir, "documents")
+        .groupBy(expr("n_chars div 20").as("x"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.Stats.kneePoint(curve, "x", "y")
+    }),
+
+    // ---- Luhn validity over constructed candidate numbers ----
+    "q258_luhn" -> ((s, dir) => {
+      val c = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("4"), lpad(((col("doc_id") * 2654435761L) %
+          1000000000000000L).cast("string"), 15, "0")).as("num"))
+      graft.ops.Curation.luhnFlag(c, "num")
+        .select(col("doc_id"), col("num"), col("luhn_valid"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8073,6 +8091,38 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q257: same integer cross-product distance, argmax via order/limit
+    "q257_knee" ->
+      """WITH p AS (SELECT n_chars // 20 AS x,
+        |  cast(count(*) AS bigint) AS y FROM documents GROUP BY 1),
+        |e AS (SELECT min(x) AS x1, arg_min(y, x) AS y1, max(x) AS x2,
+        |  arg_max(y, x) AS y2 FROM p),
+        |d AS (SELECT p.x AS x_knee, p.y AS y_knee,
+        |  abs((e.x2 - e.x1) * (e.y1 - p.y) - (e.x1 - p.x) * (e.y2 - e.y1))
+        |    AS dist_num
+        |  FROM p, e)
+        |SELECT cast(x_knee AS bigint) AS x_knee, y_knee,
+        |  cast(dist_num AS bigint) AS dist_num
+        |FROM d ORDER BY dist_num DESC, x_knee ASC LIMIT 1""".stripMargin,
+
+    // q258: the same right-to-left doubled fold, list_transform replay
+    "q258_luhn" ->
+      """WITH c AS (SELECT doc_id,
+        |  '4' || lpad(cast((doc_id * 2654435761) % 1000000000000000
+        |    AS varchar), 15, '0') AS num FROM documents),
+        |f AS (SELECT doc_id, num, reverse(num) AS r FROM c),
+        |s AS (SELECT doc_id, num,
+        |  list_sum(list_transform(range(1, length(r) + 1), i ->
+        |    CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN (ascii(substring(r, i, 1)) - 48) * 2 > 9
+        |        THEN (ascii(substring(r, i, 1)) - 48) * 2 - 9
+        |        ELSE (ascii(substring(r, i, 1)) - 48) * 2 END
+        |      ELSE ascii(substring(r, i, 1)) - 48 END)) AS t,
+        |  length(num) AS l FROM f)
+        |SELECT doc_id, num, l BETWEEN 13 AND 19 AND t % 10 = 0
+        |  AS luhn_valid
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // q255: the q225 bins collapsed through the exact-bigint numerator
     "q255_ece" ->

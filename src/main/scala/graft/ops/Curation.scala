@@ -102,6 +102,35 @@ object Curation {
       .drop("_bid")
   }
 
+  /** Luhn mod-10 validity flag for candidate card numbers — the
+    * precision upgrade on [[scrubPii]]'s 16-digit regex (most random
+    * digit runs fail the checksum, so scrubbing can target REAL card
+    * shapes and leave order ids alone): right-to-left positional
+    * doubling with the −9 carry, summed by an integer HOF fold; valid =
+    * sum % 10 == 0 over 13–19 digits. Pure per-row expression, zero
+    * shuffle, replayable by any engine with the same transform/fold.
+    *
+    * Output: input + luhn_valid. `numCol` must be digits-only (pre-strip
+    * separators upstream). */
+  def luhnFlag(df: DataFrame, numCol: String): DataFrame = {
+    val s = reverse(col(numCol).cast("string"))
+    val sum = expr(
+      s"""aggregate(
+         |  transform(sequence(1, length(reverse(cast($numCol as string)))),
+         |    i -> if(i % 2 = 0,
+         |      if((ascii(substring(reverse(cast($numCol as string)), i, 1))
+         |          - 48) * 2 > 9,
+         |        (ascii(substring(reverse(cast($numCol as string)), i, 1))
+         |          - 48) * 2 - 9,
+         |        (ascii(substring(reverse(cast($numCol as string)), i, 1))
+         |          - 48) * 2),
+         |      ascii(substring(reverse(cast($numCol as string)), i, 1))
+         |        - 48)),
+         |  0L, (acc, v) -> acc + cast(v as bigint))""".stripMargin)
+    df.withColumn("luhn_valid",
+      length(s).between(13, 19) && sum % 10 === 0)
+  }
+
   /** URL path-hierarchy rollup: every page contributes a count to EACH
     * cumulative path prefix ("/a", "/a/b", "/a/b/c") — the site-structure
     * view a crawl planner reads ("which sections hold the mass") that a

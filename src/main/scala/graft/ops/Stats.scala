@@ -1562,6 +1562,35 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Knee/elbow point of an integer curve — "where does the quality-score
+    * histogram bend", the automated threshold pick: the point maximizing
+    * distance to the chord between the curve's endpoints. The true
+    * distance divides by ‖chord‖, constant across points, so the ARGMAX
+    * is decided entirely by the integer cross-product numerator
+    *
+    *   |(x₂−x₁)(y₁−y) − (x₁−x)(y₂−y₁)|
+    *
+    * — exact bigint, no floats anywhere; ties break to the smaller x.
+    *
+    * Curve-scale contract: feed an AGGREGATED curve (histogram, rank-
+    * frequency table), not raw rows — the argmax is a TakeOrdered(1)
+    * over curve-sized data. `xCol` must be unique. Output one row:
+    * x_knee, y_knee, dist_num. */
+  def kneePoint(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val ends = pts.agg(min(col("_x")).as("_x1"),
+      expr("min_by(_y, _x)").as("_y1"), max(col("_x")).as("_x2"),
+      expr("max_by(_y, _x)").as("_y2"))
+    val d = abs((col("_x2") - col("_x1")) * (col("_y1") - col("_y")) -
+      (col("_x1") - col("_x")) * (col("_y2") - col("_y1")))
+    pts.crossJoin(broadcast(ends))
+      .select(col("_x").as("x_knee"), col("_y").as("y_knee"),
+        d.as("dist_num"))
+      .orderBy(col("dist_num").desc, col("x_knee").asc)
+      .limit(1)
+  }
+
   /** Expected calibration error as ONE exact-rational number — the
     * [[calibrationBins]] table collapsed without float accumulation:
     * per bin, n·|frac_pos − mean_score| = |1000·n_pos − Σscore| / 1000n

@@ -63,6 +63,28 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("luhnFlag: known-valid cards pass, off-by-one fails, length gate") {
+    val df = Seq(
+      (1L, "4111111111111111"),  // classic valid test PAN
+      (2L, "4111111111111112"),  // checksum off by one
+      (3L, "79927398713"),       // valid Luhn but 11 digits -> length gate
+      (4L, "5555555555554444"),  // valid (sum 60)
+      (5L, "1234567890123456"))  // invalid
+      .toDF("id", "num")
+    val r = Curation.luhnFlag(df, "num").orderBy("id").collect()
+      .map(_.getBoolean(2))
+    assert(r.toSeq == Seq(true, false, false, true, false))
+    // JVM replay of the fold on a fresh number
+    def luhn(s: String): Boolean = {
+      val d = s.reverse.zipWithIndex.map { case (c, i) =>
+        val v = c - '0'
+        if (i % 2 == 1) { val t = v * 2; if (t > 9) t - 9 else t } else v
+      }.sum
+      s.length >= 13 && s.length <= 19 && d % 10 == 0
+    }
+    assert(luhn("4111111111111111") && !luhn("4111111111111112"))
+  }
+
   test("pathRollup: cumulative prefixes, empty segments drop, counts exact") {
     val df = Seq("/a/b/c", "/a/b", "/a//b/", "/x", "/", "").toDF("path")
     val r = Curation.pathRollup(df, "path").collect()

@@ -457,6 +457,20 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("kneePoint: max integer chord distance, x-asc tie break") {
+    // convex drop: chord from (0,100) to (10,0); knee at the bend (2,20)
+    val df = Seq((0L, 100L), (1L, 50L), (2L, 20L), (5L, 10L), (10L, 0L))
+      .toDF("x", "y")
+    val r = Stats.kneePoint(df, "x", "y").collect().head
+    // d(x,y) = |10*(100-y) - (0-x)*(0-100)| = |1000 - 10y - 100x|
+    // (1,50): |1000-500-100|=400; (2,20): |1000-200-200|=600; (5,10):
+    // |1000-100-500|=400 -> knee (2,20)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 20L, 600L)))
+    // straight line: every interior distance 0 -> tie to smallest x
+    val line = Seq((0L, 0L), (1L, 10L), (2L, 20L)).toDF("x", "y")
+    assert(Stats.kneePoint(line, "x", "y").collect().head.getLong(0) == 0L)
+  }
+
   test("ece: exact-rational numerator over the calibration bins") {
     val df = Seq(
       (50L, false), (100L, false),   // bin0: |0 - 150|     = 150
