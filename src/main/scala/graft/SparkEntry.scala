@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 258 queries spanning every implemented operator family
+/** Driver contract — 260 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4066,7 +4066,20 @@ object SparkEntry {
       graft.ops.Curation.luhnFlag(c, "num")
         .select(col("doc_id"), col("num"), col("luhn_valid"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // ---- quality-threshold sweep over doc lengths ----
+    "q259_threshold_sweep" -> ((s, dir) =>
+      graft.ops.Curation.thresholdSweep(t(s, dir, "documents"),
+          "n_chars", Seq(100L, 200L, 300L, 400L, 500L))
+        .orderBy(col("threshold"))),
+
+    // ---- exact fixed-point embedding centroids per label ----
+    "q260_fixed_centroids" -> ((s, dir) =>
+      graft.ops.Similarity.fixedPointCentroids(
+        t(s, dir, "embeddings").select(col("label"), col("embedding")),
+        "label", "embedding", scale = 1000000L)
+        .orderBy(col("group"), col("dim"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8091,6 +8104,33 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q259: explode x thresholds, exact conditional sums
+    "q259_threshold_sweep" ->
+      """WITH t AS (SELECT unnest([100, 200, 300, 400, 500]) AS threshold),
+        |s AS (SELECT d.n_chars AS s, t.threshold FROM documents d, t)
+        |SELECT threshold, cast(count(*) AS bigint) AS n_total,
+        |  cast(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_kept,
+        |  cast(sum(CASE WHEN s >= threshold THEN s ELSE 0 END) AS bigint)
+        |    AS sum_kept_score,
+        |  cast(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS keep_frac
+        |FROM s GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    // q260: unnest + subscripts, floor-quantized exact sums, trunc div
+    "q260_fixed_centroids" ->
+      """WITH x AS (SELECT label AS grp,
+        |  unnest(embedding) AS v,
+        |  generate_subscripts(embedding, 1) AS gs FROM embeddings),
+        |g AS (SELECT grp, cast(gs - 1 AS bigint) AS dim,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(floor(cast(v AS double) * 1000000) AS bigint))
+        |    AS bigint) AS sum_fixed
+        |  FROM x GROUP BY grp, gs)
+        |SELECT grp AS "group", dim, n, sum_fixed,
+        |  sum_fixed // n AS mean_fixed
+        |FROM g ORDER BY "group", dim""".stripMargin,
 
     // q257: same integer cross-product distance, argmax via order/limit
     "q257_knee" ->

@@ -102,6 +102,32 @@ object Curation {
       .drop("_bid")
   }
 
+  /** Filter-threshold sweep: for each candidate cutoff, the exact
+    * survivor count, survivor score mass and keep fraction — the
+    * one-pass table you hand to [[graft.ops.Stats.kneePoint]] to PICK a
+    * quality threshold instead of eyeballing it. A |thresholds|-way
+    * explode of a slim score projection + one combiner groupBy; keep
+    * the candidate list small (it multiplies the scan, not the corpus).
+    *
+    * Output per threshold: threshold, n_total, n_kept, sum_kept_score,
+    * keep_frac (one division). */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      "thresholds must be non-empty and distinct")
+    df.select(col(scoreCol).cast("long").as("_s"))
+      .select(col("_s"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_s") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("_s") >= col("threshold"), col("_s")).otherwise(0L))
+          .as("sum_kept_score"))
+      .withColumn("keep_frac",
+        col("n_kept").cast("double") / col("n_total").cast("double"))
+  }
+
   /** Luhn mod-10 validity flag for candidate card numbers — the
     * precision upgrade on [[scrubPii]]'s 16-digit regex (most random
     * digit runs fail the checksum, so scrubbing can target REAL card

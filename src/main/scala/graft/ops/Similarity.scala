@@ -291,4 +291,30 @@ object Similarity {
       .reduce(_ + _)
     df.select(col(idCol), array(codes: _*).as("pq_code"), packed.as("pq_packed"))
   }
+
+  /** Per-group embedding centroids in FIXED POINT — the exactly-
+    * reproducible aggregate [[trainCentroids]]' float k-means cannot be:
+    * each vector component quantizes to `floor(x · scale)` (int64), the
+    * per-(group, dim) sums are exact bigints regardless of partitioning
+    * or fold order, and the centroid component is ONE division. The
+    * standard float `avg(vec)` differs across run topologies by ulps —
+    * poison for content-addressed artifacts and cross-engine checks;
+    * this trades `1/scale` quantization error for bit-stability.
+    *
+    * Output: (group, dim, n, sum_fixed, mean_fixed = sum div n) — long
+    * format so downstream assembles arrays as it likes. Scale shape: one
+    * posexplode of a slim (group, vec) projection + a combiner groupBy
+    * on (group, dim); the shuffle is groups × dims counters, not rows.
+    */
+  def fixedPointCentroids(df: DataFrame, groupCol: String, vecCol: String,
+                          scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    df.select(col(groupCol).as("group"),
+        posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("group"), col("dim").cast("long").as("dim"),
+        floor(col("_v").cast("double") * scale).cast("long").as("_q"))
+      .groupBy(col("group"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("_q")).as("sum_fixed"))
+      .withColumn("mean_fixed", expr("sum_fixed div n"))
+  }
 }

@@ -63,6 +63,18 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("thresholdSweep: exact survivor counts and mass per cutoff") {
+    val df = Seq(1L, 3L, 5L, 7L, 9L).toDF("score")
+    val r = Curation.thresholdSweep(df, "score", Seq(0L, 4L, 10L))
+      .orderBy("threshold").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (0L, 5L, 5L, 25L, 1.0),
+      (4L, 5L, 3L, 21L, 3.0 / 5.0),
+      (10L, 5L, 0L, 0L, 0.0)))
+  }
+
   test("luhnFlag: known-valid cards pass, off-by-one fails, length gate") {
     val df = Seq(
       (1L, "4111111111111111"),  // classic valid test PAN

@@ -376,6 +376,27 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle (top-k window), got $shuffles:\n$plan")
   }
 
+  test("fixedPointCentroids: exact quantized sums, partition-independent") {
+    val df = Seq(
+      ("a", Seq(1.25f, -0.5f)), ("a", Seq(0.75f, 0.5f)),
+      ("b", Seq(-1.0f, 2.0f)))
+      .toDF("g", "vec")
+    val r = Similarity.fixedPointCentroids(df, "g", "vec", scale = 100L)
+      .orderBy("group", "dim").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // a dim0: 125 + 75 = 200 -> mean 100 ; a dim1: -50 + 50 = 0 -> 0
+    // b dim0: -100 ; b dim1: 200
+    assert(r.toSeq == Seq(
+      ("a", 0L, 2L, 200L, 100L), ("a", 1L, 2L, 0L, 0L),
+      ("b", 0L, 1L, -100L, -100L), ("b", 1L, 1L, 200L, 200L)))
+    // bit-identical under repartitioning (the claim floats can't make)
+    val r2 = Similarity.fixedPointCentroids(df.repartition(7), "g", "vec",
+      100L).orderBy("group", "dim").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(4)))
+    assert(r2.toSeq == r.map(t => (t._1, t._2, t._5)).toSeq)
+  }
+
   test("semDedup: co-clustered twins drop by min-id dominance; cross-cluster twins survive") {
     // hand-built 2-dim space: cluster axes e0=(1,0), e1=(0,1)
     val cents = Array(Array(1f, 0f), Array(0f, 1f))
