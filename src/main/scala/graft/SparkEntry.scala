@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 260 queries spanning every implemented operator family
+/** Driver contract — 261 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4079,7 +4079,19 @@ object SparkEntry {
       graft.ops.Similarity.fixedPointCentroids(
         t(s, dir, "embeddings").select(col("label"), col("embedding")),
         "label", "embedding", scale = 1000000L)
-        .orderBy(col("group"), col("dim"))))
+        .orderBy(col("group"), col("dim"))),
+
+    // ---- percentile of odd-doc lengths within the even-doc cohort ----
+    "q261_reference_percentile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.referencePercentile(
+        d.where(col("doc_id") % 2 === 0)
+          .select(expr("n_chars div 10").as("v")),
+        d.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), expr("n_chars div 10").as("v")),
+        "doc_id", "v")
+        .orderBy(col("doc_id"))
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8104,6 +8116,21 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q261: correlated exact ECDF counts against the even-doc cohort
+    "q261_reference_percentile" ->
+      """WITH ref AS (SELECT n_chars // 10 AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |q AS (SELECT doc_id, n_chars // 10 AS b FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |n AS (SELECT cast(count(*) AS bigint) AS refn FROM ref)
+        |SELECT q.doc_id, cast(q.b AS bigint) AS value,
+        |  cast((SELECT count(*) FROM ref WHERE ref.v <= q.b) AS bigint)
+        |    AS n_le,
+        |  n.refn AS ref_n,
+        |  cast((SELECT count(*) FROM ref WHERE ref.v <= q.b) AS double) /
+        |    cast(n.refn AS double) AS ref_percentile
+        |FROM q, n ORDER BY q.doc_id""".stripMargin,
 
     // q259: explode x thresholds, exact conditional sums
     "q259_threshold_sweep" ->

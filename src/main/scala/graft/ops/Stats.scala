@@ -1562,6 +1562,41 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Percentile of each row's value within a REFERENCE population's
+    * empirical CDF — score normalization against a fixed cohort ("where
+    * does this crawl's doc length sit in last month's distribution"),
+    * exactly: n_le = |{r in ref : r ≤ v}| by an as-of-style lookup into
+    * the reference's cumulative value table, percentile = n_le/N one
+    * division. Values below the reference minimum read 0.
+    *
+    * Bounded-grid contract: the DISTINCT reference values must be
+    * broadcast-bounded (quantize scores first — the grid IS the
+    * resolution); the cumulative window runs over that grid only, and
+    * the lookup is a broadcast inequality join + per-row max, never a
+    * corpus×corpus product.
+    *
+    * Output: idCol, value, n_le, ref_n, ref_percentile. */
+  def referencePercentile(ref: DataFrame, df: DataFrame, idCol: String,
+                          valCol: String): DataFrame = {
+    val r = ref.select(col(valCol).cast("long").as("_v"))
+    val cum = r.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("_v"), col("_cum"))
+    val n = r.agg(count(lit(1)).as("_refn"))
+    df.select(col(idCol), col(valCol).cast("long").as("_b"))
+      .join(broadcast(cum), col("_v") <= col("_b"), "left")
+      .groupBy(col(idCol), col("_b"))
+      .agg(max(struct(col("_v"), col("_cum"))).as("_m"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("_b").as("value"),
+        coalesce(col("_m._cum"), lit(0L)).as("n_le"),
+        col("_refn").as("ref_n"),
+        (coalesce(col("_m._cum"), lit(0L)).cast("double") /
+          col("_refn").cast("double")).as("ref_percentile"))
+  }
+
   /** Knee/elbow point of an integer curve — "where does the quality-score
     * histogram bend", the automated threshold pick: the point maximizing
     * distance to the chord between the curve's endpoints. The true

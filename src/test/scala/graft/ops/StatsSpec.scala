@@ -457,6 +457,22 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("referencePercentile: exact ECDF lookup, below-min reads zero") {
+    val ref = Seq(10L, 20L, 20L, 30L).toDF("v") // N=4
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 30L), (5L, 99L))
+      .toDF("id", "v")
+    val r = Stats.referencePercentile(ref, df, "id", "v")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      (1L, 5L, 0L, 4L, 0.0),        // below reference min
+      (2L, 10L, 1L, 4L, 0.25),
+      (3L, 25L, 3L, 4L, 0.75),      // 10, 20, 20
+      (4L, 30L, 4L, 4L, 1.0),
+      (5L, 99L, 4L, 4L, 1.0)))      // above max clamps to N
+  }
+
   test("kneePoint: max integer chord distance, x-asc tie break") {
     // convex drop: chord from (0,100) to (10,0); knee at the bend (2,20)
     val df = Seq((0L, 100L), (1L, 50L), (2L, 20L), (5L, 10L), (10L, 0L))
