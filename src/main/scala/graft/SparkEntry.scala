@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 261 queries spanning every implemented operator family
+/** Driver contract — 262 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4091,6 +4091,20 @@ object SparkEntry {
           .select(col("doc_id"), expr("n_chars div 10").as("v")),
         "doc_id", "v")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- Boruvka minimum spanning tree over a ring+chords graph; the
+    //      oracle derives the SAME tree via the minimax-path property ----
+    "q262_boruvka_mst" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").as("i"))
+      val ring = base.select(col("i").as("s"),
+        ((col("i") + 1) % 40).as("d"), (col("i") + 100).as("w"))
+      val chords = base.where(col("i") % 5 === 0)
+        .select(col("i").as("s"), ((col("i") * 7 + 3) % 40).as("d"),
+          (col("i") + 300).as("w"))
+      graft.ops.Graph.boruvkaMst(ring.unionByName(chords), "s", "d", "w")
+        .orderBy(col("u"), col("v"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8116,6 +8130,33 @@ object SparkEntry {
         |    least(rn - coalesce(crn, 0), 30)::int)) AS bigint)
         |    AS next_interval_s
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+
+    // q262: unique-MST via the CUT property — an edge is in the tree iff
+    // its weight equals the minimax (bottleneck) path weight between its
+    // endpoints, computed by a bottleneck-tracking recursive closure:
+    // a genuinely different derivation than Boruvka's contraction
+    "q262_boruvka_mst" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+        |ed AS (
+        |  SELECT least(i, (i + 1) % 40) AS u,
+        |    greatest(i, (i + 1) % 40) AS v, 100 + i AS w FROM base
+        |  UNION ALL
+        |  SELECT least(i, (i * 7 + 3) % 40),
+        |    greatest(i, (i * 7 + 3) % 40), 300 + i FROM base
+        |  WHERE i % 5 = 0),
+        |bi AS (SELECT u AS a, v AS b, w FROM ed
+        |       UNION SELECT v, u, w FROM ed),
+        |r(a, b, bw) AS (
+        |  SELECT a, b, w FROM bi
+        |  UNION
+        |  SELECT r.a, bi.b, greatest(r.bw, bi.w)
+        |  FROM r JOIN bi ON r.b = bi.a WHERE r.a <> bi.b),
+        |mm AS (SELECT a, b, min(bw) AS bot FROM r GROUP BY a, b)
+        |SELECT cast(ed.u AS bigint) AS u, cast(ed.v AS bigint) AS v,
+        |  cast(ed.w AS bigint) AS w
+        |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
+        |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
 
     // q261: correlated exact ECDF counts against the even-doc cohort
     "q261_reference_percentile" ->

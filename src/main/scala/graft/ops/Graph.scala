@@ -533,4 +533,78 @@ object Graph {
     }
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Minimum spanning forest by BORŮVKA's algorithm — the log-round
+    * distributed MST (each round every component grabs its lightest
+    * outgoing edge, components merge, count at least halves, so depth-
+    * 1M graphs finish in ≤20 rounds of label-sized joins — the shape a
+    * sequential Kruskal/Prim union-find can never distribute): site-link
+    * backbones, dedup-similarity skeletons, cheapest-connection layouts.
+    *
+    * Contract: edge weights must be DISTINCT (the classic unique-MST
+    * condition — pre-perturb ties with the edge id); parallel edges keep
+    * the lightest; self-loops drop. Per round: two label joins stamp
+    * components, a min-of-struct per component picks edges (ties
+    * impossible by contract), [[graft.ops.Dedup.clusters]] contracts the
+    * chosen component graph, labels update by one join. Every
+    * intermediate is localCheckpoint-ed (the iterative-op lineage
+    * discipline).
+    *
+    * Output: the forest's edges (u, v, w) with u < v. An external engine
+    * verifies via the CUT property: (u,v,w) is in the unique MST iff w
+    * equals the MINIMAX (bottleneck) path weight between u and v.
+    */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 32, "need 1 <= maxRounds <= 32")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .where(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    var comp = nodes.withColumn("comp", col("node")).localCheckpoint()
+    var mst = e0.where(lit(false)).localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val stamped = e0
+        .join(comp.select(col("node").as("u"), col("comp").as("cu")),
+          Seq("u"))
+        .join(comp.select(col("node").as("v"), col("comp").as("cv")),
+          Seq("v"))
+        .where(col("cu") =!= col("cv"))
+      val inc = stamped.select(col("cu").as("c"),
+          struct(col("w"), col("u"), col("v")).as("e"))
+        .unionByName(stamped.select(col("cv").as("c"),
+          struct(col("w"), col("u"), col("v")).as("e")))
+      val chosen = inc.groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+        .distinct()
+        .localCheckpoint()
+      if (chosen.isEmpty) done = true
+      else {
+        mst = mst.unionByName(chosen).localCheckpoint()
+        val compEdges = chosen
+          .join(comp.select(col("node").as("u"), col("comp").as("ca")),
+            Seq("u"))
+          .join(comp.select(col("node").as("v"), col("comp").as("cb")),
+            Seq("v"))
+          .select(col("ca").as("id_a"), col("cb").as("id_b"))
+        val merged = graft.ops.Dedup.clusters(compEdges, "id_a", "id_b")
+        comp = comp
+          .join(merged.select(col("id").as("comp"), col("cluster_id")),
+            Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("cluster_id"), col("comp")).as("comp"))
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    mst
+  }
 }

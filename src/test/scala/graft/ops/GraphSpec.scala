@@ -48,6 +48,31 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == r(3L)) // symmetric nodes tie exactly (integer arithmetic)
   }
 
+  test("boruvkaMst equals a JVM Kruskal on a cyclic graph; forests work") {
+    // two components; distinct weights; parallel edge keeps the lighter
+    val edges = Seq(
+      (1L, 2L, 4L), (2L, 3L, 1L), (3L, 1L, 3L), (3L, 4L, 7L),
+      (4L, 1L, 9L), (2L, 1L, 11L), // parallel to (1,2,4): dropped
+      (10L, 11L, 2L), (11L, 12L, 5L), (12L, 10L, 6L))
+      .toDF("s", "d", "w")
+    val got = Graph.boruvkaMst(edges, "s", "d", "w")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // JVM Kruskal with union-find on the deduped undirected edge set
+    val es = Seq((1L, 2L, 4L), (2L, 3L, 1L), (1L, 3L, 3L), (3L, 4L, 7L),
+      (1L, 4L, 9L), (10L, 11L, 2L), (11L, 12L, 5L), (10L, 12L, 6L))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = es.sortBy(_._3).flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == want && got.size == 5) // 4-node tree + 3-node tree
+    assert(got.map(_._3).sum == 1L + 3L + 7L + 2L + 5L)
+  }
+
   test("personalizedPageRankInt: seed-only teleport, JVM-replayed 2 iters") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L))
     val df = edges.toDF("s", "d")
