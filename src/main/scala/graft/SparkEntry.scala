@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 262 queries spanning every implemented operator family
+/** Driver contract — 263 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4105,6 +4105,20 @@ object SparkEntry {
           (col("i") + 300).as("w"))
       graft.ops.Graph.boruvkaMst(ring.unionByName(chords), "s", "d", "w")
         .orderBy(col("u"), col("v"))
+    }),
+
+    // ---- weighted SSSP from node 0 over the directed ring+chords ----
+    "q263_sssp" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").as("i"))
+      val ring = base.select(col("i").as("s"),
+        ((col("i") + 1) % 40).as("d"), (col("i") + 100).as("w"))
+      val chords = base.where(col("i") % 5 === 0)
+        .select(col("i").as("s"), ((col("i") * 7 + 3) % 40).as("d"),
+          (col("i") + 300).as("w"))
+      graft.ops.Graph.ssspInt(ring.unionByName(chords), "s", "d", "w",
+          sources = Seq(0L), maxRounds = 45)
+        .orderBy(col("node"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8157,6 +8171,24 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q263: hop-tracking recursive min-plus closure (cap 45 >= the 39-hop
+    // diameter, so the capped min IS the exact distance)
+    "q263_sssp" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+        |e AS (
+        |  SELECT i AS src, (i + 1) % 40 AS dst, 100 + i AS w FROM base
+        |  UNION ALL
+        |  SELECT i, (i * 7 + 3) % 40, 300 + i FROM base WHERE i % 5 = 0),
+        |r(node, d, h) AS (
+        |  SELECT cast(0 AS bigint), cast(0 AS bigint), 0
+        |  FROM base WHERE i = 0
+        |  UNION
+        |  SELECT cast(e.dst AS bigint), r.d + e.w, r.h + 1
+        |  FROM r JOIN e ON r.node = e.src WHERE r.h < 45)
+        |SELECT node, cast(min(d) AS bigint) AS dist FROM r
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // q261: correlated exact ECDF counts against the even-doc cohort
     "q261_reference_percentile" ->

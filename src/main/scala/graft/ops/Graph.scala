@@ -534,6 +534,53 @@ object Graph {
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Single-source shortest DISTANCES (integer weights, multi-source) by
+    * bounded Bellman–Ford relaxation — [[bfsDepth]]'s weighted sibling:
+    * after round k every node holds the exact minimum path weight over
+    * paths of ≤ k edges from any source, so with `maxRounds` at least
+    * the shortest-path hop diameter the result IS the SSSP (the
+    * documented cap contract; unreached-within-cap nodes are absent).
+    * Early exit when a round changes nothing (one aggregate on the
+    * already-computed join, the [[graft.ops.Dedup.clusters]] discipline).
+    *
+    * Scale shape: per round one edges⋈distances join + a min combiner;
+    * localCheckpoint per round. Weights must be ≥ 0 (relaxation is
+    * monotone; negative edges void the cap argument).
+    *
+    * Output: (node, dist) for nodes reachable within the cap. */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
+              wCol: String, sources: Seq[Long],
+              maxRounds: Int = 16): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(maxRounds >= 1 && maxRounds <= 64, "need 1 <= maxRounds <= 64")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = sources.distinct.toDF("node")
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val relaxed = e.join(dist.select(col("node").as("src"),
+          col("dist").as("_d")), Seq("src"))
+        .select(col("dst").as("node"), (col("_d") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val changed = relaxed.join(dist.withColumnRenamed("dist", "_old"),
+          Seq("node"), "left")
+        .agg(sum(when(col("_old").isNull ||
+          col("dist") =!= col("_old"), 1L).otherwise(0L))).head()
+      done = changed.isNullAt(0) || changed.getLong(0) == 0L
+      dist = relaxed
+      rounds += 1
+    }
+    dist
+  }
+
   /** Minimum spanning forest by BORŮVKA's algorithm — the log-round
     * distributed MST (each round every component grabs its lightest
     * outgoing edge, components merge, count at least halves, so depth-

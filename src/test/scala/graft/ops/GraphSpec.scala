@@ -48,6 +48,23 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == r(3L)) // symmetric nodes tie exactly (integer arithmetic)
   }
 
+  test("ssspInt: multi-source exact distances, cycles safe, cap honest") {
+    // 1 ->2 (5), 1->3 (2), 3->2 (1), 2->4 (1), 4->1 (1) cycle; island 9
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 2L), (3L, 2L, 1L),
+      (2L, 4L, 1L), (4L, 1L, 1L), (9L, 9L, 1L)).toDF("s", "d", "w")
+    val r = Graph.ssspInt(edges, "s", "d", "w", sources = Seq(1L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // 1: 0; 3: 2; 2: min(5, 2+1)=3; 4: 4; island unreachable -> absent
+    assert(r == Map(1L -> 0L, 2L -> 3L, 3L -> 2L, 4L -> 4L))
+    // multi-source takes the nearer source; cap=1 only sees 1-hop paths
+    val m = Graph.ssspInt(edges, "s", "d", "w", Seq(1L, 4L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(m == Map(1L -> 0L, 4L -> 0L, 2L -> 3L, 3L -> 2L))
+    val capped = Graph.ssspInt(edges, "s", "d", "w", Seq(1L), maxRounds = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+  }
+
   test("boruvkaMst equals a JVM Kruskal on a cyclic graph; forests work") {
     // two components; distinct weights; parallel edge keeps the lighter
     val edges = Seq(
