@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 263 queries spanning every implemented operator family
+/** Driver contract — 264 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4119,6 +4119,19 @@ object SparkEntry {
       graft.ops.Graph.ssspInt(ring.unionByName(chords), "s", "d", "w",
           sources = Seq(0L), maxRounds = 45)
         .orderBy(col("node"))
+    }),
+
+    // ---- range-digest reconciliation against a perturbed replica ----
+    "q264_range_digest" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val b = t(s, dir, "documents").where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 31 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Diff.rangeDigestDiff(a, b, "doc_id",
+          Seq("source", "n_chars"), nBuckets = 16)
+        .orderBy(col("bucket"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8171,6 +8184,36 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q264: same md5 bucket + 60-bit xor digests, order-free
+    "q264_range_digest" ->
+      """WITH a AS (SELECT doc_id, source, n_chars FROM documents),
+        |b AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 31 = 0 THEN n_chars + 1 ELSE n_chars END
+        |    AS n_chars FROM documents WHERE doc_id % 97 <> 0),
+        |da AS (SELECT
+        |  cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))
+        |    ::UBIGINT % 16 AS bigint) AS bucket,
+        |  cast(count(*) AS bigint) AS n_a,
+        |  bit_xor(cast(('0x' || substr(md5(cast(doc_id AS varchar) ||
+        |    chr(1) || source || chr(1) || cast(n_chars AS varchar)),
+        |    1, 15))::UBIGINT AS bigint)) AS digest_a
+        |  FROM a GROUP BY 1),
+        |db AS (SELECT
+        |  cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))
+        |    ::UBIGINT % 16 AS bigint) AS bucket,
+        |  cast(count(*) AS bigint) AS n_b,
+        |  bit_xor(cast(('0x' || substr(md5(cast(doc_id AS varchar) ||
+        |    chr(1) || source || chr(1) || cast(n_chars AS varchar)),
+        |    1, 15))::UBIGINT AS bigint)) AS digest_b
+        |  FROM b GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+        |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  digest_a, digest_b,
+        |  coalesce(n_a, 0) = coalesce(n_b, 0) AND
+        |    digest_a IS NOT DISTINCT FROM digest_b AS matches
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |ORDER BY bucket""".stripMargin,
 
     // q263: hop-tracking recursive min-plus closure (cap 45 >= the 39-hop
     // diameter, so the capped min IS the exact distance)

@@ -136,6 +136,46 @@ object Diff {
         col("_vt").isNull.as("is_current"): _*)
   }
 
+  /** Range-digest reconciliation ([[snapshotDiff]]'s SCALE path): instead
+    * of joining two replicas row-by-row to find drift, each table folds
+    * into `nBuckets` order-free bucket digests — bucket = md5(id) mod
+    * nBuckets, digest = bit_xor of a 60-bit md5 integer over
+    * (id + payload) — and only buckets whose (count, digest) pairs
+    * disagree need the expensive row-level comparison. XOR is
+    * commutative/associative, so the digest is partition- and fold-
+    * order-independent and bit-replayable by any engine; 60 bits keeps
+    * the integer inside signed int64 everywhere.
+    *
+    * Output per bucket present in either table: bucket, n_a, n_b,
+    * digest_a, digest_b, matches. Scale shape: one combiner aggregate
+    * per side (nBuckets rows out), one tiny bucket join — the tables
+    * themselves never co-shuffle. */
+  def rangeDigestDiff(a: DataFrame, b: DataFrame, idCol: String,
+                      payloadCols: Seq[String],
+                      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    def digests(df: DataFrame, tag: String) = {
+      val rowHash = conv(substring(md5(concat_ws("",
+        (col(idCol).cast("string") +:
+          payloadCols.map(c => col(c).cast("string"))): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+      val bucket = conv(substring(md5(col(idCol).cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long") % nBuckets
+      df.select(bucket.as("bucket"), rowHash.as("_h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          expr("bit_xor(_h)").as(s"digest_$tag"))
+    }
+    digests(a, "a").join(digests(b, "b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("digest_a"), col("digest_b"))
+      .withColumn("matches",
+        col("n_a") === col("n_b") && col("digest_a") <=> col("digest_b"))
+  }
+
   /** Three-way merge of two divergent snapshots against their common
     * base — the reconciliation step when two crawl/curation branches
     * edited the same table: per key (present in ANY of the three), a

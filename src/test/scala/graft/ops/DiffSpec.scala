@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class DiffSpec extends SparkSpec {
@@ -21,6 +22,36 @@ class DiffSpec extends SparkSpec {
       Seq((9L, 1L, "delete", "")).toDF("id", "seq", "op", "v"),
       "id", "seq", "op").orderBy("id").collect().map(_.getLong(0))
     assert(r2.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("rangeDigestDiff: identical tables match; drift localizes, replayed") {
+    val a = (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    val same = Diff.rangeDigestDiff(a, a, "id", Seq("v"), nBuckets = 4)
+      .collect()
+    assert(same.forall(_.getBoolean(5)) && same.forall(r =>
+      r.getLong(1) == r.getLong(2)))
+    // alter id 3, drop id 7
+    val b = (0L until 20L).filterNot(_ == 7L)
+      .map(i => (i, if (i == 3L) "CHANGED" else s"v$i")).toDF("id", "v")
+    val r = Diff.rangeDigestDiff(a, b, "id", Seq("v"), 4).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(5)).toMap
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 4
+    val dirty = Set(bucket(3L), bucket(7L))
+    (0L until 4L).foreach(bk => assert(r(bk) == !dirty.contains(bk)))
+    // digest replay for one clean bucket
+    def rowHash(id: Long, v: String): Long =
+      java.lang.Long.parseLong(md5hex(id + "" + v).take(15), 16)
+    val cleanBk = (0L until 4L).find(!dirty.contains(_)).get
+    val want = (0L until 20L).filter(bucket(_) == cleanBk)
+      .map(i => rowHash(i, s"v$i")).reduce(_ ^ _)
+    val row = Diff.rangeDigestDiff(a, b, "id", Seq("v"), 4)
+      .where(col("bucket") === cleanBk).collect().head
+    assert(row.getLong(3) == want && row.getLong(4) == want)
   }
 
   test("threeWayMerge: classic outcomes incl. adds, deletes, conflicts") {
