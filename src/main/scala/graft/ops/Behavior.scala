@@ -379,6 +379,42 @@ object Behavior {
       .drop("_g")
   }
 
+  /** Pairwise audience-overlap estimates between keyed user SETS by
+    * MinHash signatures — "how much do these two event types / hosts /
+    * cohorts share users" WITHOUT the |keys|² set-intersection joins:
+    * component j of a key's signature is min over its users of the md5
+    * integer of (j, user, seed); E[matching components / h] = Jaccard of
+    * the user sets. Every draw is a pure md5 function, so unlike classic
+    * random-permutation MinHash the whole estimate replays exactly in
+    * any engine — the estimator is approximate, the COMPUTATION is not.
+    *
+    * Output per key pair (key_a < key_b): n_match, h, jaccard_est
+    * (one division). Scale shape: the event volume collapses to
+    * distinct (key, user) once, then h md5 draws fold into keys×h
+    * signature cells by combiner min; the pair comparison is a
+    * key-bounded signature self-join. */
+  def audienceOverlap(df: DataFrame, keyCol: String, userCol: String,
+                      h: Int = 64, seed: String = "ao"): DataFrame = {
+    require(h >= 1 && h <= 512, "need 1 <= h <= 512")
+    val pairs = df.select(col(keyCol).as("_k"), col(userCol).as("_u"))
+      .distinct()
+    val sig = pairs
+      .withColumn("_j", explode(sequence(lit(1), lit(h))))
+      .withColumn("_d", conv(substring(md5(concat_ws("",
+        col("_j").cast("string"), col("_u").cast("string"), lit(seed))
+        .cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("_k"), col("_j")).agg(min(col("_d")).as("_m"))
+    sig.as("x")
+      .join(sig.as("y"),
+        col("x._j") === col("y._j") && col("x._k") < col("y._k"))
+      .groupBy(col("x._k").as("key_a"), col("y._k").as("key_b"))
+      .agg(sum(when(col("x._m") === col("y._m"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("h", lit(h.toLong))
+      .withColumn("jaccard_est",
+        col("n_match").cast("double") / lit(h.toDouble))
+  }
+
   /** Long-run state mix of the [[transitionMatrix]] chain by exact-
     * integer power iteration — "where do user journeys SETTLE", the
     * steady-state complement to the one-step matrix: π starts uniform at

@@ -21,6 +21,28 @@ class BehaviorSpec extends SparkSpec {
     assert(r.toSeq == Seq(("u", 5L, 2L, 3L), ("v", 2L, 2L, 1L)))
   }
 
+  test("audienceOverlap: identical sets read 1.0; disjoint 0; replayed") {
+    val df = (Seq.tabulate(20)(i => ("x", i.toLong)) ++
+      Seq.tabulate(20)(i => ("y", i.toLong)) ++      // y == x exactly
+      Seq.tabulate(20)(i => ("z", 1000L + i)) ++     // z disjoint
+      Seq(("x", 5L))).toDF("k", "u")                 // dup incidence drops
+    val r = Behavior.audienceOverlap(df, "k", "u", h = 32, seed = "ao")
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getDouble(4)))).toMap
+    assert(r(("x", "y")) == ((32L, 1.0)))
+    assert(r(("x", "z"))._2 == 0.0 && r(("y", "z"))._2 == 0.0)
+    // JVM replay of one signature component: key x, draw j=1
+    def d(j: Int, u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((j + "" + u + "ao").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val minX = (0L until 20L).map(d(1, _)).min
+    val minZ = (1000L until 1020L).map(d(1, _)).min
+    assert(minX != minZ) // the j=1 component genuinely differs
+  }
+
   test("stationaryDistribution: integer power iteration, sink keeps mass") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     // u1: A->B->A->B ; u2: A->A ; u3: B->C (C is a sink)
