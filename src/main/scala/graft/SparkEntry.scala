@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 265 queries spanning every implemented operator family
+/** Driver contract — 266 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4139,7 +4139,16 @@ object SparkEntry {
       graft.ops.Behavior.audienceOverlap(
         t(s, dir, "events").select(col("event_type"), col("user_id")),
         "event_type", "user_id", h = 32, seed = "ao")
-        .orderBy(col("key_a"), col("key_b"))))
+        .orderBy(col("key_a"), col("key_b"))),
+
+    // ---- P75 pinball loss of the q253 synthetic forecast, per user ----
+    "q266_pinball" -> ((s, dir) =>
+      graft.ops.Stats.pinballLoss(
+        t(s, dir, "events").select(col("user_id"),
+          (col("event_id") % 30).as("a"),
+          ((col("event_id") * 7) % 30).as("p")),
+        Seq("user_id"), "a", "p", qNum = 3L, qDen = 4L)
+        .orderBy(col("user_id"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8191,6 +8200,19 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q266: the same integer max terms, one terminal division
+    "q266_pinball" ->
+      """WITH b AS (SELECT user_id, event_id % 30 AS a,
+        |  (event_id * 7) % 30 AS p FROM events),
+        |g AS (SELECT user_id, cast(count(*) AS bigint) AS n,
+        |  cast(sum(greatest(3 * (a - p), -1 * (a - p))) AS bigint)
+        |    AS sum_loss_scaled
+        |  FROM b GROUP BY user_id)
+        |SELECT user_id, n, sum_loss_scaled,
+        |  cast(sum_loss_scaled AS double) / cast(n * 4 AS double)
+        |    AS mean_loss
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // q265: the same md5 signature grid re-dealt; estimator approximate,
     // computation exact

@@ -1562,6 +1562,32 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Pinball (quantile) loss of a quantile FORECAST at τ = qNum/qDen —
+    * [[forecastEval]]'s companion for P90-style predictions, where MAE
+    * is the wrong ruler: per row, loss·qDen = max(qNum·(a−p),
+    * (qNum−qDen)·(a−p)) is an exact INTEGER, so the corpus sum is
+    * order-free bigint arithmetic and only the final mean divides. A
+    * well-calibrated τ-quantile forecast minimizes exactly this.
+    *
+    * Output one row per group (keyCols may be empty): n,
+    * sum_loss_scaled (×qDen), mean_loss (one division by n·qDen).
+    */
+  def pinballLoss(df: DataFrame, keyCols: Seq[String], actualCol: String,
+                  predCol: String, qNum: Long, qDen: Long): DataFrame = {
+    require(qDen > 0 && qNum > 0 && qNum < qDen,
+      "need 0 < qNum < qDen (tau strictly inside (0,1))")
+    val e = col(actualCol).cast("long") - col(predCol).cast("long")
+    val scaled = greatest(lit(qNum) * e, lit(qNum - qDen) * e)
+    val agged =
+      if (keyCols.isEmpty)
+        df.agg(count(lit(1)).as("n"), sum(scaled).as("sum_loss_scaled"))
+      else df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(scaled).as("sum_loss_scaled"))
+    agged.withColumn("mean_loss",
+      col("sum_loss_scaled").cast("double") /
+        (col("n") * qDen).cast("double"))
+  }
+
   /** Percentile of each row's value within a REFERENCE population's
     * empirical CDF — score normalization against a fixed cohort ("where
     * does this crawl's doc length sit in last month's distribution"),

@@ -457,6 +457,23 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("pinballLoss: asymmetric integer terms, P75 penalizes underforecast") {
+    // tau = 3/4: over-forecast (a<p) costs (qDen-qNum)=1 per unit,
+    // under-forecast costs qNum=3 per unit (scaled by qDen=4)
+    val df = Seq(("g", 10L, 12L), ("g", 10L, 7L), ("g", 5L, 5L))
+      .toDF("k", "a", "p")
+    val r = Stats.pinballLoss(df, Seq("k"), "a", "p", 3L, 4L)
+      .collect().head
+    // e=-2: max(-6, 2)=2 ; e=3: max(9, -3)=9 ; e=0: 0 -> sum 11
+    assert(r.getLong(1) == 3L && r.getLong(2) == 11L)
+    assert(r.getDouble(3) == 11.0 / 12.0)
+    // ungrouped form returns one global row
+    val g = Stats.pinballLoss(df, Nil, "a", "p", 1L, 2L).collect().head
+    // tau=1/2: |e| scaled by 1 each: 2 + 3 + 0 = 5 over qDen 2
+    assert(g.getLong(0) == 3L && g.getLong(1) == 5L)
+    assert(g.getDouble(2) == 5.0 / 6.0)
+  }
+
   test("referencePercentile: exact ECDF lookup, below-min reads zero") {
     val ref = Seq(10L, 20L, 20L, 30L).toDF("v") // N=4
     val df = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 30L), (5L, 99L))
