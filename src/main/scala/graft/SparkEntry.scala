@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 266 queries spanning every implemented operator family
+/** Driver contract — 268 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4148,7 +4148,23 @@ object SparkEntry {
           (col("event_id") % 30).as("a"),
           ((col("event_id") * 7) % 30).as("p")),
         Seq("user_id"), "a", "p", qNum = 3L, qDen = 4L)
-        .orderBy(col("user_id"))))
+        .orderBy(col("user_id"))),
+
+    // ---- Wald-Wolfowitz runs test on above-median event values ----
+    "q267_runs_test" -> ((s, dir) =>
+      graft.ops.Stats.runsTest(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), ((col("event_id") % 20) >= 10).as("hi")),
+        Seq("user_id"), "ts", "hi", tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"))),
+
+    // ---- ACF at lags 1..7 of each user's event-value series ----
+    "q268_acf" -> ((s, dir) =>
+      graft.ops.Stats.acfTable(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), (col("event_id") % 20).as("x")),
+        Seq("user_id"), "ts", "x", maxLag = 7, tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("lag"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8200,6 +8216,55 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q267: lag-change run count + the closed-form mu/sigma/z replay
+    "q267_runs_test" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  (event_id % 20) >= 10 AS f FROM events),
+        |w AS (SELECT user_id, f,
+        |  CASE WHEN lag(f) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) IS NOT DISTINCT FROM f
+        |    AND row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) > 1
+        |  THEN 0 ELSE 1 END AS nr FROM e),
+        |a AS (SELECT user_id, cast(count(*) AS bigint) AS n,
+        |  cast(sum(CASE WHEN f THEN 1 ELSE 0 END) AS bigint) AS n_true,
+        |  cast(sum(nr) AS bigint) AS n_runs FROM w GROUP BY user_id),
+        |m AS (SELECT *, cast(2 AS double) *
+        |  cast(n_true * (n - n_true) AS double) / cast(n AS double)
+        |  + cast(1 AS double) AS mu FROM a)
+        |SELECT user_id, n, n_true, n_runs,
+        |  CASE WHEN n_true > 0 AND n_true < n AND n > 1 AND
+        |    (mu - cast(1 AS double)) * (mu - cast(2 AS double)) /
+        |      cast(n - 1 AS double) > 0 THEN
+        |    (cast(n_runs AS double) - mu) /
+        |    sqrt((mu - cast(1 AS double)) * (mu - cast(2 AS double)) /
+        |      cast(n - 1 AS double)) END AS z
+        |FROM m ORDER BY user_id""".stripMargin,
+
+    // q268: per-lag pair moments, the q191-family fixed formula
+    "q268_acf" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_id % 20 AS x
+        |           FROM events),
+        |rk AS (SELECT user_id, x, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS rn FROM e),
+        |p AS (SELECT a.user_id, cast(t.lg AS bigint) AS lag,
+        |  a.x AS x, b.x AS y
+        |  FROM rk a, unnest([1, 2, 3, 4, 5, 6, 7]) t(lg)
+        |  JOIN rk b ON b.user_id = a.user_id AND b.rn = a.rn - t.lg),
+        |a AS (SELECT user_id, lag, cast(count(*) AS bigint) AS n_pairs,
+        |  cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+        |  cast(sum(x * x) AS bigint) AS sxx,
+        |  cast(sum(y * y) AS bigint) AS syy,
+        |  cast(sum(x * y) AS bigint) AS sxy
+        |  FROM p GROUP BY user_id, lag)
+        |SELECT user_id, lag, n_pairs,
+        |  CASE WHEN cast(n_pairs * sxx - sx * sx AS double) > 0 AND
+        |            cast(n_pairs * syy - sy * sy AS double) > 0 THEN
+        |    cast(n_pairs * sxy - sx * sy AS double) /
+        |    (sqrt(cast(n_pairs * sxx - sx * sx AS double)) *
+        |     sqrt(cast(n_pairs * syy - sy * sy AS double))) END AS r
+        |FROM a ORDER BY user_id, lag""".stripMargin,
 
     // q266: the same integer max terms, one terminal division
     "q266_pinball" ->

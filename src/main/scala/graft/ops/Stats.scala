@@ -1562,6 +1562,78 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Wald–Wolfowitz RUNS TEST per key — "are the above/below-median days
+    * randomly ordered, or does the crawler alternate/streak?": over the
+    * (ts, tie)-ordered boolean series with n₁ trues and n₀ falses in n
+    * rows, the run count R (exact, the [[cusum]]-style lag+sum pass)
+    * compares against μ = 2n₁n₀/n + 1 and σ² = (μ−1)(μ−2)/(n−1); too
+    * FEW runs = streaky, too MANY = oscillating. μ, σ, z are a fixed
+    * handful of IEEE divisions + one sqrt from exact integers —
+    * replayable; keys with n₁·n₀ = 0 (constant series) report null z.
+    *
+    * Output per key: n, n_true, n_runs, z. Scale shape: one per-key
+    * window + one combiner aggregate. */
+  def runsTest(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               flagCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val f = col(flagCol).cast("boolean")
+    val newRun = when(lag(f, 1).over(w).isNull ||
+      !(lag(f, 1).over(w) <=> f), 1L).otherwise(0L)
+    val agged = df
+      .select(keyCols.map(col) :+ f.as("_f") :+ newRun.as("_nr"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("n_true"),
+        sum(col("_nr")).as("n_runs"))
+    val n = col("n").cast("double")
+    val prod = (col("n_true") * (col("n") - col("n_true"))).cast("double")
+    val mu = lit(2.0) * prod / n + 1.0
+    val variance = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    agged.withColumn("z",
+      when(col("n_true") > 0 && col("n_true") < col("n") && col("n") > 1 &&
+        variance > 0.0,
+        (col("n_runs").cast("double") - mu) / sqrt(variance)))
+  }
+
+  /** Full autocorrelation table at lags 1..k per key — [[lagAutocorr]]
+    * widened to the ACF a seasonality hunt reads (the lag-7 spike IS the
+    * weekly cycle): one |lags|-way window pass computes every lag column
+    * in a single sort, then exact integer moment sums per (key, lag)
+    * feed the same fixed correlation formula.
+    *
+    * Output per (key, lag): n_pairs, r (null when either side is
+    * constant). Scale shape: ONE per-key window (all lag columns share
+    * the sort) + one combiner aggregate over the exploded (key, lag)
+    * pairs. */
+  def acfTable(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               valCol: String, maxLag: Int,
+               tieBreak: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "need 1 <= maxLag <= 64")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val v = col(valCol).cast("long")
+    val lagged = df.select(keyCols.map(col) :+ v.as("_x") :+
+      array((1 to maxLag).map(k => lag(v, k).over(w)): _*).as("_ls"): _*)
+    val exploded = lagged
+      .select(keyCols.map(col) :+ col("_x") :+
+        posexplode(col("_ls")).as(Seq("_k", "_y")): _*)
+      .where(col("_y").isNotNull)
+      .withColumn("lag", col("_k") + 1)
+    val agged = exploded.groupBy(keyCols.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+    val nn = col("n_pairs")
+    val num = (nn * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val dx = (nn * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val dy = (nn * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    agged.select(keyCols.map(col) :+ col("lag").cast("long").as("lag") :+
+      col("n_pairs") :+
+      when(dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))).as("r"): _*)
+  }
+
   /** Pinball (quantile) loss of a quantile FORECAST at τ = qNum/qDen —
     * [[forecastEval]]'s companion for P90-style predictions, where MAE
     * is the wrong ruler: per row, loss·qDen = max(qNum·(a−p),

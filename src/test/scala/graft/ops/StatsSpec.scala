@@ -457,6 +457,45 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("runsTest: exact run counts, closed-form z, constant-series null") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // alternating TFTFTF: 6 runs of 6 (max oscillation, z > 0)
+    // streaky TTTFFF: 2 runs (z < 0); constant TTTT: null z
+    val df = (Seq.tabulate(6)(i => ("alt", t(i.toLong), i.toLong,
+      i % 2 == 0)) ++
+      Seq.tabulate(6)(i => ("str", t(i.toLong), i.toLong, i < 3)) ++
+      Seq.tabulate(4)(i => ("con", t(i.toLong), i.toLong, true)))
+      .toDF("k", "ts", "eid", "f")
+    val r = Stats.runsTest(df, Seq("k"), "ts", "f", Seq("eid"))
+      .orderBy("k").collect()
+    val byK = r.map(x => x.getString(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(byK("alt") == ((6L, 3L, 6L)))
+    assert(byK("str") == ((6L, 3L, 2L)))
+    assert(byK("con") == ((4L, 4L, 1L)))
+    val zAlt = {
+      val mu = 2.0 * 9.0 / 6.0 + 1.0 // = 4
+      (6.0 - mu) / math.sqrt((mu - 1.0) * (mu - 2.0) / 5.0)
+    }
+    assert(r(0).getDouble(4) == zAlt && zAlt > 0)
+    assert(r(2).getDouble(4) < 0)   // streaky
+    assert(r(1).isNullAt(4))        // constant
+  }
+
+  test("acfTable: lag-2 cycle shows up; exact moment replay at lag 1") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // period-2 series 1,5,1,5,... -> r(lag 2) = 1, r(lag 1) = -1
+    val df = Seq.tabulate(8)(i => ("k", t(i.toLong), i.toLong,
+      if (i % 2 == 0) 1L else 5L)).toDF("g", "ts", "eid", "v")
+    val r = Stats.acfTable(df, Seq("g"), "ts", "v", maxLag = 3, Seq("eid"))
+      .orderBy("lag").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 7L, r(0)._3)) && math.abs(r(0)._3 + 1.0) < 1e-9)
+    assert(r(1)._1 == 2L && math.abs(r(1)._3 - 1.0) < 1e-9)
+    // pairs shrink with lag: n - k
+    assert(r.map(_._2).toSeq == Seq(7L, 6L, 5L))
+  }
+
   test("pinballLoss: asymmetric integer terms, P75 penalizes underforecast") {
     // tau = 3/4: over-forecast (a<p) costs (qDen-qNum)=1 per unit,
     // under-forecast costs qNum=3 per unit (scaled by qDen=4)
