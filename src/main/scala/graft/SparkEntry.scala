@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 268 queries spanning every implemented operator family
+/** Driver contract — 269 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4164,7 +4164,16 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id"), col("ts"),
           col("event_id"), (col("event_id") % 20).as("x")),
         Seq("user_id"), "ts", "x", maxLag = 7, tieBreak = Seq("event_id"))
-        .orderBy(col("user_id"), col("lag"))))
+        .orderBy(col("user_id"), col("lag"))),
+
+    // ---- exact W1 distance: en vs de doc-length distributions ----
+    "q269_emd" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.emd1d(
+        d.where(col("lang") === "en").select(col("n_chars")),
+        d.where(col("lang") === "de").select(col("n_chars")),
+        "n_chars")
+    }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8216,6 +8225,32 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q269: merged-grid cross-multiplied CDF gaps, exact bigint numerator
+    "q269_emd" ->
+      """WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents
+        |  WHERE lang = 'en' GROUP BY 1),
+        |b AS (SELECT n_chars AS v, count(*) AS cb FROM documents
+        |  WHERE lang = 'de' GROUP BY 1),
+        |g AS (SELECT coalesce(a.v, b.v) AS v,
+        |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT v,
+        |  sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS cuma,
+        |  sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS cumb,
+        |  lead(v) OVER (ORDER BY v) - v AS dx FROM g),
+        |t AS (SELECT cast(max(cuma) AS bigint) AS n_a,
+        |  cast(max(cumb) AS bigint) AS n_b FROM c)
+        |SELECT t.n_a, t.n_b,
+        |  cast(coalesce(sum(CASE WHEN dx IS NOT NULL THEN
+        |    abs(cuma * t.n_b - cumb * t.n_a) * dx END), 0) AS bigint)
+        |    AS emd_scaled,
+        |  cast(coalesce(sum(CASE WHEN dx IS NOT NULL THEN
+        |    abs(cuma * t.n_b - cumb * t.n_a) * dx END), 0) AS double) /
+        |    cast(t.n_a * t.n_b AS double) AS emd
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
 
     // q267: lag-change run count + the closed-form mu/sigma/z replay
     "q267_runs_test" ->

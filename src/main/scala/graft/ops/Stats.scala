@@ -1562,6 +1562,45 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Exact 1-D earth mover's (Wasserstein-1) distance between two
+    * integer distributions — the ORDINAL drift metric PSI and the KS
+    * statistic both flatten (PSI ignores how FAR mass moved, KS only
+    * sees the worst point): W₁ = ∫|F_a − F_b| dx over the merged value
+    * grid, computed as the exact bigint
+    *
+    *   Σ_gaps |cum_a·n_b − cum_b·n_a| · Δx   /   (n_a·n_b)
+    *
+    * (cross-multiplied CDFs — no per-term fractions to re-add in engine
+    * order; ONE terminal division). Value-grid contract: the cumulative
+    * window runs over DISTINCT values (quantize first if continuous).
+    *
+    * Output one row: n_a, n_b, emd_scaled (the bigint numerator), emd.
+    */
+  def emd1d(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df
+      .select(col(valCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as(s"_c$tag"))
+    val grid = side(a, "a").join(side(b, "b"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+    val cum = grid
+      .withColumn("_cuma", sum(col("_ca")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_cumb", sum(col("_cb")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_dx", lead(col("_v"), 1).over(w) - col("_v"))
+    val na = cum.agg(max(col("_cuma")).as("n_a"),
+      max(col("_cumb")).as("n_b"))
+    cum.crossJoin(broadcast(na))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        coalesce(sum(when(col("_dx").isNotNull,
+          abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")) *
+            col("_dx"))), lit(0L)).as("emd_scaled"))
+      .withColumn("emd", col("emd_scaled").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+  }
+
   /** Wald–Wolfowitz RUNS TEST per key — "are the above/below-median days
     * randomly ordered, or does the crawler alternate/streak?": over the
     * (ts, tie)-ordered boolean series with n₁ trues and n₀ falses in n

@@ -457,6 +457,22 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("emd1d: shifted distribution moves exactly the shift; identity 0") {
+    val a = Seq(0L, 0L, 10L, 10L).toDF("v")
+    val b = Seq(3L, 3L, 13L, 13L).toDF("v") // a shifted by +3
+    val r = Stats.emd1d(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getDouble(3) == 3.0) // W1 of a pure +3 shift is 3
+    // identical distributions: 0, even with different row multiplicities
+    val r0 = Stats.emd1d(a, a.unionAll(a), "v").collect().head
+    assert(r0.getDouble(3) == 0.0)
+    // unequal masses normalize: {0} vs {0,1,1}: F_a=1 at 0; F_b=1/3 at 0
+    // -> gap 0..1 contributes |1 - 1/3| * 1 = 2/3
+    val r1 = Stats.emd1d(Seq(0L).toDF("v"),
+      Seq(0L, 1L, 1L).toDF("v"), "v").collect().head
+    assert(r1.getDouble(3) == 2.0 / 3.0)
+  }
+
   test("runsTest: exact run counts, closed-form z, constant-series null") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
     // alternating TFTFTF: 6 runs of 6 (max oscillation, z > 0)
