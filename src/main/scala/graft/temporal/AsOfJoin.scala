@@ -263,6 +263,42 @@ object AsOfJoin {
     * aggregate over (keys, two ts columns) — map-side combined, payload
     * never read.
     */
+  /** Point-in-time windowed COUNT join — the as-of family's aggregate
+    * member: for every left event, how many RIGHT events the same key
+    * produced in the trailing `windowSeconds` ending AT the left event
+    * ("clicks in the 7 days before this purchase"), with zero temporal
+    * leakage by construction (the RANGE frame ends at the current row —
+    * no frame ever sees a later second; same-second right events count,
+    * the documented closed upper bound). Implemented by the UNION-MERGE
+    * trick: both sides tagged into one keyed stream, ONE range-frame
+    * window sums the right-tags, left rows filter back out — never a
+    * per-row correlated lookup, never an inequality join.
+    *
+    * Output: keys…, tsCol, idCol, n_right_in_window. Scale shape: one
+    * (key, second)-sorted window over the slim union; `idCol` must be
+    * unique on the left. */
+  def asOfCount(left: DataFrame, right: DataFrame, keys: Seq[String],
+                tsCol: String, idCol: String,
+                windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 0, "windowSeconds must be >= 0")
+    val ls = left.select(keys.map(col) :+ col(tsCol).as("_ts") :+
+        col(idCol).as("_id"): _*)
+      .withColumn("_r", lit(0L))
+    val rs = right.select(keys.map(col) :+ col(tsCol).as("_ts"): _*)
+      .withColumn("_id", lit(null).cast(
+        left.schema(left.schema.fieldIndex(idCol)).dataType))
+      .withColumn("_r", lit(1L))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").cast("timestamp").cast("long"))
+      .rangeBetween(-windowSeconds, 0)
+    ls.unionByName(rs)
+      .withColumn("_cnt", sum(col("_r")).over(w))
+      .where(col("_id").isNotNull)
+      .select(keys.map(col) :+ col("_ts").as(tsCol) :+
+        col("_id").as(idCol) :+
+        col("_cnt").as("n_right_in_window"): _*)
+  }
+
   def leakageAudit(joined: DataFrame, keys: Seq[String], probeTsCol: String,
                    buildTsCol: String, strict: Boolean = false,
                    toleranceSeconds: Option[Long] = None): DataFrame = {

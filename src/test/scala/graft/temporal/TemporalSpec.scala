@@ -354,6 +354,25 @@ class WindowsSpec extends SparkSpec {
     assert(cols.toSeq == Seq("url", "t", "eid", "value", "ewma"))
   }
 
+  test("asOfCount: trailing-window counts, same-second inclusive, no leakage") {
+    val left = Seq(("u", ts(100), 1L), ("u", ts(200), 2L),
+      ("v", ts(100), 3L)).toDF("k", "t", "id")
+    val right = Seq(("u", ts(50)), ("u", ts(100)), ("u", ts(150)),
+      ("u", ts(250)),   // future of both left events: never counted
+      ("v", ts(99))).toDF("k", "t")
+    val r = graft.temporal.AsOfJoin.asOfCount(left, right, Seq("k"), "t",
+        "id", windowSeconds = 60L)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(2), x.getLong(3)))
+    // id1 @100: right at 50,100 in (40,100] -> 2 ; id2 @200: right at
+    // 150 in (140,200] -> 1 ; id3 v@100: right at 99 -> 1
+    assert(r.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    // zero-width window counts only same-second rights
+    val z = graft.temporal.AsOfJoin.asOfCount(left, right, Seq("k"), "t",
+        "id", 0L).orderBy("id").collect().map(_.getLong(3))
+    assert(z.toSeq == Seq(1L, 0L, 0L))
+  }
+
   test("revisitSchedule: exponential backoff resets on change, capped") {
     val df = Seq(
       ("u", ts(1), 1L, true), ("u", ts(2), 2L, false),
