@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 270 queries spanning every implemented operator family
+/** Driver contract — 272 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4186,7 +4186,20 @@ object SparkEntry {
         Seq("user_id"), "ts", "event_id", windowSeconds = 604800L)
         .select(col("user_id"), col("event_id"), col("n_right_in_window"))
         .orderBy(col("event_id"))
-    }))
+    }),
+
+    // ---- Cohen's d effect size: en vs de doc lengths ----
+    "q271_cohens_d" -> ((s, dir) =>
+      graft.ops.Stats.cohensD(t(s, dir, "documents"), "lang", "n_chars",
+        "en", "de")),
+
+    // ---- Matthews correlation of the q182 deterministic classifier ----
+    "q272_mcc" -> ((s, dir) =>
+      graft.ops.Stats.mcc(
+        t(s, dir, "documents").select((col("lang") === "en").as("y"),
+          (col("doc_id") % 11 === 0 ||
+            (col("lang") === "en" && col("doc_id") % 7 =!= 0)).as("p")),
+        "y", "p")))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8238,6 +8251,57 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q271: same exact sum-of-squares identity, one sqrt
+    "q271_cohens_d" ->
+      """WITH a AS (SELECT
+        |  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_a,
+        |  cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_b,
+        |  cast(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)
+        |    AS bigint) AS sa,
+        |  cast(sum(CASE WHEN lang = 'de' THEN n_chars ELSE 0 END)
+        |    AS bigint) AS sb,
+        |  cast(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars
+        |    ELSE 0 END) AS bigint) AS qa,
+        |  cast(sum(CASE WHEN lang = 'de' THEN n_chars * n_chars
+        |    ELSE 0 END) AS bigint) AS qb
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |m AS (SELECT *,
+        |  cast(sa AS double) / cast(n_a AS double) AS mean_a,
+        |  cast(sb AS double) / cast(n_b AS double) AS mean_b,
+        |  ((cast(qa AS double) - cast(sa AS double) * cast(sa AS double)
+        |      / cast(n_a AS double)) +
+        |   (cast(qb AS double) - cast(sb AS double) * cast(sb AS double)
+        |      / cast(n_b AS double))) / cast(n_a + n_b - 2 AS double)
+        |    AS pv FROM a)
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pv > 0 THEN
+        |    (mean_a - mean_b) / sqrt(pv) END AS d
+        |FROM m""".stripMargin,
+
+    // q272: exact confusion counts, double products before the sqrt
+    "q272_mcc" ->
+      """WITH b AS (SELECT lang = 'en' AS y,
+        |  (doc_id % 11 = 0 OR (lang = 'en' AND doc_id % 7 <> 0)) AS p
+        |  FROM documents),
+        |c AS (SELECT
+        |  cast(sum(CASE WHEN y AND p THEN 1 ELSE 0 END) AS bigint) AS tp,
+        |  cast(sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)
+        |    AS bigint) AS tn,
+        |  cast(sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS bigint)
+        |    AS fp,
+        |  cast(sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS bigint)
+        |    AS fn FROM b),
+        |d AS (SELECT *, sqrt(cast(tp + fp AS double) *
+        |  cast(tp + fn AS double) * cast(tn + fp AS double) *
+        |  cast(tn + fn AS double)) AS den FROM c)
+        |SELECT tp, tn, fp, fn,
+        |  CASE WHEN den > 0 THEN
+        |    (cast(tp AS double) * cast(tn AS double) -
+        |     cast(fp AS double) * cast(fn AS double)) / den END AS mcc
+        |FROM d""".stripMargin,
 
     // q270: correlated trailing-window count on floor seconds — the
     // deliberately DIFFERENT plan (per-row lookup) vs the engine's

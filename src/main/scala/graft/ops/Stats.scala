@@ -1562,6 +1562,66 @@ object Stats {
       .drop("_sq")
   }
 
+  /** Cohen's d standardized mean difference between two groups — the
+    * effect SIZE the [[welchTest]] p-value deliberately doesn't tell
+    * you: d = (x̄_A − x̄_B) / s_pooled with the pooled SAMPLE variance
+    * ((n_A−1)s²_A + (n_B−1)s²_B)/(n_A+n_B−2), every s² a fixed ratio of
+    * exact integer sums (n·Σx² − (Σx)² over n(n−1)), one sqrt. Null
+    * when either group has < 2 rows or the pooled variance is 0.
+    *
+    * Output one row: n_a, n_b, mean_a, mean_b, d. One combiner
+    * aggregate. */
+  def cohensD(df: DataFrame, groupCol: String, valCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    def cell(tag: String, cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col(valCol).cast("long")).otherwise(0L))
+        .as(s"_s_$tag"),
+      sum(when(cond, col(valCol).cast("long") * col(valCol).cast("long"))
+        .otherwise(0L)).as(s"_q_$tag"))
+    val g = col(groupCol)
+    val cells = cell("a", g === groupA) ++ cell("b", g === groupB)
+    val agged = df.where(g.isin(groupA, groupB))
+      .agg(cells.head, cells.tail: _*)
+    def mean(t: String) =
+      col(s"_s_$t").cast("double") / col(s"n_$t").cast("double")
+    def ss(t: String) = // (n-1)*s^2 = sum_sq - sum^2/n, exact-rational form
+      (col(s"_q_$t").cast("double") -
+        col(s"_s_$t").cast("double") * col(s"_s_$t").cast("double") /
+          col(s"n_$t").cast("double"))
+    val pooledVar = (ss("a") + ss("b")) /
+      (col("n_a") + col("n_b") - 2).cast("double")
+    agged.select(col("n_a"), col("n_b"), mean("a").as("mean_a"),
+        mean("b").as("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2 && pooledVar > 0.0,
+          (mean("a") - mean("b")) / sqrt(pooledVar)).as("d"))
+  }
+
+  /** Matthews correlation coefficient from a binary confusion matrix —
+    * the single classifier number that survives class imbalance
+    * (accuracy and F1 both don't): with exact tp/tn/fp/fn counts,
+    * MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)), one sqrt
+    * over a product of bigints (cast to double BEFORE multiplying so
+    * 10⁹-row cells cannot overflow int64). Null when any marginal is 0.
+    *
+    * Output one row: tp, tn, fp, fn, mcc. One combiner aggregate. */
+  def mcc(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val p = col(predCol).cast("boolean")
+    val agged = df.agg(
+      sum(when(y && p, 1L).otherwise(0L)).as("tp"),
+      sum(when(!y && !p, 1L).otherwise(0L)).as("tn"),
+      sum(when(!y && p, 1L).otherwise(0L)).as("fp"),
+      sum(when(y && !p, 1L).otherwise(0L)).as("fn"))
+    val denom = sqrt((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    agged.withColumn("mcc", when(denom > 0.0,
+      (col("tp").cast("double") * col("tn").cast("double") -
+        col("fp").cast("double") * col("fn").cast("double")) / denom))
+  }
+
   /** Exact 1-D earth mover's (Wasserstein-1) distance between two
     * integer distributions — the ORDINAL drift metric PSI and the KS
     * statistic both flatten (PSI ignores how FAR mass moved, KS only

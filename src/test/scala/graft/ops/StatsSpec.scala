@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
@@ -455,6 +455,38 @@ class StatsSpec extends SparkSpec {
     assert(r(1) == ((1L, 2L, 550L, 1L, 550.0 / 2000.0, 0.5, 0.5 - 550.0 / 2000.0)))
     assert(r(2) == ((3L, 2L, 1990L, 2L, 1990.0 / 2000.0, 1.0, 1.0 - 1990.0 / 2000.0)))
     assert(r.length == 3) // empty bin 2 absent
+  }
+
+  test("cohensD: pooled-variance replay; degenerate groups null") {
+    val df = Seq(("A", 10L), ("A", 14L), ("B", 6L), ("B", 8L), ("B", 10L))
+      .toDF("g", "v")
+    val r = Stats.cohensD(df, "g", "v", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 3L)))
+    assert(r.getDouble(2) == 12.0 && r.getDouble(3) == 8.0)
+    // ssA = 296 - 576/2 = 8 ; ssB = 200 - 576/3 = 8 ; pooled = 16/3
+    val d = (12.0 - 8.0) / math.sqrt((296.0 - 24.0 * 24.0 / 2.0 +
+      (200.0 - 24.0 * 24.0 / 3.0)) / 3.0)
+    assert(r.getDouble(4) == d)
+    // single-row group -> null d
+    val r1 = Stats.cohensD(df.where(col("v") =!= 14L), "g", "v", "A", "B")
+      .collect().head
+    assert(r1.isNullAt(4))
+  }
+
+  test("mcc: textbook confusion algebra; zero-marginal null") {
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, false), (false, false), (false, true))
+      .toDF("y", "p")
+    val r = Stats.mcc(df, "y", "p").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 1L)))
+    val want = (2.0 * 2.0 - 1.0 * 1.0) /
+      math.sqrt(3.0 * 3.0 * 3.0 * 3.0)
+    assert(r.getDouble(4) == want)
+    // never-positive predictor: a zero marginal -> null
+    val r0 = Stats.mcc(df.withColumn("p", lit(false)), "y", "p")
+      .collect().head
+    assert(r0.isNullAt(4))
   }
 
   test("emd1d: shifted distribution moves exactly the shift; identity 0") {
