@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 272 queries spanning every implemented operator family
+/** Driver contract — 274 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels.
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4199,7 +4199,25 @@ object SparkEntry {
         t(s, dir, "documents").select((col("lang") === "en").as("y"),
           (col("doc_id") % 11 === 0 ||
             (col("lang") === "en" && col("doc_id") % 7 =!= 0)).as("p")),
-        "y", "p")))
+        "y", "p")),
+
+    // ---- 2x2 risk/odds: long docs exposed, en outcome ----
+    "q273_two_by_two" -> ((s, dir) =>
+      graft.ops.Stats.twoByTwo(
+        t(s, dir, "documents").select((col("n_chars") >= 300).as("e"),
+          (col("lang") === "en").as("o")),
+        "e", "o")),
+
+    // ---- churn labels: seconds to each user's next purchase ----
+    "q274_time_to_event" -> ((s, dir) =>
+      graft.temporal.Windows.timeToEvent(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", "event_type", "purchase",
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          col("label_next_target_s"))
+        .orderBy(col("event_id"))))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
     * routes doc_id % 7 == 0 to a bogus class and % 11 == 0 to 'en'.
@@ -8251,6 +8269,50 @@ object SparkEntry {
         |  cast(ed.w AS bigint) AS w
         |FROM ed JOIN mm ON ed.u = mm.a AND ed.v = mm.b
         |WHERE ed.w = mm.bot ORDER BY u, v""".stripMargin,
+
+    // q273: four CASE cells, single-division ratios
+    "q273_two_by_two" ->
+      """WITH b AS (SELECT n_chars >= 300 AS e, lang = 'en' AS o
+        |           FROM documents),
+        |c AS (SELECT
+        |  cast(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_exposed_pos,
+        |  cast(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_exposed_neg,
+        |  cast(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_control_pos,
+        |  cast(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_control_neg FROM b),
+        |m AS (SELECT *,
+        |  CASE WHEN n_exposed_pos + n_exposed_neg > 0 THEN
+        |    cast(n_exposed_pos AS double) /
+        |    cast(n_exposed_pos + n_exposed_neg AS double) END AS re,
+        |  CASE WHEN n_control_pos + n_control_neg > 0 THEN
+        |    cast(n_control_pos AS double) /
+        |    cast(n_control_pos + n_control_neg AS double) END AS rc
+        |  FROM c)
+        |SELECT n_exposed_pos, n_exposed_neg, n_control_pos,
+        |  n_control_neg, re AS risk_exposed, rc AS risk_control,
+        |  CASE WHEN rc IS NOT NULL AND rc > 0 AND re IS NOT NULL
+        |    THEN re / rc END AS relative_risk,
+        |  CASE WHEN n_exposed_neg > 0 AND n_control_pos > 0
+        |      AND n_control_neg > 0 THEN
+        |    (cast(n_exposed_pos AS double) * cast(n_control_neg AS double))
+        |    / (cast(n_exposed_neg AS double) *
+        |       cast(n_control_pos AS double)) END AS odds_ratio
+        |FROM m""".stripMargin,
+
+    // q274: min of strictly-later target seconds per key (rank self-join)
+    "q274_time_to_event" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ms(ts) // 1000 AS sec FROM events)
+        |SELECT l.user_id, l.event_id,
+        |  (SELECT min(r.sec) FROM e r WHERE r.user_id = l.user_id
+        |    AND r.event_type = 'purchase'
+        |    AND (r.sec > l.sec OR (r.sec = l.sec
+        |         AND r.event_id > l.event_id))) - l.sec
+        |    AS label_next_target_s
+        |FROM e l ORDER BY l.event_id""".stripMargin,
 
     // q271: same exact sum-of-squares identity, one sqrt
     "q271_cohens_d" ->

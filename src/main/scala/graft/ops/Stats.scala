@@ -1562,6 +1562,41 @@ object Stats {
       .drop("_sq")
   }
 
+  /** 2×2 exposure/outcome table with risk and odds ratios — the
+    * epidemiology read of a rollout ("exposed to the new parser → parse
+    * failure?"): exact cell counts a/b/c/d, each reported ratio ONE
+    * division (or a ratio of two one-division doubles), nulls where a
+    * marginal or denominator cell is 0 rather than infinities.
+    *
+    * Output one row: n_exposed_pos (a), n_exposed_neg (b),
+    * n_control_pos (c), n_control_neg (d), risk_exposed, risk_control,
+    * relative_risk, odds_ratio. One combiner aggregate. */
+  def twoByTwo(df: DataFrame, exposedCol: String,
+               outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    val agged = df.agg(
+      sum(when(e && o, 1L).otherwise(0L)).as("n_exposed_pos"),
+      sum(when(e && !o, 1L).otherwise(0L)).as("n_exposed_neg"),
+      sum(when(!e && o, 1L).otherwise(0L)).as("n_control_pos"),
+      sum(when(!e && !o, 1L).otherwise(0L)).as("n_control_neg"))
+    val a = col("n_exposed_pos"); val b = col("n_exposed_neg")
+    val c = col("n_control_pos"); val d = col("n_control_neg")
+    val riskE = when(a + b > 0,
+      a.cast("double") / (a + b).cast("double"))
+    val riskC = when(c + d > 0,
+      c.cast("double") / (c + d).cast("double"))
+    agged
+      .withColumn("risk_exposed", riskE)
+      .withColumn("risk_control", riskC)
+      .withColumn("relative_risk",
+        when(riskC.isNotNull && riskC > 0.0 && riskE.isNotNull,
+          riskE / riskC))
+      .withColumn("odds_ratio", when(b > 0 && c > 0 && d > 0,
+        (a.cast("double") * d.cast("double")) /
+          (b.cast("double") * c.cast("double"))))
+  }
+
   /** Cohen's d standardized mean difference between two groups — the
     * effect SIZE the [[welchTest]] p-value deliberately doesn't tell
     * you: d = (x̄_A − x̄_B) / s_pooled with the pooled SAMPLE variance

@@ -207,6 +207,31 @@ object Windows {
         element_at(col("_sm"), col("_i") + 1).as("ewma"): _*)
   }
 
+  /** Forward-looking LABEL construction: seconds until the key's next
+    * `targetType` event strictly after each row ("time to next purchase"
+    * / churn labels). This op reads the FUTURE by definition — it builds
+    * training LABELS, never features; keep its output out of feature
+    * columns (the leakage audit's allowlist treats `label_` columns as
+    * targets). Computed as the [[graft.ops.Behavior.attribution]] DESC
+    * running-min trick — O(n) per key, no self-join: scanning latest→
+    * earliest, the running min of target timestamps seen so far (current
+    * row EXCLUDED via a 1-row-shifted frame) is exactly the next target
+    * at-or-after strictly later rows.
+    *
+    * Output: input + label_next_target_s (null when no later target).
+    * (ts, tieBreak) must totally order each key. */
+  def timeToEvent(df: DataFrame, keys: Seq[String], tsCol: String,
+                  typeCol: String, targetType: String,
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val wDesc = Window.partitionBy(keys.map(col): _*)
+      .orderBy((sec.desc +: tieBreak.map(col(_).desc)): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nextTarget = min(when(col(typeCol) === targetType, sec)).over(wDesc)
+    df.withColumn("label_next_target_s",
+      when(nextTarget.isNotNull, nextTarget - sec))
+  }
+
   /** Adaptive revisit scheduling from change history — the crawl-policy
     * rule "back off exponentially while a page stays unchanged": at each
     * snapshot, `unchanged_run` counts the consecutive unchanged snapshots

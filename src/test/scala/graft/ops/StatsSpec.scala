@@ -457,6 +457,23 @@ class StatsSpec extends SparkSpec {
     assert(r.length == 3) // empty bin 2 absent
   }
 
+  test("twoByTwo: exact cells, RR and OR single-division, zero guards") {
+    // exposed: 3 pos, 1 neg; control: 1 pos, 3 neg
+    val df = Seq((true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("e", "o")
+    val r = Stats.twoByTwo(df, "e", "o").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 1L, 3L)))
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.25)
+    assert(r.getDouble(6) == 0.75 / 0.25)
+    assert(r.getDouble(7) == (3.0 * 3.0) / (1.0 * 1.0))
+    // control arm with zero positives -> RR null, OR null (c = 0)
+    val r0 = Stats.twoByTwo(df.where(!(col("e") === false &&
+      col("o") === true)), "e", "o").collect().head
+    assert(r0.isNullAt(6) && r0.isNullAt(7))
+  }
+
   test("cohensD: pooled-variance replay; degenerate groups null") {
     val df = Seq(("A", 10L), ("A", 14L), ("B", 6L), ("B", 8L), ("B", 10L))
       .toDF("g", "v")

@@ -354,6 +354,22 @@ class WindowsSpec extends SparkSpec {
     assert(cols.toSeq == Seq("url", "t", "eid", "value", "ewma"))
   }
 
+  test("timeToEvent: strictly-later next target, per key, null at the end") {
+    val df = Seq(
+      ("u", ts(10), 1L, "click"), ("u", ts(20), 2L, "purchase"),
+      ("u", ts(30), 3L, "click"), ("u", ts(40), 4L, "purchase"),
+      ("u", ts(50), 5L, "click"),
+      ("v", ts(10), 6L, "click")) // no purchase ever
+      .toDF("k", "t", "eid", "ty")
+    val r = graft.temporal.Windows.timeToEvent(df, Seq("k"), "t", "ty",
+        "purchase", tieBreak = Seq("eid"))
+      .orderBy("eid").collect()
+      .map(x => Option(x.get(4)).map(_.asInstanceOf[Long]))
+    // a purchase's own row looks to the NEXT purchase, not itself
+    assert(r.toSeq == Seq(Some(10L), Some(20L), Some(10L), None, None,
+      None))
+  }
+
   test("asOfCount: trailing-window counts, same-second inclusive, no leakage") {
     val left = Seq(("u", ts(100), 1L), ("u", ts(200), 2L),
       ("v", ts(100), 3L)).toDF("k", "t", "id")
