@@ -102,6 +102,33 @@ object Curation {
       .drop("_bid")
   }
 
+  /** Markdown structure stats — the [[htmlTableStats]] sibling for the
+    * other big corpus format: ATX heading count (and max depth via the
+    * longest leading-# run), fenced code blocks (``` pairs — an odd
+    * count flags an unterminated fence), list-item lines and link
+    * count, all by line-anchored `regexp_count` over the raw text; pure
+    * narrow projection, zero shuffle. Signals feed format-aware
+    * curation mixes (code-heavy vs prose-heavy markdown).
+    *
+    * Output: input + n_headings, max_heading_depth (0 when none),
+    * n_code_fences (pairs), fence_unterminated, n_list_items, n_links.
+    */
+  def markdownStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pat: String) = regexp_count(t, lit(pat)).cast("long")
+    val fences = cnt("(?m)^```")
+    val depth = (1 to 6).foldLeft(lit(0L)) { (acc, d) =>
+      when(cnt("(?m)^" + "#" * d + "[^#]") > 0, lit(d.toLong))
+        .otherwise(acc)
+    }
+    df.withColumn("n_headings", cnt("(?m)^#{1,6}[^#]"))
+      .withColumn("max_heading_depth", depth)
+      .withColumn("n_code_fences", (fences / 2).cast("long"))
+      .withColumn("fence_unterminated", fences % 2 =!= 0)
+      .withColumn("n_list_items", cnt("(?m)^[-*+] "))
+      .withColumn("n_links", cnt("\\[[^\\]]*\\]\\([^)]*\\)"))
+  }
+
   /** Filter-threshold sweep: for each candidate cutoff, the exact
     * survivor count, survivor score mass and keep fraction — the
     * one-pass table you hand to [[graft.ops.Stats.kneePoint]] to PICK a

@@ -63,6 +63,20 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getDouble(2) == 0.0 && r(2).getDouble(3) == 2.0)
   }
 
+  test("markdownStats: headings/fences/lists/links, unterminated flag") {
+    val md1 = "# Title\nsome prose\n## Sub\n- a\n- b\n* c\n" +
+      "```\ncode\n```\n[x](http://e/) and [y](u)"
+    val md2 = "### Deep\n```scala\nunterminated"
+    val df = Seq((1L, md1), (2L, md2), (3L, "plain # not a heading"))
+      .toDF("id", "text")
+    val r = Curation.markdownStats(df, "text").orderBy("id").collect()
+      .map(x => (x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getBoolean(5), x.getLong(6), x.getLong(7)))
+    assert(r(0) == ((2L, 2L, 1L, false, 3L, 2L)))
+    assert(r(1) == ((1L, 3L, 0L, true, 0L, 0L)))
+    assert(r(2) == ((0L, 0L, 0L, false, 0L, 0L)))
+  }
+
   test("thresholdSweep: exact survivor counts and mass per cutoff") {
     val df = Seq(1L, 3L, 5L, 7L, 9L).toDF("score")
     val r = Curation.thresholdSweep(df, "score", Seq(0L, 4L, 10L))
