@@ -143,7 +143,22 @@ object Bench {
     // available host parallelism at print time: the reps JSON is read as
     // "wall*cores vs cpu+idle" — cores is the denominator of that audit
     val cores = Runtime.getRuntime.availableProcessors
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"host_cores":$cores,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages$errJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"host_cores":$cores,"pages_per_sec":$pagesPerSec%.1f,"feature_pages":$nPages$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json artifact keeps only a stdout tail, which
+    // truncates the per-query/per-rep data above. Persist the FULL line
+    // in-repo so the artifact of record survives the round (round-4 verdict
+    // "What's missing" #1). SPARK_GRAFT_BENCH_OUT overrides the path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"bench: could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2489,6 +2489,9 @@ object SparkEntry {
         .map(_.getSeq[Float](1).toArray)
       val codebooks = Array.tabulate(8)(m => seeds.map(_.slice(m * 8, m * 8 + 8)))
       graft.ops.Similarity.pqEncode(vecs, "vec_id", "embedding", codebooks)
+        .select(col("vec_id"),
+          array_join(col("pq_code").cast("array<string>"), " ").as("pq_code"),
+          col("pq_packed"))
         .orderBy(col("vec_id"))
     }),
 
@@ -6297,7 +6300,7 @@ object SparkEntry {
         |a AS (SELECT vec_id, m, cid,
         |        row_number() OVER (PARTITION BY vec_id, m ORDER BY sim DESC, cid) AS rn
         |      FROM s QUALIFY rn = 1)
-        |SELECT vec_id, list(cid ORDER BY m) AS pq_code,
+        |SELECT vec_id, string_agg(cast(cid AS varchar), ' ' ORDER BY m) AS pq_code,
         |  cast(sum(cid * (1::BIGINT << (2*m))) AS bigint) AS pq_packed
         |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
@@ -6881,8 +6884,8 @@ object SparkEntry {
       """WITH daily AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS day,
         |    count(*) AS n FROM events GROUP BY 1, 2)
         |SELECT key, day, n,
-        |  coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
-        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS base_n,
+        |  cast(coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS bigint) AS base_n,
         |  n * 7 > coalesce(sum(n) OVER (PARTITION BY key ORDER BY day
         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) * 2 AS is_burst
         |FROM daily ORDER BY key, day""".stripMargin,
@@ -7557,13 +7560,13 @@ object SparkEntry {
       """WITH b AS (SELECT user_id, ts, event_id, event_id % 20 AS x
         |           FROM events),
         |w1 AS (SELECT user_id, ts, event_id, x,
-        |       sum(x - 10) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |       cast(sum(x - 10) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS p
         |       FROM b),
         |w2 AS (SELECT user_id, event_id, x,
-        |       p - least(0, min(p) OVER (PARTITION BY user_id
+        |       cast(p - least(0, min(p) OVER (PARTITION BY user_id
         |         ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bigint) AS cusum
         |       FROM w1)
         |SELECT user_id, event_id, x, cusum, cusum > 15 AS cusum_alarm
         |FROM w2 ORDER BY event_id""".stripMargin,

@@ -72,6 +72,13 @@ package object functions {
   /** Raw clause structure (array<array<int>>) for relational exploration. */
   def cnf_clauses(c: Column): Column = col1(ParseClauses(_))(c)
 
+  /** BPE segmentation of a word array under a training-ordered merge list:
+    * array<string> -> array<array<string>>; the merge-rank table rides in
+    * the expression, per-word cost independent of the merge count.
+    */
+  def bpe_segment_words(c: Column, merges: Seq[(String, String)]): Column =
+    col1(BpeSegmentWords(_, merges))(c)
+
   /** WARC container ingestion: one file's bytes -> array of record structs. */
   def warc_records(c: Column): Column = col1(graft.sources.WarcRecordsExpr(_))(c)
 

@@ -175,12 +175,29 @@ object Lm {
     * deep across hundreds of merges.
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-               minFreq: Long = 1L): Seq[(String, String, Long)] = {
+               minFreq: Long = 1L,
+               localizeMaxVocab: Long = 2000000L): Seq[(String, String, Long)] = {
     require(nMerges >= 0, "nMerges must be non-negative")
+    // The iteration state is the VOCAB (word, freq) table — bounded by the
+    // corpus's distinct-word count, not its size. When it fits the driver
+    // (localizeMaxVocab rows; ~100 MB at the default), training runs
+    // locally with INCREMENTAL pair counts + a lazy-deletion heap: no
+    // 1-Spark-job-per-merge, so 30k merges cost 30k heap pops, not 30k
+    // jobs. The distributed round loop below remains the fallback for
+    // larger-than-driver vocabularies; both paths are bit-identical
+    // (same argmax, same (freq desc, pair asc) tie-break — pinned by
+    // LmSpec's local-vs-distributed equality case).
+    val vocab0 = wordTable(df, textCol)
+    val probe = math.min(localizeMaxVocab + 1, Int.MaxValue.toLong).toInt
+    if (localizeMaxVocab > 0 && vocab0.limit(probe).count() <= localizeMaxVocab) {
+      val rows = vocab0.select(col("w"), col("freq")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      return bpeTrainLocal(rows, nMerges, minFreq)
+    }
     // eager localCheckpoint rather than persist+count: each merge round's
     // frame becomes an RDD leaf, so plan size stays flat across rounds
     // (the bfsDepth/hitsInt AQE-replanning lesson)
-    var vocab = wordTable(df, textCol).localCheckpoint()
+    var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     try {
       var round = 0
@@ -212,29 +229,126 @@ object Lm {
     } finally vocab.unpersist()
   }
 
+  /** Driver-local exact BPE trainer over a collected (word, freq) vocab —
+    * the classic incremental algorithm (public Sennrich `learn_bpe.py`
+    * shape): adjacent-pair counts are maintained as deltas when a merge
+    * rewrites only the words that CONTAIN its pair, and the argmax comes
+    * from a max-heap with lazy deletion (stale entries are skipped when
+    * their stored count no longer matches). Identical output to the
+    * distributed round loop: same greedy left-to-right merge pass, same
+    * (freq desc, pair text asc) tie-break, same minFreq stop.
+    */
+  private def bpeTrainLocal(vocab: Array[(String, Long)], nMerges: Int,
+                            minFreq: Long): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) =>
+      val a = new Array[String](w.length)
+      var i = 0
+      while (i < w.length) { a(i) = String.valueOf(w.charAt(i)); i += 1 }
+      a
+    }
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val inWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def wordPairs(a: Array[String]): Iterator[(String, String)] =
+      (0 until a.length - 1).iterator.map(i => (a(i), a(i + 1)))
+    syms.zipWithIndex.foreach { case (a, wi) =>
+      wordPairs(a).foreach { p =>
+        counts.updateWith(p) { c => Some(c.getOrElse(0L) + freqs(wi)) }
+        inWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
+    }
+    // max-heap: freq desc, then pair text ("a b") ascending — x ranks
+    // below y when its freq is lower, or equal-freq with later pair text
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.fromLessThan { (x, y) =>
+        x._1 < y._1 || (x._1 == y._1 &&
+          (x._2 + " " + x._3) > (y._2 + " " + y._3))
+      })
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (out.size < nMerges && heap.nonEmpty) {
+      val (f, a, b) = heap.dequeue()
+      val cur = counts.getOrElse((a, b), 0L)
+      if (cur == f && f >= minFreq) {
+        out += ((a, b, f))
+        val pair = (a, b)
+        val merged = a + b
+        val affected = inWords.getOrElse(pair, mutable.BitSet.empty).toArray
+        affected.foreach { wi =>
+          val oldSyms = syms(wi)
+          // one greedy left-to-right pass (identical to the fold / kernel)
+          val next = new Array[String](oldSyms.length)
+          var outLen = 0
+          var k = 0
+          while (k < oldSyms.length) {
+            if (k < oldSyms.length - 1 && oldSyms(k) == a && oldSyms(k + 1) == b) {
+              next(outLen) = merged; k += 2
+            } else { next(outLen) = oldSyms(k); k += 1 }
+            outLen += 1
+          }
+          val newSyms = java.util.Arrays.copyOf(next, outLen)
+          // delta the pair counts: -old adjacencies, +new adjacencies
+          val delta = mutable.HashMap.empty[(String, String), Long]
+          wordPairs(oldSyms).foreach(p => delta.updateWith(p)(c => Some(c.getOrElse(0L) - freqs(wi))))
+          wordPairs(newSyms).foreach(p => delta.updateWith(p)(c => Some(c.getOrElse(0L) + freqs(wi))))
+          delta.foreach { case (p, d) =>
+            if (d != 0L) {
+              val nc = counts.getOrElse(p, 0L) + d
+              if (nc <= 0L) counts.remove(p) else counts.update(p, nc)
+              if (nc > 0L) heap.enqueue((nc, p._1, p._2))
+            }
+          }
+          // membership: drop words that lost a pair, add ones that gained
+          delta.keysIterator.foreach { p =>
+            val has = {
+              var found = false
+              var k2 = 0
+              while (!found && k2 < newSyms.length - 1) {
+                found = newSyms(k2) == p._1 && newSyms(k2 + 1) == p._2
+                k2 += 1
+              }
+              found
+            }
+            if (has) inWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+            else inWords.get(p).foreach(_ -= wi)
+          }
+          syms(wi) = newSyms
+        }
+        counts.remove(pair)
+        inWords.remove(pair)
+      } else if (cur > 0L && cur != f) {
+        // stale entry: the live count was re-enqueued when it changed
+      } else if (cur == f && f < minFreq) {
+        // heap max is below minFreq: nothing better remains
+        return out.toSeq
+      }
+    }
+    out.toSeq
+  }
+
   /** Segment each document's words with a fixed merge list (the BPE
-    * ENCODER half, applied merge-by-merge in training order — exact, not
-    * the estimator [[graft.core.TextKernels]] ships for cheap counting)
-    * and emit per-document subword statistics:
+    * ENCODER half — exact, not the estimator [[graft.core.TextKernels]]
+    * ships for cheap counting) and emit per-document subword statistics:
     *   (idCol, n_words, n_subwords, n_single_chars)
     * n_subwords is the real token count under this tokenizer; a
     * high n_single_chars/n_subwords ratio marks out-of-distribution text
-    * (the merges never fire on it). Narrow per-row work; the merge list is
-    * a compiled expression, not a join.
+    * (the merges never fire on it).
+    *
+    * Scale shape: narrow per-row work through ONE
+    * [[graft.functions.BpeSegmentWords]] kernel holding the whole
+    * merge-rank table — per-word cost is bounded by word length and
+    * independent of the merge count (a production tokenizer's 30k-100k
+    * merges costs the same per word as 3), and the expression tree stays
+    * constant-size so Catalyst analysis never degrades with vocabulary.
+    * Semantics are bit-identical to the sequential merge-by-merge greedy
+    * fold for training-ordered merge lists (enforced; see the kernel's
+    * proof sketch).
     */
   def bpeSegmentStats(df: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(String, String)]): DataFrame = {
-    val folded = merges.foldLeft("transform(sequence(1, length(x), 1), i -> substring(x, i, 1))") {
-      case (inner, (a, b)) =>
-        val (la, lb, lab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
-        s"""aggregate($inner, cast(array() AS array<string>), (acc, x2) ->
-           |  IF(size(acc) = 0, array(x2),
-           |     IF(element_at(acc, -1) = $la AND x2 = $lb,
-           |        concat(slice(acc, 1, size(acc) - 1), array($lab)),
-           |        concat(acc, array(x2)))))""".stripMargin
-    }
     words(df, idCol, textCol)
-      .withColumn("_segs", expr(s"transform(_w, x -> $folded)"))
+      .withColumn("_segs", graft.functions.bpe_segment_words(col("_w"), merges))
       .select(col(idCol),
         size(col("_w")).cast("long").as("n_words"),
         coalesce(expr("aggregate(_segs, 0L, (acc, s) -> acc + size(s))"), lit(0L))

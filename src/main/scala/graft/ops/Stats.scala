@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Fail-fast guard for the samples-and-lists ops ([[spearman]],
+    * [[wilcoxonSignedRank]], [[kendallTau]], [[mannKendall]], [[theilSen]]):
+    * those contracts are O(n²) pair enumerations or single-sort global
+    * windows BY DESIGN, so pointing one at a corpus must error loudly, not
+    * quietly move the corpus to one partition. The probe runs
+    * `limit(maxRows+1).count()`, which short-circuits the scan after
+    * maxRows+1 rows — the guard itself stays cheap even against 100 TB.
+    */
+  private def requireSampleSized(df: DataFrame, op: String,
+                                 maxRows: Long): Unit = {
+    require(maxRows > 0, s"$op: maxRows must be positive")
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = df.limit(probe).count()
+    require(n <= maxRows,
+      s"graft.Stats.$op: samples-and-lists contract breached — input exceeds " +
+        s"maxRows=$maxRows rows. This op is O(n^2)/single-partition by " +
+        "documented contract; roll the data up to a per-key series or top-k " +
+        "list first, or raise maxRows explicitly if the size is intended.")
+  }
+
   /** Exact DISCRETE quantiles per key: for each q in `qs`, the element at
     * 1-based position max(1, ceil(q * n)) of the group's value-sorted rows
     * — the standard `quantile_disc`/`percentile_disc` rule, so SQL engines
@@ -293,7 +313,9 @@ object Stats {
     * ranks were computed from. Feed it rankings, not raw tables.
     */
   def kendallTau(a: DataFrame, b: DataFrame, keyCol: String,
-                 rankCol: String): DataFrame = {
+                 rankCol: String, maxRows: Long = 30000L): DataFrame = {
+    requireSampleSized(a, "kendallTau", maxRows)
+    requireSampleSized(b, "kendallTau", maxRows)
     val l = a.select(col(keyCol).as("_k"), col(rankCol).as("_ra"))
     val r = b.select(col(keyCol).as("_k"), col(rankCol).as("_rb"))
     val common = l.join(r, "_k")
@@ -464,12 +486,19 @@ object Stats {
     * with the pruning a pure optimization. Size summaryK ≳ a few x
     * n_partition/minCount to stay on the pruned path.
     *
-    * Returns (value, n) — exactly `HAVING count(*) >= minCount`.
+    * Returns (value, n) — exactly `HAVING count(*) >= minCount` over the
+    * NON-NULL values (nulls are dropped up front; see the body comment).
     */
   def frequentItems(df: DataFrame, valCol: String, minCount: Long,
                     summaryK: Int = 4096): DataFrame = {
     require(minCount >= 1 && summaryK >= 1, "need minCount >= 1, summaryK >= 1")
+    // NULLs are excluded up front: the MG summary reuses value=null as its
+    // rounds-sentinel row and the pruned path filters isNotNull, so a null
+    // heavy hitter could otherwise surface only on the fallback path —
+    // output would then depend on partition layout. Excluding nulls makes
+    // both paths agree (SQL HAVING-count semantics ignore nulls anyway).
     val vals = df.select(col(valCol).cast("string").as("value"))
+      .where(col("value").isNotNull)
     val spark = vals.sparkSession
     import spark.implicits._
     val summaries = vals.as[String].mapPartitions { it =>
@@ -742,12 +771,18 @@ object Stats {
     * [[spearman]] samples-and-lists contract.
     */
   def wilcoxonSignedRank(df: DataFrame, beforeCol: String,
-                         afterCol: String): DataFrame = {
+                         afterCol: String,
+                         maxRows: Long = 10000000L): DataFrame = {
+    requireSampleSized(df, "wilcoxonSignedRank", maxRows)
     val d = (col(afterCol).cast("long") - col(beforeCol).cast("long"))
     val nz = df.select(d.as("_d")).where(col("_d") =!= 0L)
       .withColumn("_a", abs(col("_d")))
+    // partitionBy(lit(0)) is semantically the global frame (every row in
+    // one constant group) but keeps the partition spec non-empty, so the
+    // in-contract path does not trip WindowExec's corpus warning
     val ranked = nz
-      .withColumn("_r2", rank().over(Window.orderBy(col("_a"))) * 2 +
+      .withColumn("_r2",
+        rank().over(Window.partitionBy(lit(0)).orderBy(col("_a"))) * 2 +
         count(lit(1)).over(Window.partitionBy(col("_a"))) - 1)
     val agg = ranked.agg(
       count(lit(1)).as("n"),
@@ -823,7 +858,8 @@ object Stats {
     * series has < 2 points).
     */
   def theilSen(df: DataFrame, keyCols: Seq[String], tsCol: String,
-               valCol: String): DataFrame = {
+               valCol: String, maxRows: Long = 1000000L): DataFrame = {
+    requireSampleSized(df, "theilSen", maxRows)
     val keys = keyCols.map(col)
     val slim = df.select(keys ++ Seq(col(tsCol).cast("long").as("_t"),
       col(valCol).cast("long").as("_x")): _*)
@@ -912,7 +948,8 @@ object Stats {
     * s_stat, var_s, z (z NULL when Var = 0 — all values tied or n < 2).
     */
   def mannKendall(df: DataFrame, keyCols: Seq[String], tsCol: String,
-                  valCol: String): DataFrame = {
+                  valCol: String, maxRows: Long = 1000000L): DataFrame = {
+    requireSampleSized(df, "mannKendall", maxRows)
     val keys = keyCols.map(col)
     val slim = df.select(keys ++ Seq(col(tsCol).as("_t"),
       col(valCol).cast("long").as("_x")): _*)
@@ -1140,10 +1177,14 @@ object Stats {
     * feed it top-k tables or drawn samples, not the raw corpus. Exact-sum
     * headroom: 4n⁴ < 10³⁸ holds to n ≈ 10⁹, far past the window's reach.
     */
-  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+               maxRows: Long = 10000000L): DataFrame = {
+    requireSampleSized(df, "spearman", maxRows)
     val dec = "decimal(38,0)"
+    // partitionBy(lit(0)): global frame with a non-empty partition spec —
+    // same rows, no WindowExec single-partition warning in-contract
     def doubled(c: String): Column =
-      (rank().over(Window.orderBy(col(c))) * 2 +
+      (rank().over(Window.partitionBy(lit(0)).orderBy(col(c))) * 2 +
         count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast(dec)
     val ranked = df.select(col(xCol), col(yCol))
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -1687,13 +1728,21 @@ object Stats {
       .withColumn("_dx", lead(col("_v"), 1).over(w) - col("_v"))
     val na = cum.agg(max(col("_cuma")).as("n_a"),
       max(col("_cumb")).as("n_b"))
+    // the per-gap products accumulate in decimal(38,0): with large side
+    // counts and a wide value grid the plain int64 sum could silently wrap
+    // (Spark non-ANSI). The decimal sum is exact; the bigint OUTPUT cast
+    // yields NULL (never garbage) in the pathological > 2^63 case, while
+    // emd divides the decimal directly and stays correct regardless.
     cum.crossJoin(broadcast(na))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         coalesce(sum(when(col("_dx").isNotNull,
-          abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")) *
-            col("_dx"))), lit(0L)).as("emd_scaled"))
-      .withColumn("emd", col("emd_scaled").cast("double") /
+          (abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a")) *
+            col("_dx")).cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("_emd_dec"))
+      .withColumn("emd", col("_emd_dec").cast("double") /
         (col("n_a") * col("n_b")).cast("double"))
+      .select(col("n_a"), col("n_b"),
+        col("_emd_dec").cast("bigint").as("emd_scaled"), col("emd"))
   }
 
   /** Wald–Wolfowitz RUNS TEST per key — "are the above/below-median days

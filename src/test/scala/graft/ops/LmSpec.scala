@@ -129,4 +129,97 @@ class LmSpec extends SparkSpec {
       assert(neg == want && neg != id && neg >= 0 && neg < 10)
     }
   }
+
+  // ---- production BPE kernel: min-rank loop vs the sequential reference ----
+
+  /** Reference implementation: apply merges ONE AT A TIME in training
+    * order, each as the greedy left-to-right fold (the old encoder's exact
+    * semantics, kept here as the spec's oracle).
+    */
+  private def seqSegment(word: String,
+                         merges: Seq[(String, String)]): Seq[String] = {
+    val chars: Seq[String] = word.map(_.toString)
+    merges.foldLeft(chars) { case (syms, (a, b)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+  }
+
+  test("BpeKernel.segment: bit-identical to the sequential fold on chained merge lists") {
+    import graft.functions.BpeKernel
+    val merges = Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "a"),
+      ("ba", "n"), ("aaa", "ban"), ("n", "a"), ("aaaa", "b"))
+    val rank = BpeKernel.rankTable(merges)
+    val words = Seq("", "a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaa",
+      "aaaaaaa", "ban", "bana", "banana", "aaaban", "banaaa", "abanab",
+      "nananana", "baaan", "bbaann", "aabanaaabanaa", "xyz", "axbxn")
+    words.foreach { w =>
+      assert(BpeKernel.segment(w, rank).toSeq == seqSegment(w, merges),
+        s"word '$w'")
+    }
+  }
+
+  test("BpeKernel.segment: trained merges on pseudo-random words equal the fold") {
+    import graft.functions.BpeKernel
+    // deterministic corpus: md5-derived 'random' words over a tiny alphabet
+    // (collision-heavy on purpose so merges chain deep)
+    val words = (0 until 160).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpe$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(3 + (i % 10)).map(c => "abcd" (c.toInt % 4)).mkString
+    }
+    val df = words.map(w => (1L, w)).toDF("id", "text")
+    val trained = Lm.bpeTrain(df, "text", nMerges = 60).map(m => (m._1, m._2))
+    assert(trained.size == 60)
+    val rank = BpeKernel.rankTable(trained)
+    (words ++ Seq("aaaa", "dcba", "abcdabcd")).foreach { w =>
+      assert(BpeKernel.segment(w, rank).toSeq == seqSegment(w, trained),
+        s"word '$w' merges $trained")
+    }
+  }
+
+  test("BpeKernel: training-order contract is enforced loudly") {
+    import graft.functions.BpeKernel
+    // 'ab' consumed before any merge produces it
+    val e = intercept[IllegalArgumentException] {
+      BpeKernel.requireTrainingOrdered(Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("training-ordered"))
+    // valid: producer before consumer
+    BpeKernel.requireTrainingOrdered(Seq(("a", "b"), ("ab", "c")))
+  }
+
+  test("bpeTrain: driver-local incremental path equals the distributed rounds") {
+    val texts = Seq("the cat sat on the mat", "the bat and the rat",
+      "banana bandana ananas", "aa aaa aaaa aaaaa",
+      "mississippi missive permission", "the the the then them theme")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val local = Lm.bpeTrain(df, "text", nMerges = 25)
+    val dist = Lm.bpeTrain(df, "text", nMerges = 25, localizeMaxVocab = 0L)
+    assert(local == dist)
+    // minFreq stop behaves identically on both paths
+    val localMf = Lm.bpeTrain(df, "text", nMerges = 25, minFreq = 4L)
+    val distMf = Lm.bpeTrain(df, "text", nMerges = 25, minFreq = 4L,
+      localizeMaxVocab = 0L)
+    assert(localMf == distMf && localMf.size < 25)
+  }
+
+  test("bpeSegmentStats: flat wall against merge-count (rank table, not nested folds)") {
+    // 3 real merges + a 200-deep never-firing padding chain: the old
+    // per-merge nested-fold encoder would build a 203-deep expression;
+    // the kernel holds them all in one rank table
+    val pad = (1 to 200).scanLeft(("Z", "Z")) { case ((a, b), _) =>
+      (a + b, "Z") }
+    val merges = Seq(("t", "h"), ("e", "r"), ("o", "n")) ++ pad
+    val df = Seq((1L, "the other one there"), (2L, "zzz")).toDF("id", "text")
+    val r = Lm.bpeSegmentStats(df, "id", "text", merges)
+      .orderBy("id").collect()
+    // same result as the 3-merge list: padding never fires on [a-z] words
+    val r3 = Lm.bpeSegmentStats(df, "id", "text",
+      Seq(("t", "h"), ("e", "r"), ("o", "n"))).orderBy("id").collect()
+    assert(r.map(_.toSeq).toSeq == r3.map(_.toSeq).toSeq)
+  }
 }

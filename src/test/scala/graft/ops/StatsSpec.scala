@@ -1049,4 +1049,58 @@ class StatsSpec extends SparkSpec {
       Seq.fill(4)(("a", "a")).toDF("y", "p"), "y", "p").collect().head
     assert(cst.getDouble(2) == 1.0 && cst.getDouble(3) == 1.0 && cst.isNullAt(4))
   }
+
+  test("samples-contract guard: trips loudly over maxRows, passes at the bound") {
+    val big = spark.range(0, 51).selectExpr("id AS x", "id * 2 AS y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.spearman(big, "x", "y", maxRows = 50L)
+    }
+    assert(e.getMessage.contains("samples-and-lists contract breached"))
+    // exactly at the bound: runs fine (and the guard probe is row-limited)
+    val ok = Stats.spearman(spark.range(0, 50).selectExpr("id AS x", "id * 3 AS y"),
+      "x", "y", maxRows = 50L).collect().head
+    assert(ok.getLong(0) == 50L && math.abs(ok.getDouble(1) - 1.0) < 1e-12)
+    // every guarded op trips the same way
+    val two = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(intercept[IllegalArgumentException] {
+      Stats.wilcoxonSignedRank(two, "a", "b", maxRows = 1L)
+    }.getMessage.contains("wilcoxonSignedRank"))
+    assert(intercept[IllegalArgumentException] {
+      Stats.kendallTau(two, two, "a", "b", maxRows = 1L)
+    }.getMessage.contains("kendallTau"))
+    assert(intercept[IllegalArgumentException] {
+      Stats.mannKendall(two, Seq.empty, "a", "b", maxRows = 1L)
+    }.getMessage.contains("mannKendall"))
+    assert(intercept[IllegalArgumentException] {
+      Stats.theilSen(two, Seq.empty, "a", "b", maxRows = 1L)
+    }.getMessage.contains("theilSen"))
+  }
+
+  test("frequentItems: nulls are excluded on BOTH paths (partition-layout independent)") {
+    // 6 nulls + values: 'a' x5, 'b' x2 — null would be a heavy hitter if counted
+    val rows = Seq.fill(6)(null.asInstanceOf[String]) ++
+      Seq.fill(5)("a") ++ Seq.fill(2)("b")
+    for (parts <- Seq(1, 7); k <- Seq(1, 2, 64)) {
+      val df = spark.createDataset(rows).repartition(parts).toDF("v")
+      val got = Stats.frequentItems(df, "v", minCount = 2L, summaryK = k)
+        .orderBy("value").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq == Seq(("a", 5L), ("b", 2L)),
+        s"parts=$parts summaryK=$k got ${got.toSeq}")
+    }
+  }
+
+  test("emd1d: decimal accumulator survives a value range that wraps int64") {
+    // n_a = n_b = 100k via weights... construct small-row / huge-dx case:
+    // two values 0 and 2^40 with 3 rows a-side, 3 rows b-side shifted —
+    // per-gap term = |cuma*n_b - cumb*n_a| * dx; make counts large enough
+    // that the plain int64 product of a BIG synthetic case would overflow.
+    // Here we verify exactness on a wide grid (dx = 2^40) and the known
+    // closed form: shift by d moves exactly d.
+    val d = 1L << 40
+    val a = Seq(0L, d).toDF("v")
+    val b = Seq(0L + 7L, d + 7L).toDF("v")
+    val r = Stats.emd1d(a, b, "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 7.0)
+  }
 }

@@ -4,13 +4,53 @@
 re-runs every oracle SQL in DuckDB over the same sf tables and compares
 rows strictly (columns sorted by name, rows sorted, exact values).
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/selfcheck.py [--driver] <sfDir> <verifyOutDir> [query ...]
+
+--driver additionally mirrors the DRIVER's pandas-based, type-sensitive gate
+(the strict DuckDB compare above can be green while the driver reds):
+both results are loaded as pandas frames (oracle via duckdb .df(), so a
+HUGEINT column widens to float64/object exactly as it does driver-side),
+columns sorted by name, rows sorted with DataFrame.sort_values (which
+raises TypeError on array/struct cells — the driver's q124 failure mode),
+then hashed over dtype names + repr of every cell. hash_match=False with
+equal values reproduces the r04 q158/q200 failure mode locally.
 """
-import json, sys, glob, os
+import json, sys, glob, os, hashlib
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+args = [a for a in sys.argv[1:] if a != "--driver"]
+driver_mode = "--driver" in sys.argv[1:]
+sfdir, outdir = args[0], args[1]
+only = set(args[2:])
+
+
+def driver_gate(spark_rel, ora_rel, cols):
+    """Mirror of the driver's pandas hash gate. Returns (hash_ok, err)."""
+    import pandas as pd  # noqa: F401  (driver dependency, driver-side only)
+    try:
+        sdf = spark_rel.df()[cols]
+        odf = ora_rel.df()[cols]
+        # the driver sorts rows with sort_values over all columns; object
+        # columns go through Categorical/factorize, which raises
+        # TypeError("unhashable type") on ndarray/dict cells
+        sdf = sdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+        odf = odf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    except TypeError as e:
+        return None, f"TypeError: {e}"
+
+    def h(df):
+        # hash the VALUES (python repr after .tolist()), not the dtypes:
+        # the driver's gate treats int32 and int64 the same (both repr as
+        # "150" — r04 greens prove it) but flags int-vs-float widening
+        # ("150" vs "150.0" — the q158/q200 HUGEINT failure mode)
+        m = hashlib.md5()
+        for c in cols:
+            for v in df[c].tolist():
+                m.update(repr(v).encode())
+            m.update(b"\x00")
+        return m.hexdigest()
+
+    return h(sdf) == h(odf), None
 
 con = duckdb.connect()
 for t in glob.glob(f"{sfdir}/*.parquet"):
@@ -43,11 +83,19 @@ for q in sorted(os.listdir(outdir)):
         f"SELECT {ocol_sql} FROM ora_rel ORDER BY ALL").fetchall() if schema_ok else None
     rows_ok = schema_ok and len(srows) == len(orows)
     vals_ok = schema_ok and srows == orows
+    hash_ok, herr = (None, None)
+    if driver_mode and schema_ok:
+        hash_ok, herr = driver_gate(spark_rel, ora_rel, scols)
     status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
-    if status == "FAIL":
+    if driver_mode and status == "OK" and hash_ok is not True:
+        status = "DRIVER_FAIL"
+    if status != "OK":
         fails += 1
-    print(f"{q:28s} {status} schema={schema_ok} rows={rows_ok} values={vals_ok} "
-          f"n={spark_rel.shape[0]}")
+    hmsg = f" driver_hash={hash_ok}" if driver_mode else ""
+    print(f"{q:28s} {status} schema={schema_ok} rows={rows_ok} values={vals_ok}"
+          f"{hmsg} n={spark_rel.shape[0]}")
+    if herr:
+        print(f"   driver gate error: {herr}")
     if status == "FAIL" and schema_ok:
         for i, (a, b) in enumerate(zip(srows, orows)):
             if a != b:
