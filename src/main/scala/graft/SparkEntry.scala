@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 275 queries spanning every implemented operator family
+/** Driver contract — 277 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats.
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4236,6 +4236,51 @@ object SparkEntry {
           col("max_heading_depth"), col("n_code_fences"),
           col("fence_unterminated"), col("n_list_items"), col("n_links"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q276: BPE segmentation at PRODUCTION merge count — 5 real
+    //      merges in two chains + one standalone, padded with a 201-deep
+    //      never-firing chain over 'Z' (uppercase cannot appear in the
+    //      lowered [a-z0-9_']+ word alphabet), 206 merges total. The old
+    //      per-merge nested-fold encoder would compile a 206-deep
+    //      expression here and take minutes in analysis alone; the
+    //      BpeSegmentWords kernel holds them all in ONE rank table with
+    //      per-word cost independent of the merge count. Fires have
+    //      closed regex form because the chain alphabets {t,h,e},
+    //      {a,n,d}, {o,f} are disjoint: fires(t,h)=count('th'),
+    //      fires(th,e)=count('the') (every 'the' substring has its 'th'
+    //      already fused and its 'e' still single), etc. ----
+    "q276_bpe_segment_scaled" -> ((s, dir) => {
+      val pad = (1 to 200).scanLeft(("Z", "Z")) { case ((a, b), _) =>
+        (a + b, "Z") }
+      val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+        ("o", "f")) ++ pad
+      graft.ops.Lm.bpeSegmentStats(t(s, dir, "documents"), "doc_id", "text",
+          merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q277: BPE TRAINER end-to-end (driver-localized incremental
+    //      path) over a constructed word distribution whose 6-round merge
+    //      trace is hand-derivable — self-pair greedy fold ("aaaa" ->
+    //      [aa,aa]), chained merges, and a frequency TIE broken by pair
+    //      text ("bc bc" < "d d") are all pinned. Corpus: 10x "aaaa",
+    //      7x "bc", 4x "bcbc", 2x "ddd" (one word per document row).
+    //      Trace: R1 (a,a) 3*10=30; R2 (b,c) 7+2*4=15 beats (aa,aa) 10;
+    //      R3 (aa,aa) 10; R4 (bc,bc) 4 ties (d,d) 4, text asc; R5 (d,d)
+    //      4; R6 (dd,d) 2. ----
+    "q277_bpe_train" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id") < 23)
+        .select(when(col("doc_id") < 10, lit("aaaa"))
+          .when(col("doc_id") < 17, lit("bc"))
+          .when(col("doc_id") < 21, lit("bcbc"))
+          .otherwise(lit("ddd")).as("text"))
+      val merges = graft.ops.Lm.bpeTrain(corpus, "text", nMerges = 6)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, f), i) => (i.toLong, a, b, f) }
+        .toDF("rank", "lhs", "rhs", "freq")
+        .orderBy(col("rank"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8301,6 +8346,47 @@ object SparkEntry {
         |  cast(doc_id % 4 AS bigint) AS n_list_items,
         |  cast(doc_id % 5 AS bigint) AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q276: q115's closed regex form extended to the two chains + 'of';
+    // the 201 padding merges never fire on [a-z0-9_']+ words, so they do
+    // not appear. Chain singles math: a depth-1 fire fuses two singles, a
+    // deeper chain fire absorbs one more single into the composite.
+    "q276_bpe_segment_scaled" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS ws
+        |           FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_words,
+        |        coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS chars,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'th')))), 0) AS c_th,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'the')))), 0) AS c_the,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'an')))), 0) AS c_an,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'and')))), 0) AS c_and,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          len(regexp_extract_all(x, 'of')))), 0) AS c_of
+        |      FROM w)
+        |SELECT doc_id, cast(n_words AS bigint) AS n_words,
+        |  cast(chars - (c_th + c_the + c_an + c_and + c_of) AS bigint)
+        |    AS n_subwords,
+        |  cast(chars - (2 * c_th + c_the) - (2 * c_an + c_and) - 2 * c_of
+        |    AS bigint) AS n_single_chars
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q277: the trace is closed-form from the constructed distribution
+    // (derivation in the entry comment); constants are arithmetic over the
+    // word frequencies (10, 7, 4, 2), never engine output
+    "q277_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (cast(0 AS bigint), 'a',  'a',  cast(30 AS bigint)),
+        |  (cast(1 AS bigint), 'b',  'c',  cast(15 AS bigint)),
+        |  (cast(2 AS bigint), 'aa', 'aa', cast(10 AS bigint)),
+        |  (cast(3 AS bigint), 'bc', 'bc', cast(4 AS bigint)),
+        |  (cast(4 AS bigint), 'd',  'd',  cast(4 AS bigint)),
+        |  (cast(5 AS bigint), 'dd', 'd',  cast(2 AS bigint)))
+        |  t(rank, lhs, rhs, freq)
+        |ORDER BY rank""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->
