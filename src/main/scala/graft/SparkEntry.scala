@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 277 queries spanning every implemented operator family
+/** Driver contract — 278 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4281,6 +4281,34 @@ object SparkEntry {
         .map { case ((a, b, f), i) => (i.toLong, a, b, f) }
         .toDF("rank", "lhs", "rhs", "freq")
         .orderBy(col("rank"))
+    }),
+
+    // ---- q278: ISO-BMFF SAMPLE TABLES — exact per-track sample counts,
+    //      byte totals and durations from an stts/stsz/stsc/stco walk, no
+    //      codec: the codec-free answer to "how many frames / how long /
+    //      how many bytes" for video+audio containers (closes the r4
+    //      verdict's multimodal gap #2; frame-PIXEL decode stays behind
+    //      the documented stub). Movie 1: video track (3 stts runs,
+    //      constant 1024-byte samples, 5 chunks) + v1-mdhd audio track
+    //      (per-sample sizes (i*37)%256); movie 2: valid but trackless;
+    //      movie 3: truncated (ok=false channel). All numbers are
+    //      closed-form from the generator parameters. ----
+    "q278_mp4_sample_tables" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      import M.MediaGen.GenTrack
+      val vide = GenTrack(1, "vide", 30000,
+        Seq((100, 1001), (50, 1000), (1, 500)), Left(1024), nChunks = 5)
+      val soun = GenTrack(2, "soun", 48000, Seq((1000, 1024)),
+        Right((0 until 1000).map(i => (i * 37) % 256)), nChunks = 2,
+        mdhdV1 = true)
+      val movie = M.MediaGen.mp4SampleTableBytes(Seq(vide, soun))
+      val rows = Seq(
+        M.MediaRow(1L, "video", movie),
+        M.MediaRow(2L, "video", M.MediaGen.mp4SampleTableBytes(Seq.empty)),
+        M.MediaRow(3L, "video", movie.dropRight(6)))
+      M.mp4SampleTables(rows.toDS()).toDF()
+        .orderBy(col("media_id"), col("track_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8387,6 +8415,35 @@ object SparkEntry {
         |  (cast(5 AS bigint), 'dd', 'd',  cast(2 AS bigint)))
         |  t(rank, lhs, rhs, freq)
         |ORDER BY rank""".stripMargin,
+
+    // q278: closed-form from the generator parameters — video: n=151,
+    // ticks=100*1001+50*1000+500=150600, bytes=151*1024, ms=150600000/30000;
+    // audio: per-sample bytes is the SQL sum of the same (i*37)%256 series,
+    // ms=1024000000/48000 floored
+    "q278_mp4_sample_tables" ->
+      """WITH sb AS (SELECT cast(sum((i * 37) % 256) AS bigint) AS b
+        |            FROM range(1000) t(i))
+        |SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(1 AS bigint), 'vide', cast(30000 AS bigint),
+        |   cast(150600 AS bigint), cast(5020 AS bigint), cast(151 AS bigint),
+        |   cast(154624 AS bigint), cast(150600 AS bigint), cast(3 AS bigint),
+        |   cast(1 AS bigint), cast(5 AS bigint), true),
+        |  (cast(1 AS bigint), cast(2 AS bigint), 'soun', cast(48000 AS bigint),
+        |   cast(1024000 AS bigint), cast(21333 AS bigint), cast(1000 AS bigint),
+        |   (SELECT b FROM sb), cast(1024000 AS bigint), cast(1 AS bigint),
+        |   cast(1 AS bigint), cast(2 AS bigint), true),
+        |  (cast(2 AS bigint), cast(-1 AS bigint), '', cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), true),
+        |  (cast(3 AS bigint), cast(-1 AS bigint), '', cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), cast(0 AS bigint),
+        |   cast(0 AS bigint), cast(0 AS bigint), false))
+        |  t(media_id, track_id, handler, timescale, mdhd_ticks, duration_ms,
+        |    n_samples, sample_bytes, stts_ticks, n_stts_entries,
+        |    n_stsc_entries, n_chunks, ok)
+        |ORDER BY media_id, track_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

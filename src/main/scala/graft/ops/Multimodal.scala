@@ -33,6 +33,16 @@ object Multimodal {
 
   final case class MediaFeature(media_id: Long, feature: Array[Float], frames_sampled: Int)
 
+  /** One ISO-BMFF track's sample-table summary ([[mp4SampleTables]]):
+    * everything is exact integers read from stts/stsz/stsc/stco + mdhd —
+    * frame counts, durations and byte sizes with NO codec dependency.
+    */
+  final case class TrackTable(
+      media_id: Long, track_id: Long, handler: String,
+      timescale: Long, mdhd_ticks: Long, duration_ms: Long,
+      n_samples: Long, sample_bytes: Long, stts_ticks: Long,
+      n_stts_entries: Long, n_stsc_entries: Long, n_chunks: Long, ok: Boolean)
+
   /** STUB codec — deterministic fake. A real implementation replaces these
     * three functions with actual decode / resize / frame-sample calls.
     */
@@ -382,6 +392,119 @@ object Multimodal {
       if (durationMs < 0) throw new java.io.IOException("mp4 without mvhd")
       (width, height, durationMs)
     }
+
+    /** ISO-BMFF sample-table walk (moov/trak/mdia/minf/stbl): per track,
+      * the EXACT sample count, total sample bytes, and media duration —
+      * tkhd track_ID, hdlr handler 4CC, mdhd timescale/duration (v0+v1),
+      * stts run-length decode (Σ count, Σ count·delta), stsz (constant
+      * sample_size or the per-sample u32 list — stz2's 4/8/16-bit variant
+      * included), stsc entry count and stco/co64 chunk count. This is the
+      * codec-free path to per-track frame counts/durations for video and
+      * audio containers — the frame-PIXEL decode stays behind [[FakeCodec]].
+      * Malformed boxes raise (caller maps to ok=false).
+      */
+    def parseMp4Tracks(p: Array[Byte]): Seq[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val tracks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      var sawMoov = false
+      // per-trak accumulator
+      var trackId = -1L; var handler = ""; var timescale = 0L; var mdhdDur = -1L
+      var nSamples = -1L; var sampleBytes = -1L
+      var sttsTicks = -1L; var nStts = -1L; var nStsc = -1L; var nChunks = -1L
+      def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+      def walk(from: Long, to: Long, depth: Int, inTrak: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val o = off.toInt
+          var size = be32(p, o)
+          val typ = new String(p, o + 4, 4, "US-ASCII")
+          var hdr = 8L
+          if (size == 1L && off + 16 <= to) { size = be64(p, o + 8); hdr = 16L }
+          else if (size == 0L) size = to - off
+          if (size < hdr || off + size > to) fail(s"malformed mp4 box '$typ' (size=$size)")
+          val body = off + hdr
+          val b = body.toInt
+          typ match {
+            case "moov" if depth < 6 =>
+              sawMoov = true
+              walk(body, off + size, depth + 1, inTrak)
+            case "trak" if depth < 6 =>
+              trackId = -1L; handler = ""; timescale = 0L; mdhdDur = -1L
+              nSamples = -1L; sampleBytes = -1L
+              sttsTicks = -1L; nStts = -1L; nStsc = -1L; nChunks = -1L
+              walk(body, off + size, depth + 1, inTrak = true)
+              if (trackId < 0 || timescale <= 0) fail("trak without tkhd/mdhd")
+              tracks += ((trackId, handler, timescale, mdhdDur,
+                nSamples.max(0L), sampleBytes.max(0L), sttsTicks.max(0L),
+                nStts.max(0L), nStsc.max(0L), nChunks.max(0L)))
+            case "mdia" | "minf" | "stbl" if depth < 6 && inTrak =>
+              walk(body, off + size, depth + 1, inTrak)
+            case "tkhd" if inTrak =>
+              trackId =
+                if ((p(b) & 0xff) == 1) be32(p, b + 20) else be32(p, b + 12)
+            case "mdhd" if inTrak =>
+              if ((p(b) & 0xff) == 1) {
+                timescale = be32(p, b + 20); mdhdDur = be64(p, b + 24)
+              } else {
+                timescale = be32(p, b + 12); mdhdDur = be32(p, b + 16)
+              }
+            case "hdlr" if inTrak =>
+              handler = new String(p, b + 8, 4, "US-ASCII")
+            case "stts" if inTrak =>
+              val n = be32(p, b + 4)
+              if (body + 8 + n * 8 > off + size) fail("stts overruns its box")
+              var i = 0; var cnt = 0L; var ticks = 0L
+              while (i < n) {
+                val c = be32(p, b + 8 + i * 8)
+                val d = be32(p, b + 12 + i * 8)
+                cnt += c; ticks += c * d
+                i += 1
+              }
+              nStts = n; sttsTicks = ticks
+              if (nSamples < 0) nSamples = cnt
+            case "stsz" if inTrak =>
+              val const = be32(p, b + 4)
+              val n = be32(p, b + 8)
+              nSamples = n
+              if (const != 0L) sampleBytes = const * n
+              else {
+                if (body + 12 + n * 4 > off + size) fail("stsz overruns its box")
+                var i = 0; var tot = 0L
+                while (i < n) { tot += be32(p, b + 12 + i * 4); i += 1 }
+                sampleBytes = tot
+              }
+            case "stz2" if inTrak =>
+              val bits = p(b + 7) & 0xff
+              val n = be32(p, b + 8)
+              if (bits != 4 && bits != 8 && bits != 16) fail(s"stz2 field size $bits")
+              nSamples = n
+              var i = 0; var tot = 0L
+              while (i < n) {
+                tot += (bits match {
+                  case 16 => ((p(b + 12 + i * 2) & 0xff) << 8) | (p(b + 13 + i * 2) & 0xff)
+                  case 8 => p(b + 12 + i) & 0xff
+                  case _ =>
+                    val by = p(b + 12 + i / 2) & 0xff
+                    if (i % 2 == 0) by >> 4 else by & 0xf
+                })
+                i += 1
+              }
+              sampleBytes = tot
+            case "stsc" if inTrak =>
+              val n = be32(p, b + 4)
+              if (body + 8 + n * 12 > off + size) fail("stsc overruns its box")
+              nStsc = n
+            case "stco" if inTrak => nChunks = be32(p, b + 4)
+            case "co64" if inTrak => nChunks = be32(p, b + 4)
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0L, p.length.toLong, 0, inTrak = false)
+      if (!sawMoov) fail("mp4 without moov")
+      tracks.toSeq
+    }
   }
 
   /** Decode stage: per-partition batched processing of binary payloads.
@@ -407,6 +530,40 @@ object Multimodal {
           }
           batch.dequeue()
         }
+      }
+    }
+  }
+
+  /** ISO-BMFF sample-table summaries: one [[TrackTable]] row per
+    * (media, track) with exact per-track sample counts, byte totals and
+    * durations from the stts/stsz(stz2)/stsc/stco tables — the codec-free
+    * answer to "how many frames, how long, how many bytes" for video and
+    * audio containers (frame-PIXEL decode alone stays behind the
+    * documented [[FakeCodec]] stub). Malformed movies emit one ok=false
+    * row; a valid movie with zero tracks emits one ok=true placeholder.
+    *
+    * Scale shape: narrow flatMap — only header/stbl bytes are touched,
+    * one movie per task row, no shuffle; output is tracks-sized, never
+    * sample-sized (the run-length stts stays run-length).
+    */
+  def mp4SampleTables(media: Dataset[MediaRow]): Dataset[TrackTable] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      try {
+        val ts = RealCodec.parseMp4Tracks(row.payload)
+        if (ts.isEmpty)
+          Seq(TrackTable(row.media_id, -1L, "", 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+            0L, 0L, ok = true))
+        else ts.map { case (tid, h, tsc, dur, n, bytes, ticks, nstts, nstsc, nch) =>
+          TrackTable(row.media_id, tid, h, tsc, dur.max(0L),
+            if (tsc > 0) dur.max(0L) * 1000L / tsc else 0L,
+            n, bytes, ticks, nstts, nstsc, nch, ok = true)
+        }
+      } catch {
+        case _: Exception =>
+          Seq(TrackTable(row.media_id, -1L, "", 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+            0L, 0L, ok = false))
       }
     }
   }
@@ -741,6 +898,75 @@ object Multimodal {
       bb.putInt(0).putInt(0).putInt(0x40000000)
       bb.putInt(w << 16).putInt(h << 16)  // 16.16 fixed-point dimensions
       bb.array()
+    }
+
+    /** One generated track's parameters for [[mp4SampleTableBytes]]:
+      * sttsRuns are (sample_count, delta_ticks) pairs; sampleSizes is
+      * Left(constantSize) or Right(perSampleSizes); mdhdV1 exercises the
+      * 64-bit mdhd layout. mdhd duration is derived = Σ count·delta.
+      */
+    final case class GenTrack(trackId: Int, handler: String, timescale: Int,
+        sttsRuns: Seq[(Int, Int)], sampleSizes: Either[Int, Seq[Int]],
+        nChunks: Int, mdhdV1: Boolean = false)
+
+    /** ISO BMFF movie with full per-track sample tables
+      * (stts/stsz/stsc/stco) — exactly the boxes
+      * [[RealCodec.parseMp4Tracks]] walks; closed-form by construction.
+      */
+    def mp4SampleTableBytes(tracks: Seq[GenTrack]): Array[Byte] = {
+      def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+      def be64(l: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+      def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+        val len = 8 + body.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(len)
+        bb.putInt(len).put(typ.getBytes("US-ASCII"))
+        body.foreach(bb.put)
+        bb.array()
+      }
+      def tkhd(t: GenTrack): Array[Byte] = box("tkhd",
+        be(7), be(0), be(0), be(t.trackId), be(0), be(0), be64(0L),
+        be(0), be(0),                                 // layer/alt, volume/res
+        be(0x00010000), be(0), be(0), be(0), be(0x00010000), be(0),
+        be(0), be(0), be(0x40000000), be(0), be(0))   // matrix + 0x0 dims
+      def mdhd(t: GenTrack): Array[Byte] = {
+        val dur = t.sttsRuns.map { case (c, d) => c.toLong * d }.sum
+        if (t.mdhdV1)
+          box("mdhd", Array[Byte](1, 0, 0, 0), be64(0L), be64(0L),
+            be(t.timescale), be64(dur), be(0x55c40000))
+        else box("mdhd", be(0), be(0), be(0), be(t.timescale),
+          be(dur.toInt), be(0x55c40000))
+      }
+      def hdlr(t: GenTrack): Array[Byte] = box("hdlr",
+        be(0), be(0), t.handler.getBytes("US-ASCII"),
+        be(0), be(0), be(0), Array[Byte](0))
+      def stbl(t: GenTrack): Array[Byte] = {
+        val stts = box("stts", be(0) +: be(t.sttsRuns.size) +:
+          t.sttsRuns.flatMap { case (c, d) => Seq(be(c), be(d)) }: _*)
+        val nSamples = t.sttsRuns.map(_._1).sum
+        val stsz = t.sampleSizes match {
+          case Left(const) => box("stsz", be(0), be(const), be(nSamples))
+          case Right(sizes) =>
+            require(sizes.size == nSamples, "per-sample sizes must match stts")
+            box("stsz", be(0) +: be(0) +: be(sizes.size) +: sizes.map(be): _*)
+        }
+        val stsc = box("stsc", be(0), be(1), be(1),
+          be(math.max(1, nSamples / math.max(1, t.nChunks))), be(1))
+        val stco = box("stco", be(0) +: be(t.nChunks) +:
+          (0 until t.nChunks).map(i => be(4096 * (i + 1))): _*)
+        box("stbl", stts, stsz, stsc, stco)
+      }
+      def trak(t: GenTrack): Array[Byte] =
+        box("trak", tkhd(t), box("mdia", mdhd(t), hdlr(t),
+          box("minf", stbl(t))))
+      val mvhd = box("mvhd", be(0), be(0), be(0), be(1000), be(0),
+        be(0x00010000), be(0x01000000), be64(0L),
+        be(0x00010000), be(0), be(0), be(0), be(0x00010000), be(0),
+        be(0), be(0), be(0x40000000),
+        be(0), be(0), be(0), be(0), be(0), be(0),
+        be(tracks.map(_.trackId).maxOption.getOrElse(0) + 1))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0))
+      val moov = box("moov", mvhd +: tracks.map(trak): _*)
+      ftyp ++ moov
     }
 
     /** Minimal JPEG carrying ONLY an EXIF APP1 segment with the

@@ -802,4 +802,46 @@ class MultimodalSpec extends SparkSpec {
     assert(ham < 24, s"one-column resize moved $ham of 64 bits — not perceptual")
     assert(!r(2).ok, "8x6 thumbnail must fail safe")
   }
+
+  test("mp4 sample tables: exact per-track counts/bytes/ticks from stts/stsz/stsc/stco") {
+    import Multimodal.{MediaGen, MediaRow}
+    import Multimodal.MediaGen.GenTrack
+    // video: 3 stts runs, constant sample size, 5 chunks
+    //   n = 100+50+1 = 151; ticks = 100*1001 + 50*1000 + 1*500 = 150600
+    //   bytes = 151*1024 = 154624; duration_ms = 150600*1000/30000 = 5020
+    val vide = GenTrack(1, "vide", 30000,
+      Seq((100, 1001), (50, 1000), (1, 500)), Left(1024), nChunks = 5)
+    // audio: v1 mdhd, per-sample sizes (i*37)%256, 2 chunks
+    //   n = 1000; ticks = 1000*1024 = 1024000
+    //   duration_ms = 1024000*1000/48000 = 21333 (floor)
+    val sizes = (0 until 1000).map(i => (i * 37) % 256)
+    val soun = GenTrack(2, "soun", 48000, Seq((1000, 1024)),
+      Right(sizes), nChunks = 2, mdhdV1 = true)
+    val movie = MediaGen.mp4SampleTableBytes(Seq(vide, soun))
+    // truncation makes the trailing boxes overrun their parent: loud parse
+    // failure routed to the ok=false channel
+    val corrupt = movie.dropRight(6)
+    val rows = Seq(
+      MediaRow(1L, "video", movie),
+      MediaRow(2L, "video", MediaGen.mp4SampleTableBytes(Seq.empty)),
+      MediaRow(3L, "video", corrupt)).toDS()
+    val r = Multimodal.mp4SampleTables(rows).collect()
+      .sortBy(t => (t.media_id, t.track_id))
+    assert(r.length == 4)
+    val v = r(0)
+    assert(v.track_id == 1L && v.handler == "vide" && v.timescale == 30000L)
+    assert(v.n_samples == 151L && v.sample_bytes == 154624L)
+    assert(v.stts_ticks == 150600L && v.mdhd_ticks == 150600L)
+    assert(v.duration_ms == 5020L && v.n_stts_entries == 3L)
+    assert(v.n_stsc_entries == 1L && v.n_chunks == 5L && v.ok)
+    val a = r(1)
+    assert(a.track_id == 2L && a.handler == "soun" && a.timescale == 48000L)
+    assert(a.n_samples == 1000L && a.sample_bytes == sizes.map(_.toLong).sum)
+    assert(a.stts_ticks == 1024000L && a.duration_ms == 21333L)
+    assert(a.n_chunks == 2L && a.ok)
+    // a valid movie with zero tracks: one ok=true placeholder row
+    assert(r(2).media_id == 2L && r(2).ok && r(2).track_id == -1L)
+    // truncated movie: ok=false channel, never a throw
+    assert(r(3).media_id == 3L && !r(3).ok)
+  }
 }
