@@ -514,12 +514,15 @@ object Dedup {
     *     -> connected components over the dup graph ([[clusters]])
     *     -> canonical selection: min id per component, or — when
     *        `keepByCol` names a score column on `df` — the component's
-    *        best row by (score desc, id asc), the production policy of
-    *        keeping the longest/highest-quality variant instead of the
-    *        accidental smallest id. The scored path ranks inside a
-    *        cluster-partitioned window: dup clusters are small by nature,
-    *        but a pathological giant cluster concentrates in one task —
-    *        the min-id default has no such window.
+    *        best row by (score desc NULLS LAST, id asc), the production
+    *        policy of keeping the longest/highest-quality variant instead
+    *        of the accidental smallest id. The scored path is two
+    *        map-side-combined aggregates (max score per cluster, then min
+    *        id among the null-safe score ties) — NO cluster-partitioned
+    *        window, so a pathological giant cluster (one template
+    *        replicated across a crawl) spreads across tasks like any
+    *        other aggregate instead of concentrating in one sort
+    *        partition.
     *
     * Output: one row PER INPUT ROW — (idCol, cluster_id, cluster_size,
     * kept). Singletons are their own cluster of size 1; `kept` marks the
@@ -559,12 +562,20 @@ object Dedup {
         base.select(col(idCol), col("cluster_id"), col("cluster_size"),
           (col(idCol) === col("cluster_id")).as("kept"))
       case Some(sc) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))
-          .orderBy(col("_keep_score").desc, col(idCol).asc)
-        base.join(df.select(col(idCol), col(sc).as("_keep_score")), Seq(idCol))
-          .withColumn("kept", row_number().over(w) === 1)
-          .select(col(idCol), col("cluster_id"), col("cluster_size"), col("kept"))
+        // argmax by (score desc, id asc) as aggregates, not a window: a
+        // giant cluster must never become one task's sort partition
+        val scored = base
+          .join(df.select(col(idCol), col(sc).as("_keep_score")), Seq(idCol))
+        val bestScore = scored.groupBy(col("cluster_id"))
+          .agg(max(col("_keep_score")).as("_best_score"))
+        // <=> so an all-NULL-score cluster still keeps its min id (max()
+        // ignores nulls, and score desc orders nulls last)
+        val winner = scored.join(bestScore, Seq("cluster_id"))
+          .where(col("_keep_score") <=> col("_best_score"))
+          .groupBy(col("cluster_id")).agg(min(col(idCol)).as("_keep_id"))
+        scored.join(winner, Seq("cluster_id"))
+          .select(col(idCol), col("cluster_id"), col("cluster_size"),
+            (col(idCol) === col("_keep_id")).as("kept"))
     }
   }
 

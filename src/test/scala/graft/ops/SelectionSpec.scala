@@ -164,6 +164,31 @@ class SelectionSpec extends SparkSpec {
     assert(d(1L) && !d(2L))
   }
 
+  test("nearDupDedup keepByCol: giant cluster never becomes one sort partition; NULL scores keep min id") {
+    // one pathological cluster: the same template row replicated 300x with
+    // distinct scores (argmax at id 137), plus an all-NULL-score pair
+    val giant = (0 until 300).map(i =>
+      (i.toLong, copied, if (i == 137) java.lang.Long.valueOf(1000L)
+        else java.lang.Long.valueOf(i % 50L)))
+    val nulls = Seq((900L, junk1, null.asInstanceOf[java.lang.Long]),
+      (901L, junk1, null.asInstanceOf[java.lang.Long]))
+    val docs = (giant ++ nulls).toDF("id", "text", "quality")
+    val out = Dedup.nearDupDedup(docs, "id", "text", numHashes = 64,
+      numBands = 32, shingleSize = 3, jaccard = 0.8,
+      keepByCol = Some("quality"))
+    // plan shape: the scored path must contain NO window operator — the
+    // canonical pick is aggregates, so a giant cluster spreads like any
+    // other groupBy instead of concentrating in one task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scored keep path uses a window:\n$plan")
+    val r = out.collect().map(x => (x.getLong(0), x.getBoolean(3))).toMap
+    assert(r(137L), "giant cluster keeps the argmax score row")
+    assert((0 until 300).count(i => r(i.toLong)) == 1)
+    assert(r(900L) && !r(901L), "all-NULL-score cluster keeps min id")
+    val sizes = out.collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    assert(sizes(137L) == 300L && sizes(900L) == 2L)
+  }
+
   test("nearDupIncremental: ledger dups dropped, shard dups canonicalized, ingestion idempotent") {
     val ledger = Seq((1L, copied), (2L, junk1)).toDF("id", "text")
     val incoming = Seq(
