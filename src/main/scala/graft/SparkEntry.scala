@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 278 queries spanning every implemented operator family
+/** Driver contract — 280 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4309,6 +4309,41 @@ object SparkEntry {
         M.MediaRow(3L, "video", movie.dropRight(6)))
       M.mp4SampleTables(rows.toDS()).toDF()
         .orderBy(col("media_id"), col("track_id"))
+    }),
+
+    // ---- q279: SUBSTRING blocklist gate through ONE Aho-Corasick
+    //      automaton — per-doc totals with cost independent of the
+    //      pattern-list size (the raw-text complement of q119's
+    //      token-L-gram join). The four live patterns are chosen
+    //      self-overlap-free, so the oracle's non-overlapping regexp
+    //      counts equal AC's overlapping counts exactly; 300 padding
+    //      patterns that cannot occur pin the list-size independence. ----
+    "q279_substring_blocklist" -> ((s, dir) => {
+      val pad = (1 to 300).map(i => s"zzqpad$i")
+      graft.ops.Curation.substringBlocklist(t(s, dir, "documents"),
+          "doc_id", "text", Seq("the", "and", "ing", "tion") ++ pad,
+          blockAt = 20L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q280: density-smoothed content extraction (the densometric
+    //      core of Kohlschuetter et al. 2010): each document framed by a
+    //      nav header line and a footer — a line is content iff it has
+    //      words and its 3-line smoothed word count reaches 8, so the
+    //      short frame lines drop while the body keeps its run. Pure
+    //      array HOFs per row (no Window operator); the oracle replays
+    //      the smoothing with DuckDB list lambdas and gaps-and-islands
+    //      for the longest run. ----
+    "q280_density_content" -> ((s, dir) => {
+      val nl = Character.toString(10.toChar)
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("menu home about" + nl), col("text"),
+          lit(nl + nl + "contact us")).as("text"))
+      graft.ops.Curation.densityContentStats(d, "text", minBlockWords = 8)
+        .select(col("doc_id"), col("n_lines"), col("n_content_lines"),
+          col("total_words"), col("content_words"), col("content_ratio"),
+          col("longest_run"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8444,6 +8479,67 @@ object SparkEntry {
         |    n_samples, sample_bytes, stts_ticks, n_stts_entries,
         |    n_stsc_entries, n_chunks, ok)
         |ORDER BY media_id, track_id""".stripMargin,
+
+    // q279: the four live patterns have no self-overlap (no proper prefix
+    // equals a suffix), so non-overlapping regexp counts == AC counts; the
+    // padding patterns never occur in the corpus
+    "q279_substring_blocklist" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), 'the')) AS c1,
+        |    len(regexp_extract_all(lower(text), 'and')) AS c2,
+        |    len(regexp_extract_all(lower(text), 'ing')) AS c3,
+        |    len(regexp_extract_all(lower(text), 'tion')) AS c4
+        |  FROM documents)
+        |SELECT doc_id, cast(c1 + c2 + c3 + c4 AS bigint) AS n_hits,
+        |  cast((CASE WHEN c1 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_patterns_hit,
+        |  c1 + c2 + c3 + c4 >= 20 AS blocked
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q280: exact replay of the 3-line smoothing with list lambdas
+    // (DuckDB lists are 1-based like the op's sequence form); longest run
+    // via parallel-unnest + gaps-and-islands
+    "q280_density_content" ->
+      """WITH d AS (SELECT doc_id,
+        |    'menu home about' || chr(10) || text || chr(10) || chr(10) ||
+        |      'contact us' AS text FROM documents),
+        |w AS (SELECT doc_id, list_transform(str_split(text, chr(10)), ln ->
+        |        len(regexp_extract_all(lower(ln), '[a-z0-9_'']+'))) AS wc
+        |      FROM d),
+        |f AS (SELECT doc_id, wc,
+        |        list_transform(range(1, len(wc) + 1), i ->
+        |          wc[i] > 0 AND
+        |          (CASE WHEN i >= 2 THEN wc[i - 1] ELSE 0 END) + wc[i] +
+        |          (CASE WHEN i < len(wc) THEN wc[i + 1] ELSE 0 END) >= 8)
+        |          AS ct
+        |      FROM w),
+        |base AS (SELECT doc_id,
+        |    cast(len(list_filter(wc, c -> c > 0)) AS bigint) AS n_lines,
+        |    cast(len(list_filter(ct, c -> c)) AS bigint) AS n_content_lines,
+        |    cast(coalesce(list_sum(wc), 0) AS bigint) AS total_words,
+        |    cast(coalesce(list_sum(list_transform(range(1, len(wc) + 1),
+        |      i -> CASE WHEN ct[i] THEN wc[i] ELSE 0 END)), 0) AS bigint)
+        |      AS content_words
+        |  FROM f),
+        |pos AS (SELECT doc_id, unnest(ct) AS c,
+        |          unnest(range(1, len(ct) + 1)) AS i FROM f),
+        |isl AS (SELECT doc_id,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |            AS grp
+        |        FROM pos WHERE c),
+        |lr AS (SELECT doc_id, cast(max(cnt) AS bigint) AS longest_run FROM
+        |        (SELECT doc_id, grp, count(*) AS cnt FROM isl
+        |         GROUP BY doc_id, grp) GROUP BY doc_id)
+        |SELECT b.doc_id, n_lines, n_content_lines, total_words,
+        |  content_words,
+        |  CASE WHEN total_words > 0 THEN
+        |    cast(content_words AS double) / cast(total_words AS double)
+        |  END AS content_ratio,
+        |  cast(coalesce(lr.longest_run, 0) AS bigint) AS longest_run
+        |FROM base b LEFT JOIN lr USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -79,6 +79,14 @@ package object functions {
   def bpe_segment_words(c: Column, merges: Seq[(String, String)]): Column =
     col1(BpeSegmentWords(_, merges))(c)
 
+  /** Aho-Corasick multi-pattern occurrence counts: string ->
+    * array<bigint> (one count per pattern), O(|text|) per row regardless
+    * of pattern count.
+    */
+  def multi_pattern_count(c: Column, patterns: Seq[String],
+                          lowercase: Boolean = true): Column =
+    col1(MultiPatternCount(_, patterns, lowercase))(c)
+
   /** WARC container ingestion: one file's bytes -> array of record structs. */
   def warc_records(c: Column): Column = col1(graft.sources.WarcRecordsExpr(_))(c)
 

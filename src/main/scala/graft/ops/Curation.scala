@@ -102,6 +102,63 @@ object Curation {
       .drop("_bid")
   }
 
+  /** Density-smoothed content-block extraction (the densometric idea of
+    * Kohlschuetter et al., WSDM 2010 "Boilerplate Detection Using Shallow
+    * Text Features", simplified to its word-density core — published
+    * method): a LINE is content iff it has words at all AND the 3-line
+    * smoothed word count (prev + cur + next, boundaries zero-padded)
+    * reaches `minBlockWords` — isolated short lines (nav items,
+    * copyright footers, button labels) fail the smoothed threshold while
+    * paragraph runs pass it even across a short connector line.
+    *
+    * Output: input + n_lines (non-empty), n_content_lines, total_words,
+    * content_words, content_ratio (one double division; NULL when the
+    * document has no words), longest_run (longest consecutive
+    * content-line streak, boilerplate-only docs -> 0).
+    *
+    * Scale shape: pure array HOFs over the in-row line split — the
+    * 3-line window is index arithmetic on the per-line word-count array,
+    * NOT a Window operator, so the whole op is one codegen'd narrow
+    * projection; zero shuffle (the [[markdownStats]] family discipline).
+    */
+  def densityContentStats(df: DataFrame, textCol: String,
+                          minBlockWords: Int = 8): DataFrame = {
+    require(minBlockWords >= 1, "minBlockWords must be >= 1")
+    // plain concat, not an s-interpolator: the '\\n' must reach the SQL
+    // parser as a backslash-n escape, and triple-quote interpolation
+    // would eat the backslash
+    val wcArr =
+      "transform(split(" + textCol + ", '\\n'), ln -> " +
+        "size(regexp_extract_all(lower(ln), \"[a-z0-9_']+\", 0)))"
+    df
+      .withColumn("_wc", expr(wcArr))
+      .withColumn("_content", expr(
+        s"""transform(sequence(1, size(_wc)), i ->
+           |  _wc[i - 1] > 0 AND
+           |  coalesce(IF(i >= 2, _wc[i - 2], 0), 0) + _wc[i - 1] +
+           |    coalesce(IF(i < size(_wc), _wc[i], 0), 0) >= $minBlockWords)"""
+          .stripMargin))
+      .withColumn("n_lines", expr("size(filter(_wc, c -> c > 0))").cast("long"))
+      .withColumn("n_content_lines",
+        expr("size(filter(_content, c -> c))").cast("long"))
+      .withColumn("total_words",
+        expr("aggregate(_wc, 0L, (a, x) -> a + x)"))
+      .withColumn("content_words", expr(
+        """aggregate(zip_with(_wc, _content, (w, c) -> IF(c, w, 0)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("content_ratio",
+        when(col("total_words") > 0,
+          col("content_words").cast("double") /
+            col("total_words").cast("double")))
+      .withColumn("longest_run", expr(
+        """aggregate(_content, named_struct('cur', 0L, 'best', 0L), (a, x) ->
+          |  IF(x, named_struct('cur', a.cur + 1L,
+          |                     'best', greatest(a.best, a.cur + 1L)),
+          |     named_struct('cur', 0L, 'best', a.best)),
+          |  a -> a.best)""".stripMargin))
+      .drop("_wc", "_content")
+  }
+
   /** Markdown structure stats — the [[htmlTableStats]] sibling for the
     * other big corpus format: ATX heading count (and max depth via the
     * longest leading-# run), fenced code blocks (``` pairs — an odd
@@ -1159,6 +1216,37 @@ object Curation {
         coalesce(col("_n"), lit(0L)).as("n_hits"),
         coalesce(col("_d"), lit(0L)).as("n_distinct_phrases"),
         (coalesce(col("_n"), lit(0L)) >= blockAt).as("blocked"))
+  }
+
+  /** SUBSTRING-level blocklist gate over ONE Aho-Corasick automaton —
+    * the raw-text complement of [[blocklistHits]]'s token-L-gram join for
+    * patterns that are not token-aligned (URLs, obfuscated spellings,
+    * scripts without word boundaries). Counts every occurrence of every
+    * pattern (overlaps and nested patterns included — AC dictionary
+    * semantics) in the LOWERCASED text.
+    *
+    * Output: one row per input row — (idCol, n_hits, n_patterns_hit,
+    * blocked = n_hits >= blockAt).
+    *
+    * Scale shape: a single narrow projection; per-doc cost is
+    * O(|text| + matches) INDEPENDENT of the pattern count (the automaton
+    * rides inside the expression like the BPE rank table), so a 100k-entry
+    * blocklist costs the same scan as a 10-entry one — no join, no
+    * explode, no shuffle, nothing broadcast through the plan.
+    */
+  def substringBlocklist(df: DataFrame, idCol: String, textCol: String,
+                         patterns: Seq[String],
+                         blockAt: Long = 1L): DataFrame = {
+    val norm = patterns.map(_.toLowerCase).filter(_.nonEmpty).distinct
+    require(norm.nonEmpty, "blocklist must contain at least one pattern")
+    df.select(col(idCol),
+        graft.functions.multi_pattern_count(col(textCol), norm).as("_c"))
+      .select(col(idCol),
+        coalesce(expr("aggregate(_c, 0L, (a, x) -> a + x)"), lit(0L))
+          .as("n_hits"),
+        coalesce(size(expr("filter(_c, x -> x > 0)")).cast("long"), lit(0L))
+          .as("n_patterns_hit"))
+      .withColumn("blocked", col("n_hits") >= blockAt)
   }
 
   /** PER-HOST boilerplate line removal (the CCNet-style complement of the

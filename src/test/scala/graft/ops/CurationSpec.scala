@@ -608,4 +608,64 @@ class CurationSpec extends SparkSpec {
     assert(r(3).toSeq == Seq(4L, 0L, 0L, false))
     assert(r(4).toSeq == Seq(5L, 1L, 1L, false))
   }
+
+  test("AhoCorasick automaton: counts equal brute-force overlapping counts (nested, overlapping, self-overlapping)") {
+    import graft.functions.AhoCorasick
+    def brute(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+    val patterns = IndexedSeq("he", "she", "his", "hers", "aa", "aaa", "ba")
+    val ac = new AhoCorasick.Automaton(patterns)
+    val texts = Seq("ushers", "shehehers", "aaaa", "baaab", "", "x",
+      "hishershehisaaa", "ababababa", "aabaaabaaaab", "hehehehe")
+    texts.foreach { t =>
+      val got = ac.count(t).toSeq
+      val want = patterns.map(p => brute(t, p))
+      assert(got == want, s"text '$t': got $got want $want")
+    }
+  }
+
+  test("substringBlocklist: Aho-Corasick gate — per-doc totals, lowercase, threshold; cost independent of list size") {
+    val df = Seq(
+      (1L, "The THEory of theft"),  // 'the' x3 (lowercased), 'eft' x1
+      (2L, "clean words only"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "aaaa")                  // 'aa' overlaps: 3 hits
+    ).toDF("id", "text")
+    val patterns = Seq("the", "eft", "aa") ++
+      (1 to 500).map(i => s"zzpad$i") // padding: result must not change
+    val r = Curation.substringBlocklist(df, "id", "text", patterns,
+        blockAt = 3L).orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 4L, 2L, true))
+    assert(r(1).toSeq == Seq(2L, 0L, 0L, false))
+    assert(r(2).toSeq == Seq(3L, 0L, 0L, false))
+    assert(r(3).toSeq == Seq(4L, 3L, 1L, true))
+    val small = Curation.substringBlocklist(df, "id", "text",
+      Seq("the", "eft", "aa"), blockAt = 3L).orderBy("id").collect()
+    assert(r.map(_.toSeq).toSeq == small.map(_.toSeq).toSeq)
+  }
+
+  test("densityContentStats: 3-line smoothed density, hand-computed; empty and boilerplate-only docs") {
+    val doc = Seq(
+      "one two three four five six seven eight", // 8w -> smoothed 9
+      "nav",                                     // 1w -> smoothed 9 (absorbed)
+      "",                                        // 0w -> never content
+      "a b c d e",                               // 5w -> smoothed 8
+      "f g h",                                   // 3w -> smoothed 8
+      "",
+      "short"                                    // 1w -> smoothed 1
+    ).mkString("\n")
+    val df = Seq((1L, doc), (2L, ""), (3L, "a\nb\nc")).toDF("id", "text")
+    val r = Curation.densityContentStats(df, "text", minBlockWords = 8)
+      .select(col("id"), col("n_lines"), col("n_content_lines"),
+        col("total_words"), col("content_words"), col("content_ratio"),
+        col("longest_run"))
+      .orderBy("id").collect()
+    assert(r(0).toSeq == Seq(1L, 5L, 4L, 18L, 17L, 17.0 / 18.0, 2L))
+    // empty doc: zero lines/words, NULL ratio
+    assert(r(1).getLong(1) == 0L && r(1).getLong(3) == 0L &&
+      r(1).isNullAt(5) && r(1).getLong(6) == 0L)
+    // boilerplate-only: words exist but nothing passes the smoothed gate
+    assert(r(2).toSeq.take(5) == Seq(3L, 3L, 0L, 3L, 0L) &&
+      r(2).getDouble(5) == 0.0 && r(2).getLong(6) == 0L)
+  }
 }
