@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 280 queries spanning every implemented operator family
+/** Driver contract — 281 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4344,6 +4344,20 @@ object SparkEntry {
           col("total_words"), col("content_words"), col("content_ratio"),
           col("longest_run"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q281: purged walk-forward split with embargo (Lopez de Prado
+    //      ch.7, published method) — the leakage-safe CV partitioner for
+    //      the temporal feature store: equal-width time bins by exact
+    //      integer epoch-ms arithmetic, an embargo band ahead of the
+    //      validation fold, and the future never trained on. The split
+    //      is a pure function of (min, max, nFolds) — externally
+    //      replayable, which IS the leakage audit. ----
+    "q281_purged_split" -> ((s, dir) => {
+      graft.temporal.Windows.purgedSplit(t(s, dir, "events"), "ts",
+          nFolds = 5, valFold = 3, embargoMs = 3600000L)
+        .select(col("event_id"), col("fold"), col("role"))
+        .orderBy(col("event_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8540,6 +8554,22 @@ object SparkEntry {
         |  END AS content_ratio,
         |  cast(coalesce(lr.longest_run, 0) AS bigint) AS longest_run
         |FROM base b LEFT JOIN lr USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // q281: same integer bin arithmetic — width = (max-min) div 5 + 1,
+    // fold = (ts-min) div width, roles by boundary comparison
+    "q281_purged_split" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1
+        |           FROM events),
+        |e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT event_id,
+        |  cast((ms - t0) // ((t1 - t0) // 5 + 1) AS bigint) AS fold,
+        |  CASE
+        |    WHEN (ms - t0) // ((t1 - t0) // 5 + 1) = 3 THEN 'val'
+        |    WHEN ms >= t0 + 4 * ((t1 - t0) // 5 + 1) THEN 'future'
+        |    WHEN ms >= t0 + 3 * ((t1 - t0) // 5 + 1) - 3600000 THEN 'embargo'
+        |    ELSE 'train'
+        |  END AS role
+        |FROM e, b ORDER BY event_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

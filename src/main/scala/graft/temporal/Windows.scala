@@ -477,4 +477,48 @@ object Windows {
         count(lit(1)).as("n_merged"))
       .drop("_island")
   }
+
+  /** Purged walk-forward split with embargo (the leakage-safe
+    * cross-validation partitioner of Lopez de Prado, "Advances in
+    * Financial Machine Learning" ch. 7, re-expressed for web-crawl
+    * feature stores — published method): the observed time range is cut
+    * into `nFolds` equal-width bins by EXACT integer epoch-ms arithmetic;
+    * against validation fold `valFold` every row gets a role:
+    *
+    *  - `val`     — inside the validation fold's bin
+    *  - `embargo` — before the fold but within `embargoMs` of its start
+    *    (label/feature windows straddling the boundary would leak)
+    *  - `train`   — strictly earlier than the embargo
+    *  - `future`  — at/after the fold's end (walk-forward: the future is
+    *    never trained on)
+    *
+    * Bin width = (max − min) div nFolds + 1, so the max timestamp falls
+    * in the last bin and every bin boundary is a pure integer function of
+    * (min, max, nFolds) — an external engine reproduces the split
+    * bit-exactly, which is the point: the split IS the leakage audit.
+    *
+    * Output: input + fold (bigint), role (string). Scale shape: one
+    * min/max aggregate (two bigints) broadcast into a narrow projection —
+    * no shuffle of the data itself, no window.
+    */
+  def purgedSplit(df: DataFrame, tsCol: String, nFolds: Int, valFold: Int,
+                  embargoMs: Long): DataFrame = {
+    require(nFolds >= 2, "need at least two folds")
+    require(valFold >= 0 && valFold < nFolds, "valFold out of range")
+    require(embargoMs >= 0, "embargo must be non-negative")
+    val ts = unix_millis(col(tsCol).cast("timestamp"))
+    val bounds = df.agg(min(ts).as("_t0"), max(ts).as("_t1"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_w", expr("(_t1 - _t0) div " + nFolds + " + 1"))
+      .withColumn("fold", expr(
+        s"(${"unix_millis(cast(" + tsCol + " as timestamp))"} - _t0) div _w"))
+      .withColumn("_vs", col("_t0") + lit(valFold.toLong) * col("_w"))
+      .withColumn("_ve", col("_t0") + lit(valFold + 1L) * col("_w"))
+      .withColumn("role",
+        when(col("fold") === valFold.toLong, "val")
+          .when(ts >= col("_ve"), "future")
+          .when(ts >= col("_vs") - embargoMs, "embargo")
+          .otherwise("train"))
+      .drop("_t0", "_t1", "_w", "_vs", "_ve")
+  }
 }

@@ -527,4 +527,32 @@ class WindowsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(gn.toSeq == Seq((0L, 120L, 4L)))
   }
+
+  test("purgedSplit: exact bin arithmetic, embargo band, walk-forward future") {
+    // range [0, 999] ms, 4 folds -> width = 999 div 4 + 1 = 250
+    // valFold 2: [500, 750); embargo 100 -> [400, 500) embargoed
+    val ts = Seq(0L, 399L, 400L, 499L, 500L, 749L, 750L, 999L)
+    val df = ts.map(t => (t, t)).toDF("id", "ms")
+      .withColumn("ts", expr("timestamp_millis(ms)"))
+    val r = Windows.purgedSplit(df, "ts", nFolds = 4, valFold = 2,
+        embargoMs = 100L)
+      .select(col("id"), col("fold"), col("role"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      (0L, 0L, "train"), (399L, 1L, "train"),
+      (400L, 1L, "embargo"), (499L, 1L, "embargo"),
+      (500L, 2L, "val"), (749L, 2L, "val"),
+      (750L, 3L, "future"), (999L, 3L, "future")))
+    // valFold 0: nothing can precede the fold; everything after is future
+    val r0 = Windows.purgedSplit(df, "ts", nFolds = 4, valFold = 0,
+        embargoMs = 100L)
+      .select(col("role")).distinct().collect().map(_.getString(0)).toSet
+    assert(r0 == Set("val", "future"))
+    // zero embargo: the band vanishes
+    val rz = Windows.purgedSplit(df, "ts", nFolds = 4, valFold = 2,
+        embargoMs = 0L)
+      .where(col("role") === "embargo").count()
+    assert(rz == 0L)
+  }
 }
