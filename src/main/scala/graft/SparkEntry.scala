@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 281 queries spanning every implemented operator family
+/** Driver contract — 282 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4358,6 +4358,26 @@ object SparkEntry {
           nFolds = 5, valFold = 3, embargoMs = 3600000L)
         .select(col("event_id"), col("fold"), col("role"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- q282: b-bit MinHash near-dup estimation (Li & Konig 2010) —
+    //      LSH banding on the full md5 signature (bucket key = the raw
+    //      sub-signature), then the similarity estimate from only the low
+    //      4 bits per lane with collision correction: the sketch a
+    //      10^12-doc dedup actually stores/shuffles is 16x smaller than
+    //      the full signature. Every lane is an UNSIGNED md5 min, so the
+    //      oracle replays candidates AND estimates bit-exactly. 40 docs
+    //      + their prefixtoken mutations (q16's construction) keep the
+    //      oracle's full md5 replay bounded. ----
+    "q282_bbit_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").as("id"), col("text"))
+      val mutated = docs.select((col("id") + 100000L).as("id"),
+        concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
+      graft.ops.Similarity.bbitMinhashPairs(docs.unionByName(mutated),
+          "id", "text", numHashes = 64, b = 4, numBands = 16,
+          shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8570,6 +8590,42 @@ object SparkEntry {
         |    ELSE 'train'
         |  END AS role
         |FROM e, b ORDER BY event_id""".stripMargin,
+
+    // q282: FULL md5 replay — per (doc, lane k) the UBIGINT min over
+    // md5(k || chr(1) || gram) of the word 3-grams; banding buckets keyed
+    // by the raw 4-lane sub-signature; 4-bit matches + the corrected
+    // estimator, all dyadic arithmetic
+    "q282_bbit_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 100000, 'prefixtoken ' || text
+        |  FROM documents WHERE doc_id < 40),
+        |words AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS w
+        |          FROM docs),
+        |grams AS (SELECT id, unnest(list_transform(range(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |          FROM words WHERE len(w) >= 3),
+        |lanes AS (SELECT id, k,
+        |            min(('0x' || substr(md5(cast(k AS varchar) || chr(1) || g),
+        |                 1, 16))::UBIGINT) AS h
+        |          FROM grams CROSS JOIN range(64) t(k) GROUP BY id, k),
+        |sigs AS (SELECT id, list(h ORDER BY k) AS sig FROM lanes GROUP BY id),
+        |bands AS (SELECT id, bb, sig[bb * 4 + 1 : bb * 4 + 4] AS key
+        |          FROM sigs CROSS JOIN range(16) t(bb)),
+        |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |          FROM bands a JOIN bands b
+        |            ON a.bb = b.bb AND a.key = b.key AND a.id < b.id),
+        |m AS (SELECT id_a, id_b,
+        |        cast(len(list_filter(range(1, 65), i ->
+        |          (sa.sig[i] & 15) = (sb.sig[i] & 15))) AS bigint) AS matches
+        |      FROM cands JOIN sigs sa ON sa.id = id_a
+        |                 JOIN sigs sb ON sb.id = id_b)
+        |SELECT id_a, id_b, matches,
+        |  (cast(matches AS double) / cast(64 AS double)
+        |    - cast(1 AS double) / cast(16 AS double))
+        |   / (cast(1 AS double) - cast(1 AS double) / cast(16 AS double))
+        |    AS j_bbit
+        |FROM m ORDER BY id_a, id_b""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -159,6 +159,49 @@ object TextKernels {
     * it is mirrorable by an ANSI-SQL oracle (md5 is the one cryptographic
     * hash every engine shares).
     */
+  /** md5-hashed MinHash signature over word n-gram STRINGS — the
+    * oracle-mirrorable sibling of [[minHashSignature]] (the simHash64 /
+    * simHash64Md5 convention): h_k(gram) = md5Low64(k + chr(1) + gram),
+    * minimized under UNSIGNED comparison so an ANSI engine's UBIGINT min
+    * reproduces every lane bit-exactly. Words are lowercased maximal
+    * word-char runs; grams are space-joined n-windows (duplicates do not
+    * affect a min). Documents with fewer than `shingleSize` words return
+    * an EMPTY signature.
+    */
+  def minHashSignatureMd5(s: String, numHashes: Int,
+                          shingleSize: Int): Array[Long] = {
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < s.length) {
+      if (isWordChar(s.charAt(i))) {
+        sb.setLength(0)
+        var j = i
+        while (j < s.length && isWordChar(s.charAt(j))) {
+          sb.append(Character.toLowerCase(s.charAt(j)))
+          j += 1
+        }
+        words += sb.toString
+        i = j
+      } else i += 1
+    }
+    if (words.length < shingleSize) return Array.emptyLongArray
+    val sep = String.valueOf(1.toChar)
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
+    var g = 0
+    while (g + shingleSize <= words.length) {
+      val gram = words.slice(g, g + shingleSize).mkString(" ")
+      var k = 0
+      while (k < numHashes) {
+        val h = md5Low64(k.toString + sep + gram)
+        if (java.lang.Long.compareUnsigned(h, sig(k)) < 0) sig(k) = h
+        k += 1
+      }
+      g += 1
+    }
+    sig
+  }
+
   def md5Low64(token: String): Long = {
     val md = tlMd5.get()
     md.reset()

@@ -115,6 +115,8 @@ package object functions {
   def lang_id(c: Column): Column = col1(LangIdExpr(_))(c)
   def minhash_signature(c: Column, numHashes: Int = 128, shingleSize: Int = 5): Column =
     col1(MinHashSignature(_, numHashes, shingleSize))(c)
+  def minhash_signature_md5(c: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    col1(MinHashSignatureMd5(_, numHashes, shingleSize))(c)
   def shingles(c: Column, n: Int = 5): Column = col1(ShinglesExpr(_, n))(c)
   def simhash64(c: Column): Column = col1(SimHash64(_))(c)
   def simhash64_md5(c: Column): Column = col1(SimHash64(_, "md5"))(c)

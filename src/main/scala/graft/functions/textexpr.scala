@@ -100,6 +100,19 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
+/** md5-hashed MinHash signature (oracle-mirrorable; UNSIGNED-min lanes).
+  * Empty array for docs with fewer than `shingleSize` words.
+  */
+case class MinHashSignatureMd5(child: Expression, numHashes: Int, shingleSize: Int)
+    extends StringKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_md5"
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.minHashSignatureMd5(
+      input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureMd5 = copy(child = newChild)
+}
+
 /** Sorted distinct hashed word n-gram shingles (array<long>). */
 case class ShinglesExpr(child: Expression, shingleSize: Int) extends StringKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

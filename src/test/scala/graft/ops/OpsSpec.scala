@@ -459,6 +459,53 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class BbitMinhashSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.TextKernels
+
+  test("minHashSignatureMd5: unsigned lane minima over md5 gram draws, empty under 3 words") {
+    val sep = String.valueOf(1.toChar)
+    val sig = TextKernels.minHashSignatureMd5("A b c D", 8, 3)
+    val grams = Seq("a b c", "b c d")
+    val want = (0 until 8).map { k =>
+      grams.map(g => TextKernels.md5Low64(k.toString + sep + g))
+        .min(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+    }
+    assert(sig.toSeq == want)
+    assert(TextKernels.minHashSignatureMd5("two words", 8, 3).isEmpty)
+  }
+
+  test("bbitMinhashPairs: identical docs estimate 1.0; near-dups found; short docs excluded") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                               // identical -> m = n, J_hat = 1
+      (3L, "prefixtoken " + base),              // near-dup of 1/2
+      (4L, "completely different words about gardening tools and winter soil"),
+      (5L, "too short")                         // < 3 words after tokenizing? 2 words -> excluded
+    ).toDF("id", "text")
+    val r = graft.ops.Similarity.bbitMinhashPairs(docs, "id", "text",
+        numHashes = 64, b = 4, numBands = 16, shingleSize = 3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.contains((1L, 2L)))
+    val (m12, j12) = r((1L, 2L))
+    assert(m12 == 64L && j12 == 1.0)
+    assert(r.contains((1L, 3L)) && r.contains((2L, 3L)))
+    val (m13, j13) = r((1L, 3L))
+    assert(m13 >= 48L && j13 > 0.6, s"near-dup estimate too low: $m13 $j13")
+    assert(!r.keys.exists { case (a, bb) => a == 5L || bb == 5L })
+    assert(!r.contains((1L, 4L)), "unrelated docs must not share a band")
+    // exact lane-replay of the estimate for the (1,3) pair
+    val sep = String.valueOf(1.toChar)
+    def sig(t: String) = TextKernels.minHashSignatureMd5(t, 64, 3)
+    val (sa, sb) = (sig(base), sig("prefixtoken " + base))
+    val m = (0 until 64).count(i => (sa(i) & 15L) == (sb(i) & 15L)).toLong
+    assert(m == m13)
+    assert(j13 == (m / 64.0 - 1.0 / 16.0) / (1.0 - 1.0 / 16.0))
+  }
+}
+
 class SimHashMd5Spec extends SparkSpec {
   test("md5-token simhash matches the SQL-oracle formulation (verified constants)") {
     // constants independently computed by the DuckDB mirror of
