@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 282 queries spanning every implemented operator family
+/** Driver contract — 283 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4378,6 +4378,18 @@ object SparkEntry {
           "id", "text", numHashes = 64, b = 4, numBands = 16,
           shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- q283: database-friendly random projection (Achlioptas 2001) —
+    //      embeddings onto 8 md5-parity ±1 sign vectors in fixed point:
+    //      the exact-bigint JL map that shrinks what an ANN index
+    //      stores/shuffles from 64 floats to 8 integers per doc. Long
+    //      format keeps the output scalar for the driver gate. ----
+    "q283_random_projection" -> ((s, dir) => {
+      graft.ops.Similarity.randomProjection(
+          t(s, dir, "embeddings").where(col("vec_id") < 100),
+          "vec_id", "embedding", k = 8)
+        .orderBy(col("id"), col("dim"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8626,6 +8638,21 @@ object SparkEntry {
         |   / (cast(1 AS double) - cast(1 AS double) / cast(16 AS double))
         |    AS j_bbit
         |FROM m ORDER BY id_a, id_b""".stripMargin,
+
+    // q283: same md5-parity signs and fixed-point quantization replayed —
+    // every cell is an exact integer sum
+    "q283_random_projection" ->
+      """WITH v AS (SELECT vec_id AS id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings WHERE vec_id < 100),
+        |q AS (SELECT id, i, cast(floor(x::DOUBLE * 1000000) AS bigint) AS qv
+        |      FROM v)
+        |SELECT id, j AS dim,
+        |  cast(sum(CASE WHEN ('0x' || substr(md5('rp:' || j || ':' || i),
+        |      1, 8))::UBIGINT % 2 = 0 THEN qv ELSE -qv END) AS bigint)
+        |    AS value
+        |FROM q CROSS JOIN range(8) t(j)
+        |GROUP BY id, j ORDER BY id, dim""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -318,6 +318,44 @@ object Similarity {
       .withColumn("mean_fixed", expr("sum_fixed div n"))
   }
 
+  /** Database-friendly random projection (Achlioptas 2001, published
+    * method): project each embedding onto `k` pseudo-random ±1 sign
+    * vectors — the cheap Johnson-Lindenstrauss map that preserves
+    * pairwise distances within (1 ± eps) while shrinking the vector a
+    * 10^12-doc ANN index must store/shuffle from `dim` floats to `k`
+    * integers. Signs come from md5(seed, j, i) parity (no RNG state, the
+    * repo's standard derandomization) and inputs are FIXED-POINT
+    * quantized first (floor(v * scale), the [[fixedPointCentroids]]
+    * convention), so every output cell is an EXACT bigint sum — fold
+    * order cannot drift and an external engine replays it bit-for-bit.
+    *
+    *   out_j = sum_i sign(seed, j, i) * floor(v_i * scale)
+    *
+    * Output long format (id, dim, value) — assembles to arrays downstream
+    * and stays scalar for type-sensitive gates. Scale shape: one narrow
+    * posexplode + a combiner groupBy on (id, dim); the sign matrix never
+    * materializes (it is a per-cell md5 parity), nothing is broadcast.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, scale: Long = 1000000L,
+                       seed: String = "rp"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(scale >= 1, "scale must be >= 1")
+    val dims = df.sparkSession.range(0, k.toLong)
+      .select(col("id").cast("long").as("dim"))
+    df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("_i", "_v")))
+      .select(col("id"), col("_i").cast("long").as("_i"),
+        floor(col("_v").cast("double") * scale).cast("long").as("_q"))
+      .crossJoin(broadcast(dims))
+      .withColumn("_sign", when(
+        conv(substring(md5(concat(lit(seed), lit(":"), col("dim"),
+          lit(":"), col("_i"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("_sign") * col("_q")).as("value"))
+  }
+
   /** b-bit MinHash near-dup estimation (Li & Konig 2010, "b-Bit Minwise
     * Hashing" — published method): LSH banding on the FULL md5 MinHash
     * signature selects candidate pairs, then the similarity estimate uses

@@ -506,6 +506,32 @@ class BbitMinhashSpec extends SparkSpec {
   }
 }
 
+class RandomProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("randomProjection: exact md5-sign fixed-point sums, JVM-replayed") {
+    def sign(seed: String, j: Long, i: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val df = Seq((7L, Seq(1.5f, -0.25f, 0.125f))).toDF("id", "vec")
+    val r = graft.ops.Similarity.randomProjection(df, "id", "vec", k = 4)
+      .orderBy("dim").collect().map(x => (x.getLong(1), x.getLong(2)))
+    val q = Seq(1500000L, -250000L, 125000L)
+    val want = (0L until 4L).map(j =>
+      (j, q.zipWithIndex.map { case (v, i) => sign("rp", j, i.toLong) * v }.sum))
+    assert(r.toSeq == want)
+    // identical inputs project identically; k rows per id
+    val two = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val p2 = graft.ops.Similarity.randomProjection(two, "id", "vec", k = 6)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(p2.size == 12)
+    (0L until 6L).foreach(j => assert(p2((1L, j)) == p2((2L, j))))
+  }
+}
+
 class SimHashMd5Spec extends SparkSpec {
   test("md5-token simhash matches the SQL-oracle formulation (verified constants)") {
     // constants independently computed by the DuckDB mirror of
