@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 283 queries spanning every implemented operator family
+/** Driver contract — 284 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4390,6 +4390,21 @@ object SparkEntry {
           t(s, dir, "embeddings").where(col("vec_id") < 100),
           "vec_id", "embedding", k = 8)
         .orderBy(col("id"), col("dim"))
+    }),
+
+    // ---- q284: leave-fold-out target encoding (Micci-Barreca 2001,
+    //      K-fold out-of-fold form) — the leakage-safe categorical
+    //      encoder: each document's language is encoded by the mean
+    //      quality target of OTHER folds' rows of that language, with
+    //      additive smoothing toward the global prior; md5-deterministic
+    //      folds, all-milli integer arithmetic. ----
+    "q284_target_encode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") % 100L).as("y"))
+      graft.ops.Stats.targetEncodeLFO(d, "doc_id", "lang", "y",
+          nFolds = 5, smoothing = 20L, seed = "te")
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8653,6 +8668,23 @@ object SparkEntry {
         |    AS value
         |FROM q CROSS JOIN range(8) t(j)
         |GROUP BY id, j ORDER BY id, dim""".stripMargin,
+
+    // q284: same md5 folds, same milli/div integer chain
+    "q284_target_encode" ->
+      """WITH s AS (SELECT doc_id, lang AS cat, n_chars % 100 AS y,
+        |    ('0x' || substr(md5('te:' || cast(doc_id AS varchar)), 1, 8))
+        |      ::UBIGINT % 5 AS fold
+        |  FROM documents),
+        |bc AS (SELECT cat, sum(y) AS sc, count(*) AS nc FROM s GROUP BY cat),
+        |bcf AS (SELECT cat, fold, sum(y) AS scf, count(*) AS ncf
+        |        FROM s GROUP BY cat, fold),
+        |p AS (SELECT sum(y) * 1000 // count(*) AS prior FROM s)
+        |SELECT s.doc_id, s.cat AS lang, cast(s.fold AS bigint) AS fold,
+        |  cast(((sc - scf) * 1000 + 20 * prior) // (nc - ncf + 20)
+        |    AS bigint) AS enc_milli
+        |FROM s JOIN bcf ON s.cat = bcf.cat AND s.fold = bcf.fold
+        |       JOIN bc ON s.cat = bc.cat, p
+        |ORDER BY s.doc_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -546,6 +546,56 @@ object Stats {
     exact.where(col("n") >= minCount)
   }
 
+  /** Leave-fold-out target encoding with additive smoothing (the
+    * leakage-safe categorical encoder of Micci-Barreca 2001's target
+    * encoding, in its standard K-fold out-of-fold form — published
+    * method): a category's encoding for a row in fold f uses ONLY rows
+    * of that category OUTSIDE f, so a row never sees its own target:
+    *
+    *   enc_milli = ((S_c − s_cf) · 1000 + m · prior_milli)
+    *               div (N_c − n_cf + m)
+    *
+    * with S_c/N_c the category's target sum/count, s_cf/n_cf the
+    * category×fold portion, prior_milli = (S · 1000) div N the global
+    * mean, and m >= 1 the smoothing pseudo-count. All EXACT integer
+    * arithmetic (milli fixed point, div) — an external engine replays
+    * every encoding bit-for-bit, and a category confined to one fold
+    * degrades cleanly to the prior. Folds are md5-deterministic from the
+    * id (no RNG state): fold = u64(md5(seed : id)[0:8]) % nFolds.
+    *
+    * Output: (idCol, catCol, fold, enc_milli). Scale shape: two
+    * combiner aggregates (category-sized and category×fold-sized) joined
+    * back by (cat, fold) — the corpus shuffles once on the slim
+    * (id, cat, fold, target) projection, encodings ride a
+    * dimension-table join.
+    */
+  def targetEncodeLFO(df: DataFrame, idCol: String, catCol: String,
+                      targetCol: String, nFolds: Int = 5,
+                      smoothing: Long = 20L,
+                      seed: String = "te"): DataFrame = {
+    require(nFolds >= 2, "need at least two folds")
+    require(smoothing >= 1, "smoothing pseudo-count must be >= 1")
+    val fold = (conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % nFolds)
+      .as("fold")
+    val slim = df.select(col(idCol), col(catCol).as("_cat"),
+      col(targetCol).cast("long").as("_y"), fold)
+    val byCat = slim.groupBy(col("_cat"))
+      .agg(sum(col("_y")).as("_sc"), count(lit(1)).as("_nc"))
+    val byCatFold = slim.groupBy(col("_cat"), col("fold"))
+      .agg(sum(col("_y")).as("_scf"), count(lit(1)).as("_ncf"))
+    val prior = slim.agg(
+      expr("sum(_y) * 1000 div count(1)").as("_prior_milli"))
+    slim
+      .join(byCatFold, Seq("_cat", "fold"))
+      .join(byCat, Seq("_cat"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("_cat").as(catCol), col("fold"),
+        expr(s"""((_sc - _scf) * 1000 + $smoothing * _prior_milli)
+                | div (_nc - _ncf + $smoothing)""".stripMargin)
+          .as("enc_milli"))
+  }
+
   /** Exact Pearson correlation matrix over INTEGER-valued feature columns
     * (counts, flags, integer scores) — the feature-redundancy screen run
     * before training a quality classifier: a |r| ~ 1 pair means one

@@ -1103,4 +1103,39 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
     assert(r.getDouble(3) == 7.0)
   }
+
+  test("targetEncodeLFO: out-of-fold means with smoothing, JVM-replayed; own fold never leaks") {
+    def fold(seed: String, id: Long, k: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % k
+    }
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 100L), (6L, "b", 200L), (7L, "c", 7L), (8L, "b", 300L))
+    val df = rows.toDF("id", "cat", "y")
+    val k = 3
+    val m = 2L
+    val total = rows.map(_._3).sum
+    val prior = total * 1000L / rows.size
+    val r = Stats.targetEncodeLFO(df, "id", "cat", "y", nFolds = k,
+        smoothing = m, seed = "te")
+      .collect().map(x => (x.getLong(0), (x.getString(1), x.getLong(2),
+        x.getLong(3)))).toMap
+    rows.foreach { case (id, cat, _) =>
+      val f = fold("te", id, k)
+      val inCat = rows.filter(_._2 == cat)
+      val out = inCat.filter(x => fold("te", x._1, k) != f)
+      val want = (out.map(_._3).sum * 1000L + m * prior) / (out.size + m)
+      assert(r(id) == ((cat, f, want)), s"id $id: ${r(id)} vs $want")
+      // the leakage guarantee: the row's own target is excluded
+      assert(!out.exists(_._1 == id))
+    }
+    // a category confined to one fold degrades to the pure prior
+    val cOnly = rows.filter(_._2 == "c")
+    assert(cOnly.size == 1)
+    val (cid, _, _) = cOnly.head
+    assert(r(cid)._3 == (0L * 1000L + m * prior) / (0L + m))
+  }
 }
