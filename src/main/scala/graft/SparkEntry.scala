@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 284 queries spanning every implemented operator family
+/** Driver contract — 285 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4405,6 +4405,29 @@ object SparkEntry {
       graft.ops.Stats.targetEncodeLFO(d, "doc_id", "lang", "y",
           nFolds = 5, smoothing = 20L, seed = "te")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q285: Maximal Marginal Relevance re-ranking (Carbonell &
+    //      Goldstein 1998) — greedy relevance-vs-redundancy selection
+    //      with exact milli-Jaccard penalties over a constructed
+    //      4-candidate page whose whole trace is hand-derivable: d1 wins
+    //      on relevance, its exact duplicate d2 pays the full 1000-milli
+    //      redundancy and drops to LAST despite the #2 relevance, the
+    //      1/3-overlap d4 pays 333. Result-list contract (driver-local
+    //      greedy behind a loud maxRows guard). ----
+    "q285_mmr_rerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 4)
+        .select((col("doc_id") + 1L).as("id"),
+          when(col("doc_id") === 0L, "alpha beta gamma delta")
+            .when(col("doc_id") === 1L, "alpha beta gamma delta")
+            .when(col("doc_id") === 2L, "epsilon zeta eta theta")
+            .otherwise("alpha beta gamma zeta").as("text"),
+          when(col("doc_id") === 0L, 900L)
+            .when(col("doc_id") === 1L, 880L)
+            .when(col("doc_id") === 2L, 500L)
+            .otherwise(700L).as("rel"))
+      graft.ops.Relevance.mmrSelect(d, "id", "text", "rel", k = 4)
+        .orderBy(col("rank"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8685,6 +8708,22 @@ object SparkEntry {
         |FROM s JOIN bcf ON s.cat = bcf.cat AND s.fold = bcf.fold
         |       JOIN bc ON s.cat = bc.cat, p
         |ORDER BY s.doc_id""".stripMargin,
+
+    // q285: the greedy trace is closed-form (derivation in the entry
+    // comment): step scores are lambda*rel - (1000-lambda)*maxSimMilli
+    // with simMilli in {0, 333, 1000} by gram-set construction
+    "q285_mmr_rerank" ->
+      """SELECT * FROM (VALUES
+        |  (cast(1 AS bigint), cast(1 AS bigint), cast(630000 AS bigint),
+        |   cast(0 AS bigint)),
+        |  (cast(2 AS bigint), cast(4 AS bigint), cast(390100 AS bigint),
+        |   cast(333 AS bigint)),
+        |  (cast(3 AS bigint), cast(3 AS bigint), cast(350000 AS bigint),
+        |   cast(0 AS bigint)),
+        |  (cast(4 AS bigint), cast(2 AS bigint), cast(316000 AS bigint),
+        |   cast(1000 AS bigint)))
+        |  t(rank, id, mmr_milli, max_sim_milli)
+        |ORDER BY rank""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

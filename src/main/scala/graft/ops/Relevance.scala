@@ -434,4 +434,78 @@ object Relevance {
       .select(col("_i").as("item"), col("_j").as("other"), col("co"),
         col("n_item"), col("n_other"), col("cos_sim"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * published method): greedily pick k results balancing relevance
+    * against redundancy with the already-picked set,
+    *
+    *   mmr(c) = lambdaMilli * rel(c)
+    *            − (1000 − lambdaMilli) * maxSimMilli(c, selected)
+    *
+    * where simMilli is the EXACT shingle-Jaccard in milli fixed point
+    * ((inter * 1000) div union over hashed word n-gram sets) and ties
+    * break by id ascending — the whole trace is integer-deterministic
+    * and externally replayable. Pass `relCol` pre-scaled to comparable
+    * milli units (e.g. 0..1000) for the classic formula; any integer
+    * scale works, the trade-off knob is lambdaMilli.
+    *
+    * RESULT-LIST CONTRACT (the [[graft.ops.Stats]] samples-and-lists
+    * discipline): MMR re-ranks a retrieval page, not a corpus — the
+    * candidate set is collected to the driver (guard `maxRows`, loud
+    * failure past it) and the greedy loop runs locally; k * n exact
+    * Jaccards, sub-second for any sane result page. Output:
+    * (rank, idCol, mmr_milli, max_sim_milli) in selection order.
+    */
+  def mmrSelect(df: DataFrame, idCol: String, textCol: String,
+                relCol: String, k: Int, lambdaMilli: Long = 700L,
+                shingleSize: Int = 3, maxRows: Long = 5000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, "lambdaMilli in [0,1000]")
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    require(df.limit(probe).count() <= maxRows,
+      s"graft.Relevance.mmrSelect: result-list contract breached — more " +
+        s"than maxRows=$maxRows candidates. Re-rank a retrieval page, not " +
+        "a corpus, or raise maxRows explicitly.")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = df.select(col(idCol).cast("long").as("id"),
+        col(relCol).cast("long").as("rel"),
+        graft.functions.shingles(col(textCol), shingleSize).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    def simMilli(a: Array[Long], b: Array[Long]): Long = {
+      if (a.isEmpty && b.isEmpty) return 0L
+      var i = 0; var j = 0; var inter = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1 else j += 1
+      }
+      val union = a.length.toLong + b.length.toLong - inter
+      if (union == 0L) 0L else inter * 1000L / union
+    }
+    val shOf = cands.map(c => c._1 -> c._3).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = -1L; var bestScore = Long.MinValue; var bestSim = 0L
+      remaining.valuesIterator.foreach { case (id, rel, sh) =>
+        var maxSim = 0L
+        selected.foreach { case (_, sid, _, _) =>
+          val sm = simMilli(sh, shOf(sid))
+          if (sm > maxSim) maxSim = sm
+        }
+        val score = lambdaMilli * rel - (1000L - lambdaMilli) * maxSim
+        if (score > bestScore || (score == bestScore && (bestId < 0 || id < bestId))) {
+          bestId = id; bestScore = score; bestSim = maxSim
+        }
+      }
+      selected += ((rank, bestId, bestScore, bestSim))
+      remaining.remove(bestId)
+      rank += 1
+    }
+    selected.toSeq.toDF("rank", idCol, "mmr_milli", "max_sim_milli")
+  }
 }

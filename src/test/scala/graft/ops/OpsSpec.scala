@@ -506,6 +506,40 @@ class BbitMinhashSpec extends SparkSpec {
   }
 }
 
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mmrSelect: hand-derived greedy trace — relevance vs redundancy, milli-exact") {
+    // 3-gram sets: d1 = d2 = {abg, bgd}; d4 shares 1 of 3 with d1 (333
+    // milli); d3 disjoint. lambda = 700.
+    val df = Seq(
+      (1L, "alpha beta gamma delta", 900L),
+      (2L, "alpha beta gamma delta", 880L),
+      (3L, "epsilon zeta eta theta", 500L),
+      (4L, "alpha beta gamma zeta", 700L)).toDF("id", "text", "rel")
+    val r = graft.ops.Relevance.mmrSelect(df, "id", "text", "rel", k = 4)
+      .orderBy("rank").collect().map(_.toSeq)
+    // step1: max 700*rel -> d1 (630000); step2: d4 390100 beats d3 350000
+    // and d2 316000 (d2 pays 300*1000 redundancy); step3: d3; step4: d2
+    assert(r(0) == Seq(1L, 1L, 630000L, 0L))
+    assert(r(1) == Seq(2L, 4L, 390100L, 333L))
+    assert(r(2) == Seq(3L, 3L, 350000L, 0L))
+    assert(r(3) == Seq(4L, 2L, 316000L, 1000L))
+    // ties break by id ascending
+    val tie = Seq((9L, "one two three four", 100L),
+      (5L, "five six seven eight", 100L)).toDF("id", "text", "rel")
+    val t = graft.ops.Relevance.mmrSelect(tie, "id", "text", "rel", k = 1)
+      .collect().head
+    assert(t.getLong(1) == 5L)
+    // result-list guard trips loudly
+    val big = spark.range(0, 11).selectExpr("id", "'a b c d' AS text", "id AS rel")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Relevance.mmrSelect(big, "id", "text", "rel", k = 2, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("result-list contract"))
+  }
+}
+
 class RandomProjectionSpec extends SparkSpec {
   import spark.implicits._
 
