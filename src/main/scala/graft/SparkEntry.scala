@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 285 queries spanning every implemented operator family
+/** Driver contract — 286 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4428,6 +4428,33 @@ object SparkEntry {
             .otherwise(700L).as("rel"))
       graft.ops.Relevance.mmrSelect(d, "id", "text", "rel", k = 4)
         .orderBy(col("rank"))
+    }),
+
+    // ---- q286: REAL video FRAME-CONTENT decode — an AVI container walk
+    //      feeding each '00dc' frame chunk through the JDK raster codecs:
+    //      per-frame exact channel sums for self-contained (PNG/MJPEG-
+    //      style) frames, q117's closed-form fill at three geometries, a
+    //      garbage frame failing ALONE on its own ok=false row, and a
+    //      truncated container collapsing to a marker row. Closes the
+    //      frame-content stub for intra-frame codecs; inter-frame codecs
+    //      (no JDK codec) remain documented. byte_len is dropped from
+    //      the projection (PNG encoder output size is not closed-form).
+    "q286_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val movie = M.MediaGen.aviBytes(Seq(
+        M.MediaGen.pngBytes(17, 9), M.MediaGen.pngBytes(8, 6),
+        M.MediaGen.pngBytes(2200, 3), Array.fill(16)(42.toByte)),
+        w = 17, h = 9, usPerFrame = 40000)
+      val rows = Seq(M.MediaRow(1L, "video", movie),
+        M.MediaRow(2L, "video", movie.take(20)))
+      M.videoFrameStats(rows.toDS()).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("declared_frames"), col("us_per_frame"), col("ok"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8724,6 +8751,28 @@ object SparkEntry {
         |   cast(1000 AS bigint)))
         |  t(rank, id, mmr_milli, max_sim_milli)
         |ORDER BY rank""".stripMargin,
+
+    // q286: q117's closed-form raster arithmetic per frame geometry, plus
+    // the garbage-frame and truncated-container constant rows
+    "q286_video_frames" ->
+      """WITH dims AS (SELECT * FROM (VALUES (0, 17, 9), (1, 8, 6),
+        |              (2, 2200, 3)) AS t(fi, w, h)),
+        |px AS (SELECT d.fi, d.w, d.h,
+        |         ((x.r % d.w) * 31 + (x.r // d.w) * 17) % 16777216 AS v
+        |       FROM dims d JOIN range(6600) x(r) ON x.r < d.w * d.h),
+        |agg AS (SELECT fi, w, h, sum(v // 65536) AS sr,
+        |          sum((v // 256) % 256) AS sg, sum(v % 256) AS sb
+        |        FROM px GROUP BY 1, 2, 3)
+        |SELECT cast(1 AS bigint) AS media_id, cast(fi AS bigint) AS frame_idx,
+        |  cast(w AS bigint) AS width, cast(h AS bigint) AS height,
+        |  cast(w * h AS bigint) AS n_pixels, cast(sr AS bigint) AS sum_r,
+        |  cast(sg AS bigint) AS sum_g, cast(sb AS bigint) AS sum_b,
+        |  cast(4 AS bigint) AS declared_frames,
+        |  cast(40000 AS bigint) AS us_per_frame, true AS ok
+        |FROM agg
+        |UNION ALL SELECT 1, 3, 0, 0, 0, 0, 0, 0, 4, 40000, false
+        |UNION ALL SELECT 2, -1, 0, 0, 0, 0, 0, 0, -1, -1, false
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -33,6 +33,13 @@ object Multimodal {
 
   final case class MediaFeature(media_id: Long, feature: Array[Float], frames_sampled: Int)
 
+  /** One decoded video FRAME's raster statistics ([[videoFrameStats]]). */
+  final case class FrameStats(
+      media_id: Long, frame_idx: Long, byte_len: Long,
+      width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      declared_frames: Long, us_per_frame: Long, ok: Boolean)
+
   /** One ISO-BMFF track's sample-table summary ([[mp4SampleTables]]):
     * everything is exact integers read from stts/stsz/stsc/stco + mdhd —
     * frame counts, durations and byte sizes with NO codec dependency.
@@ -505,6 +512,46 @@ object Multimodal {
       if (!sawMoov) fail("mp4 without moov")
       tracks.toSeq
     }
+
+    /** AVI (RIFF) container walk: avih main header (declared frame count,
+      * frame period, dimensions) + every video frame chunk payload from
+      * the movi list ('00dc'/'00db'; RIFF chunks pad to even sizes).
+      * Returns (declaredFrames, usPerFrame, width, height, framePayloads).
+      * Malformed structure raises (caller maps to ok=false).
+      */
+    def parseAviFrames(p: Array[Byte]): (Long, Long, Int, Int, Seq[Array[Byte]]) = {
+      def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+      if (p.length < 12 || new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(p, 8, 4, "US-ASCII") != "AVI ") fail("not an AVI")
+      var declared = -1L; var usf = -1L; var w = 0; var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = new String(p, off, 4, "US-ASCII")
+          val size = le32(p, off + 4).toInt
+          val body = off + 8
+          if (size < 0 || body + size > to) fail(s"chunk '$id' overruns")
+          id match {
+            case "LIST" if depth < 6 =>
+              walk(body + 4, body + size, depth + 1) // skip list type 4cc
+            case "avih" =>
+              if (size < 40) fail("short avih")
+              usf = le32(p, body)
+              declared = le32(p, body + 16)
+              w = le32(p, body + 32).toInt
+              h = le32(p, body + 36).toInt
+            case c if c.matches("[0-9]{2}d[bc]") => // '##dc'/'##db' stream frames
+              frames += java.util.Arrays.copyOfRange(p, body, body + size)
+            case _ => ()
+          }
+          off = body + size + (size & 1) // even padding
+        }
+      }
+      walk(12, p.length, 0)
+      if (declared < 0) fail("AVI without avih")
+      (declared, usf, w, h, frames.toSeq)
+    }
   }
 
   /** Decode stage: per-partition batched processing of binary payloads.
@@ -564,6 +611,61 @@ object Multimodal {
         case _: Exception =>
           Seq(TrackTable(row.media_id, -1L, "", 0L, 0L, 0L, 0L, 0L, 0L, 0L,
             0L, 0L, ok = false))
+      }
+    }
+  }
+
+  /** REAL video FRAME-CONTENT decode for intra-frame codecs: walk the
+    * AVI (RIFF) container, pull every video frame chunk, and decode each
+    * frame's raster with the JDK image codecs (PNG/MJPEG-style frames —
+    * any payload javax.imageio understands), emitting exact integer
+    * channel sums per frame next to the container's declared frame count
+    * and frame period. This moves video decode from "container metadata
+    * only" to REAL per-frame pixels wherever frames are self-contained;
+    * inter-frame codecs (H.264 etc. — no JDK codec exists) remain behind
+    * the documented [[FakeCodec]] stub, and an undecodable frame emits
+    * its row with ok=false rather than failing the stage.
+    *
+    * Scale shape: narrow flatMap, one movie per task row, one frame
+    * raster in memory at a time; output is frames-sized.
+    */
+  def videoFrameStats(media: Dataset[MediaRow]): Dataset[FrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { row =>
+      try {
+        val (declared, usf, _, _, frames) =
+          RealCodec.parseAviFrames(row.payload)
+        frames.zipWithIndex.map { case (f, i) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f))
+            if (img == null) throw new java.io.IOException("undecodable frame")
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRGB(x, y)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            FrameStats(row.media_id, i.toLong, f.length.toLong,
+              img.getWidth, img.getHeight,
+              img.getWidth.toLong * img.getHeight, sr, sg, sb,
+              declared, usf, ok = true)
+          } catch {
+            case _: Exception =>
+              FrameStats(row.media_id, i.toLong, f.length.toLong,
+                0, 0, 0L, 0L, 0L, 0L, declared, usf, ok = false)
+          }
+        }
+      } catch {
+        case _: Exception =>
+          Seq(FrameStats(row.media_id, -1L, row.payload.length.toLong,
+            0, 0, 0L, 0L, 0L, 0L, -1L, -1L, ok = false))
       }
     }
   }
@@ -898,6 +1000,39 @@ object Multimodal {
       bb.putInt(0).putInt(0).putInt(0x40000000)
       bb.putInt(w << 16).putInt(h << 16)  // 16.16 fixed-point dimensions
       bb.array()
+    }
+
+    /** Minimal AVI container carrying the given frame payloads as
+      * '00dc' chunks (an intra-frame "codec" — each payload is a
+      * self-contained image the JDK can decode): RIFF('AVI ') with a
+      * hdrl list (avih main header: usPerFrame, declared frame count,
+      * dims; one 'vids' strl) and a movi list. Exactly the grammar
+      * [[RealCodec.parseAviFrames]] walks, incl. even-size padding.
+      */
+    def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                 usPerFrame: Int): Array[Byte] = {
+      def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+        id.getBytes("US-ASCII") ++ le(body.length) ++ body ++ pad
+      }
+      def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+        chunk("LIST", typ.getBytes("US-ASCII") ++ bodies.flatten)
+      val avih = chunk("avih", le(usPerFrame) ++ le(0) ++ le(0) ++ le(0x10) ++
+        le(frames.size) ++ le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++
+        le(0) ++ le(0) ++ le(0) ++ le(0))
+      val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+        "MJPG".getBytes("US-ASCII") ++ le(0) ++ le(0) ++ le(0) ++
+        le(1) ++ le(1000000 / math.max(1, usPerFrame)) ++ le(0) ++
+        le(frames.size) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ le(0))
+      val strf = chunk("strf", le(40) ++ le(w) ++ le(h) ++
+        Array[Byte](1, 0, 24, 0) ++ le(0x47504a4d) ++ le(w * h * 3) ++
+        le(0) ++ le(0) ++ le(0) ++ le(0))
+      val hdrl = list("hdrl", avih, list("strl", strh, strf))
+      val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+      val riff = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le(riff.length) ++ riff
     }
 
     /** One generated track's parameters for [[mp4SampleTableBytes]]:

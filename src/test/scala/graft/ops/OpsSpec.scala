@@ -910,6 +910,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!r(2).ok, "8x6 thumbnail must fail safe")
   }
 
+  test("videoFrameStats: real per-frame raster decode from an AVI walk; per-frame ok channel") {
+    import Multimodal.{MediaGen, MediaRow}
+    def sums(w: Int, h: Int): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 31 + y * 17) & 0xffffff
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      (sr, sg, sb)
+    }
+    val movie = MediaGen.aviBytes(Seq(
+      MediaGen.pngBytes(17, 9), MediaGen.pngBytes(8, 6),
+      MediaGen.jpegBytes(5, 4), Array.fill(16)(42.toByte)),
+      w = 17, h = 9, usPerFrame = 40000)
+    val rows = Seq(
+      MediaRow(1L, "video", movie),
+      MediaRow(2L, "video", movie.take(20))).toDS()
+    val r = Multimodal.videoFrameStats(rows).collect()
+      .sortBy(t => (t.media_id, t.frame_idx))
+    assert(r.length == 5)
+    val f0 = r(0)
+    val (sr0, sg0, sb0) = sums(17, 9)
+    assert(f0.width == 17 && f0.height == 9 && f0.n_pixels == 153L &&
+      (f0.sum_r, f0.sum_g, f0.sum_b) == ((sr0, sg0, sb0)) && f0.ok)
+    assert(f0.declared_frames == 4L && f0.us_per_frame == 40000L)
+    val f1 = r(1)
+    val (sr1, sg1, sb1) = sums(8, 6)
+    assert(f1.width == 8 && f1.height == 6 &&
+      (f1.sum_r, f1.sum_g, f1.sum_b) == ((sr1, sg1, sb1)) && f1.ok)
+    // MJPEG-style frame: lossy, so pin the decoded geometry only
+    assert(r(2).width == 5 && r(2).height == 4 && r(2).ok)
+    // one garbage frame fails ALONE; the movie keeps decoding
+    assert(!r(3).ok && r(3).frame_idx == 3L && r(3).byte_len == 16L)
+    // truncated container: single ok=false marker row
+    assert(r(4).media_id == 2L && !r(4).ok && r(4).frame_idx == -1L)
+  }
+
   test("mp4 sample tables: exact per-track counts/bytes/ticks from stts/stsz/stsc/stco") {
     import Multimodal.{MediaGen, MediaRow}
     import Multimodal.MediaGen.GenTrack
