@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 286 queries spanning every implemented operator family
+/** Driver contract — 287 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs), q287 G.711 compressed-audio sample decode (ITU expansion chains, javax.sound-validated).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4455,6 +4455,30 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"),
           col("declared_frames"), col("us_per_frame"), col("ok"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ---- q287: COMPRESSED-audio SAMPLE-CONTENT decode — G.711 mu-law /
+    //      A-law WAVs expanded with the canonical ITU integer chains
+    //      (validated byte-for-byte against javax.sound in the spec) into
+    //      exact energy statistics. The oracle replays the expansion
+    //      formula itself over the generator's byte functions — compressed
+    //      audio content is no longer behind the stub; only perceptual
+    //      codecs (MP3/AAC frame content) remain documented. ----
+    "q287_audio_g711" -> ((s, dir) => {
+      import s.implicits._
+      val M = graft.ops.Multimodal
+      val su = Array.tabulate(2048)(i => ((i * 7) % 256).toByte)
+      val sa = Array.tabulate(1024)(i => ((i * 13) % 256).toByte)
+      val rows = Seq(
+        M.MediaRow(1L, "audio", M.MediaGen.wavG711Bytes("ulaw", 1, 8000, su)),
+        M.MediaRow(2L, "audio", M.MediaGen.wavG711Bytes("alaw", 2, 16000, sa)),
+        M.MediaRow(3L, "audio", Array.fill(32)(9.toByte)))
+      M.audioG711Stats(rows.toDS()).toDF()
+        .select(col("media_id"), col("codec"),
+          col("channels").cast("long").as("channels"), col("sample_rate"),
+          col("n_samples"), col("peak_abs"), col("sum_abs"), col("sum_sq"),
+          col("ok"))
+        .orderBy(col("media_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8773,6 +8797,40 @@ object SparkEntry {
         |UNION ALL SELECT 1, 3, 0, 0, 0, 0, 0, 0, 4, 40000, false
         |UNION ALL SELECT 2, -1, 0, 0, 0, 0, 0, 0, -1, -1, false
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // q287: the ITU G.711 expansions as SQL integer chains — mu-law:
+    // complement, t = ((u%16)*8+132) << seg, v = ±(t-132); A-law:
+    // xor 0x55, segmented mantissa; stats replayed from the same
+    // generator byte functions
+    "q287_audio_g711" ->
+      """WITH uc AS (SELECT (i * 7) % 256 AS c FROM range(2048) t(i)),
+        |ud AS (SELECT 255 - c AS u FROM uc),
+        |uv AS (SELECT CASE WHEN u >= 128
+        |         THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+        |         ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+        |       END AS v FROM ud),
+        |us AS (SELECT max(abs(v)) AS pk, sum(abs(v)) AS sa,
+        |         sum(v * v) AS sq FROM uv),
+        |ac AS (SELECT xor((i * 13) % 256, 85) AS a FROM range(1024) t(i)),
+        |av AS (SELECT CASE WHEN a >= 128 THEN m ELSE -m END AS v FROM (
+        |         SELECT a, CASE (a // 16) % 8
+        |           WHEN 0 THEN (a % 16) * 16 + 8
+        |           WHEN 1 THEN (a % 16) * 16 + 264
+        |           ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+        |         END AS m FROM ac)),
+        |as_ AS (SELECT max(abs(v)) AS pk, sum(abs(v)) AS sa,
+        |          sum(v * v) AS sq FROM av)
+        |SELECT cast(1 AS bigint) AS media_id, 'ulaw' AS codec,
+        |  cast(1 AS bigint) AS channels, cast(8000 AS bigint) AS sample_rate,
+        |  cast(2048 AS bigint) AS n_samples, cast(pk AS bigint) AS peak_abs,
+        |  cast(sa AS bigint) AS sum_abs, cast(sq AS bigint) AS sum_sq,
+        |  true AS ok FROM us
+        |UNION ALL
+        |SELECT 2, 'alaw', 2, 16000, 1024, cast(pk AS bigint),
+        |  cast(sa AS bigint), cast(sq AS bigint), true FROM as_
+        |UNION ALL
+        |SELECT 3, '', 0, 0, 0, 0, 0, 0, false
+        |ORDER BY media_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

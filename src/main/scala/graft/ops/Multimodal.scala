@@ -787,6 +787,101 @@ object Multimodal {
     * Scale shape: row-local map, one payload in memory per task, no
     * shuffle; pair with [[repartitionByBytes]] for blob-size skew.
     */
+  final case class G711Stats(
+      media_id: Long, codec: String, channels: Int, sample_rate: Long,
+      n_samples: Long, peak_abs: Long, sum_abs: Long, sum_sq: Long,
+      ok: Boolean)
+
+  /** Canonical ITU-T G.711 expansions (the public-domain Sun ulaw.c /
+    * alaw.c arithmetic) — closed-form integer chains, validated
+    * byte-for-byte against javax.sound's own ULAW/ALAW converters in
+    * MultimodalSpec.
+    */
+  object G711 {
+    @inline def ulawToLinear(b: Byte): Int = {
+      val u = ~b & 0xff
+      var t = ((u & 0xf) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    @inline def alawToLinear(b: Byte): Int = {
+      val a = (b ^ 0x55) & 0xff
+      val seg = (a & 0x70) >> 4
+      var t = (a & 0xf) << 4
+      if (seg == 0) t += 8
+      else if (seg == 1) t += 0x108
+      else { t += 0x108; t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+  }
+
+  /** COMPRESSED-audio SAMPLE-CONTENT decode for the G.711 telephony
+    * codecs: WAV containers with fmtTag 7 (mu-law) or 6 (A-law) carry one
+    * encoded byte per sample; the ITU expansion is a closed-form integer
+    * chain ([[G711]]), so the decoded energy statistics (peak / L1 / L2)
+    * are EXACT and an external engine replays them from the generator's
+    * byte function without consulting the engine — the same contract as
+    * [[audioPcmStats]], now for genuinely compressed payloads. Anything
+    * that is not an 8-bit G.711 WAV emits ok=false zeros.
+    *
+    * Scale shape: narrow map, one payload per row, O(bytes) decode.
+    */
+  def audioG711Stats(media: Dataset[MediaRow]): Dataset[G711Stats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { row =>
+      try {
+        val p = row.payload
+        if (p.length < 12 || new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(p, 8, 4, "US-ASCII") != "WAVE")
+          throw new java.io.IOException("not a wav")
+        @inline def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        @inline def le32(o: Int): Long =
+          (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+            ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+        var off = 12L
+        var fmtTag = -1; var channels = -1; var rate = -1L; var bits = -1
+        var dataOff = -1; var dataLen = -1L
+        var walking = true
+        while (walking && off + 8 <= p.length) {
+          val o = off.toInt
+          val id = new String(p, o, 4, "US-ASCII")
+          val len = le32(o + 4)
+          if (id == "fmt " && o + 8 + 16 <= p.length) {
+            fmtTag = le16(o + 8); channels = le16(o + 10)
+            rate = le32(o + 12); bits = le16(o + 22)
+          } else if (id == "data") {
+            dataOff = o + 8
+            dataLen = math.min(len, (p.length - o - 8).toLong)
+          }
+          val next = off + 8L + len + (len & 1L)
+          if (next <= off) walking = false else off = next
+        }
+        if ((fmtTag != 7 && fmtTag != 6) || bits != 8 || channels <= 0 ||
+          rate <= 0 || dataOff < 0)
+          throw new java.io.IOException("not an 8-bit G.711 wav")
+        val codec = if (fmtTag == 7) "ulaw" else "alaw"
+        var i = 0L
+        var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+        while (i < dataLen) {
+          val b = p(dataOff + i.toInt)
+          val v = (if (fmtTag == 7) G711.ulawToLinear(b)
+                   else G711.alawToLinear(b)).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumAbs += a
+          sumSq += v * v
+          i += 1
+        }
+        G711Stats(row.media_id, codec, channels, rate, dataLen, peak,
+          sumAbs, sumSq, ok = true)
+      } catch {
+        case _: Exception =>
+          G711Stats(row.media_id, "", 0, 0L, 0L, 0L, 0L, 0L, ok = false)
+      }
+    }
+  }
+
   def audioPcmStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -959,6 +1054,26 @@ object Multimodal {
       out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
       var i = 0
       while (i < dataBytes / 2) { out.putShort(((i * 257) % 32768).toShort); i += 1 }
+      out.array()
+    }
+
+    /** G.711 WAV: fmtTag 7 (mu-law) / 6 (A-law), 8 bits per sample, raw
+      * encoded bytes as the data chunk — the [[audioG711Stats]] input.
+      */
+    def wavG711Bytes(codec: String, channels: Int, sampleRate: Int,
+                     samples: Array[Byte]): Array[Byte] = {
+      require(codec == "ulaw" || codec == "alaw", s"unknown codec $codec")
+      val fmtTag = if (codec == "ulaw") 7 else 6
+      val byteRate = sampleRate * channels
+      val out = java.nio.ByteBuffer.allocate(44 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtTag.toShort).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(byteRate).putShort(channels.toShort).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(samples.length)
+      out.put(samples)
       out.array()
     }
 

@@ -910,6 +910,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!r(2).ok, "8x6 thumbnail must fail safe")
   }
 
+  test("G711 expansion tables match javax.sound byte-for-byte (all 256 codes, both laws)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import AudioFormat.Encoding
+    def decodeVia(enc: AudioFormat.Encoding): Array[Int] = {
+      val codes = Array.tabulate(256)(_.toByte)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), 256L)
+      val pcm = AudioSystem.getAudioInputStream(
+        new AudioFormat(Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false), src)
+      val buf = pcm.readAllBytes()
+      Array.tabulate(256)(i =>
+        (((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort).toInt)
+    }
+    val ju = decodeVia(Encoding.ULAW)
+    val ja = decodeVia(Encoding.ALAW)
+    (0 until 256).foreach { c =>
+      assert(Multimodal.G711.ulawToLinear(c.toByte) == ju(c),
+        s"ulaw code $c: ours ${Multimodal.G711.ulawToLinear(c.toByte)} vs javax ${ju(c)}")
+      assert(Multimodal.G711.alawToLinear(c.toByte) == ja(c),
+        s"alaw code $c: ours ${Multimodal.G711.alawToLinear(c.toByte)} vs javax ${ja(c)}")
+    }
+  }
+
+  test("audioG711Stats: exact decoded energy stats; PCM16 and garbage routed to ok=false") {
+    import Multimodal.{G711, MediaGen, MediaRow}
+    val su = Array.tabulate(2048)(i => ((i * 7) % 256).toByte)
+    val sa = Array.tabulate(1024)(i => ((i * 13) % 256).toByte)
+    val rows = Seq(
+      MediaRow(1L, "audio", MediaGen.wavG711Bytes("ulaw", 1, 8000, su)),
+      MediaRow(2L, "audio", MediaGen.wavG711Bytes("alaw", 2, 16000, sa)),
+      MediaRow(3L, "audio", MediaGen.wavBytes(1, 8000, 1600)), // PCM16: not G711
+      MediaRow(4L, "audio", Array.fill(32)(9.toByte))).toDS()
+    val r = Multimodal.audioG711Stats(rows).collect().sortBy(_.media_id)
+    def expect(bytes: Array[Byte], dec: Byte => Int) = {
+      val vs = bytes.map(dec(_).toLong)
+      (vs.map(math.abs).max, vs.map(math.abs).sum, vs.map(v => v * v).sum)
+    }
+    val (p1, s1, q1) = expect(su, G711.ulawToLinear)
+    assert(r(0).codec == "ulaw" && r(0).n_samples == 2048L &&
+      (r(0).peak_abs, r(0).sum_abs, r(0).sum_sq) == ((p1, s1, q1)) && r(0).ok)
+    val (p2, s2, q2) = expect(sa, G711.alawToLinear)
+    assert(r(1).codec == "alaw" && r(1).channels == 2 &&
+      r(1).sample_rate == 16000L &&
+      (r(1).peak_abs, r(1).sum_abs, r(1).sum_sq) == ((p2, s2, q2)) && r(1).ok)
+    assert(!r(2).ok && !r(3).ok)
+  }
+
   test("videoFrameStats: real per-frame raster decode from an AVI walk; per-frame ok channel") {
     import Multimodal.{MediaGen, MediaRow}
     def sums(w: Int, h: Int): (Long, Long, Long) = {
