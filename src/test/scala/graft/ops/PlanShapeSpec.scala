@@ -270,4 +270,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(filterAt >= 0 && joinAt >= 0 && filterAt > joinAt,
       s"prefilter not below the join in the plan tree:\n$plan")
   }
+
+  // ---- round-5 operators ----
+
+  test("substringBlocklist / densityContentStats / bpeSegmentStats are zero-Exchange narrow maps") {
+    val df = Seq((1L, "the quick brown fox and the lazy dog")).toDF("id", "text")
+    val p1 = Curation.substringBlocklist(df, "id", "text", Seq("the", "and"))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p1) == 0 && !p1.contains("Window"),
+      s"substringBlocklist not narrow:\n$p1")
+    val p2 = Curation.densityContentStats(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p2) == 0 && !p2.contains("Window"),
+      s"densityContentStats not narrow:\n$p2")
+    val p3 = Lm.bpeSegmentStats(df, "id", "text", Seq(("t", "h")))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p3) == 0, s"bpeSegmentStats shuffled:\n$p3")
+  }
+
+  test("purgedSplit: the min/max bounds arrive by BROADCAST; the data never repartitions") {
+    val df = spark.range(0, 100)
+      .selectExpr("id", "timestamp_millis(id * 1000) AS ts")
+    val plan = graft.temporal.Windows.purgedSplit(df, "ts", 4, 1, 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"bounds not broadcast:\n$plan")
+    assert(shuffles(plan) <= 1, // the 1-row min/max aggregate's own exchange
+      s"purgedSplit repartitions the data:\n$plan")
+    assert(!plan.contains("Window"), s"purgedSplit uses a window:\n$plan")
+  }
+
+  test("randomProjection: one combiner aggregate exchange; the sign matrix never materializes") {
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val plan = Similarity.randomProjection(df, "id", "vec", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"randomProjection shuffle count:\n$plan")
+    assert(plan.contains("partial"), // map-side combine before the exchange
+      s"no partial aggregation:\n$plan")
+  }
 }
