@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 287 queries spanning every implemented operator family
+/** Driver contract — 288 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs), q287 G.711 compressed-audio sample decode (ITU expansion chains, javax.sound-validated).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs), q287 G.711 compressed-audio sample decode (ITU expansion chains, javax.sound-validated), q288 consistent-hash ring sharding (vnode successor assignment, minimal-movement audit).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4479,6 +4479,24 @@ object SparkEntry {
           col("n_samples"), col("peak_abs"), col("sum_abs"), col("sum_sq"),
           col("ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- q288: consistent-hash ring sharding with virtual nodes
+    //      (Karger et al.) — successor-vnode assignment on a 60-bit md5
+    //      ring at 4 and 5 shards side by side: the `moved` column IS the
+    //      minimal-movement audit (only ranges captured by the new
+    //      shard's vnodes change owner — the re-layout bill a mod-N deal
+    //      would turn into a full reshuffle). Zero shuffle, zero join:
+    //      the sorted ring rides the plan as a literal array. ----
+    "q288_consistent_ring" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val a4 = graft.ops.Curation.consistentShard(d, "doc_id", nShards = 4)
+        .withColumnRenamed("shard", "shard4")
+      val a5 = graft.ops.Curation.consistentShard(d, "doc_id", nShards = 5)
+        .withColumnRenamed("shard", "shard5")
+      a4.join(a5, Seq("doc_id"))
+        .withColumn("moved", col("shard4") =!= col("shard5"))
+        .orderBy(col("doc_id"))
     }))
 
   /** q182/q183's deterministic "noisy classifier": mostly echoes lang but
@@ -8831,6 +8849,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, '', 0, 0, 0, 0, 0, 0, false
         |ORDER BY media_id""".stripMargin,
+
+    // q288: the ring replayed — 60-bit md5 vnode positions (15 hex chars,
+    // positive in int64), successor = min pos >= key pos else ring min
+    "q288_consistent_ring" ->
+      """WITH ring AS (SELECT sh, ('0x' || substr(md5('ring:' || sh || ':' || v),
+        |      1, 15))::BIGINT AS pos
+        |    FROM range(5) s(sh) CROSS JOIN range(64) t(v)),
+        |keys AS (SELECT doc_id, ('0x' || substr(md5('ring#' || doc_id), 1, 15))
+        |           ::BIGINT AS kp FROM documents),
+        |succ4 AS (SELECT k.doc_id, min(r.pos) AS mp FROM keys k
+        |          JOIN ring r ON r.sh < 4 AND r.pos >= k.kp GROUP BY 1),
+        |succ5 AS (SELECT k.doc_id, min(r.pos) AS mp FROM keys k
+        |          JOIN ring r ON r.pos >= k.kp GROUP BY 1),
+        |min4 AS (SELECT min(pos) AS mp FROM ring WHERE sh < 4),
+        |min5 AS (SELECT min(pos) AS mp FROM ring),
+        |a4 AS (SELECT k.doc_id, r.sh AS shard4 FROM keys k
+        |       LEFT JOIN succ4 USING (doc_id), min4
+        |       JOIN ring r ON r.pos = coalesce(succ4.mp, min4.mp)),
+        |a5 AS (SELECT k.doc_id, r.sh AS shard5 FROM keys k
+        |       LEFT JOIN succ5 USING (doc_id), min5
+        |       JOIN ring r ON r.pos = coalesce(succ5.mp, min5.mp))
+        |SELECT a4.doc_id, cast(shard4 AS bigint) AS shard4,
+        |  cast(shard5 AS bigint) AS shard5, shard4 <> shard5 AS moved
+        |FROM a4 JOIN a5 USING (doc_id) ORDER BY a4.doc_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

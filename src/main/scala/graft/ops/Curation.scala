@@ -869,6 +869,54 @@ object Curation {
     df.withColumn("shard", array_max(weighted).getField("s"))
   }
 
+  /** Consistent-hash RING sharding with virtual nodes (Karger et al.
+    * 1997, published method) — the other minimal-movement router next to
+    * [[rendezvousShard]]: shards own `vnodesPerShard` md5 positions on a
+    * 2^60 ring and a key goes to the SUCCESSOR vnode (smallest position
+    * >= the key's position, wrapping to the ring minimum). When a shard
+    * is added only the key ranges its vnodes capture move (~1/(n+1) of
+    * the corpus, smoothed by the vnodes); rendezvous costs O(shards) per
+    * key while the ring costs O(vnodes) per key but gives weighted
+    * ownership and range handoff for free — both live here so layout
+    * code can pick.
+    *
+    * Positions are 60-bit md5 prefixes (15 hex chars — positive in an
+    * int64, so SIGNED comparisons equal unsigned and any SQL engine
+    * replays the ring exactly); vnode position collisions abort at build
+    * time rather than silently double-assigning (2^-60-scale event).
+    *
+    * Emits every input column + `shard` (bigint). Row-local: the sorted
+    * ring rides the plan as a literal array (model-sized — shards x
+    * vnodes structs), zero shuffle, zero join.
+    */
+  def consistentShard(df: DataFrame, idCol: String, nShards: Int,
+                      vnodesPerShard: Int = 64,
+                      seed: String = "ring"): DataFrame = {
+    require(nShards >= 1 && vnodesPerShard >= 1, "need shards and vnodes")
+    def pos60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ring = (for {
+      sh <- 0 until nShards
+      v <- 0 until vnodesPerShard
+    } yield (pos60(s"$seed:$sh:$v"), sh.toLong)).sortBy(_._1)
+    require(ring.map(_._1).distinct.size == ring.size,
+      "vnode position collision — change the seed")
+    val ringArr = array(ring.map { case (p, sh) =>
+      struct(lit(p).as("pos"), lit(sh).as("shard")) }: _*)
+    val keyPos = conv(substring(md5(concat(lit(seed), lit("#"),
+      col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("_ring", ringArr)
+      .withColumn("_kp", keyPos)
+      .withColumn("shard", coalesce(
+        expr("array_min(filter(_ring, e -> e.pos >= _kp)).shard"),
+        expr("array_min(_ring).shard")))
+      .drop("_ring", "_kp")
+  }
+
   /** Deterministic mixture upsampling — training-data domain reweighting
     * ("3x Wikipedia, 0.5x CommonCrawl") as a pure function of (seed, id):
     * a row with weight w (FIXED-POINT MILLI, e.g. 2500 = 2.5x) emits

@@ -668,4 +668,33 @@ class CurationSpec extends SparkSpec {
     assert(r(2).toSeq.take(5) == Seq(3L, 3L, 0L, 3L, 0L) &&
       r(2).getDouble(5) == 0.0 && r(2).getLong(6) == 0L)
   }
+
+  test("consistentShard: successor-vnode assignment JVM-replayed; minimal movement on shard add") {
+    def pos60(str: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def assignLocal(id: Long, nShards: Int, v: Int): Long = {
+      val ring = (for { sh <- 0 until nShards; vi <- 0 until v }
+        yield (pos60(s"ring:$sh:$vi"), sh.toLong)).sortBy(_._1)
+      val kp = pos60(s"ring#$id")
+      ring.find(_._1 >= kp).getOrElse(ring.head)._2
+    }
+    val ids = (0L until 500L)
+    val df = ids.toDF("id")
+    val a4 = Curation.consistentShard(df, "id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ids.take(50).foreach { id =>
+      assert(a4(id) == assignLocal(id, 4, 64), s"id $id")
+    }
+    assert(a4.values.toSet.size == 4, "all shards own keys")
+    // add one shard: only the captured ranges move (~1/5 of keys)
+    val a5 = Curation.consistentShard(df, "id", nShards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val moved = ids.count(id => a4(id) != a5(id)).toDouble / ids.size
+    assert(moved > 0.05 && moved < 0.40, s"movement fraction $moved")
+    // every moved key moved TO the new shard (ring property)
+    ids.filter(id => a4(id) != a5(id)).foreach(id => assert(a5(id) == 4L))
+  }
 }
