@@ -7,7 +7,7 @@ import graft.functions._
 import graft.ops.{Dedup, Similarity}
 import graft.temporal.{AsOfJoin, Windows}
 
-/** Driver contract — 288 queries spanning every implemented operator family
+/** Driver contract — 289 queries spanning every implemented operator family
   * (SURVEY.md §2) plus the training-data curation surface, EACH with an
   * exact DuckDB oracle in `oracleSql` (no rows-only checks). Groups:
   * q01-q04 relational core, q05-q11 temporal/windows, q12-q20 dedup/text/
@@ -178,7 +178,7 @@ import graft.temporal.{AsOfJoin, Windows}
   * VP8 grammars), q209 Benford first-digit audit (literal expectations),
   * q210 Theil-Sen robust slope (discrete median of pair slopes), q211
   * chi-square term keyness, q212 Newman modularity, q213 epoch-aligned
-  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs), q287 G.711 compressed-audio sample decode (ITU expansion chains, javax.sound-validated), q288 consistent-hash ring sharding (vnode successor assignment, minimal-movement audit).
+  * grid resampling with forward fill, q214 exact two-sample KS distance, q215 HTML page-metadata extraction, q216 FLAC/MP3 audio metadata decode, q217 Wilcoxon signed-rank (paired, doubled tie ranks), q218 consecutive-day streaks, q219 capture-recapture population estimate, q220 snapshot time travel (append-only manifests), q221 linear-interpolated grid resampling, q222 HTML table-structure stats, q223 deterministic permutation test for a group-mean difference, q224 SCD Type 2 history build, q225 classifier calibration table, q226 Wald SPRT sequential test, q227 U-shaped multi-touch attribution, q228 grid-bucketed spatial neighbor pairs, q229 exact dyadic EWMA fold, q230 Fellegi-Sunter record-linkage scoring, q231 quantile normalization across groups, q232 state-run RLE timelines, q233 Pareto contribution cut, q234 sentence segmentation stats, q235 DBSCAN density clustering, q236 deterministic word dropout, q237 deterministic negative sampling, q238 minority-size class rebalancing, q239 item-item cosine similarity, q240 personalized PageRank, q241 Kaplan-Meier survival, q242 burstiness index, q243 entry/exit/bounce pages, q244 difference-in-differences, q245 Wilson lower-bound ranking, q246 exponential-backoff revisit scheduling, q247 politeness token bucket, q248 canonical-chain pointer jumping, q249 Mann-Whitney rank-sum with Cliff's delta, q250 three-way merge reconciliation, q251 weighted multiset Jaccard near-dups, q252 Gini concentration coefficient, q253 forecast scorecard vs naive baseline, q254 URL path-hierarchy rollup, q255 single-number expected calibration error, q256 stationary event-type mix, q257 histogram knee point, q258 Luhn checksum validity, q259 quality-threshold sweep, q260 fixed-point embedding centroids, q261 reference-population percentile (exact ECDF), q262 Boruvka minimum spanning tree, q263 weighted multi-source shortest paths, q264 range-digest table reconciliation, q265 MinHash audience overlap, q266 pinball quantile-forecast loss, q267 Wald-Wolfowitz runs test, q268 autocorrelation table, q269 exact 1-D earth mover's distance, q270 point-in-time trailing-window count join, q271 Cohen's d effect size, q272 Matthews correlation coefficient, q273 2x2 risk/odds ratios, q274 time-to-next-event labels, q275 markdown structure stats, q276 BPE segmentation at production merge count (206-merge rank table, merge-count-independent kernel), q277 BPE trainer end-to-end (hand-derived 6-round trace incl. tie-break), q278 ISO-BMFF sample-table walk (exact per-track frame counts/bytes/durations, codec-free), q279 Aho-Corasick substring blocklist (cost independent of pattern count), q280 density-smoothed content extraction (3-line densometric gate, zero shuffle), q281 purged walk-forward split with embargo (leakage-safe CV partitioner, exact integer bins), q282 b-bit MinHash near-dup estimation (16x-compressed sketch, collision-corrected estimator, full md5 oracle replay), q283 random projection (Achlioptas md5-parity signs, exact fixed-point JL map), q284 leave-fold-out target encoding (leakage-safe categorical encoder, md5 folds, milli integer chain), q285 MMR re-ranking (greedy relevance-vs-redundancy, milli-exact Jaccard penalties, hand-derived trace), q286 real video frame-content decode (AVI walk + per-frame raster sums for intra-frame codecs), q287 G.711 compressed-audio sample decode (ITU expansion chains, javax.sound-validated), q288 consistent-hash ring sharding (vnode successor assignment, minimal-movement audit), q289 Hilbert-curve layout key (locality-optimal clustering, recursive-CTE oracle).
   *
   * Oracle discipline: numeric outputs avoid cross-engine float-summation
   * hazards (integer cents / exact-dyadic folds / bit-identical per-row
@@ -4496,6 +4496,21 @@ object SparkEntry {
         .withColumnRenamed("shard", "shard5")
       a4.join(a5, Seq("doc_id"))
         .withColumn("moved", col("shard4") =!= col("shard5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q289: Hilbert-curve layout key (the locality-optimal sibling
+    //      of q154's Z-order: consecutive indexes are ALWAYS grid
+    //      neighbors, so per-file min/max spans are tighter and range
+    //      scans prune better — HilbertSpec proves the property at
+    //      order 4 and that Morton lacks it). The oracle replays the
+    //      bit-level curve walk as a recursive CTE. ----
+    "q289_hilbert_layout" -> ((s, dir) => {
+      val d = t(s, dir, "documents").where(col("doc_id") < 256)
+        .select(col("doc_id"), (col("doc_id") % 16).as("x"),
+          ((col("doc_id") * 7) % 16).as("y"))
+      d.withColumn("hilbert_d",
+          graft.functions.hilbert_key(col("x"), col("y"), order = 4))
         .orderBy(col("doc_id"))
     }))
 
@@ -8873,6 +8888,30 @@ object SparkEntry {
         |SELECT a4.doc_id, cast(shard4 AS bigint) AS shard4,
         |  cast(shard5 AS bigint) AS shard5, shard4 <> shard5 AS moved
         |FROM a4 JOIN a5 USING (doc_id) ORDER BY a4.doc_id""".stripMargin,
+
+    // q289: the public-domain xy2d bit walk as a recursive CTE — per
+    // level: rx/ry from the current (x, y), d += s*s*((3*rx) xor ry),
+    // then the quadrant rotation (reflect iff rx=1 when ry=0, then swap)
+    "q289_hilbert_layout" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT doc_id, doc_id % 16 AS x0, (doc_id * 7) % 16 AS y0
+        |  FROM documents WHERE doc_id < 256),
+        |walk(doc_id, x, y, s, d) AS (
+        |  SELECT doc_id, x0, y0, 8, cast(0 AS bigint) FROM pts
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |         WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |         WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+        |    s // 2,
+        |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+        |  FROM walk WHERE s > 0)
+        |SELECT doc_id, cast(x0 AS bigint) AS x, cast(y0 AS bigint) AS y,
+        |  (SELECT d FROM walk w WHERE w.doc_id = pts.doc_id AND w.s = 0)
+        |    AS hilbert_d
+        |FROM pts ORDER BY doc_id""".stripMargin,
 
     // q273: four CASE cells, single-division ratios
     "q273_two_by_two" ->

@@ -103,3 +103,74 @@ case class ZOrderKey(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
     copy(left = l, right = r)
 }
+
+/** Hilbert-curve index — the LOCALITY-optimal sibling of [[ZOrder]]:
+  * unlike Morton order, the Hilbert curve never jumps across the space
+  * between consecutive indexes, so per-file min/max spans along both
+  * dimensions are tighter on average and range scans prune better (the
+  * reason query engines offer hilbert clustering next to zorder). Same
+  * layout contract as [[ZOrder]]: a plain deterministic expression any
+  * engine can recompute to verify which file a row belongs to.
+  *
+  * Bit semantics: the standard bit-level walk (the public-domain
+  * `xy2d` algorithm): both inputs in [0, 2^order); the index is in
+  * [0, 4^order). Out-of-range input errors — a wrapped dimension would
+  * silently destroy the locality the layout exists for.
+  *
+  * Per-row cost is `order` iterations of branch-light integer ops —
+  * CodegenFallback is fine here (the write-path projection is dominated
+  * by the sort the key feeds).
+  */
+object Hilbert {
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
+    val n = 1L << order
+    require(x0 >= 0L && x0 < n && y0 >= 0L && y0 < n,
+      s"hilbert_key dimensions must be in [0, 2^$order), got ($x0, $y0)")
+    var x = x0; var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0L) {
+      val rx = if ((x & s) > 0L) 1L else 0L
+      val ry = if ((y & s) > 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate the quadrant so the curve enters/exits correctly
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** (a, b) -> Hilbert index long key at a fixed curve order; see [[Hilbert]]. */
+case class HilbertKey(left: Expression, right: Expression, order: Int)
+  extends BinaryExpression with
+    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_key"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType | NullType, LongType | IntegerType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_key expects two integral columns, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.asInstanceOf[Long]
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Hilbert.xy2d(order, asLong(a), asLong(b))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertKey =
+    copy(left = newLeft, right = newRight)
+}

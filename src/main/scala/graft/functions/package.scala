@@ -199,6 +199,11 @@ package object functions {
   /** Z-order (Morton) layout key of two dimensions in [0, 2^31). */
   def zorder_key(a: Column, b: Column): Column =
     GraftShim.column(ZOrderKey(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Hilbert-curve layout key at a fixed order (dims in [0, 2^order)). */
+  def hilbert_key(a: Column, b: Column, order: Int): Column =
+    GraftShim.column(HilbertKey(GraftShim.expression(a),
+      GraftShim.expression(b), order))
 }
 
 /** SQL registration via SparkSessionExtensions — enable with

@@ -83,3 +83,52 @@ class ZOrderSpec extends SparkSpec {
     assert(msgs2.exists(_.contains("zorder_key dimensions")), msgs2.mkString(" | "))
   }
 }
+
+class HilbertSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.functions.Hilbert
+
+  test("hilbert: order-1 and order-2 curves match the canonical visit sequence") {
+    assert(Hilbert.xy2d(1, 0, 0) == 0L && Hilbert.xy2d(1, 0, 1) == 1L &&
+      Hilbert.xy2d(1, 1, 1) == 2L && Hilbert.xy2d(1, 1, 0) == 3L)
+    val visit2 = Seq((0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3),
+      (1, 2), (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1), (2, 0), (3, 0))
+    visit2.zipWithIndex.foreach { case ((x, y), d) =>
+      assert(Hilbert.xy2d(2, x, y) == d.toLong, s"($x,$y)")
+    }
+  }
+
+  test("hilbert: consecutive indexes are always grid neighbors (the locality Z-order lacks)") {
+    val order = 4
+    val n = 1 << order
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield Hilbert.xy2d(order, x, y) -> ((x, y))).toMap
+    assert(byD.size == n * n, "bijective")
+    (0 until n * n - 1).foreach { d =>
+      val (x1, y1) = byD(d.toLong)
+      val (x2, y2) = byD(d.toLong + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$d and ${d + 1}")
+    }
+    // Morton DOES jump (e.g. d=3 -> 4 crosses the space): the property is
+    // not vacuous
+    val mort = (for (x <- 0 until n; y <- 0 until n)
+      yield graft.functions.ZOrder.interleave(x, y) -> ((x, y))).toMap
+    val jumps = (0 until n * n - 1).count { d =>
+      val (x1, y1) = mort(d.toLong); val (x2, y2) = mort(d.toLong + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps > 0)
+  }
+
+  test("hilbert_key expression: column API, out-of-range errors loudly") {
+    val df = Seq((0L, 0L), (3L, 2L)).toDF("x", "y")
+    val r = df.select(graft.functions.hilbert_key(col("x"), col("y"), 2)
+      .as("d")).orderBy("d").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(0L, 11L))
+    val bad = Seq((4L, 0L)).toDF("x", "y")
+    assertThrows[Exception] {
+      bad.select(graft.functions.hilbert_key(col("x"), col("y"), 2)).collect()
+    }
+  }
+}
