@@ -4489,12 +4489,16 @@ object SparkEntry {
     //      would turn into a full reshuffle). Zero shuffle, zero join:
     //      the sorted ring rides the plan as a literal array. ----
     "q288_consistent_ring" -> ((s, dir) => {
+      // consistentShard emits every input column + shard, so the 4- and
+      // 5-shard assignments CHAIN into one row-local projection — the
+      // previous a4.join(a5, doc_id) self-joined two scans of the same
+      // source to concatenate two columns computable side by side
+      // (zero-join, zero-exchange now; output identical)
       val d = t(s, dir, "documents").select(col("doc_id"))
       val a4 = graft.ops.Curation.consistentShard(d, "doc_id", nShards = 4)
         .withColumnRenamed("shard", "shard4")
-      val a5 = graft.ops.Curation.consistentShard(d, "doc_id", nShards = 5)
+      graft.ops.Curation.consistentShard(a4, "doc_id", nShards = 5)
         .withColumnRenamed("shard", "shard5")
-      a4.join(a5, Seq("doc_id"))
         .withColumn("moved", col("shard4") =!= col("shard5"))
         .orderBy(col("doc_id"))
     }),

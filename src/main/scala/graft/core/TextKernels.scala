@@ -5,7 +5,7 @@ package graft.core
   * SimHash, rolling-hash fingerprint. All deterministic, allocation-lean,
   * engine-agnostic (wrapped by Catalyst expressions in graft.functions).
   */
-object TextKernels {
+object TextKernels extends Serializable {
 
   // ---- hashing ----------------------------------------------------------
 
@@ -125,8 +125,17 @@ object TextKernels {
   /** MinHash signature over word n-gram shingles: k permutations simulated
     * by k seeded mixes (one pass per shingle, k mins).
     */
-  def minHashSignature(s: String, numHashes: Int, shingleSize: Int, seed: Long = 0L): Array[Long] = {
-    val sh = shingles(s, shingleSize, seed)
+  def minHashSignature(s: String, numHashes: Int, shingleSize: Int, seed: Long = 0L): Array[Long] =
+    minHashFromShingles(shingles(s, shingleSize, seed), numHashes)
+
+  /** The signature kernel factored over an ALREADY-computed shingle array —
+    * [[minHashSignature]] is exactly `minHashFromShingles(shingles(s))`, so a
+    * pipeline that materializes shingles once (dedup verify needs them
+    * anyway) derives the signature without a second tokenization pass.
+    * Duplicate shingles cannot change a per-lane min, so the input need not
+    * be distinct; order is irrelevant for the same reason.
+    */
+  def minHashFromShingles(sh: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {

@@ -113,10 +113,10 @@ object AhoCorasick {
   */
 case class MultiPatternCount(child: Expression, patterns: Seq[String],
                              lowercase: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCallCodegen {
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "patterns must be non-empty strings")
-  require(!lowercase || patterns.forall(p => p == p.toLowerCase),
+  require(!lowercase || patterns.forall(p => p == p.toLowerCase(java.util.Locale.ROOT)),
     "lowercase matching requires lowercase patterns")
 
   override def nullable: Boolean = true
@@ -134,7 +134,7 @@ case class MultiPatternCount(child: Expression, patterns: Seq[String],
 
   protected override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
-    val text = if (lowercase) raw.toLowerCase else raw
+    val text = if (lowercase) raw.toLowerCase(java.util.Locale.ROOT) else raw
     new GenericArrayData(automaton.count(text))
   }
 

@@ -16,7 +16,7 @@ import graft.core.TextKernels
   * shuffled nCentroids copies of the whole corpus to pick a per-row argmax —
   * the VERDICT.md scale-killer this replaces.
   */
-trait CentroidExpression extends UnaryExpression with CodegenFallback {
+trait CentroidExpression extends UnaryExpression with KernelCallCodegen {
   def centroids: Array[Array[Float]]
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -136,7 +136,7 @@ object BpeKernel {
   * no join, no shuffle, cost independent of the merge count.
   */
 case class BpeSegmentWords(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCallCodegen {
   BpeKernel.requireTrainingOrdered(merges)
 
   override def nullable: Boolean = true

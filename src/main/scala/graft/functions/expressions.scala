@@ -17,13 +17,15 @@ import graft.core._
   * scale one bad page must not kill a stage; the pipeline derives a `status`
   * column from the null.
   *
-  * These are deterministic, null-intolerant unary expressions with
-  * CodegenFallback: the kernels are hundreds of ops per row, so the virtual
-  * call is noise, and keeping them out of codegen keeps the surrounding
-  * stage's generated code small. They still participate fully in
-  * whole-stage-codegen'd plans around them.
+  * These are deterministic, null-intolerant unary expressions riding
+  * [[KernelCallCodegen]]: the kernels are hundreds of ops per row, so
+  * generating their bodies buys nothing — but a CodegenFallback marker
+  * would make the whole enclosing operator codegen-unsupported and push
+  * every co-resident expression (md5s, struct assembly) onto interpreted
+  * eval, so the generated stage calls the kernel through a reference
+  * instead (round-5 verdict item 2).
   */
-trait DocKernelExpression extends UnaryExpression with CodegenFallback {
+trait DocKernelExpression extends UnaryExpression with KernelCallCodegen {
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -307,11 +309,10 @@ case class CnfExtract(child: Expression, maxBytes: Int = CnfExtract.DefaultMaxBy
       }
     }
   }
-  override def eval(input: InternalRow): Any = {
-    val value = child.eval(input)
+  override def evalKernelNullable(value: Any): Any =
     if (value == null) InternalRow(null, null, false, false, false, false)
     else nullSafeEval(value)
-  }
+  override def eval(input: InternalRow): Any = evalKernelNullable(child.eval(input))
   override protected def withNewChildInternal(newChild: Expression): CnfExtract =
     copy(child = newChild)
 }
@@ -375,11 +376,10 @@ case class GateExtract(child: Expression, maxOps: Long = GateExtract.DefaultMaxO
       case _: KernelBudget.KernelTimeout => InternalRow(null, UTF8String.fromString("timeout"))
     }
   }
-  override def eval(input: InternalRow): Any = {
-    val value = child.eval(input)
+  override def evalKernelNullable(value: Any): Any =
     if (value == null) InternalRow(null, UTF8String.fromString("null_text"))
     else nullSafeEval(value)
-  }
+  override def eval(input: InternalRow): Any = evalKernelNullable(child.eval(input))
   override protected def withNewChildInternal(newChild: Expression): GateExtract =
     copy(child = newChild)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -117,9 +117,9 @@ case class ZOrderKey(left: Expression, right: Expression)
   * [0, 4^order). Out-of-range input errors — a wrapped dimension would
   * silently destroy the locality the layout exists for.
   *
-  * Per-row cost is `order` iterations of branch-light integer ops —
-  * CodegenFallback is fine here (the write-path projection is dominated
-  * by the sort the key feeds).
+  * Per-row cost is `order` iterations of branch-light integer ops; the
+  * key rides [[KernelCallCodegen2]] so the write-path projection it sits
+  * in stays whole-stage-codegen'd.
   */
 object Hilbert {
   def xy2d(order: Int, x0: Long, y0: Long): Long = {
@@ -147,8 +147,7 @@ object Hilbert {
 
 /** (a, b) -> Hilbert index long key at a fixed curve order; see [[Hilbert]]. */
 case class HilbertKey(left: Expression, right: Expression, order: Int)
-  extends BinaryExpression with
-    org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends BinaryExpression with KernelCallCodegen2 {
   require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
   override def dataType: DataType = LongType
   override def prettyName: String = "hilbert_key"
@@ -173,4 +172,56 @@ case class HilbertKey(left: Expression, right: Expression, order: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HilbertKey =
     copy(left = newLeft, right = newRight)
+}
+
+/** Consistent-hash ring successor lookup. The sorted vnode ring (positions
+  * ascending, parallel shard ids) is model-sized and lives in the expression
+  * (references array), so the per-row work is ONE binary search — the
+  * previous formulation walked a literal array<struct> with an interpreted
+  * `filter` lambda plus `array_min` per row (O(vnodes) boxed comparisons,
+  * twice per q288 row), which dominated the operator's serial scan.
+  * Semantics are exactly the SQL it replaces:
+  * `coalesce(array_min(filter(ring, e -> e.pos >= key)).shard,
+  *           array_min(ring).shard)` — first vnode at or clockwise-after
+  * the key owns it; past the last vnode wraps to the ring's minimum.
+  * Positions must be sorted ascending and distinct (the builder enforces
+  * distinctness at ring-construction time).
+  */
+object RingLookup extends Serializable {
+  def successor(positions: Array[Long], shards: Array[Long], key: Long): Long = {
+    var lo = 0
+    var hi = positions.length // first index with positions(i) >= key
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (positions(mid) >= key) hi = mid else lo = mid + 1
+    }
+    if (lo == positions.length) shards(0) else shards(lo)
+  }
+}
+
+/** key -> owning shard over a fixed sorted vnode ring; see [[RingLookup]]. */
+case class RingSuccessorShard(child: Expression, positions: Array[Long],
+                              shards: Array[Long])
+    extends UnaryExpression {
+  require(positions.nonEmpty && positions.length == shards.length,
+    "ring positions and shards must be parallel and non-empty")
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ring_successor_shard"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint input, got ${t.simpleString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    RingLookup.successor(positions, shards, input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pos = ctx.addReferenceObj("ringPositions", positions, "long[]")
+    val sh = ctx.addReferenceObj("ringShards", shards, "long[]")
+    val ring = ctx.addReferenceObj("ringLookup", RingLookup)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ring.successor($pos, $sh, $c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RingSuccessorShard =
+    copy(child = newChild)
 }

@@ -118,6 +118,8 @@ package object functions {
   def minhash_signature_md5(c: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     col1(MinHashSignatureMd5(_, numHashes, shingleSize))(c)
   def shingles(c: Column, n: Int = 5): Column = col1(ShinglesExpr(_, n))(c)
+  def minhash_from_shingles(c: Column, numHashes: Int = 128): Column =
+    col1(MinHashFromShingles(_, numHashes))(c)
   def simhash64(c: Column): Column = col1(SimHash64(_))(c)
   def simhash64_md5(c: Column): Column = col1(SimHash64(_, "md5"))(c)
   def rolling_fingerprint(c: Column): Column = col1(RollingFingerprint(_))(c)

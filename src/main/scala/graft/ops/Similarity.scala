@@ -44,7 +44,8 @@ object Similarity {
   }
 
   /** Deterministic k-means (few Lloyd rounds on a driver-collected sample).
-    * The sample is the `sampleSize` smallest rows by xxhash64(id) — a
+    * The sample is the `sampleSize` hash-smallest rows of a deterministic
+    * hash-residue stratum (see [[trainCentroidsSampled]]) — a
     * deterministic pseudorandom draw over the WHOLE corpus. Smallest-id
     * sampling (the previous form) is biased at real scale: consecutive ids
     * are one crawl epoch/domain, so centroids would model a corner of the
@@ -67,13 +68,30 @@ object Similarity {
       trainCentroidsSampled(corpus, idCol, vecCol, nCentroids, sampleSize, iters)
   }
 
-  /** The driver-sample Lloyd path (fast, fine while nCentroids << sampleSize). */
+  /** The driver-sample Lloyd path (fast, fine while nCentroids << sampleSize).
+    *
+    * Draw shape (round-5 verdict item 5): a `pmod(xxhash64(id), p) = 0`
+    * PRE-FILTER runs below the order-limit, so the top-K machinery (and its
+    * per-partition heap traffic) sees ~1/p of the corpus instead of every
+    * row — at 10^12 rows the unfiltered draw hashed and heap-compared the
+    * whole corpus to keep 64k. The draw stays a deterministic pseudorandom
+    * function of the ids (hash-smallest among the hash-residue-0 stratum —
+    * residue membership and hash order are independent bit functions of
+    * the same uniform hash, so the stratum is itself a uniform 1/p
+    * subsample). A corpus too small to fill `sampleSize` from the stratum
+    * falls back to the unfiltered draw — cheap exactly when it happens.
+    */
   private[ops] def trainCentroidsSampled(corpus: DataFrame, idCol: String, vecCol: String,
-                                         nCentroids: Int, sampleSize: Int, iters: Int): Array[Array[Float]] = {
-    val sample = corpus.select(col(idCol), col(vecCol))
+                                         nCentroids: Int, sampleSize: Int, iters: Int,
+                                         sampleModulus: Int = 64): Array[Array[Float]] = {
+    val slim = corpus.select(col(idCol), col(vecCol))
+    val drawn = slim.where(pmod(xxhash64(col(idCol)), lit(sampleModulus)) === 0)
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
       .collect()
-      .map(_.getSeq[Float](1).toArray)
+    val rows =
+      if (drawn.length >= sampleSize) drawn
+      else slim.orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize).collect()
+    val sample = rows.map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     var centroids = sample.take(nCentroids).map(_.clone())

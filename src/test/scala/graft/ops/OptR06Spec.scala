@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.TextKernels
+import graft.functions._
+
+/** Round-6 optimization invariants: the single-pass signature refactor, the
+  * codegen'd kernel expressions, the ring-successor binary search, and the
+  * prefiltered sample draw must all be BIT-IDENTICAL to the shapes they
+  * replaced — these tests pin that, plus the plan shapes the speedups
+  * depend on.
+  */
+class OptR06Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog again and again",
+    "completely different content with many unusual tokens here now",
+    "short",
+    "",
+    "a b a b a b a b a b c d e f g h i j k l",
+    "Mixed CASE Words_and 0123 numbers' apostrophes")
+
+  // ---- minhash_from_shingles ≡ minhash_signature ----
+
+  test("minHashFromShingles(shingles(s)) is bit-identical to minHashSignature(s) (kernel)") {
+    for (s <- texts; n <- Seq(16, 64); k <- Seq(3, 5)) {
+      val direct = TextKernels.minHashSignature(s, n, k)
+      val derived = TextKernels.minHashFromShingles(TextKernels.shingles(s, k), n)
+      assert(direct.toSeq == derived.toSeq, s"mismatch for '$s' n=$n k=$k")
+    }
+  }
+
+  test("minhash_from_shingles ≡ minhash_signature as expressions (codegen path), null-safe") {
+    val df = (texts.map(Option(_)) :+ None).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.orNull) }.toDF("id", "text")
+    val r = df.select(col("id"),
+        minhash_signature(col("text"), 64, 3).as("a"),
+        minhash_from_shingles(shingles(col("text"), 3), 64).as("b"))
+      .collect()
+    r.foreach { row =>
+      val a = if (row.isNullAt(1)) null else row.getSeq[Long](1)
+      val b = if (row.isNullAt(2)) null else row.getSeq[Long](2)
+      assert(a == b, s"row ${row.getLong(0)}: $a != $b")
+    }
+  }
+
+  // ---- kernel expressions stay inside WholeStageCodegen ----
+
+  test("kernel expression projection compiles into WholeStageCodegen (no fallback)") {
+    // derive text from range: a LocalRelation input would be constant-folded
+    // into a LocalTableScan and prove nothing about codegen
+    val df = spark.range(64).select(col("id"),
+      concat_ws(" ", lit("alpha beta gamma"), col("id").cast("string"),
+        lit("delta epsilon")).as("text"))
+    val proj = df.select(col("id"),
+      shingles(col("text"), 3).as("sh"),
+      minhash_signature(col("text"), 16, 3).as("sig"),
+      simhash64(col("text")).as("sim"),
+      token_count(col("text")).as("tc"),
+      text_quality(col("text")).as("q"),
+      lang_id(col("text")).as("l"))
+    val plan = proj.queryExecution.executedPlan.toString
+    // a codegen'd project prints under a WholeStageCodegen span ("*(n) Project");
+    // a CodegenFallback expression would sever the stage and print a bare Project
+    assert(plan.contains("*(1) Project"), s"kernel projection fell out of codegen:\n$plan")
+  }
+
+  test("codegen and interpreted eval agree for the kernel expressions") {
+    // spark.sql codegen-evaluates; direct kernel calls are the interpreted
+    // single source of truth the expressions wrap
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"), col("text"),
+        shingles(col("text"), 3).as("sh"),
+        minhash_signature(col("text"), 16, 3).as("sig"),
+        simhash64(col("text")).as("sim"),
+        simhash64_md5(col("text")).as("simm"),
+        token_count(col("text")).as("tc"),
+        token_count_bpe(col("text")).as("tcb"),
+        rolling_fingerprint(col("text")).as("rf"),
+        longest_repeat_len(col("text"), 64).as("lr"),
+        normalize_webtext(col("text")).as("nw"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(r.getSeq[Long](2) == TextKernels.shingles(t, 3).toSeq)
+      assert(r.getSeq[Long](3) == TextKernels.minHashSignature(t, 16, 3).toSeq)
+      assert(r.getLong(4) == TextKernels.simHash64(t))
+      assert(r.getLong(5) == TextKernels.simHash64Md5(t))
+      assert(r.getLong(6) == TextKernels.tokenCountWhitespace(t))
+      assert(r.getLong(7) == TextKernels.tokenCountBpe(t))
+      assert(r.getLong(8) == TextKernels.rollingFingerprint(t))
+      assert(r.getLong(9) == TextKernels.longestRepeatedSubstring(t, 64))
+      assert(r.getString(10) == TextKernels.normalizeWebText(t))
+    }
+  }
+
+  test("binary kernel expressions (jaccard_sorted / minhash_estimate / cosine) agree with kernels") {
+    val df = Seq(
+      (texts(0), texts(4)), (texts(0), texts(0)), (texts(1), texts(2)))
+      .toDF("a", "b")
+    val rows = df.select(
+        jaccard_sorted(shingles(col("a"), 3), shingles(col("b"), 3)).as("j"),
+        minhash_estimate(minhash_signature(col("a"), 16, 3),
+          minhash_signature(col("b"), 16, 3)).as("e"),
+        col("a"), col("b"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getString(2), r.getString(3))
+      assert(r.getDouble(0) ==
+        TextKernels.jaccardSorted(TextKernels.shingles(a, 3), TextKernels.shingles(b, 3)))
+      assert(r.getDouble(1) == TextKernels.minHashEstimate(
+        TextKernels.minHashSignature(a, 16, 3), TextKernels.minHashSignature(b, 16, 3)))
+    }
+    val vf = Seq((Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("x", "y")
+    val c = vf.select(cosine_similarity(col("x"), col("y"))).head().getDouble(0)
+    assert(c == TextKernels.cosine(Array(1f, 2f, 3f), Array(3f, 2f, 1f)))
+  }
+
+  // ---- single-pass shingling in the dedup pipelines ----
+
+  test("nearDupDedup: shingle/signature kernels run once (plan is checkpoint-fed)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally unrelated content words here"))
+      .toDF("id", "text")
+    val out = Dedup.nearDupDedup(docs, "id", "text", numHashes = 16,
+      numBands = 8, shingleSize = 2, jaccard = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("shingles("),
+      s"shingle kernel re-evaluated downstream of the checkpoint:\n$plan")
+    assert(!plan.contains("minhash_signature("),
+      s"signature kernel re-evaluated downstream of the checkpoint:\n$plan")
+    // and the result is the same as the pre-refactor semantics on this corpus
+    val kept = out.where(col("kept")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    val c = out.where(col("id") === 2L).head()
+    assert(c.getLong(1) == 1L && c.getLong(2) == 2L && !c.getBoolean(3))
+  }
+
+  test("nearDupIncremental: incoming shard is shingled once; only the ledger re-tokenizes") {
+    val ledger = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // ledger dup
+      (11L, "fresh new content one two three"),        // kept
+      (12L, "fresh new content one two three"))        // shard dup of 11
+      .toDF("id", "text")
+    val out = Dedup.nearDupIncremental(incoming, ledger, "id", "text",
+      numHashes = 16, numBands = 8, shingleSize = 2, jaccard = 0.8)
+    val plan = out.queryExecution.executedPlan.toString
+    // incoming is checkpoint-fed and ledgerDups is checkpoint-materialized,
+    // so no kernel eval survives into the output plan at all
+    assert(!plan.contains("shingles("),
+      s"kernel evals leaked past the checkpoints:\n$plan")
+    val statuses = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(statuses == Map(10L -> "ledger_dup", 11L -> "kept", 12L -> "shard_dup"))
+  }
+
+  // ---- ring successor lookup ≡ the SQL it replaced ----
+
+  test("RingLookup.successor equals the filter/array_min SQL formulation") {
+    val rnd = new scala.util.Random(11)
+    val ring = Array.fill(64)(rnd.nextLong() & 0x0fffffffffffffffL).distinct.sorted
+    val shards = ring.map(p => p % 7)
+    def oldSql(key: Long): Long = {
+      val ge = ring.zip(shards).filter(_._1 >= key)
+      if (ge.nonEmpty) ge.minBy(_._1)._2 else shards(ring.indexOf(ring.min))
+    }
+    val keys = Array(0L, ring(0), ring(0) - 1, ring.last, ring.last + 1,
+      Long.MaxValue & 0x0fffffffffffffffL) ++
+      Array.fill(200)(rnd.nextLong() & 0x0fffffffffffffffL)
+    keys.foreach { k =>
+      assert(RingLookup.successor(ring, shards, k) == oldSql(k), s"key $k")
+    }
+  }
+
+  test("consistentShard output unchanged by the binary-search rewrite (spot values)") {
+    val df = Seq.tabulate(50)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val r = Curation.consistentShard(df, "doc_id", nShards = 4)
+      .select("doc_id", "shard").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // replay the definition independently: md5-60-bit key, successor vnode
+    def pos60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ring = (for { sh <- 0 until 4; v <- 0 until 64 }
+      yield (pos60(s"ring:$sh:$v"), sh.toLong)).sortBy(_._1)
+    for (id <- 0L until 50L) {
+      val kp = pos60(s"ring#$id")
+      val exp = ring.find(_._1 >= kp).getOrElse(ring.head)._2
+      assert(r(id) == exp, s"doc $id")
+    }
+  }
+
+  // ---- prefiltered deterministic sample draw ----
+
+  test("trainCentroidsSampled: prefiltered draw is deterministic and falls back on small corpora") {
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val small = (0L until 100L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("id", "v")
+    // small corpus: stratum < sampleSize -> identical to the unfiltered draw
+    val a = Similarity.trainCentroidsSampled(small, "id", "v", nCentroids = 4,
+      sampleSize = 50, iters = 2)
+    val expSample = small.orderBy(xxhash64(col("id")), col("id")).limit(50)
+      .collect().map(_.getSeq[Float](1).toArray)
+    assert(a.length == 4 && a.head.length == dim)
+    // determinism at any size: same inputs -> identical centroids
+    val big = (0L until 4000L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("id", "v").cache()
+    try {
+      val c1 = Similarity.trainCentroidsSampled(big, "id", "v", nCentroids = 4,
+        sampleSize = 32, iters = 2, sampleModulus = 16)
+      val c2 = Similarity.trainCentroidsSampled(big.repartition(7), "id", "v",
+        nCentroids = 4, sampleSize = 32, iters = 2, sampleModulus = 16)
+      assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+        "prefiltered draw must be partitioning-independent")
+    } finally big.unpersist()
+    assert(expSample.nonEmpty) // draw defined; fallback exercised above
+  }
+}
