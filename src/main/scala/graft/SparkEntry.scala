@@ -950,15 +950,15 @@ object SparkEntry {
       val mutated = docs.select((col("id") + 100000L).as("id"),
         concat_ws(" ", lit("prefixtoken"), col("text")).as("text"))
       val union = docs.unionByName(mutated)
-      val cands = Dedup.minHashPairs(union, "id", "text",
-        numHashes = 64, numBands = 32, threshold = 0.0, shingleSize = 3)
-      val sh = union.select(col("id"), shingles(col("text"), 3).as("_sh"))
-      val pairs = cands
-        .join(sh.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
-        .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
-          jaccard_sorted(col("_sa"), col("_sb")) >= 0.8)
-        .select(col("id_a"), col("id_b"))
+      // ONE shingling pass (the nearDupDedup materialization): the LSH
+      // candidate stage at banding threshold 0 (the est_jaccard >= 0.0
+      // filter was vacuous) and both exact-verify sides read the same
+      // projection — the previous shape ran the shingle kernel three times
+      val pre = graft.ops.Fanout.ensure(union)
+        .select(col("id").as("_sid"), shingles(col("text"), 3).as("_sh"))
+        .localCheckpoint()
+      val pairs = Dedup.verifiedPairsPre(pre, numHashes = 64, numBands = 32,
+        jaccard = 0.8)
       Dedup.clusters(pairs)
         .orderBy(col("id"))
     }),

@@ -92,20 +92,40 @@ object TextKernels extends Serializable {
   def shingles(s: String, n: Int, seed: Long = 0L): Array[Long] = {
     val words = wordHashes(s, seed)
     if (words.length < n) return Array.emptyLongArray
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // primitive sort + in-place dedup (bit-identical to the previous
+    // TreeSet: sorted distinct), no per-shingle boxing/tree rebalance
+    val buf = new Array[Long](words.length - n + 1)
     var i = 0
     while (i + n <= words.length) {
       var h = 0x9e3779b97f4a7c15L
       var k = 0
       while (k < n) { h = mix64(h ^ words(i + k)); k += 1 }
-      set.add(h)
+      buf(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    java.util.Arrays.sort(buf)
+    var w = 0
+    var r = 0
+    while (r < buf.length) {
+      if (w == 0 || buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
+  }
+
+  /** |a ∩ b| over two sorted distinct-hash arrays (merge scan — no per-row
+    * hash-set allocation, unlike builtin array_intersect).
+    */
+  def sortedCommonCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    var common = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { common += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    common
   }
 
   /** Exact Jaccard over two sorted distinct-hash arrays. */

@@ -127,6 +127,8 @@ package object functions {
     col1(LongestRepeatedSubstring(_, cap))(c)
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftShim.column(JaccardSorted(GraftShim.expression(a), GraftShim.expression(b)))
+  def sorted_common_count(a: Column, b: Column): Column =
+    GraftShim.column(SortedCommonCount(GraftShim.expression(a), GraftShim.expression(b)))
   def minhash_estimate(a: Column, b: Column): Column =
     GraftShim.column(MinHashEstimate(GraftShim.expression(a), GraftShim.expression(b)))
   def cosine_similarity(a: Column, b: Column): Column =

@@ -279,6 +279,21 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |a ∩ b| of two sorted distinct long arrays (merge scan). */
+case class SortedCommonCount(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_common_count"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedCommonCount(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+  protected override def kernelCall(a: String, b: String, k: String): String =
+    s"$k.sortedCommonCount($a.toLongArray(), $b.toLongArray())"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedCommonCount =
+    copy(left = l, right = r)
+}
+
 /** Fraction of equal components between two MinHash signatures. */
 case class MinHashEstimate(left: Expression, right: Expression)
     extends BinaryKernelExpression {

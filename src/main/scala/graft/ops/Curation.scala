@@ -652,7 +652,7 @@ object Curation {
 
   /** Input + `extracted_text` (see [[extractHtmlText]]). */
   def htmlExtract(df: DataFrame, htmlCol: String): DataFrame =
-    df.withColumn("extracted_text", extractHtmlText(col(htmlCol)))
+    Fanout.ensure(df).withColumn("extracted_text", extractHtmlText(col(htmlCol)))
 
   /** Page-metadata extraction from raw HTML: `title` (first
     * `<title>` element, inner whitespace collapsed), `meta_description`

@@ -163,9 +163,10 @@ object Dedup {
     * exchange and is never grouped, sorted or windowed — the same shape
     * as [[dedupLines]] one granularity down.
     */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+  def spanDedup(df0: DataFrame, idCol: String, textCol: String,
                 k: Int = 50): DataFrame = {
     require(k > 1, "k must be > 1 (k=1 would cut every repeated token)")
+    val df = Fanout.ensure(df0)
     val toks = split(trim(col(textCol)), "\\s+")
     val sh = df
       .select(col(idCol).as("_sd_id"), toks.as("_sd_toks"))
@@ -225,11 +226,12 @@ object Dedup {
     * the signatures are re-attached by id to the candidate-bounded distinct
     * pair set for the estimate.
     */
-  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+  def minHashPairs(df0: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, numBands: Int = 32,
                    threshold: Double = 0.7, shingleSize: Int = 5): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
+    val df = Fanout.ensure(df0)
     val sigs = df.select(col(idCol).as("_id"),
       minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
       .localCheckpoint()
@@ -260,9 +262,10 @@ object Dedup {
     * (maxHamming <= 3 guaranteed complete by 4-chunk pigeonhole).
     * tokenHash "md5" uses the SQL-mirrorable signature (exact DuckDB oracle).
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+  def simHashPairs(df0: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, tokenHash: String = "fnv"): DataFrame = {
     val sigFn = if (tokenHash == "md5") simhash64_md5 _ else simhash64 _
+    val df = Fanout.ensure(df0)
     val sigs = df.select(col(idCol).as("_id"), sigFn(col(textCol)).as("_sh"))
     val chunked = sigs.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(k =>
@@ -286,7 +289,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.8,
                         maxShingleDf: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+    val sh = Fanout.ensure(df)
+      .select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val inverted = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_g"))
     // document frequency via groupBy (map-side combine: a hot shingle's
@@ -300,16 +304,50 @@ object Dedup {
     // postings/maxShingleDf — corpus-scaled — and a forced broadcast of
     // that would OOM the driver where a shuffled anti-join degrades
     // gracefully
-    val hot = inverted.groupBy(col("_g"))
-      .agg(count(lit(1)).as("_df")).where(col("_df") > maxShingleDf)
-      .select(col("_g"))
+    val dfTab = inverted.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val hot = dfTab.where(col("_df") > maxShingleDf).select(col("_g"))
     val pruned = inverted.join(hot, Seq("_g"), "left_anti")
-    val pairsCommon = pruned.as("x").join(pruned.as("y"), col("x._g") === col("y._g"))
+    // Candidate generation is PREFIX-FILTERED (SSJoin/PPJoin, see
+    // [[prefixJaccardPairs]]) instead of the previous full postings
+    // self-join + per-pair occurrence count, whose pair stream is
+    // sum(df²) over shingles — the Zipf body dominates it even under the
+    // df cap. Result-equivalence: the reported jaccard is
+    // |prunedA ∩ prunedB| / (fullA + fullB - |prunedA ∩ prunedB|) exactly
+    // as before (verified per candidate by one merge scan); a qualifying
+    // pair (jaccard >= t > 0) has pruned-set Jaccard >= reported >= t, so
+    // the prefix filter over pruned sets at threshold t cannot drop it,
+    // and spurious candidates die in the verify. The PPJoin positional
+    // filter prunes candidates whose first shared canonical-prefix
+    // shingle sits too deep for the required overlap — lossless by the
+    // first-common-token bound (no common token precedes it, so
+    // |prunedA ∩ prunedB| <= min(remaining suffix lengths)).
+    val perDoc = pruned.join(dfTab, Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_g")))).as("_ord"),
+        sort_array(collect_list(col("_g"))).as("_shp"),
+        min(col("_size")).as("_sizef"))
+      .localCheckpoint()
+    val prefixed = perDoc
+      .select(col("_id"), col("_sizef"), size(col("_ord")).as("_sp"),
+        posexplode(slice(expr("transform(_ord, x -> x._g)"), lit(1),
+          least(size(col("_ord")),
+            size(col("_ord")) - floor(lit(threshold) * size(col("_ord"))).cast("int") + 1))))
+      .select(col("_id"), col("_sizef"), col("_sp"), col("pos").as("_p"), col("col").as("_g"))
+    val cands = prefixed.as("x").join(prefixed.as("y"), col("x._g") === col("y._g"))
       .where(col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"),
-        col("x._size").as("_sa"), col("y._size").as("_sb"))
-      .agg(count(lit(1)).as("_common"))
-    pairsCommon
+        col("x._sizef").as("_sa"), col("y._sizef").as("_sb"),
+        col("x._sp").as("_spa"), col("y._sp").as("_spb"))
+      .agg(min(col("x._p")).as("_px"), min(col("y._p")).as("_py"))
+      .where(least(col("_spa") - col("_px"), col("_spb") - col("_py")).cast("double") *
+        (1.0 + threshold) >= lit(threshold) * (col("_sa") + col("_sb")).cast("double") - 1e-9)
+      .select(col("id_a"), col("id_b"))
+    cands
+      .join(perDoc.select(col("_id").as("id_a"), col("_shp").as("_sha"),
+        col("_sizef").as("_sa")), Seq("id_a"))
+      .join(perDoc.select(col("_id").as("id_b"), col("_shp").as("_shb"),
+        col("_sizef").as("_sb")), Seq("id_b"))
+      .withColumn("_common", sorted_common_count(col("_sha"), col("_shb")))
       .select(col("id_a"), col("id_b"),
         (col("_common").cast("double") /
           (col("_sa") + col("_sb") - col("_common")).cast("double")).as("jaccard"))
@@ -344,36 +382,56 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 5, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
-    val sh = df.select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
+    // ONE shingling pass (the nearDupDedup materialization discipline):
+    // the projection feeds the posting explode AND both verify join sides
+    val sh = Fanout.ensure(df)
+      .select(col(idCol).as("_id"), shingles(col(textCol), n).as("_sh"))
       .withColumn("_size", size(col("_sh")))
       .where(col("_size") > 0)
-    val posted = sh.select(col("_id"), explode(col("_sh")).as("_g"))
+      .localCheckpoint()
+    val posted = sh.select(col("_id"), col("_size"), explode(col("_sh")).as("_g"))
     val dfTab = posted.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     // canonical order + per-doc prefix: sort (df, shingle) pairs doc-locally,
-    // keep the first size - floor(t*size) + 1 (clamped to size)
+    // keep the first size - floor(t*size) + 1 (clamped to size), REMEMBER
+    // each kept shingle's 0-based canonical position for the positional
+    // filter below
     val prefixed = posted.join(dfTab, "_g")
       .groupBy(col("_id"))
-      .agg(sort_array(collect_list(struct(col("_df"), col("_g")))).as("_ord"))
-      .select(col("_id"),
-        slice(expr("transform(_ord, x -> x._g)"), lit(1),
+      .agg(sort_array(collect_list(struct(col("_df"), col("_g")))).as("_ord"),
+        min(col("_size")).as("_size"))
+      .select(col("_id"), col("_size"),
+        posexplode(slice(expr("transform(_ord, x -> x._g)"), lit(1),
           least(size(col("_ord")),
-            size(col("_ord")) - floor(lit(threshold) * size(col("_ord"))).cast("int") + 1))
-          .as("_pref"))
-      .select(col("_id"), explode(col("_pref")).as("_g"))
-    // candidate pairs: share >= 1 prefix shingle (distinct collapses multi-
-    // shingle agreement before the verify joins)
+            size(col("_ord")) - floor(lit(threshold) * size(col("_ord"))).cast("int") + 1))))
+      .select(col("_id"), col("_size"), col("pos").as("_p"), col("col").as("_g"))
+    // candidate pairs share >= 1 prefix shingle; the groupBy collapses
+    // multi-shingle agreement AND computes the PPJoin positional filter:
+    // for a qualifying pair (J >= t) the first shared canonical token g0
+    // lies in both prefixes with NO common token before it, so
+    // |X ∩ Y| <= min(|X| - pos_x(g0), |Y| - pos_y(g0)) (0-based), and both
+    // position minima are achieved at g0 (canonical positions are
+    // monotone in the global (df, shingle) order). Pairs whose bound
+    // cannot reach t(|X|+|Y|)/(1+t) are dropped BEFORE the verify join —
+    // only qualifying pairs are guaranteed kept, which is exactly the
+    // contract (the verify is exact). The 1e-9 slack makes float dust
+    // only ever ADD candidates.
     val cands = prefixed.as("x").join(prefixed.as("y"), col("x._g") === col("y._g"))
       .where(col("x._id") < col("y._id"))
-      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
-      .distinct()
-    // exact verify: join the full sets back, intersect row-locally
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._size").as("_sa"), col("y._size").as("_sb"))
+      .agg(min(col("x._p")).as("_px"), min(col("y._p")).as("_py"))
+      .where(least(col("_sa") - col("_px"), col("_sb") - col("_py")).cast("double") *
+        (1.0 + threshold) >= lit(threshold) * (col("_sa") + col("_sb")).cast("double") - 1e-9)
+      .select(col("id_a"), col("id_b"))
+    // exact verify: join the full sets back, ONE merge scan per candidate
+    // (sorted_common_count; array_intersect would build a hash set per row)
     val full = sh.select(col("_id"), col("_sh"), col("_size"))
     cands
       .join(full.select(col("_id").as("id_a"), col("_sh").as("_sha"),
         col("_size").as("_sa")), "id_a")
       .join(full.select(col("_id").as("id_b"), col("_sh").as("_shb"),
         col("_size").as("_sb")), "id_b")
-      .withColumn("_common", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("_common", sorted_common_count(col("_sha"), col("_shb")))
       .select(col("id_a"), col("id_b"),
         (col("_common").cast("double") /
           (col("_sa") + col("_sb") - col("_common")).cast("double")).as("jaccard"))
@@ -495,6 +553,72 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct()
       .persist()
+    // SIZE-ADAPTIVE DISPATCH (the bpeTrain localization-probe pattern): the
+    // dup GRAPH is pair-sized, not corpus-sized — after banding/verify it is
+    // typically orders of magnitude smaller than the corpus. When it fits
+    // the documented driver bound, a driver-local union-find computes the
+    // identical min-label-per-component answer in one pass instead of
+    // O(log diameter) join rounds; past the bound the distributed
+    // pointer-jumping path below runs unchanged (the 100-TB shape). The
+    // count() action doubles as the cache materialization the first
+    // distributed round would have paid anyway, so the probe is free.
+    // ClustersSpec pins local-vs-distributed equality on random graphs.
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val integralIds = edges.schema("a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    // one aggregate both counts rows and proves no null endpoint (a null id
+    // would not survive a long-getter; the distributed path handles it)
+    val probe = edges.agg(count(lit(1)), count(col("a")), count(col("b"))).head()
+    val (nEdges, nonNullOk) =
+      (probe.getLong(0), probe.getLong(0) == probe.getLong(1) &&
+        probe.getLong(0) == probe.getLong(2))
+    if (integralIds && nonNullOk && nEdges <= localMax) {
+      val idType = edges.schema("a").dataType
+      val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect()
+      edges.unpersist()
+      // union-find with path compression; final label = min node id per root
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+        var y = x0 // path compression
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      var i = 0
+      while (i < es.length) {
+        val r = es(i)
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent.put(ra, rb)
+        i = i + 1
+      }
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      i = 0
+      while (i < es.length) {
+        val a = es(i).getLong(0) // both directions present: a covers all nodes
+        nodes.add(a)
+        val r = find(a)
+        val m = minOfRoot.getOrDefault(r, Long.MaxValue)
+        if (a < m) minOfRoot.put(r, a)
+        i = i + 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      nodes.forEach(n => out += ((n.longValue(), minOfRoot.get(find(n.longValue())))))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "cluster_id")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+    }
     var labels = edges.select(col("a").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
@@ -574,7 +698,7 @@ object Dedup {
     // (id, shingles) projection feeds banding AND both sides of the exact
     // verify. The previous shape ran the signature kernel once and the
     // shingle kernel twice more (once per verify join side) over the text.
-    val pre = df.select(col(idCol).as("_sid"),
+    val pre = Fanout.ensure(df).select(col(idCol).as("_sid"),
       shingles(col(textCol), shingleSize).as("_sh"))
       .localCheckpoint()
     nearDupDedupPre(df, pre, idCol, numHashes, numBands, jaccard, keepByCol)
@@ -591,10 +715,14 @@ object Dedup {
     * was vacuous there (the estimate is a non-null fraction whenever both
     * signatures exist, and a null signature never enters a bucket).
     */
-  private[ops] def nearDupDedupPre(df: DataFrame, pre: DataFrame,
-                                   idCol: String, numHashes: Int,
-                                   numBands: Int, jaccard: Double,
-                                   keepByCol: Option[String]): DataFrame = {
+  /** LSH candidate generation + exact shingle-Jaccard verify from a
+    * pre-materialized (_sid, _sh) projection — the shared pair stage of
+    * [[nearDupDedupPre]] and the q48 dup-cluster query (which previously
+    * re-ran the shingle kernel three times: once inside minHashPairs and
+    * once per verify join side). Output: verified (id_a, id_b).
+    */
+  private[graft] def verifiedPairsPre(pre: DataFrame, numHashes: Int,
+                                      numBands: Int, jaccard: Double): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val banded = bandedFromSigs(
       pre.select(col("_sid").as("_id"),
@@ -606,12 +734,19 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val pairs = cands
+    cands
       .join(pre.select(col("_sid").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
       .join(pre.select(col("_sid").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
       .where(size(col("_sa")) > 0 && size(col("_sb")) > 0 &&
         jaccard_sorted(col("_sa"), col("_sb")) >= jaccard)
       .select(col("id_a"), col("id_b"))
+  }
+
+  private[ops] def nearDupDedupPre(df: DataFrame, pre: DataFrame,
+                                   idCol: String, numHashes: Int,
+                                   numBands: Int, jaccard: Double,
+                                   keepByCol: Option[String]): DataFrame = {
+    val pairs = verifiedPairsPre(pre, numHashes, numBands, jaccard)
     val labels = clusters(pairs)
     val labeled = df.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -669,11 +804,12 @@ object Dedup {
     * pruned postings join carries only (id, fingerprint) — text never
     * rides an exchange.
     */
-  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+  def winnowedOverlapPairs(df0: DataFrame, idCol: String, textCol: String,
                            k: Int = 4, windowW: Int = 5, minShared: Int = 2,
                            maxFpDf: Int = 1000): DataFrame = {
     require(k > 0 && windowW > 0, "k and windowW must be positive")
     require(minShared > 0, "minShared must be positive")
+    val df = Fanout.ensure(df0)
     // LET-BINDING via single-element transform closures: the word array
     // and the k-gram hash array are each bound as a lambda VARIABLE, so
     // downstream slices reference a materialized array instead of
@@ -746,14 +882,14 @@ object Dedup {
     // (round-5 verdict item 1). The corpus-sized ledger is NOT
     // materialized: its banding pass computes only signatures and its
     // verify pass only shingles, exactly as before.
-    val preIn = incoming.select(col(idCol).as("_sid"),
+    val preIn = Fanout.ensure(incoming).select(col(idCol).as("_sid"),
       shingles(col(textCol), shingleSize).as("_sh"))
       .localCheckpoint()
     def bandedPre(pre: DataFrame) = bandedFromSigs(
       pre.select(col("_sid").as("_id"),
         minhash_from_shingles(col("_sh"), numHashes).as("_sig")),
       numBands, rowsPerBand)
-    val preLed = ledger.select(col(idCol).as("_sid"),
+    val preLed = Fanout.ensure(ledger).select(col(idCol).as("_sid"),
       shingles(col(textCol), shingleSize).as("_sh"))
     val cands = bandedPre(preIn).withColumnRenamed("_id", "_in")
       .join(bandedPre(preLed).withColumnRenamed("_id", "_led"), Seq("_band", "_bucket"))

@@ -78,9 +78,13 @@ object Geo {
     val deg = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("_deg"))
+    // marked feeds THREE subtrees (cores, border assignment, the final
+    // role select) and coreLabels two — both are id-sized, so eager leaves
+    // stop each consumer re-running the degree aggregate / CC pipeline
     val marked = ids.join(deg, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("_deg"), lit(0L)) + 1 >= minPts).as("_core"))
+      .localCheckpoint()
     val cores = marked.where(col("_core")).select(col("id"))
     val coreEdges = pairs
       .join(cores.select(col("id").as("id_a")), Seq("id_a"))
@@ -89,6 +93,7 @@ object Geo {
     val coreLabels = cores.join(comp, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint()
     val nbr = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
     val borderAssign = marked.where(!col("_core"))

@@ -97,6 +97,42 @@ object Graph {
       .persist()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val baseTerm = Scale * (dampDen - dampNum) / dampDen // exact: driver-side longs
+    // SIZE-ADAPTIVE DISPATCH (the Dedup.clusters probe pattern): exact
+    // integer arithmetic replays identically on the driver — per iteration
+    // contrib(dst) = Σ rank(src) div outdeg(src) over DISTINCT edges, then
+    // base + (damp·contrib) div den, zero in-links → coalesce 0. The count
+    // doubles as the cache materialization. GraphSpec pins equality.
+    val prLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val prProbe = e.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
+    if (prProbe.getLong(0) <= prLocalMax && (1 to 2).forall(i =>
+        prProbe.getLong(i) == prProbe.getLong(0))) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(); nodes.unpersist()
+      val deg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      es.foreach { case (s, d) =>
+        deg.merge(s, 1L, (a, b) => a + b)
+        rank.putIfAbsent(s, Scale); rank.putIfAbsent(d, Scale)
+      }
+      for (_ <- 0 until iters) {
+        val in = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        es.foreach { case (s, d) =>
+          in.merge(d, rank.get(s).longValue() / deg.get(s).longValue(),
+            (a, b) => a + b)
+        }
+        rank.replaceAll((n, _) => {
+          val c = in.get(n)
+          baseTerm + dampNum * (if (c eq null) 0L else c.longValue()) / dampDen
+        })
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](rank.size)
+      rank.forEach((k, v) => out += ((k.longValue(), v.longValue())))
+      return out.toSeq.toDF("node", "rank_int")
+    }
     var ranks = nodes.withColumn("rank_int", lit(Scale))
     // eager localCheckpoint per iteration: materializes AND cuts lineage
     // to an RDD leaf in one job — without it AQE recompiles a plan that
@@ -149,6 +185,42 @@ object Graph {
       .persist()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val baseTerm = Scale * (dampDen - dampNum) / dampDen
+    // SIZE-ADAPTIVE DISPATCH — identical integer schedule to the
+    // pageRankInt local path, with teleport mass restricted to the seeds
+    val pprLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val pprProbe = e.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
+    if (pprProbe.getLong(0) <= pprLocalMax && (1 to 2).forall(i =>
+        pprProbe.getLong(i) == pprProbe.getLong(0))) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(); nodes.unpersist()
+      val seedSet = seeds.toSet
+      val deg = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val rank = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      es.foreach { case (s, d) =>
+        deg.merge(s, 1L, (a, b) => a + b)
+        rank.putIfAbsent(s, if (seedSet(s)) Scale else 0L)
+        rank.putIfAbsent(d, if (seedSet(d)) Scale else 0L)
+      }
+      for (_ <- 0 until iters) {
+        val in = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        es.foreach { case (s, d) =>
+          in.merge(d, rank.get(s).longValue() / deg.get(s).longValue(),
+            (a, b) => a + b)
+        }
+        rank.replaceAll((n, _) => {
+          val c = in.get(n)
+          (if (seedSet(n.longValue())) baseTerm else 0L) +
+            dampNum * (if (c eq null) 0L else c.longValue()) / dampDen
+        })
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](rank.size)
+      rank.forEach((k, v) => out += ((k.longValue(), v.longValue())))
+      return out.toSeq.toDF("node", "rank_int")
+    }
     var ranks = nodes.withColumn("rank_int",
       when(col("_seed"), lit(Scale)).otherwise(lit(0L)))
     for (_ <- 0 until iters) {
@@ -220,6 +292,51 @@ object Graph {
         .crossJoin(broadcast(m))
         .select(col("node"),
           expr(s"(${scale}L * coalesce(_s, 0L)) div _m").as(outCol))
+    }
+    // SIZE-ADAPTIVE DISPATCH — the fixed-point rescale schedule is pure
+    // int64 arithmetic, replayed locally under the driver bound: per
+    // iteration rawAuth(v) = Σ hub(u) over distinct in-edges, every node's
+    // auth = (scale·coalesce(raw,0)) div max(max(raw),1), then the hub
+    // side from the fresh auths. GraphSpec pins equality.
+    val hLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val hProbe = e.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
+    if (hProbe.getLong(0) <= hLocalMax && (1 to 2).forall(i =>
+        hProbe.getLong(i) == hProbe.getLong(0))) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(); nodes.unpersist()
+      val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+      val hub = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      val auth = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      ns.foreach(n => hub.put(n, scale))
+      def rescaleLocal(raw: java.util.HashMap[java.lang.Long, java.lang.Long],
+                       into: java.util.HashMap[java.lang.Long, java.lang.Long]): Unit = {
+        var m = 1L
+        raw.forEach((_, v) => if (v.longValue() > m) m = v.longValue())
+        into.clear()
+        ns.foreach { n =>
+          val r = raw.get(n)
+          into.put(n, scale * (if (r eq null) 0L else r.longValue()) / m)
+        }
+      }
+      for (_ <- 0 until iters) {
+        val rawAuth = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        es.foreach { case (s, d) =>
+          rawAuth.merge(d, hub.get(s).longValue(), (a, b) => a + b)
+        }
+        rescaleLocal(rawAuth, auth)
+        val rawHub = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        es.foreach { case (s, d) =>
+          rawHub.merge(s, auth.get(d).longValue(), (a, b) => a + b)
+        }
+        rescaleLocal(rawHub, hub)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](ns.length)
+      ns.foreach(n => out += ((n, hub.get(n).longValue(), auth.get(n).longValue())))
+      return out.toSeq.toDF("node", "hub_int", "auth_int")
     }
     var hubs = nodes.withColumn("hub_int", lit(scale))
     var auths: DataFrame = null
@@ -559,6 +676,44 @@ object Graph {
         col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .localCheckpoint()
+    // SIZE-ADAPTIVE DISPATCH (the Dedup.clusters probe pattern): the edge
+    // table is already a materialized leaf, so the count is a cheap scan.
+    // Under the driver bound, the SAME synchronous capped-round relaxation
+    // runs locally (identical math: per round every edge relaxes off the
+    // previous round's distances, min-merge, early exit on no change) —
+    // one driver pass instead of maxRounds join jobs. Past the bound the
+    // distributed loop below is unchanged. GraphSpec pins equality.
+    val localMax = spark.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val eProbe = e.agg(count(lit(1)), count(col("src")), count(col("dst")),
+      count(col("w"))).head()
+    if (eProbe.getLong(0) <= localMax && (1 to 3).forall(i =>
+        eProbe.getLong(i) == eProbe.getLong(0))) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // boxed maps on purpose: absence must read as null, never unbox to 0
+      val d = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      sources.distinct.foreach(s => d.put(s, 0L))
+      var r = 0
+      var stable = false
+      while (r < maxRounds && !stable) {
+        val nd = new java.util.HashMap[java.lang.Long, java.lang.Long](d)
+        es.foreach { case (s2, d2, w2) =>
+          val ds = d.get(s2)
+          if (ds ne null) {
+            val cand = ds.longValue() + w2
+            val cur = nd.get(d2)
+            if ((cur eq null) || cand < cur.longValue()) nd.put(d2, cand)
+          }
+        }
+        stable = nd == d
+        d.clear(); d.putAll(nd)
+        r += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](d.size)
+      d.forEach((k, v) => out += ((k.longValue(), v.longValue())))
+      return out.toSeq.toDF("node", "dist")
+    }
     var dist = sources.distinct.toDF("node")
       .withColumn("dist", lit(0L)).localCheckpoint()
     var rounds = 0
@@ -611,6 +766,80 @@ object Graph {
       .where(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
       .localCheckpoint()
+    // SIZE-ADAPTIVE DISPATCH (the Dedup.clusters probe pattern): e0 is a
+    // materialized leaf, the count a cheap scan. Under the driver bound the
+    // SAME round structure runs locally — per round each component's
+    // lightest (w, u, v)-ordered outgoing edge is chosen, components
+    // contract, capped at maxRounds — so the selected forest is identical
+    // edge-for-edge (including the tie-ordering and cap semantics). Past
+    // the bound the distributed loop below is unchanged. GraphSpec pins
+    // equality.
+    val localMaxB = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val bProbe = e0.agg(count(lit(1)), count(col("u")), count(col("v")),
+      count(col("w"))).head()
+    if (bProbe.getLong(0) <= localMaxB && (1 to 3).forall(i =>
+        bProbe.getLong(i) == bProbe.getLong(0))) {
+      val spark2 = edges.sparkSession
+      import spark2.implicits._
+      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val compM = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, v, _) =>
+        compM.putIfAbsent(u, u); compM.putIfAbsent(v, v)
+      }
+      val mstB = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var r = 0
+      var stop = false
+      while (r < maxRounds && !stop) {
+        // lightest outgoing edge per component under (w, u, v) ordering
+        val best = new java.util.HashMap[Long, (Long, Long, Long)]()
+        def offer(c: Long, e: (Long, Long, Long)): Unit = {
+          val cur = best.get(c)
+          if (cur == null || Ordering[(Long, Long, Long)].lt((e._3, e._1, e._2),
+            (cur._3, cur._1, cur._2))) best.put(c, e)
+        }
+        es.foreach { case (u, v, w) =>
+          val (cu, cv) = (compM.get(u), compM.get(v))
+          if (cu != cv) { offer(cu, (u, v, w)); offer(cv, (u, v, w)) }
+        }
+        if (best.isEmpty) stop = true
+        else {
+          val chosen = new java.util.TreeSet[(Long, Long, Long)](
+            Ordering.Tuple3[Long, Long, Long])
+          best.values.forEach(e => chosen.add(e))
+          chosen.forEach(e => mstB += e)
+          // contract: min-label CC over the chosen component graph
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrDefault(x, x)
+            while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+            var y = x0
+            while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+            x
+          }
+          chosen.forEach { e =>
+            val (ra, rb) = (find(compM.get(e._1)), find(compM.get(e._2)))
+            if (ra != rb) parent.put(ra, rb)
+          }
+          val minOfRoot = new java.util.HashMap[Long, Long]()
+          chosen.forEach { e =>
+            Seq(compM.get(e._1), compM.get(e._2)).foreach { c =>
+              val root = find(c)
+              val m = minOfRoot.getOrDefault(root, Long.MaxValue)
+              if (c < m) minOfRoot.put(root, c)
+            }
+          }
+          compM.replaceAll((_, c) => {
+            val root = find(c)
+            if (minOfRoot.containsKey(root)) minOfRoot.get(root) else c
+          })
+          r += 1
+        }
+      }
+      return mstB.toSeq.toDF("u", "v", "w")
+    }
     val nodes = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node"))).distinct()
       .localCheckpoint()

@@ -32,7 +32,7 @@ object Lm {
   val Scale: Long = 1000000L
 
   private def words(df: DataFrame, idCol: String, textCol: String) =
-    df.select(col(idCol),
+    graft.ops.Fanout.ensure(df).select(col(idCol),
       regexp_extract_all(lower(col(textCol)), lit("[a-z0-9_']+"), lit(0))
         .as("_w"))
 

@@ -221,4 +221,150 @@ class OptR06Spec extends SparkSpec {
     } finally big.unpersist()
     assert(expSample.nonEmpty) // draw defined; fallback exercised above
   }
+
+  // ---- size-adaptive local dispatch ≡ distributed (round-6) ----
+
+  /** Run `body` with the local-dispatch thresholds forced to 0 (every graph
+    * takes the distributed path), restoring the confs after.
+    */
+  private def forcedDistributed[T](body: => T): T = {
+    val keys = Seq("spark.graft.cc.localEdgeThreshold",
+      "spark.graft.graph.localEdgeThreshold")
+    keys.foreach(k => spark.conf.set(k, "0"))
+    try body finally keys.foreach(k => spark.conf.unset(k))
+  }
+
+  test("clusters: local union-find ≡ distributed pointer jumping on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // chains, cliques and random cross edges — long diameters included
+      val chain = (0L until 40L).map(i => (trial * 1000L + i, trial * 1000L + i + 1))
+      val clique = for (a <- 0 until 6; b <- a + 1 until 6)
+        yield (5000L + a, 5000L + b)
+      val rand = Seq.fill(30)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = (chain ++ clique ++ rand).toDF("id_a", "id_b")
+      val local = Dedup.clusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = forcedDistributed {
+        Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(local == dist, s"trial $trial")
+    }
+  }
+
+  test("ssspInt: local relaxation ≡ distributed, including the round cap") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+      (rnd.nextInt(50) + 1).toLong)).toDF("s", "d", "w")
+    for (cap <- Seq(1, 3, 45)) {
+      val local = Graph.ssspInt(edges, "s", "d", "w", Seq(0L, 7L), maxRounds = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = forcedDistributed {
+        Graph.ssspInt(edges, "s", "d", "w", Seq(0L, 7L), maxRounds = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(local == dist, s"cap $cap")
+    }
+  }
+
+  test("boruvkaMst: local rounds ≡ distributed edge-for-edge") {
+    val rnd = new scala.util.Random(11)
+    // distinct weights by construction (contract)
+    val ws = rnd.shuffle((1 to 200).toList).iterator
+    val edges = (Seq.tabulate(30)(i => (i.toLong, ((i + 1) % 30).toLong)) ++
+      Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (a, b, ws.next().toLong) }
+      .toDF("s", "d", "w")
+    val local = Graph.boruvkaMst(edges, "s", "d", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = forcedDistributed {
+      Graph.boruvkaMst(edges, "s", "d", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(local == dist)
+  }
+
+  test("pageRankInt / personalizedPageRankInt / hitsInt: local ≡ distributed") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val prL = Graph.pageRankInt(edges, "src", "dst", iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prD = forcedDistributed {
+      Graph.pageRankInt(edges, "src", "dst", iters = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(prL == prD, "pageRankInt")
+    val pprL = Graph.personalizedPageRankInt(edges, "src", "dst",
+      seeds = Seq(1L, 3L), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pprD = forcedDistributed {
+      Graph.personalizedPageRankInt(edges, "src", "dst",
+        seeds = Seq(1L, 3L), iters = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(pprL == pprD, "personalizedPageRankInt")
+    val hL = Graph.hitsInt(edges, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hD = forcedDistributed {
+      Graph.hitsInt(edges, "src", "dst", iters = 3).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(hL == hD, "hitsInt")
+  }
+
+  // ---- prefix-filtered candidate rewrite ≡ brute force (round-6) ----
+
+  test("ngramJaccardPairs: prefix+positional candidates ≡ pruned brute force, any cap") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 60L).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    for ((cap, t) <- Seq((1000000, 0.5), (8, 0.5), (3, 0.3))) {
+      val got = Dedup.ngramJaccardPairs(df, "id", "text", n = 3,
+        threshold = t, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force with the SAME pruned-common / full-size semantics
+      val sh = docs.map { case (i, s) => i -> TextKernels.shingles(s, 3).toSet }.toMap
+      val dfCount = sh.values.toSeq.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+      val hot = dfCount.filter(_._2 > cap).keySet
+      val exp = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        pa = sh(a) -- hot; pb = sh(b) -- hot
+        common = (pa & pb).size
+        jac = common.toDouble / (sh(a).size + sh(b).size - common).toDouble
+        if common > 0 && jac >= t
+      } yield (a, b, jac)).toSet
+      assert(got == exp, s"cap=$cap t=$t: got ${got.size}, exp ${exp.size}")
+    }
+  }
+
+  test("prefixJaccardPairs: positional filter loses no qualifying pair") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 50L).map { i =>
+      val n = 4 + rnd.nextInt(15)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val got = Dedup.prefixJaccardPairs(df, "id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sh = docs.map { case (i, s) => i -> TextKernels.shingles(s, 2).toSet }.toMap
+      val exp = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1)
+        if a < b && sh(a).nonEmpty && sh(b).nonEmpty
+        common = (sh(a) & sh(b)).size
+        jac = common.toDouble / (sh(a).size + sh(b).size - common).toDouble
+        if jac >= t
+      } yield (a, b, jac)).toSet
+      assert(got == exp, s"t=$t: got ${got.size}, exp ${exp.size}")
+    }
+  }
 }
