@@ -286,6 +286,47 @@ object Curation {
     val base = edges.select(col(fromCol).as("u"), col(toCol).as("v"))
       .groupBy(col("u")).agg(min(col("v")).as("v"))
       .persist()
+    // SIZE-ADAPTIVE DISPATCH (the Dedup.clusters probe pattern): the
+    // pointer table is url-graph-sized; under the driver bound the SAME
+    // maxIters pointer-jumping rounds replay locally in one pass (integral
+    // keys only — the distributed path is type-generic and unchanged)
+    val ccLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val integral = Seq(base.schema("u").dataType, base.schema("v").dataType)
+      .forall {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+    val ccProbe = base.agg(count(lit(1)), count(col("u")), count(col("v"))).head()
+    if (integral && ccProbe.getLong(0) <= ccLocalMax && (1 to 2).forall(i =>
+        ccProbe.getLong(i) == ccProbe.getLong(0))) {
+      val uType = base.schema("u").dataType
+      val vType = base.schema("v").dataType
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val rows = base.select(col("u").cast("long"), col("v").cast("long")).collect()
+      base.unpersist()
+      val ptrM = new java.util.HashMap[java.lang.Long, java.lang.Long](rows.length * 2)
+      rows.foreach(r => ptrM.put(r.getLong(0), r.getLong(1)))
+      val keys = rows.map(_.getLong(0))
+      for (_ <- 0 until maxIters) {
+        val snap = new java.util.HashMap[java.lang.Long, java.lang.Long](ptrM)
+        keys.foreach { u =>
+          val w = snap.get(snap.get(u))
+          if (w ne null) ptrM.put(u, w)
+        }
+      }
+      val outRows = keys.map { u =>
+        val v = ptrM.get(u).longValue()
+        (u, v, !ptrM.containsKey(v))
+      }
+      return outRows.toSeq.toDF("url", "canonical", "resolved")
+        .select(col("url").cast(uType).as("url"),
+          col("canonical").cast(vType).as("canonical"), col("resolved"))
+    }
     var ptr = base
     for (_ <- 0 until maxIters) {
       ptr = ptr

@@ -460,6 +460,42 @@ object Graph {
     // eager localCheckpoint: materializes AND cuts lineage to an RDD leaf
     val seed = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
+    // SIZE-ADAPTIVE DISPATCH (the Dedup.clusters probe pattern): same
+    // layered BFS with the same depth cap, one driver pass
+    val bfsLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val bfsProbe = e.agg(count(lit(1)), count(col("src")), count(col("dst"))).head()
+    if (bfsProbe.getLong(0) <= bfsLocalMax && (1 to 2).forall(i =>
+        bfsProbe.getLong(i) == bfsProbe.getLong(0))) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj = new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      e.collect().foreach { r =>
+        adj.computeIfAbsent(r.getLong(0),
+          _ => new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
+      }
+      e.unpersist()
+      val depthOf = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var front = seed.collect().map(_.getLong(0)).toSeq.distinct
+      front.foreach(n => depthOf.put(n, 0L))
+      var d = 0L
+      while (d < maxDepth && front.nonEmpty) {
+        d += 1
+        val next = scala.collection.mutable.LinkedHashSet[Long]()
+        front.foreach { n =>
+          val out = adj.get(n)
+          if (out ne null) out.foreach { m =>
+            if (!depthOf.containsKey(m)) next += m
+          }
+        }
+        next.foreach(m => depthOf.put(m, d))
+        front = next.toSeq
+      }
+      val outRows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](depthOf.size)
+      depthOf.forEach((k, v) => outRows += ((k.longValue(), v.longValue())))
+      return outRows.toSeq.toDF("node", "depth")
+    }
     var frontier = seed
     var visited = seed.withColumn("depth", lit(0L))
     var depth = 0L
@@ -632,6 +668,34 @@ object Graph {
       .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var prevEdges = cur.count()
+    // SIZE-ADAPTIVE DISPATCH — same simultaneous peel with the same
+    // round cap and stop condition, one driver pass
+    val kcLocalMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4L << 20)
+    val kcProbe = cur.agg(count(col("a")), count(col("b"))).head()
+    if (prevEdges <= kcLocalMax && kcProbe.getLong(0) == prevEdges &&
+        kcProbe.getLong(1) == prevEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var es = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var prev = es.length.toLong
+      var rd = 0
+      var dn = prev == 0L
+      while (!dn && rd < maxRounds) {
+        rd += 1
+        val deg = es.groupBy(_._1).map { case (n, o) => n -> o.length }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter { case (a, b) => keep(a) && keep(b) }
+        val n = next.length.toLong
+        dn = n == prev || n == 0L
+        prev = n
+        es = next
+      }
+      return es.groupBy(_._1).toSeq
+        .map { case (n, o) => (n, o.length.toLong) }
+        .toDF("node", "core_degree")
+    }
     var round = 0
     var done = prevEdges == 0L
     while (!done && round < maxRounds) {

@@ -315,6 +315,42 @@ class OptR06Spec extends SparkSpec {
     assert(hL == hD, "hitsInt")
   }
 
+  test("bfsDepth / kCore / resolveCanonicalChains: local ≡ distributed") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(70)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("node")
+    for (cap <- Seq(2, 6)) {
+      val l = Graph.bfsDepth(edges, "src", "dst", seeds, "node", maxDepth = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val d = forcedDistributed {
+        Graph.bfsDepth(edges, "src", "dst", seeds, "node", maxDepth = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(l == d, s"bfsDepth cap=$cap")
+    }
+    for (k <- Seq(2, 3)) {
+      val l = Graph.kCore(edges, "src", "dst", k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val d = forcedDistributed {
+        Graph.kCore(edges, "src", "dst", k).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(l == d, s"kCore k=$k")
+    }
+    // chains with a 2-cycle (the unresolvable case) and converging links
+    val chains = (Seq.tabulate(20)(i => (i.toLong + 1, i.toLong)) ++
+      Seq((100L, 101L), (101L, 100L), (50L, 7L), (51L, 7L)))
+      .toDF("f", "t")
+    val lc = Curation.resolveCanonicalChains(chains, "f", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dc = forcedDistributed {
+      Curation.resolveCanonicalChains(chains, "f", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    }
+    assert(lc == dc, "resolveCanonicalChains")
+  }
+
   // ---- prefix-filtered candidate rewrite ≡ brute force (round-6) ----
 
   test("ngramJaccardPairs: prefix+positional candidates ≡ pruned brute force, any cap") {
