@@ -351,6 +351,25 @@ class OptR06Spec extends SparkSpec {
     assert(lc == dc, "resolveCanonicalChains")
   }
 
+  test("stationaryDistribution: local power iteration ≡ distributed") {
+    val rnd = new scala.util.Random(31)
+    val types = Vector("view", "click", "buy", "exit")
+    val ts0 = 1700000000000L
+    val ev = (0 until 400).map { i =>
+      (rnd.nextInt(20).toLong, new java.sql.Timestamp(ts0 + i * 60000L),
+        i.toLong, types(rnd.nextInt(types.length)))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val l = Behavior.stationaryDistribution(ev, "user_id", "ts", "event_id",
+      "event_type", iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = forcedDistributed {
+      Behavior.stationaryDistribution(ev, "user_id", "ts", "event_id",
+        "event_type", iters = 4).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(l == d)
+  }
+
   // ---- prefix-filtered candidate rewrite ≡ brute force (round-6) ----
 
   test("ngramJaccardPairs: prefix+positional candidates ≡ pruned brute force, any cap") {
