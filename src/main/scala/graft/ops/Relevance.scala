@@ -484,6 +484,12 @@ object Relevance {
       val union = a.length.toLong + b.length.toLong - inter
       if (union == 0L) 0L else inter * 1000L / union
     }
+    // loud duplicate-id guard (the maxRows-contract style): keying by id
+    // below would otherwise silently collapse duplicate candidate rows
+    require(cands.map(_._1).distinct.length == cands.length,
+      s"mmrSelect: duplicate ids in the candidate set — " +
+        s"${cands.length - cands.map(_._1).distinct.length} collisions; " +
+        "deduplicate upstream (exact/nearDup) before re-ranking")
     val shOf = cands.map(c => c._1 -> c._3).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val remaining = scala.collection.mutable.LinkedHashMap(

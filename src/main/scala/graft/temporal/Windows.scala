@@ -515,7 +515,11 @@ object Windows {
       .withColumn("_vs", col("_t0") + lit(valFold.toLong) * col("_w"))
       .withColumn("_ve", col("_t0") + lit(valFold + 1L) * col("_w"))
       .withColumn("role",
-        when(col("fold") === valFold.toLong, "val")
+        // NULL timestamps first: every when() below evaluates to null on
+        // them and the otherwise() branch would silently route undated
+        // rows into the TRAINING set of a leakage-audit split
+        when(ts.isNull, "undated")
+          .when(col("fold") === valFold.toLong, "val")
           .when(ts >= col("_ve"), "future")
           .when(ts >= col("_vs") - embargoMs, "embargo")
           .otherwise("train"))
